@@ -1,0 +1,377 @@
+"""The flagship operator: a fault-tolerant, rate-limited LLM map over a DataFrame.
+
+Reference behavior re-expressed Spark-first (main.py:308-629):
+
+- ``process_batch``/``process_group_batch`` orchestration (main.py:308-357,
+  504-531) becomes a single lazy plan: template projection and result-record
+  assembly stay JVM-side in Catalyst; only the API call itself crosses into
+  Python, via Arrow-batched ``mapInPandas`` (ungrouped) or
+  ``applyInPandas`` (grouped conversations).
+- Ungrouped mode is embarrassingly parallel across partitions
+  (main.py:513-522's ``asyncio.gather`` ≅ Spark partition parallelism).
+- Grouped mode keeps each group on one task and processes its rows
+  sequentially in ``_row_index`` order, accumulating the conversation
+  (main.py:402-431, 508-512). Whole-group-on-one-task is inherent to
+  conversation semantics; groups are assumed chat-sized (skew hazard
+  documented in SURVEY.md §7.4).
+- Per-row failure isolation (main.py:487-502): an API error becomes an
+  ``error`` column value, never a task failure — one bad row never kills
+  the job.
+- Retry taxonomy (main.py:533-604): rate-limit → ``(2**n)*2`` s backoff;
+  invalid-key / quota / model-not-found → fail fast; generic → ``(2**n)*1``
+  s backoff; at most ``retry_attempts`` retries.
+- Rate limiting (main.py:606-629): sliding 60 s window, rpm clamped to
+  [1, 60]. Distributed twist: a global window doesn't exist across
+  executors, so the budget is split evenly across ``min(rate_limit, 10)``
+  partitions (the reference's semaphore clamp, main.py:332-334) — slight
+  under-utilization, no coordination service needed.
+
+Determinism for testing: :class:`MockLLMClient` answers
+``mock:<md5(prompt)>:<n_prior_messages>`` — pure function of the message
+log, so grouped-mode ordering and history length are oracle-checkable in
+SQL (md5 + window row_number), and exports are golden-comparable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, StringType
+
+from ai_batch_processing_spark.operators.grouping import GROUP_COL, with_group_key
+from ai_batch_processing_spark.operators.template import ROW_INDEX_COL, render_template, with_row_index
+from ai_batch_processing_spark.registry import register
+from ai_batch_processing_spark.session import load_tables
+
+Message = dict[str, str]
+
+
+# --------------------------------------------------------------------------
+# Config (reference: AIConfig/MappingConfig/PromptTemplate/ProcessingConfig,
+# main.py:31-60)
+# --------------------------------------------------------------------------
+@dataclass
+class LLMConfig:
+    prompt_template: str
+    provider: str = "mock"  # "openai" | "anthropic" | "mock"
+    model: str = "mock-model"
+    api_key: str = ""
+    temperature: float = 0.7
+    max_tokens: int = 1000  # 1-4000, default 1000 (main.py:22,27)
+    rate_limit: int | None = None  # rpm, clamped to [1,60] when set (main.py:608)
+    retry_attempts: int = 3  # 1-10, default 3 (main.py:23)
+    system_prompt: str | None = None
+    group_by: str | None = None
+    main_content: str | None = None
+    order_by: list[str] | None = None  # in-group ordering; None → ingest order
+
+
+# --------------------------------------------------------------------------
+# Clients
+# --------------------------------------------------------------------------
+class LLMError(Exception):
+    """API failure after retry policy is exhausted (or non-retryable)."""
+
+
+class MockLLMClient:
+    """Deterministic stand-in: response is a pure function of the message log.
+
+    ``mock:<md5(last user prompt)>:<len(messages)-1>`` — the trailing count
+    proves the conversation history had the right length at call time.
+    """
+
+    def complete(self, model: str, messages: list[Message], temperature: float, max_tokens: int) -> str:
+        prompt = messages[-1]["content"]
+        digest = hashlib.md5(prompt.encode("utf-8")).hexdigest()
+        return f"mock:{digest}:{len(messages) - 1}"
+
+
+def _classify(err: Exception) -> str:
+    """Error taxonomy of main.py:574-604, keyed on message content."""
+    msg = str(err).lower()
+    if "rate limit" in msg or "429" in msg:
+        return "rate_limit"
+    if "invalid api key" in msg or "unauthorized" in msg or "401" in msg:
+        return "invalid_key"
+    if "quota" in msg or "billing" in msg:
+        return "quota"
+    if ("model" in msg and "not found" in msg) or "404" in msg:
+        return "model_not_found"
+    return "generic"
+
+
+def call_with_retry(
+    client,
+    cfg: LLMConfig,
+    messages: list[Message],
+    sleep: Callable[[float], None] = time.sleep,
+    _retry_count: int = 0,
+) -> str:
+    """main.py:533-604 parity: retry with taxonomy-specific backoff."""
+    try:
+        return client.complete(cfg.model, messages, cfg.temperature, cfg.max_tokens)
+    except Exception as err:  # noqa: BLE001 — taxonomy decides
+        kind = _classify(err)
+        if kind in ("invalid_key", "quota", "model_not_found"):
+            raise LLMError(f"{kind}: {err}") from err
+        if _retry_count >= cfg.retry_attempts:
+            raise LLMError(f"{kind}: retries exhausted: {err}") from err
+        base = 2 if kind == "rate_limit" else 1
+        sleep((2**_retry_count) * base)
+        return call_with_retry(client, cfg, messages, sleep, _retry_count + 1)
+
+
+class SlidingWindowRateLimiter:
+    """60 s sliding-window limiter (main.py:606-629), clock-injectable."""
+
+    def __init__(
+        self,
+        rpm: int,
+        now: Callable[[], float] = time.monotonic,
+        sleep: Callable[[float], None] = time.sleep,
+    ):
+        self.rpm = max(1, min(60, rpm))  # main.py:608 clamp
+        self._now = now
+        self._sleep = sleep
+        self._stamps: list[float] = []
+
+    def wait(self) -> None:
+        t = self._now()
+        self._stamps = [s for s in self._stamps if t - s < 60.0]
+        if len(self._stamps) >= self.rpm:
+            self._sleep(60.0 - (t - self._stamps[0]))
+            t = self._now()
+            self._stamps = [s for s in self._stamps if t - s < 60.0]
+        self._stamps.append(self._now())
+
+
+def _make_client(cfg: LLMConfig):
+    """Per-executor lazy client construction (main.py:315-318 moves into the task)."""
+    if cfg.provider == "mock":
+        return MockLLMClient()
+    if cfg.provider == "openai":  # pragma: no cover - SDK not in test env
+        try:
+            from openai import OpenAI
+        except ImportError as e:
+            raise LLMError("openai SDK not installed") from e
+
+        class _OpenAI:
+            def __init__(self, key):
+                self._c = OpenAI(api_key=key)
+
+            def complete(self, model, messages, temperature, max_tokens):
+                r = self._c.chat.completions.create(
+                    model=model, messages=messages, temperature=temperature, max_tokens=max_tokens
+                )
+                return r.choices[0].message.content
+
+        return _OpenAI(cfg.api_key)
+    if cfg.provider == "anthropic":  # pragma: no cover - SDK not in test env
+        try:
+            import anthropic
+        except ImportError as e:
+            raise LLMError("anthropic SDK not installed") from e
+
+        class _Anthropic:
+            def __init__(self, key):
+                self._c = anthropic.Anthropic(api_key=key)
+
+            def complete(self, model, messages, temperature, max_tokens):
+                # Anthropic takes the system message out-of-band (main.py:546-568).
+                system = [m["content"] for m in messages if m["role"] == "system"]
+                rest = [m for m in messages if m["role"] != "system"]
+                r = self._c.messages.create(
+                    model=model,
+                    system=system[0] if system else anthropic.NOT_GIVEN,
+                    messages=rest,
+                    temperature=temperature,
+                    max_tokens=max_tokens,
+                )
+                return r.content[0].text
+        return _Anthropic(cfg.api_key)
+    raise ValueError(f"unknown provider: {cfg.provider}")
+
+
+# --------------------------------------------------------------------------
+# The operator
+# --------------------------------------------------------------------------
+RESPONSE_COL = "response"
+ERROR_COL = "error"
+PROMPT_COL = "prompt"
+
+
+def llm_map(
+    df: DataFrame,
+    cfg: LLMConfig,
+    client_factory: Callable[[LLMConfig], object] | None = None,
+) -> DataFrame:
+    """Map every row through an LLM; returns the reference's result relation.
+
+    Output columns: all input columns + ``group``, ``main_content``,
+    ``prompt``, ``response``, ``error``, ``row_index`` (main.py:450-462).
+    ``error`` is null on success; a failed row carries the message instead
+    of failing the task (main.py:487-502).
+    """
+    factory = client_factory or _make_client
+
+    # --- JVM-side prep: row index, group key, prompt, main_content ---------
+    if ROW_INDEX_COL not in df.columns:
+        df = with_row_index(df, order_by=cfg.order_by)
+    df = with_group_key(df, cfg.group_by)
+    df = render_template(df, cfg.prompt_template, PROMPT_COL)
+
+    mc = F.coalesce(F.col(cfg.main_content).cast("string"), F.lit("")) if cfg.main_content else F.lit("")
+    df = df.withColumn("main_content", mc)
+
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField(RESPONSE_COL, StringType()), StructField(ERROR_COL, StringType())]
+    )
+
+    rpm_share = None
+    n_lanes = None
+    if cfg.rate_limit is not None:
+        # main.py:332-334 semaphore clamp → partition count; each lane gets
+        # an even share of the (clamped) global budget.
+        rpm = max(1, min(60, cfg.rate_limit))
+        n_lanes = min(rpm, 10)
+        rpm_share = max(1, rpm // n_lanes)
+
+    def _complete_row(client, limiter, history: list[Message] | None, prompt: str) -> tuple[str | None, str | None]:
+        if limiter is not None:
+            limiter.wait()
+        messages: list[Message] = []
+        if history is not None:
+            history.append({"role": "user", "content": prompt})
+            messages = list(history)
+        else:
+            if cfg.system_prompt:
+                messages.append({"role": "system", "content": cfg.system_prompt})
+            messages.append({"role": "user", "content": prompt})
+        try:
+            response = call_with_retry(client, cfg, messages)
+        except LLMError as err:
+            if history is not None:
+                history.pop()  # failed turn leaves no trace in the conversation
+            return None, str(err)
+        if history is not None:
+            history.append({"role": "assistant", "content": response})
+        return response, None
+
+    if cfg.group_by is None:
+        # Ungrouped: stateless per row, partition-parallel (main.py:513-522).
+        def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            client = factory(cfg)
+            limiter = SlidingWindowRateLimiter(rpm_share) if rpm_share else None
+            for pdf in batches:
+                results = [_complete_row(client, limiter, None, p) for p in pdf[PROMPT_COL]]
+                pdf = pdf.copy()
+                pdf[RESPONSE_COL] = [r for r, _ in results]
+                pdf[ERROR_COL] = [e for _, e in results]
+                yield pdf
+
+        mapped = df.repartition(n_lanes) if n_lanes else df
+        result = mapped.mapInPandas(run_partition, out_schema)
+    else:
+        # Grouped: one conversation per group, strictly sequential in row
+        # order (main.py:402-431, 508-512).
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            client = factory(cfg)
+            limiter = SlidingWindowRateLimiter(rpm_share) if rpm_share else None
+            pdf = pdf.sort_values(ROW_INDEX_COL).reset_index(drop=True)
+            history: list[Message] = []
+            if cfg.system_prompt:
+                history.append({"role": "system", "content": cfg.system_prompt})
+            responses, errors = [], []
+            for prompt in pdf[PROMPT_COL]:
+                r, e = _complete_row(client, limiter, history, prompt)
+                responses.append(r)
+                errors.append(e)
+            pdf[RESPONSE_COL] = responses
+            pdf[ERROR_COL] = errors
+            return pdf
+
+        result = df.groupBy(GROUP_COL).applyInPandas(run_group, out_schema)
+
+    return result.withColumnRenamed(ROW_INDEX_COL, "row_index").withColumn(
+        "timestamp", F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp")
+    )
+
+
+# --------------------------------------------------------------------------
+# Registered queries (deterministic mock client → SQL oracle)
+# --------------------------------------------------------------------------
+_TEMPLATE = "Summarize [{lang}] doc#{doc_id} from {source}: {text} {unknown_tag}"
+# Oracle-side rendering of the same template (unknown_tag is not a column →
+# stays verbatim, main.py:372-377 rule).
+_PROMPT_SQL = (
+    "'Summarize [' || COALESCE(CAST(lang AS VARCHAR), '') || '] doc#' || "
+    "COALESCE(CAST(doc_id AS VARCHAR), '') || ' from ' || "
+    "COALESCE(CAST(source AS VARCHAR), '') || ': ' || "
+    "COALESCE(CAST(text AS VARCHAR), '') || ' {unknown_tag}'"
+)
+
+
+@register(
+    "q32_llm_map_ungrouped",
+    oracle=f"""
+        SELECT
+            doc_id,
+            {_PROMPT_SQL} AS prompt,
+            'mock:' || md5({_PROMPT_SQL}) || ':0' AS response
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="flagship ungrouped LLM map (mapInPandas) with deterministic mock client.",
+    bench=True,
+    tags=("reference", "llm_map"),
+)
+def q32_llm_map_ungrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    cfg = LLMConfig(prompt_template=_TEMPLATE, main_content="text", order_by=["doc_id"])
+    out = llm_map(t["documents"], cfg)
+    return out.select("doc_id", "prompt", "response").orderBy("doc_id")
+
+
+@register(
+    "q33_llm_map_grouped_conversation",
+    oracle=f"""
+        WITH p AS (
+            SELECT
+                doc_id,
+                lang,
+                {_PROMPT_SQL} AS prompt,
+                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+            FROM documents
+        )
+        SELECT
+            doc_id,
+            lang AS group_key,
+            prompt,
+            'mock:' || md5(prompt) || ':' || CAST(2 * rn - 1 AS VARCHAR) AS response
+        FROM p
+        ORDER BY doc_id
+    """,
+    doc=(
+        "grouped conversation LLM map (applyInPandas): history grows 2 msgs/row "
+        "after the system msg, so message-count at row k is 2k-1 (main.py:402-431)."
+    ),
+    tags=("reference", "llm_map", "stateful"),
+)
+def q33_llm_map_grouped_conversation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    cfg = LLMConfig(
+        prompt_template=_TEMPLATE,
+        group_by="lang",
+        main_content="text",
+        order_by=["doc_id"],
+        system_prompt="You are a careful summarizer.",
+    )
+    out = llm_map(t["documents"], cfg)
+    return out.select("doc_id", F.col("group").alias("group_key"), "prompt", "response").orderBy("doc_id")

@@ -1,0 +1,460 @@
+"""Core relational operators: scan, filter, project, join (broadcast /
+shuffle / semi / anti / range / as-of), aggregate, sort, limit.
+
+The reference has at most one live table and therefore no joins or SQL-style
+aggregation (SURVEY.md §2.3-§2.4); these queries are the engine's extended
+relational surface over the TESTDATA star schema. Each is expressed
+declaratively so Catalyst applies pushdown / pruning / join selection, and
+each carries a DuckDB oracle.
+
+Scale notes per query are inline — broadcast the dims, shuffle only on the
+aggregation keys, keep sorts top-k where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.registry import register
+from ai_batch_processing_spark.session import load_tables
+
+
+# --- q01: TPC-H-Q1-shaped pricing summary -----------------------------------
+# Scan + pushed filter + hash agg (partial/final via Catalyst) + small sort.
+# At 100 TB: the filter prunes at the parquet row-group level; the groupBy has
+# ~6 distinct keys so map-side partial aggregation reduces the shuffle to
+# bytes. No skew hazard.
+@register(
+    "q01_pricing_summary",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+            ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+            ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+            ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+            ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+            COUNT(*)                                                    AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: filter → groupBy agg → sort (SURVEY.md §7.2 flagship).",
+    bench=True,
+    tags=("relational", "agg"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- q02: TPC-H-Q3-shaped shipping priority ---------------------------------
+# Two selective filters + join small→large + top-k. customer(BUILDING) is
+# ~1/5 of customers → broadcast side; lineitem is the probe side and never
+# shuffles on the join at scale if AQE picks broadcast-hash. Top-k via
+# orderBy+limit runs as TakeOrderedAndProject (no full sort).
+@register(
+    "q02_shipping_priority",
+    oracle="""
+        SELECT
+            l_orderkey,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            o_orderdate,
+            o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective joins + agg + top-k (TakeOrderedAndProject).",
+    bench=True,
+    tags=("relational", "join", "topk"),
+)
+def q02_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    ords = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(F.broadcast(ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)),
+                li.l_orderkey == ords.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- q03: TPC-H-Q5-shaped star join ------------------------------------------
+# Dim tables region/nation are tiny → broadcast all the way down; the only
+# shuffle is the final groupBy on n_name (25 keys). This is the canonical
+# star-schema plan the engine must produce at 100 TB.
+@register(
+    "q03_region_revenue",
+    oracle="""
+        SELECT
+            n_name,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape: 5-way star join, dims broadcast, one shuffle on n_name.",
+    bench=True,
+    tags=("relational", "join", "star"),
+)
+def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["region", "nation", "customer", "orders", "lineitem"])
+    dims = (
+        t["region"].filter(F.col("r_name") == "ASIA")
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    ords = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    return (
+        t["lineitem"]
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --- q04: left-semi join ------------------------------------------------------
+# EXISTS-style: customers holding ≥1 urgent order. Semi join never duplicates
+# the left side, so it shuffles only keys — at scale prefer it over
+# join+distinct which shuffles whole rows.
+@register(
+    "q04_semi_join_urgent_customers",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    doc="left_semi join (EXISTS) — dedup-free existence check.",
+    tags=("relational", "join", "semi"),
+)
+def q04_semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, t["customer"].c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- q05: left-anti join ------------------------------------------------------
+@register(
+    "q05_anti_join_idle_customers",
+    oracle="""
+        SELECT n_name, COUNT(*) AS n_idle
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        )
+        GROUP BY n_name
+        ORDER BY n_idle DESC, n_name
+    """,
+    doc="left_anti join (NOT EXISTS): customers with no orders, per nation.",
+    tags=("relational", "join", "anti"),
+)
+def q05_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "nation"])
+    recent = t["orders"].filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+    idle = t["customer"].join(recent, t["customer"].c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(t["nation"]), idle.c_nationkey == t["nation"].n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_idle"))
+        .orderBy(F.desc("n_idle"), "n_name")
+    )
+
+
+# --- q06: top-k ----------------------------------------------------------------
+@register(
+    "q06_top_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price, o_orderstatus
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
+    """,
+    doc="global top-k: planned as TakeOrderedAndProject, never a full sort.",
+    tags=("relational", "topk"),
+)
+def q06_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price"), "o_orderstatus")
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(25)
+    )
+
+
+# --- q07: distinct aggregation --------------------------------------------------
+@register(
+    "q07_distinct_agg",
+    oracle="""
+        SELECT
+            o_orderstatus,
+            COUNT(DISTINCT o_custkey) AS n_customers,
+            COUNT(DISTINCT o_orderpriority) AS n_priorities,
+            COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    doc="distinct aggregation (expand + two-phase agg under Catalyst).",
+    tags=("relational", "agg", "distinct"),
+)
+def q07_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- q08: conditional (pivot-style) aggregation ----------------------------------
+@register(
+    "q08_conditional_agg",
+    oracle="""
+        SELECT
+            l_returnflag,
+            ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2) AS hi_disc_revenue,
+            ROUND(SUM(CASE WHEN l_discount <= 0.05 THEN l_extendedprice ELSE 0 END), 2) AS lo_disc_revenue,
+            COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_bulk
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="conditional aggregation (manual pivot): CASE WHEN inside SUM/COUNT.",
+    tags=("relational", "agg"),
+)
+def q08_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    hi = F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(F.lit(0.0))
+    lo = F.when(F.col("l_discount") <= 0.05, F.col("l_extendedprice")).otherwise(F.lit(0.0))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(hi), 2).alias("hi_disc_revenue"),
+            F.round(F.sum(lo), 2).alias("lo_disc_revenue"),
+            F.count(F.when(F.col("l_quantity") >= 25, F.lit(1))).alias("n_bulk"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- q09/q10/q11: rollup / cube / grouping sets -----------------------------------
+@register(
+    "q09_rollup",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            ROUND(SUM(l_quantity), 2) AS sum_qty,
+            COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="ROLLUP hierarchy totals (flag, flag+status, grand total).",
+    tags=("relational", "agg", "rollup"),
+)
+def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@register(
+    "q10_cube",
+    oracle="""
+        SELECT
+            o_orderstatus,
+            o_orderpriority,
+            ROUND(SUM(o_totalprice), 2) AS total,
+            COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="CUBE: all grouping combinations.",
+    tags=("relational", "agg", "cube"),
+)
+def q10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@register(
+    "q11_grouping_sets",
+    oracle="""
+        SELECT
+            c_mktsegment,
+            c_nationkey,
+            COUNT(*) AS n,
+            ROUND(SUM(c_acctbal), 2) AS bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+    """,
+    doc="GROUPING SETS: disjoint grouping combinations in one pass.",
+    tags=("relational", "agg"),
+)
+def q11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        SELECT
+            c_mktsegment,
+            c_nationkey,
+            COUNT(*) AS n,
+            ROUND(SUM(c_acctbal), 2) AS bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST
+        """
+    )
+
+
+# --- q12: range (theta) join -------------------------------------------------------
+# Inline tier table joined on an interval predicate. Spark plans
+# BroadcastNestedLoopJoin — correct here because one side is 4 rows; a
+# large-large range join would instead bucket both sides (see dedup/LSH ops).
+@register(
+    "q12_range_join_price_tiers",
+    oracle="""
+        WITH tiers(tier, lo, hi) AS (
+            VALUES ('t1', 0.0, 925.0), ('t2', 925.0, 950.0),
+                   ('t3', 950.0, 975.0), ('t4', 975.0, 1e18)
+        )
+        SELECT tier, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 4) AS avg_price
+        FROM part JOIN tiers ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY tier
+        ORDER BY tier
+    """,
+    doc="range/theta join against a broadcast interval table.",
+    tags=("relational", "join", "range"),
+)
+def q12_range_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["part"])
+    tiers = spark.createDataFrame(
+        [("t1", 0.0, 925.0), ("t2", 925.0, 950.0), ("t3", 950.0, 975.0), ("t4", 975.0, 1e18)],
+        "tier string, lo double, hi double",
+    )
+    p = t["part"]
+    return (
+        p.join(F.broadcast(tiers), (p.p_retailprice >= tiers.lo) & (p.p_retailprice < tiers.hi))
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+        .orderBy("tier")
+    )
+
+
+# --- q13: as-of join ---------------------------------------------------------------
+# "For each purchase, the user's most recent signup at-or-before it."
+# Spark has no ASOF JOIN; the scalable pattern is union + window (one shuffle
+# on user_id, no join explosion) rather than an inequality join, which would
+# be O(n·m) per user. Oracle uses DuckDB's native ASOF JOIN.
+@register(
+    "q13_asof_join_purchase_signup",
+    oracle="""
+        SELECT
+            p.event_id AS purchase_id,
+            p.user_id  AS user_id,
+            s.event_id AS signup_id,
+            CAST(date_diff('second', s.ts, p.ts) AS BIGINT) AS gap_seconds
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+            ON p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY purchase_id
+    """,
+    doc="as-of join via union+window (reference lacks it; SURVEY.md §2.3).",
+    tags=("relational", "join", "asof"),
+)
+def q13_asof_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup")
+    joined = asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols={"event_id": "signup_id", "ts": "signup_ts"},
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("signup_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("signup_ts")).cast("long").alias("gap_seconds"),
+    ).orderBy("purchase_id")

@@ -1,0 +1,86 @@
+"""Set operations: UNION (distinct + all), INTERSECT, EXCEPT.
+
+Absent from the reference (SURVEY.md §2.7; nearest relative is the export
+schema-union, covered by the export projection operator). Spark builtins;
+each distinct set-op is a shuffle on the full row — these queries keep the
+row a single key column so the shuffle is minimal, the right shape at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.registry import register
+from ai_batch_processing_spark.session import load_tables
+
+
+def _urgent_custkeys(t):
+    return (
+        t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+def _building_custkeys(t):
+    return (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+    )
+
+
+_URGENT_SQL = "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+_BUILDING_SQL = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+
+
+@register(
+    "q19_union_distinct",
+    oracle=f"SELECT custkey FROM ({_URGENT_SQL} UNION {_BUILDING_SQL}) t ORDER BY custkey",
+    doc="UNION (distinct): customers that are urgent-buyers or in BUILDING.",
+    tags=("setop",),
+)
+def q19_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    return _urgent_custkeys(t).union(_building_custkeys(t)).distinct().orderBy("custkey")
+
+
+@register(
+    "q20_intersect",
+    oracle=f"SELECT custkey FROM ({_URGENT_SQL} INTERSECT {_BUILDING_SQL}) t ORDER BY custkey",
+    doc="INTERSECT: urgent-buyers who are also BUILDING customers.",
+    tags=("setop",),
+)
+def q20_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    return _urgent_custkeys(t).intersect(_building_custkeys(t)).orderBy("custkey")
+
+
+@register(
+    "q21_except",
+    oracle=f"SELECT custkey FROM ({_BUILDING_SQL} EXCEPT {_URGENT_SQL}) t ORDER BY custkey",
+    doc="EXCEPT: BUILDING customers with no urgent orders.",
+    tags=("setop",),
+)
+def q21_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    return _building_custkeys(t).subtract(_urgent_custkeys(t)).orderBy("custkey")
+
+
+@register(
+    "q22_union_all_counted",
+    oracle=f"""
+        SELECT custkey, COUNT(*) AS n
+        FROM ({_URGENT_SQL} UNION ALL {_BUILDING_SQL}) t
+        GROUP BY custkey ORDER BY n DESC, custkey LIMIT 50
+    """,
+    doc="UNION ALL + re-aggregation (bag semantics preserved).",
+    tags=("setop",),
+)
+def q22_union_all_counted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    return (
+        _urgent_custkeys(t)
+        .unionAll(_building_custkeys(t))
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "custkey")
+        .limit(50)
+    )

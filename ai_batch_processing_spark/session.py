@@ -1,0 +1,116 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]``; the config is chosen so the same code
+scales to a multi-executor cluster: AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), Arrow on (vectorized Python boundary),
+sane shuffle-partition defaults sized by ``SPARK_GRAFT_CPUS``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ai_batch_processing_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Defaults matter at scale:
+    - AQE re-plans shuffles at runtime (partition coalescing, skew-join
+      handling) — essential at 100 TB where static partition counts are
+      always wrong somewhere.
+    - Arrow makes every pandas-UDF boundary a columnar batch transfer
+      instead of pickled rows.
+    - ``parquet.filterPushdown`` / vectorized reader stay on so filters and
+      projections land in the scan.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Read the star-schema parquet tables under ``sf_dir`` and register temp views.
+
+    Returns ``{name: DataFrame}``. Reading is lazy; registration makes the
+    tables available to ``spark.sql`` so SQL-form queries match the DuckDB
+    oracle text as closely as possible.
+    """
+    all_names = [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names or all_names:
+        df = _read_parquet_compat(spark, os.path.join(sf_dir, f"{name}.parquet"))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def _read_parquet_compat(spark: SparkSession, path: str):
+    """Read parquet, tolerating TIMESTAMP(NANOS) columns Spark 4 rejects.
+
+    The events table stores ``ts`` as nanosecond timestamps; Spark has no
+    nanos timestamp type, so we read nanos as INT64 (legacy conf) and
+    truncate to microseconds — the same truncation DuckDB applies, keeping
+    the oracle comparable. Column-level conversion, still a plain
+    distributed parquet scan (pushdown on other columns unaffected).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        try:
+            import pyarrow.parquet as pq
+
+            meta = pq.read_schema(path)
+            nanos_cols = [
+                f.name for f in meta if getattr(f.type, "unit", None) == "ns"
+            ]
+        except Exception:
+            nanos_cols = []
+        for c in nanos_cols:
+            if isinstance(df.schema[c].dataType, LongType):
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
+                )
+        return df

@@ -1,0 +1,59 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is timed end-to-end (plan + execute + collect-to-count). A
+warm-up pass of the flagship runs first so JVM/codegen startup isn't
+attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ai_batch_processing_spark.registry import load_all
+    from ai_batch_processing_spark.session import get_spark
+
+    specs = load_all()
+    bench_specs = {n: s for n, s in sorted(specs.items()) if s.bench}
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: JVM JIT + codegen + parquet footer caches.
+    next(iter(bench_specs.values())).fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in bench_specs.items():
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "bench_headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""LLM-map operator: retry taxonomy, rate limiter, error isolation,
+conversation ordering (main.py:308-629 parity, SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.operators.llm_map import (
+    LLMConfig,
+    LLMError,
+    MockLLMClient,
+    SlidingWindowRateLimiter,
+    call_with_retry,
+    llm_map,
+)
+
+
+# --------------------------------------------------------------------------
+# retry taxonomy (main.py:533-604)
+# --------------------------------------------------------------------------
+class FlakyClient:
+    """Raises the given errors in order, then answers."""
+
+    def __init__(self, errors):
+        self.errors = list(errors)
+        self.calls = 0
+
+    def complete(self, model, messages, temperature, max_tokens):
+        self.calls += 1
+        if self.errors:
+            raise RuntimeError(self.errors.pop(0))
+        return "ok"
+
+
+def test_rate_limit_retries_with_2x_backoff():
+    sleeps = []
+    client = FlakyClient(["429 rate limit exceeded", "rate limit hit"])
+    cfg = LLMConfig(prompt_template="", retry_attempts=3)
+    out = call_with_retry(client, cfg, [{"role": "user", "content": "x"}], sleep=sleeps.append)
+    assert out == "ok"
+    assert sleeps == [2, 4]  # (2**0)*2, (2**1)*2
+
+
+def test_generic_error_retries_with_1x_backoff():
+    sleeps = []
+    client = FlakyClient(["connection reset", "timeout"])
+    cfg = LLMConfig(prompt_template="", retry_attempts=3)
+    assert call_with_retry(client, cfg, [], sleep=sleeps.append) == "ok"
+    assert sleeps == [1, 2]  # (2**0)*1, (2**1)*1
+
+
+@pytest.mark.parametrize(
+    "msg", ["invalid api key", "401 unauthorized", "quota exceeded", "billing issue", "model xyz not found"]
+)
+def test_fatal_errors_do_not_retry(msg):
+    client = FlakyClient([msg, msg, msg])
+    cfg = LLMConfig(prompt_template="", retry_attempts=3)
+    with pytest.raises(LLMError):
+        call_with_retry(client, cfg, [], sleep=lambda s: None)
+    assert client.calls == 1
+
+
+def test_retries_exhausted():
+    client = FlakyClient(["boom"] * 10)
+    cfg = LLMConfig(prompt_template="", retry_attempts=2)
+    with pytest.raises(LLMError, match="retries exhausted"):
+        call_with_retry(client, cfg, [], sleep=lambda s: None)
+    assert client.calls == 3  # initial + 2 retries
+
+
+# --------------------------------------------------------------------------
+# rate limiter (main.py:606-629)
+# --------------------------------------------------------------------------
+def test_rate_limiter_sliding_window():
+    clock = {"t": 0.0}
+    sleeps = []
+
+    def sleep(s):
+        sleeps.append(s)
+        clock["t"] += s
+
+    rl = SlidingWindowRateLimiter(rpm=2, now=lambda: clock["t"], sleep=sleep)
+    rl.wait()
+    rl.wait()
+    assert sleeps == []
+    rl.wait()  # window full → sleep until the first stamp expires
+    assert sleeps == [60.0]
+
+
+def test_rate_limiter_clamps_rpm():
+    assert SlidingWindowRateLimiter(0).rpm == 1
+    assert SlidingWindowRateLimiter(1000).rpm == 60  # main.py:608
+
+
+# --------------------------------------------------------------------------
+# the operator
+# --------------------------------------------------------------------------
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "a", "hello"), (2, "a", "world"), (3, "b", "again")],
+        "id long, grp string, body string",
+    )
+
+
+def test_ungrouped_map_deterministic(spark):
+    cfg = LLMConfig(prompt_template="say {body}", main_content="body", order_by=["id"])
+    out = llm_map(_docs(spark), cfg).orderBy("id").collect()
+    digest = hashlib.md5(b"say hello").hexdigest()
+    assert out[0].response == f"mock:{digest}:0"
+    assert out[0].error is None
+    assert out[0].main_content == "hello"
+    assert out[0].group == "row_0"
+    assert [r.row_index for r in out] == [0, 1, 2]
+
+
+def test_ungrouped_with_system_prompt_counts_history(spark):
+    cfg = LLMConfig(prompt_template="{body}", system_prompt="sys", order_by=["id"])
+    out = llm_map(_docs(spark), cfg).orderBy("id").collect()
+    assert out[0].response.endswith(":1")  # system + current user → 1 prior
+
+
+def test_grouped_conversation_order_and_history(spark):
+    cfg = LLMConfig(prompt_template="{body}", group_by="grp", order_by=["id"])
+    out = llm_map(_docs(spark), cfg).orderBy("id").collect()
+    # group 'a': rows id=1 (0 prior), id=2 (2 prior: u+a); group 'b': id=3 (0 prior)
+    assert out[0].response.endswith(":0")
+    assert out[1].response.endswith(":2")
+    assert out[2].response.endswith(":0")
+    assert out[0].group == "a" and out[2].group == "b"
+
+
+def test_grouped_null_key_goes_to_unknown_bucket(spark):
+    df = spark.createDataFrame([(1, None, "x")], "id long, grp string, body string")
+    cfg = LLMConfig(prompt_template="{body}", group_by="grp", order_by=["id"])
+    out = llm_map(df, cfg).collect()
+    assert out[0].group == "unknown"  # main.py:363
+
+
+def test_per_row_error_isolation(spark):
+    # One poisoned row must not fail the job (main.py:487-502).
+    class ExplodingClient:
+        def complete(self, model, messages, temperature, max_tokens):
+            if "world" in messages[-1]["content"]:
+                raise RuntimeError("model xyz not found")
+            return "fine"
+
+    cfg = LLMConfig(prompt_template="{body}", order_by=["id"])
+    out = llm_map(_docs(spark), cfg, client_factory=lambda c: ExplodingClient()).orderBy("id").collect()
+    assert out[0].response == "fine" and out[0].error is None
+    assert out[1].response is None and "model_not_found" in out[1].error
+    assert out[2].response == "fine"
+
+
+def test_grouped_failed_row_leaves_no_history_trace(spark):
+    # row id=2 fails; row id=3 would see history of only row 1's turn...
+    df = spark.createDataFrame(
+        [(1, "a", "one"), (2, "a", "world"), (3, "a", "three")],
+        "id long, grp string, body string",
+    )
+    cfg = LLMConfig(prompt_template="{body}", group_by="grp", order_by=["id"])
+
+    class CountingClient:
+        def complete(self, model, messages, temperature, max_tokens):
+            if "world" in messages[-1]["content"]:
+                raise RuntimeError("quota exceeded")
+            return f"n={len(messages) - 1}"
+
+    out = llm_map(df, cfg, client_factory=lambda c: CountingClient()).orderBy("id").collect()
+    assert out[0].response == "n=0"
+    assert out[1].error is not None
+    assert out[2].response == "n=2"  # only row 1's user+assistant remain
+
+
+def test_result_schema_matches_reference_record(spark):
+    # main.py:450-462: group, main_content, response, timestamp, prompt,
+    # row_index + original columns.
+    cfg = LLMConfig(prompt_template="{body}", main_content="body", order_by=["id"])
+    cols = set(llm_map(_docs(spark), cfg).columns)
+    assert {"group", "main_content", "response", "timestamp", "prompt", "row_index", "error"} <= cols
+    assert {"id", "grp", "body"} <= cols
