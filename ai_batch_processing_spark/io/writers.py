@@ -1,0 +1,106 @@
+"""Export sinks — reference S6-S9 re-expressed as Spark writes.
+
+Reference export rules preserved (main.py:681-914, EXPORT_ANALYSIS.md):
+- results sorted by ``row_index`` so output order == input order
+  (main.py:697)
+- column order: ``group, main_content, <original columns sorted>,
+  [prompt], response, timestamp`` (main.py:703-733)
+- missing values default to ``""`` (main.py:716-733)
+- per-row text files named ``result_{i}_{sanitized group}``; sanitization
+  keeps [A-Za-z0-9 _-], empty → ``unknown`` (main.py:807-809)
+
+Consolidated exports use ``coalesce(1)`` — correct for result-sized data
+(an export a human downloads); raw-scale output should use the plain
+partitioned writers instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RESERVED = ["group", "main_content", "prompt", "response", "timestamp", "row_index", "error"]
+
+
+def export_projection(df: DataFrame, include_prompt: bool = True) -> DataFrame:
+    """Reorder to the reference's export schema and default nulls to ''.
+
+    Keeps ``row_index`` ordering applied; the index column itself is not
+    part of the export row (main.py:713-733).
+    """
+    originals = sorted(c for c in df.columns if c not in RESERVED)
+    ordered = ["group", "main_content", *originals]
+    if include_prompt and "prompt" in df.columns:
+        ordered.append("prompt")
+    ordered.append("response")
+    if "timestamp" in df.columns:
+        ordered.append("timestamp")
+    out = df.orderBy("row_index") if "row_index" in df.columns else df
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c) for c in ordered if c in df.columns]
+    return out.select(*cols)
+
+
+def write_consolidated_json(df: DataFrame, path: str, include_prompt: bool = True) -> None:
+    """S6: one JSON-lines file with the export projection applied."""
+    export_projection(df, include_prompt).coalesce(1).write.mode("overwrite").json(path)
+
+
+def write_consolidated_csv(df: DataFrame, path: str, include_prompt: bool = True) -> None:
+    """S7: one CSV file, header on, export projection applied."""
+    export_projection(df, include_prompt).coalesce(1).write.mode("overwrite").csv(path, header=True)
+
+
+def sanitize_group_expr(col: Column | str) -> Column:
+    """Filename sanitization (main.py:807-809): keep [A-Za-z0-9 _-]; empty → 'unknown'."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.trim(F.regexp_replace(c.cast("string"), "[^A-Za-z0-9 _-]", ""))
+    return F.when(cleaned == "", F.lit("unknown")).otherwise(cleaned)
+
+
+def individual_file_rows(df: DataFrame, structured: bool = True) -> DataFrame:
+    """S8 row shape: (filename, body) per result row.
+
+    ``structured=True`` writes the INPUT/PROMPT/RESPONSE/TIMESTAMP body
+    (main.py:791-804); otherwise the bare response.
+    """
+    filename = F.concat(
+        F.lit("result_"),
+        F.col("row_index").cast("string"),
+        F.lit("_"),
+        sanitize_group_expr("group"),
+        F.lit(".txt"),
+    )
+    if structured:
+        ts = F.coalesce(F.col("timestamp").cast("string"), F.lit("")) if "timestamp" in df.columns else F.lit("")
+        body = F.concat(
+            F.lit("INPUT: "), F.coalesce(F.col("main_content"), F.lit("")),
+            F.lit("\n\nPROMPT: "), F.coalesce(F.col("prompt"), F.lit("")),
+            F.lit("\n\nRESPONSE: "), F.coalesce(F.col("response"), F.lit("")),
+            F.lit("\n\nTIMESTAMP: "), ts,
+        )
+    else:
+        body = F.coalesce(F.col("response"), F.lit(""))
+    return df.select(filename.alias("filename"), body.alias("body"))
+
+
+def write_individual_files(df: DataFrame, out_dir: str, structured: bool = True) -> int:
+    """S8: one text file per result row under ``out_dir``.
+
+    Executed with ``foreachPartition`` so files are written in parallel by
+    the tasks that hold the rows (``out_dir`` must be a shared filesystem
+    on a real cluster). One-file-per-row is inherently export-sized — the
+    reference zips these for download; callers can zip ``out_dir``.
+    Returns the number of files written.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rows = individual_file_rows(df, structured)
+
+    def write_partition(it):
+        for row in it:
+            with open(os.path.join(out_dir, row.filename), "w", encoding="utf-8") as fh:
+                fh.write(row.body)
+
+    rows.foreachPartition(write_partition)
+    return len(os.listdir(out_dir))

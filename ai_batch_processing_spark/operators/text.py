@@ -1,1 +1,271 @@
-"""placeholder — filled in this round."""
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+All hot paths are pure Catalyst expressions (split / regexp / aggregate) —
+no Python touches the data, so these run at scan speed and every one of
+them is SQL-oracle-checkable. The reference has no text analytics (its only
+string ops are trim/split/replace, SURVEY.md §2.8); these are BASELINE.json
+north-star extensions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.registry import register
+from ai_batch_processing_spark.session import load_tables
+
+# Tiny per-language stopword anchors for the n-gram/stopword-voting
+# heuristic. Deliberately small and hard-coded: deterministic, dependency-free.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "avec"],
+}
+
+_WORD_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: words / numbers / solo punct
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """Lowercased whitespace tokens (empty tokens dropped)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_expr(text))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token count: alpha runs + digit runs + individual punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(_WORD_RE), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach quality-scoring features: length, token counts, ratios.
+
+    score ∈ [0,1]: downweights extreme lengths, punctuation soup, and
+    stopword-free word salad — the standard cheap pre-filter before
+    expensive model-based scoring.
+    """
+    c = F.col(text_col)
+    toks = tokens_expr(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    punct_chars = F.length(c) - F.length(F.regexp_replace(c, r"[\.,;:!\?'\"()\[\]{}-]", ""))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    mean_word_len = F.when(n_tokens > 0, (n_chars - n_tokens + 1) / n_tokens).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct_chars / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    length_ok = F.when((n_chars >= 20) & (n_chars <= 20000), F.lit(1.0)).otherwise(F.lit(0.25))
+    score = length_ok * alpha_ratio * (1 - punct_ratio) * F.least(F.lit(1.0), stop_ratio * 4 + 0.5)
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "alpha_ratio": F.round(alpha_ratio, 6),
+            "punct_ratio": F.round(punct_ratio, 6),
+            "stopword_ratio": F.round(stop_ratio, 6),
+            "mean_word_len": F.round(mean_word_len, 6),
+            "quality_score": F.round(score, 6),
+        }
+    )
+
+
+def lang_id_expr(text: Column | str) -> Column:
+    """Stopword-voting language ID: most stopword hits wins; ties and
+    zero-hit rows → 'und' (undetermined)."""
+    toks = tokens_expr(text)
+    arrays = {lang: F.array(*[F.lit(w) for w in ws]) for lang, ws in STOPWORDS.items()}
+    hits = {
+        lang: F.size(F.filter(toks, (lambda arr: lambda t: F.array_contains(arr, t))(arr)))
+        for lang, arr in arrays.items()
+    }
+    best = functools.reduce(F.greatest, hits.values())
+    expr = F.lit("und")
+    # deterministic priority order on ties: first language in dict order wins
+    # only when strictly greater than the rest seen so far; equal-best → 'und'
+    n_best = functools.reduce(
+        lambda acc, h: acc + F.when(h == best, 1).otherwise(0), hits.values(), F.lit(0)
+    )
+    cases = F.when((best <= 0) | (n_best > 1), F.lit("und"))
+    for lang, h in hits.items():
+        cases = cases.when(h == best, F.lit(lang))
+    return cases.otherwise(F.lit("und"))
+
+
+def fingerprint_expr(text: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text (lowercase, strip
+    non-alphanumerics, collapse whitespace) — whitespace/punct/case-
+    insensitive exact dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " "))
+    return F.md5(norm)
+
+
+@register(
+    "q48_token_stats",
+    oracle=r"""
+        SELECT
+            doc_id,
+            len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS n_ws_tokens,
+            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+            length(text) AS n_chars_computed
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="token counting: whitespace + BPE-ish regex tokenizers, pure Catalyst.",
+    tags=("text", "tokens"),
+)
+def q48_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            token_count_ws("text").alias("n_ws_tokens"),
+            token_count_bpe("text").alias("n_bpe_tokens"),
+            F.length("text").alias("n_chars_computed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q49_quality_score",
+    oracle=r"""
+        WITH feats AS (
+            SELECT
+                doc_id,
+                length(text) AS n_chars,
+                len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS n_tokens,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+                length(text) - length(regexp_replace(text, '[\.,;:!\?''"()\[\]{}-]', '', 'g')) AS punct_chars,
+                len(list_filter(
+                    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+                    t -> list_contains(['the','and','of','to','a','in','is','that','for','with'], t)
+                )) AS stop_hits
+            FROM documents
+        )
+        SELECT
+            doc_id,
+            n_tokens,
+            ROUND(CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS alpha_ratio,
+            ROUND(CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+            ROUND(CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+            ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS mean_word_len,
+            ROUND(
+                (CASE WHEN n_chars BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.25 END)
+                * (CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / n_chars ELSE 0.0 END)
+                * (1 - (CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / n_chars ELSE 0.0 END))
+                * LEAST(1.0, (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) * 4 + 0.5),
+            6) AS quality_score
+        FROM feats
+        ORDER BY doc_id
+    """,
+    doc="quality scoring: length/alpha/punct/stopword ratios → composite score.",
+    tags=("text", "quality"),
+)
+def q49_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        quality_features(t["documents"])
+        .select(
+            "doc_id", "n_tokens", "alpha_ratio", "punct_ratio", "stopword_ratio",
+            "mean_word_len", "quality_score",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q50_lang_id",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+            FROM documents
+        ),
+        hits AS (
+            SELECT
+                doc_id,
+                lang,
+                len(list_filter(tk, t -> list_contains(['the','and','of','to','a','in','is','that','for','with'], t))) AS h_en,
+                len(list_filter(tk, t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t))) AS h_es,
+                len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','von','mit','den','ein','zu'], t))) AS h_de,
+                len(list_filter(tk, t -> list_contains(['le','la','de','et','un','est','que','pour','dans','avec'], t))) AS h_fr
+            FROM toks
+        ),
+        voted AS (
+            SELECT
+                doc_id,
+                lang,
+                GREATEST(h_en, h_es, h_de, h_fr) AS best,
+                (CASE WHEN h_en = GREATEST(h_en, h_es, h_de, h_fr) THEN 1 ELSE 0 END
+               + CASE WHEN h_es = GREATEST(h_en, h_es, h_de, h_fr) THEN 1 ELSE 0 END
+               + CASE WHEN h_de = GREATEST(h_en, h_es, h_de, h_fr) THEN 1 ELSE 0 END
+               + CASE WHEN h_fr = GREATEST(h_en, h_es, h_de, h_fr) THEN 1 ELSE 0 END) AS n_best,
+                h_en, h_es, h_de, h_fr
+            FROM hits
+        )
+        SELECT
+            CASE
+                WHEN best <= 0 OR n_best > 1 THEN 'und'
+                WHEN h_en = best THEN 'en'
+                WHEN h_es = best THEN 'es'
+                WHEN h_de = best THEN 'de'
+                WHEN h_fr = best THEN 'fr'
+                ELSE 'und'
+            END AS predicted_lang,
+            COUNT(*) AS n_docs
+        FROM voted
+        GROUP BY 1
+        ORDER BY predicted_lang
+    """,
+    doc="language-ID heuristic: per-language stopword voting, ties → 'und'.",
+    tags=("text", "langid"),
+)
+def q50_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .select(lang_id_expr("text").alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("predicted_lang")
+    )
+
+
+@register(
+    "q51_fingerprint_dedup",
+    oracle="""
+        WITH fp AS (
+            SELECT
+                doc_id,
+                md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+            FROM documents
+        )
+        SELECT fingerprint, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+        FROM fp
+        GROUP BY fingerprint
+        ORDER BY keep_id
+    """,
+    doc="document fingerprinting: md5 of normalized text as a dedup key.",
+    tags=("text", "fingerprint"),
+)
+def q51_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .select("doc_id", fingerprint_expr("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").cast("long").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_id")
+    )

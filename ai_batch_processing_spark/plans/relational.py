@@ -35,9 +35,9 @@ from ai_batch_processing_spark.session import load_tables
             ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
             ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-            ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
-            ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
-            ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+            ROUND(AVG(l_quantity) + 1e-9, 4)                            AS avg_qty,
+            ROUND(AVG(l_extendedprice) + 1e-9, 4)                       AS avg_price,
+            ROUND(AVG(l_discount) + 1e-9, 4)                            AS avg_disc,
             COUNT(*)                                                    AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -60,9 +60,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.avg("l_quantity") + 1e-9, 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice") + 1e-9, 4).alias("avg_price"),
+            F.round(F.avg("l_discount") + 1e-9, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -397,7 +397,7 @@ def q11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             VALUES ('t1', 0.0, 925.0), ('t2', 925.0, 950.0),
                    ('t3', 950.0, 975.0), ('t4', 975.0, 1e18)
         )
-        SELECT tier, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 4) AS avg_price
+        SELECT tier, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice) + 1e-9, 4) AS avg_price
         FROM part JOIN tiers ON p_retailprice >= lo AND p_retailprice < hi
         GROUP BY tier
         ORDER BY tier
@@ -415,7 +415,7 @@ def q12_range_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.join(F.broadcast(tiers), (p.p_retailprice >= tiers.lo) & (p.p_retailprice < tiers.hi))
         .groupBy("tier")
-        .agg(F.count(F.lit(1)).alias("n_parts"), F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.round(F.avg("p_retailprice") + 1e-9, 4).alias("avg_price"))
         .orderBy("tier")
     )
 

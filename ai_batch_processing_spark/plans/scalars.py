@@ -142,7 +142,7 @@ def q25_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
             event_type,
             COUNT(*) AS n,
-            ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+            ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) + 1e-9, 4) AS avg_k,
             CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         FROM events
         GROUP BY event_type
@@ -159,7 +159,7 @@ def q26_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(k), 4).alias("avg_k"),
+            F.round(F.avg(k) + 1e-9, 4).alias("avg_k"),
             F.max(k).cast("long").alias("max_k"),
         )
         .orderBy("event_type")

@@ -94,7 +94,7 @@ def q15_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             o_custkey,
             o_orderkey,
             ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+                                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS moving_avg
         FROM orders
         ORDER BY o_custkey, o_orderkey
     """,
@@ -106,7 +106,7 @@ def q16_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, Window.currentRow)
     return (
         t["orders"]
-        .select("o_custkey", "o_orderkey", F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg"))
+        .select("o_custkey", "o_orderkey", F.round(F.avg("o_totalprice").over(w) + 1e-9, 4).alias("moving_avg"))
         .orderBy("o_custkey", "o_orderkey")
     )
 
@@ -118,8 +118,8 @@ def q16_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             c_custkey,
             c_mktsegment,
             NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile,
-            ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
-            ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS cume
+            ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) + 1e-9, 6) AS pct_rank,
+            ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) + 1e-9, 6) AS cume
         FROM customer
         ORDER BY c_custkey
     """,
@@ -135,8 +135,8 @@ def q17_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_mktsegment",
             F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(F.percent_rank().over(w) + 1e-9, 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w) + 1e-9, 6).alias("cume"),
         )
         .orderBy("c_custkey")
     )
@@ -148,7 +148,7 @@ def q17_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
             o_orderkey,
             o_custkey,
-            ROUND(o_totalprice / SUM(o_totalprice) OVER (PARTITION BY o_custkey), 6) AS share_of_customer
+            ROUND(o_totalprice / SUM(o_totalprice) OVER (PARTITION BY o_custkey) + 1e-9, 6) AS share_of_customer
         FROM orders
         ORDER BY o_orderkey
     """,
@@ -163,7 +163,7 @@ def q18_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_custkey",
-            F.round(F.col("o_totalprice") / F.sum("o_totalprice").over(w), 6).alias("share_of_customer"),
+            F.round(F.col("o_totalprice") / F.sum("o_totalprice").over(w) + 1e-9, 6).alias("share_of_customer"),
         )
         .orderBy("o_orderkey")
     )

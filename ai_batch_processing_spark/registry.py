@@ -40,6 +40,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Modules that register queries on import.
 _QUERY_MODULES = [
     "ai_batch_processing_spark.plans.relational",
+    "ai_batch_processing_spark.plans.pipeline",
     "ai_batch_processing_spark.plans.windows",
     "ai_batch_processing_spark.plans.setops",
     "ai_batch_processing_spark.plans.scalars",

@@ -95,22 +95,16 @@ def _read_parquet_compat(spark: SparkSession, path: str):
     from pyspark.sql.types import LongType
 
     try:
-        return spark.read.parquet(path)
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        try:
-            import pyarrow.parquet as pq
+        import pyarrow.parquet as pq
 
-            meta = pq.read_schema(path)
-            nanos_cols = [
-                f.name for f in meta if getattr(f.type, "unit", None) == "ns"
-            ]
-        except Exception:
-            nanos_cols = []
-        for c in nanos_cols:
-            if isinstance(df.schema[c].dataType, LongType):
-                df = df.withColumn(
-                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
-                )
-        return df
+        nanos_cols = [f.name for f in pq.read_schema(path) if getattr(f.type, "unit", None) == "ns"]
+    except Exception:
+        nanos_cols = []
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"))
+    return df

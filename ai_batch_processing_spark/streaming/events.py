@@ -1,1 +1,211 @@
-"""placeholder — filled in this round."""
+"""Streaming slice: windowed aggregations over the events stream.
+
+The reference is batch-only with a socket.io progress side-channel
+(SURVEY.md §2.9); this module provides the Structured Streaming surface a
+real pipeline needs: tumbling / sliding / session windows with watermarks,
+plus a custom stateful operator (``applyInPandasWithState``).
+
+Every window shape also runs in BATCH mode over the same table —
+``F.window`` / ``F.session_window`` are batch-legal — which is what the
+registered queries use, so the window semantics themselves are
+DuckDB-oracle-checked. The streaming wrappers reuse the identical
+expressions; tests drive them with a file source and ``availableNow``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.registry import register
+from ai_batch_processing_spark.session import load_tables
+
+
+# --------------------------------------------------------------------------
+# shared window expressions (batch == streaming)
+# --------------------------------------------------------------------------
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value") + 1e-9, 4).alias("avg_value"))
+        .select(F.col("win.start").alias("win_start"), "n", "avg_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming wrappers
+# --------------------------------------------------------------------------
+def stream_tumbling_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """readStream → watermark → tumbling-window agg. Late rows beyond the
+    watermark are dropped; output mode 'append' emits finalized windows."""
+    stream = spark.readStream.schema(schema).json(source_dir)
+    return tumbling_counts(stream.withWatermark("ts", watermark), width)
+
+
+def stream_session_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    gap: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    stream = spark.readStream.schema(schema).json(source_dir)
+    return session_counts(stream.withWatermark("ts", watermark), gap)
+
+
+def stream_running_totals(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState`` — the streaming analog of the reference's
+    per-group conversation state (SURVEY.md §1.1, main.py:327)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame([{"user_id": key[0], "n_events": n, "total_value": total}])
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# registered batch-mode queries (oracle-checked window semantics)
+# --------------------------------------------------------------------------
+@register(
+    "q52_tumbling_window",
+    oracle="""
+        SELECT
+            date_trunc('hour', ts) AS win_start,
+            event_type,
+            COUNT(*) AS n,
+            ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY win_start, event_type
+    """,
+    doc="tumbling 1h window agg (batch mode of the streaming plan).",
+    bench=True,
+    tags=("streaming", "window"),
+)
+def q52_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    return tumbling_counts(t["events"]).orderBy("win_start", "event_type")
+
+
+@register(
+    "q53_sliding_window",
+    oracle="""
+        WITH starts AS (
+            SELECT CAST(s AS TIMESTAMP) AS win_start
+            FROM generate_series(
+                TIMESTAMP '2023-12-31 23:30:00',
+                TIMESTAMP '2024-02-01 00:00:00',
+                INTERVAL 30 MINUTE
+            ) AS t(s)
+        )
+        SELECT
+            win_start,
+            COUNT(*) AS n,
+            ROUND(AVG(value) + 1e-9, 4) AS avg_value
+        FROM events
+        JOIN starts ON ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
+        GROUP BY win_start
+        ORDER BY win_start
+    """,
+    doc="sliding window (1h width, 30min slide): each event lands in 2 windows.",
+    tags=("streaming", "window"),
+)
+def q53_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    return sliding_counts(t["events"]).orderBy("win_start")
+
+
+@register(
+    "q54_session_window",
+    oracle="""
+        WITH ordered AS (
+            SELECT
+                user_id, ts, value,
+                CASE
+                    WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 10 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0
+                END AS is_new
+            FROM events
+        ),
+        sess AS (
+            SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM ordered
+        )
+        SELECT
+            MIN(ts) AS session_start,
+            user_id,
+            COUNT(*) AS n_events,
+            ROUND(SUM(value), 2) AS session_value
+        FROM sess
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    doc="session window (10min gap) — gaps-and-islands oracle pins the semantics.",
+    bench=True,
+    tags=("streaming", "window", "session"),
+)
+def q54_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    return session_counts(t["events"]).orderBy("user_id", "session_start")

@@ -1,0 +1,178 @@
+"""Ingest parsers (S1-S5) and export sinks (S6-S9) — reference semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.io import (
+    IngestError,
+    read_csv_strict,
+    read_json_strict,
+    read_table,
+    read_txt_sniffed,
+    export_projection,
+    sanitize_group_expr,
+    write_consolidated_csv,
+    write_consolidated_json,
+    write_individual_files,
+)
+
+
+# --------------------------------------------------------------------------
+# CSV (main.py:117-158)
+# --------------------------------------------------------------------------
+def test_csv_header_schema_and_blank_row_drop(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("topic,audience\nAI,Students\n   ,  \nSpark,Engineers\n")
+    df = read_csv_strict(spark, str(p))
+    assert df.columns == ["topic", "audience"]
+    assert df.count() == 2  # all-blank row dropped
+
+
+def test_csv_quoted_commas(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text('a,b\n"x, y",z\n')
+    rows = read_csv_strict(spark, str(p)).collect()
+    assert rows[0].a == "x, y"
+
+
+def test_csv_missing_headers_rejected(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text(",\n1,2\n")
+    with pytest.raises(IngestError):
+        read_csv_strict(spark, str(p))
+
+
+# --------------------------------------------------------------------------
+# JSON (main.py:160-211)
+# --------------------------------------------------------------------------
+def test_json_array_of_objects(spark, tmp_path):
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps([{"a": "1", "b": "2"}, {"a": "3", "b": "4"}]))
+    df = read_json_strict(spark, str(p))
+    assert sorted(df.columns) == ["a", "b"]
+    assert df.count() == 2
+
+
+def test_json_inconsistent_keys_rejected_with_index(spark, tmp_path):
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps([{"a": "1", "b": "2"}, {"a": "3"}, {"a": "5", "b": "6", "c": "7"}]))
+    with pytest.raises(IngestError, match="object 1"):
+        read_json_strict(spark, str(p))
+
+
+def test_json_empty_array_rejected(spark, tmp_path):
+    p = tmp_path / "t.json"
+    p.write_text("[]")
+    with pytest.raises(IngestError):
+        read_json_strict(spark, str(p))
+
+
+# --------------------------------------------------------------------------
+# TXT sniffing (main.py:213-285)
+# --------------------------------------------------------------------------
+def test_txt_comma_header(spark, tmp_path):
+    p = tmp_path / "t.txt"
+    p.write_text("topic,audience\nAI,Students\n")
+    df = read_txt_sniffed(spark, str(p))
+    assert df.columns == ["topic", "audience"]
+
+
+def test_txt_pipe_and_tab(spark, tmp_path):
+    p1 = tmp_path / "p.txt"
+    p1.write_text("a|b\n1|2\n")
+    assert read_txt_sniffed(spark, str(p1)).columns == ["a", "b"]
+    p2 = tmp_path / "tab.txt"
+    p2.write_text("a\tb\n1\t2\n")
+    assert read_txt_sniffed(spark, str(p2)).columns == ["a", "b"]
+
+
+def test_txt_prose_with_commas_falls_to_simple(spark, tmp_path):
+    # "looks like prose, not a header" heuristic (main.py:226-231)
+    p = tmp_path / "t.txt"
+    p.write_text("This is a sentence, with a comma in it\nsecond line\n\n")
+    df = read_txt_sniffed(spark, str(p))
+    assert df.columns == ["content"]
+    assert df.count() == 2  # blank line dropped
+
+
+def test_txt_sniff_order_comma_before_pipe(spark, tmp_path):
+    p = tmp_path / "t.txt"
+    p.write_text("a,b\nx|y,z|w\n")
+    assert read_txt_sniffed(spark, str(p)).columns == ["a", "b"]
+
+
+def test_read_table_dispatch_and_unknown_ext(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a\n1\n")
+    assert read_table(spark, str(p)).columns == ["a"]
+    with pytest.raises(IngestError, match="Unsupported"):
+        read_table(spark, str(tmp_path / "t.xlsx"))
+
+
+# --------------------------------------------------------------------------
+# exports (main.py:681-914)
+# --------------------------------------------------------------------------
+def _results(spark):
+    return spark.createDataFrame(
+        [
+            ("g1", "hello", "prompt-0", "resp-0", 1, "AI", None),
+            ("g!!!", "world", "prompt-1", "resp-1", 0, "ML", "x"),
+        ],
+        "group string, main_content string, prompt string, response string, "
+        "row_index long, topic string, note string",
+    )
+
+
+def test_export_projection_column_order_and_null_default(spark):
+    out = export_projection(_results(spark))
+    # group, main_content, originals sorted, prompt, response (no timestamp col)
+    assert out.columns == ["group", "main_content", "note", "topic", "prompt", "response"]
+    rows = out.collect()
+    assert rows[0].group == "g!!!"  # row_index 0 first (order restored)
+    assert rows[0].note == "x"
+    assert rows[1].note == ""  # null → '' default
+
+
+def test_export_projection_without_prompt(spark):
+    out = export_projection(_results(spark), include_prompt=False)
+    assert "prompt" not in out.columns
+
+
+def test_consolidated_json_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "out_json")
+    write_consolidated_json(_results(spark), path)
+    files = [f for f in os.listdir(path) if f.endswith(".json")]
+    assert len(files) == 1  # consolidated = single file
+    lines = [json.loads(l) for l in open(os.path.join(path, files[0]))]
+    assert lines[0]["response"] == "resp-1"  # row_index order restored
+    assert lines[1]["response"] == "resp-0"
+
+
+def test_consolidated_csv_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "out_csv")
+    write_consolidated_csv(_results(spark), path, include_prompt=False)
+    files = [f for f in os.listdir(path) if f.endswith(".csv")]
+    assert len(files) == 1
+    header = open(os.path.join(path, files[0])).readline().strip()
+    assert header == "group,main_content,note,topic,response"
+
+
+def test_sanitize_group_expr(spark):
+    df = spark.createDataFrame([("ok name-1_2",), ("!!!",), ("a/b",)], "g string")
+    out = [r.s for r in df.select(sanitize_group_expr("g").alias("s")).collect()]
+    assert out == ["ok name-1_2", "unknown", "ab"]  # main.py:807-809
+
+
+def test_individual_files(spark, tmp_path):
+    out_dir = str(tmp_path / "individual")
+    n = write_individual_files(_results(spark), out_dir)
+    assert n == 2
+    names = sorted(os.listdir(out_dir))
+    assert names == ["result_0_g.txt", "result_1_g1.txt"]  # sanitized group names
+    body = open(os.path.join(out_dir, "result_1_g1.txt")).read()
+    assert "INPUT: hello" in body and "RESPONSE: resp-0" in body

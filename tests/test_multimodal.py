@@ -1,0 +1,67 @@
+"""Multimodal plumbing: binary payloads, metadata, Arrow-batched extraction."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.operators.multimodal import (
+    attach_payload,
+    decode_image,
+    extract_media_features,
+    fake_decode_features,
+    sample_frames,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 200)],
+        "doc_id long, text string",
+    )
+
+
+def test_attach_payload_metadata(spark):
+    out = attach_payload(_docs(spark)).collect()
+    row = out[0]
+    assert bytes(row.payload) == b"hello world"
+    assert row.media_meta.n_bytes == 11
+    assert row.media_meta.md5 == hashlib.md5(b"hello world").hexdigest()
+    assert row.media_meta.media_type == "image/fake"
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_extract_media_features_schema_and_determinism(spark):
+    df = attach_payload(_docs(spark))
+    out = extract_media_features(df).collect()
+    assert {"width", "height", "format"} <= set(out[0].asDict())
+    expected = fake_decode_features(b"hello world")
+    assert (out[0].width, out[0].height, out[0].format) == expected
+    assert all(16 <= r.width < 256 for r in out)
+
+
+def test_sample_frames_one_to_many(spark):
+    df = attach_payload(_docs(spark))
+    frames = sample_frames(df.select("doc_id", "payload"), every_n_bytes=64).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1  # 11 bytes → 1 frame
+    assert len(by_doc[2]) == 3  # 200 bytes → 3 frames of 64
+    assert bytes(by_doc[2][0].frame_bytes) == b"x" * 64
+    assert [r.frame_idx for r in sorted(by_doc[2], key=lambda r: r.frame_idx)] == [0, 1, 2]
+
+
+def test_metadata_filter_prunes_before_decode(spark):
+    # predicate on metadata never touches payload bytes: plan has no Python
+    # stage before the filter.
+    df = attach_payload(_docs(spark)).filter(F.col("media_meta.n_bytes") > 100)
+    assert df.count() == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

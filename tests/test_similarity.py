@@ -1,0 +1,70 @@
+"""Similarity search: exact top-k math, LSH ANN recall, near-dup detection."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+
+
+def _vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0]),   # orthogonal to 1
+        (4, [1.0, 0.01, 0.0]),  # closest to 1
+        (5, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_topk_ordering_and_scores(spark):
+    df = _vecs(spark)
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 1), k=3).collect()
+    assert [r.neighbor_id for r in out] == [4, 2, 3]
+    expected = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert out[1].score == pytest.approx(expected, abs=1e-5)
+    assert out[0].rank == 1 and out[2].rank == 3
+
+
+def test_topk_excludes_self(spark):
+    df = _vecs(spark)
+    out = cosine_topk(df, df, k=4)
+    assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    assert out.filter(F.col("query_id") == 1).count() == 4
+
+
+def test_near_dup_pairs_threshold(spark):
+    df = _vecs(spark).withColumnRenamed("vec_id", "id")
+    pairs = {(r.id_a, r.id_b): r.score for r in embedding_near_dup_pairs(df, threshold=0.99, id_col="id").collect()}
+    assert (1, 4) in pairs  # cos ≈ 0.99995
+    assert (1, 3) not in pairs
+    assert (1, 5) not in pairs
+
+
+def test_ann_lsh_recall_on_real_embeddings(spark, sf_dir):
+    """LSH ANN must hit ≥60% of exact top-5 on the real embeddings table
+    with 6 hyperplanes (recall measured; exactness is q45's job)."""
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ann_lsh_topk(emb, queries, k=5).collect()}
+    assert len(approx & exact) >= 0.6 * len(exact)
+
+
+def test_ann_lsh_same_bucket_exact_copy(spark):
+    # an exact copy always lands in the query's bucket and ranks first
+    df = _vecs(spark)
+    corpus = df.union(spark.createDataFrame([(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"))
+    out = ann_lsh_topk(corpus, df.filter(F.col("vec_id") == 1), k=2, n_planes=3, n_tables=4, dim=3).collect()
+    assert out[0].neighbor_id == 100
+    assert out[0].score == pytest.approx(1.0, abs=1e-6)

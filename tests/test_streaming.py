@@ -1,0 +1,95 @@
+"""Structured Streaming: windowed aggs with watermark + custom stateful op.
+
+Batch/stream parity matters: the registered queries (q52-q54) check window
+SEMANTICS against DuckDB in batch mode; these tests check the same
+expressions actually run as STREAMS (file source, availableNow trigger,
+memory sink) and that the stateful operator accumulates across batches.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.streaming.events import (
+    stream_running_totals,
+    stream_session_counts,
+    stream_tumbling_counts,
+    tumbling_counts,
+)
+
+EVENTS = [
+    {"event_id": 1, "ts": "2024-01-01T00:05:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+    {"event_id": 2, "ts": "2024-01-01T00:20:00", "user_id": 1, "event_type": "click", "value": 2.0, "props": "{}"},
+    {"event_id": 3, "ts": "2024-01-01T01:10:00", "user_id": 2, "event_type": "view", "value": 3.0, "props": "{}"},
+    {"event_id": 4, "ts": "2024-01-01T01:40:00", "user_id": 2, "event_type": "view", "value": 4.0, "props": "{}"},
+]
+
+
+@pytest.fixture()
+def source_dir(tmp_path):
+    d = tmp_path / "events_in"
+    d.mkdir()
+    (d / "batch0.json").write_text("\n".join(json.dumps(e) for e in EVENTS))
+    return str(d)
+
+
+def _run(spark, sdf, name, mode="complete"):
+    q = sdf.writeStream.format("memory").queryName(name).outputMode(mode).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_tumbling_counts(spark, source_dir):
+    out = _run(spark, stream_tumbling_counts(spark, source_dir), "t_tumble").collect()
+    rows = {(str(r.win_start), r.event_type): (r.n, r.total_value) for r in out}
+    assert rows[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert rows[("2024-01-01 01:00:00", "view")] == (2, 7.0)
+
+
+def test_stream_session_counts(spark, source_dir):
+    out = _run(spark, stream_session_counts(spark, source_dir, gap="20 minutes"), "t_sess").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r.n_events)
+    # user 1: events 15 min apart → one session of 2 (gap 20m)
+    assert sorted(by_user[1]) == [2]
+    # user 2: events 30 min apart → two sessions of 1
+    assert sorted(by_user[2]) == [1, 1]
+
+
+def test_stream_running_totals_accumulates_across_batches(spark, tmp_path):
+    # one event per user per file → state must carry across micro-batches
+    d = tmp_path / "ev2"
+    d.mkdir()
+    (d / "b0.json").write_text("\n".join(json.dumps(e) for e in [EVENTS[0], EVENTS[2]]))
+    (d / "b1.json").write_text("\n".join(json.dumps(e) for e in [EVENTS[1], EVENTS[3]]))
+    sdf = stream_running_totals(spark, str(d), max_files_per_trigger=1)
+    q = (
+        sdf.writeStream.format("memory").queryName("t_state").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_state").collect()
+    assert len(rows) == 4  # 2 users × 2 micro-batches (update mode re-emits)
+    final = {}
+    for r in rows:
+        cur = final.get(r.user_id, (0, 0.0))
+        final[r.user_id] = max(cur, (r.n_events, r.total_value))
+    assert final[1] == (2, 3.0)
+    assert final[2] == (2, 7.0)
+
+
+def test_batch_stream_parity_tumbling(spark, source_dir):
+    stream_out = _run(spark, stream_tumbling_counts(spark, source_dir), "t_parity")
+    batch_df = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).json(source_dir)
+    batch_out = tumbling_counts(batch_df)
+    s = {tuple(r) for r in stream_out.collect()}
+    b = {tuple(r) for r in batch_out.collect()}
+    assert s == b
