@@ -25,7 +25,9 @@ from ai_batch_processing_spark import registry  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H-Q1 shape, SURVEY.md §7.2) on sf0.001."""
     from ai_batch_processing_spark.plans.relational import q01_pricing_summary
+    from ai_batch_processing_spark.session import ship_package
 
+    ship_package(spark)
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 

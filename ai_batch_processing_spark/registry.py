@@ -80,8 +80,26 @@ def load_all() -> dict[str, QuerySpec]:
     return _REGISTRY
 
 
+def _shipped(fn: QueryFn) -> QueryFn:
+    """Wrap a query so the package is shipped to executors before it runs.
+
+    The external driver calls these with its own SparkSession, possibly
+    launched far from this repo — pandas-UDF tasks then need the package
+    on the worker path (session.ship_package)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ai_batch_processing_spark.session import ship_package
+
+        ship_package(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in load_all().items()}
+    return {name: _shipped(spec.fn) for name, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:

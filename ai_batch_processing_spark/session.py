@@ -55,6 +55,37 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_SHIPPED_CONTEXTS: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors regardless of driver cwd.
+
+    An external driver may launch its SparkSession from any directory; the
+    Python workers it forks then can't import ``ai_batch_processing_spark``
+    when a pandas-UDF closure references it. Shipping the package as a
+    zip via ``sc.addPyFile`` fixes that for every subsequent task. One-time
+    per SparkContext; a no-op cost for pure-Catalyst queries.
+    """
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED_CONTEXTS:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="abps_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(staging, "ai_batch_processing_spark"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(zip_path)
+    _SHIPPED_CONTEXTS.add(app_id)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Read the star-schema parquet tables under ``sf_dir`` and register temp views.
 
