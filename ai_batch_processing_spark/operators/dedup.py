@@ -66,10 +66,21 @@ def exact_dedup(df: DataFrame, key_cols: list[str], keep_min: str) -> DataFrame:
 
 
 def _exploded_positions(df: DataFrame, id_col: str, text_col: str, k: int):
-    return df.filter(F.length(text_col) >= k).select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("_t"),
-        F.explode(F.sequence(F.lit(1), F.length(text_col) - (k - 1))).alias("pos"),
+    # Repartition on id BEFORE the ~100× explode: the shuffle moves compact
+    # raw docs (never the shingle stream), spreads a few fat input files
+    # across all cores, and pre-satisfies groupBy(id)'s hash distribution —
+    # every downstream per-doc aggregate becomes shuffle-free. The explicit
+    # partition count is required: AQE sizes shuffles by the compact
+    # PRE-explode bytes and would coalesce to one task otherwise.
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return (
+        df.repartition(n, F.col(id_col))
+        .filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("_t"),
+            F.explode(F.sequence(F.lit(1), F.length(text_col) - (k - 1))).alias("pos"),
+        )
     )
 
 
@@ -205,8 +216,26 @@ def minhash_dedup_pairs(
     exact Jaccard up to a ~2⁻⁴⁴ collision chance per pair.
     """
     stream = shingle_hash_stream(df, id_col, text_col, k)
-    sigs = _signatures_from_stream(stream, num_perm, seed)
-    hs = stream.groupBy("id").agg(F.collect_set("h").alias("hs"))
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31)) for _ in range(num_perm)]
+    h31 = F.pmod(F.col("h"), F.lit(_MERSENNE31))
+    mins = [
+        F.min(F.pmod(F.lit(a) * h31 + F.lit(b), F.lit(_MERSENNE31))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    # Two corpus passes, each persisted and computed exactly once:
+    # - sigs: whole-stage-codegen min-aggregates (tiny table, 3 consumers
+    #   in the banding self-join + bucket counts);
+    # - hs: the ObjectHashAggregate collect_set verify table (2 consumers).
+    # Catalyst would otherwise re-derive the full explode+aggregate per
+    # consumer. MEMORY_AND_DISK default → spills per-partition at scale.
+    sigs = (
+        stream.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig"))
+        .persist()
+    )
+    hs = stream.groupBy("id").agg(F.collect_set("h").alias("hs")).persist()
     cands = lsh_candidate_pairs(sigs, num_perm, bands)
     a = hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     b = hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
