@@ -44,6 +44,7 @@ _QUERY_MODULES = [
     "ai_batch_processing_spark.plans.windows",
     "ai_batch_processing_spark.plans.setops",
     "ai_batch_processing_spark.plans.scalars",
+    "ai_batch_processing_spark.plans.analytics",
     "ai_batch_processing_spark.operators.template",
     "ai_batch_processing_spark.operators.grouping",
     "ai_batch_processing_spark.operators.llm_map",
