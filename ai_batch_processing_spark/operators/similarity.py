@@ -25,6 +25,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -172,6 +174,122 @@ def ann_lsh_topk(
     )
 
 
+# --------------------------------------------------------------------------
+# IVF ANN (inverted-file index: k-means coarse quantizer + cell probe)
+# --------------------------------------------------------------------------
+def kmeans_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic distributed Lloyd's iterations → ``nlist`` centroids.
+
+    Init picks rows by xxhash64(id) order (seedless but deterministic —
+    a reproducible pseudo-random sample, independent of partition layout).
+    Each iteration: vectorized assignment (Arrow-batched pandas UDF doing
+    one numpy matmul per batch) then a posexplode + (cell, pos) average —
+    both corpus-linear, one shuffle per iteration. Only the nlist×dim
+    centroid matrix ever reaches the driver.
+    """
+    init = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(nlist)
+        .collect()
+    )
+    centroids = np.array([list(r.v) for r in init], dtype=np.float64)
+    for _ in range(n_iter):
+        assigned = assign_cells(corpus, centroids.tolist(), id_col=id_col, vec_col=vec_col)
+        new = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        for r in new:
+            centroids[r.cell][r.pos] = r.m
+    return centroids.tolist()
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Add a ``cell`` column: index of the nearest centroid(s) by cosine.
+
+    ``nprobe`` > 1 explodes each row into its n closest cells (query-side
+    multi-probe). One numpy matmul per Arrow batch — the centroid matrix
+    rides inside the UDF closure, the executor-side broadcast Spark always
+    does for task binaries.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cmat = np.array(centroids, dtype=np.float64)
+    cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    n_probe = min(nprobe, len(centroids))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def nearest_cells(vecs: pd.Series) -> pd.Series:
+        out = []
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(m) == 0:
+            return pd.Series(out)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cnorm.T  # (batch, nlist)
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    cells = df.withColumn("_cells", nearest_cells(F.col(vec_col)))
+    return cells.select(*df.columns, F.explode("_cells").alias("cell"))
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: k-means cells + nprobe-cell search.
+
+    Build: centroids (corpus-linear) + one assignment pass — at 100 TB the
+    assigned corpus is written partitioned by ``cell`` once and reused per
+    query batch (partition pruning turns each query into an nprobe-cell
+    scan, ~nprobe/nlist of the corpus). Search: queries explode to their
+    nprobe nearest cells, join corpus on cell, exact cosine rescore,
+    per-query top-k window.
+    """
+    centroids = kmeans_centroids(corpus, nlist=nlist, id_col=corpus_id, vec_col=vec_col)
+    c = assign_cells(corpus, centroids, id_col=corpus_id, vec_col=vec_col).select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell"
+    )
+    q = assign_cells(queries, centroids, id_col=query_id, vec_col=vec_col, nprobe=nprobe).select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"), "cell"
+    )
+    cands = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, threshold: float = 0.99, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -247,6 +365,20 @@ def q46_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionAll(dups)
     return embedding_near_dup_pairs(corpus, threshold=0.99, id_col="id").orderBy("id_a", "id_b")
+
+
+@register(
+    "q44_ann_ivf_topk",
+    oracle=None,  # approximate by design; recall vs q45's exact result is
+    # asserted in tests/test_similarity.py.
+    doc="IVF approximate top-k: k-means coarse quantizer, nprobe-cell probe, exact rescore.",
+    tags=("similarity", "ann", "ivf"),
+)
+def q44_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_ivf_topk(emb, queries, k=5, nlist=16, nprobe=4).orderBy("query_id", "rank")
 
 
 @register(

@@ -68,3 +68,26 @@ def test_ann_lsh_same_bucket_exact_copy(spark):
     out = ann_lsh_topk(corpus, df.filter(F.col("vec_id") == 1), k=2, n_planes=3, n_tables=4, dim=3).collect()
     assert out[0].neighbor_id == 100
     assert out[0].score == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ann_ivf_recall_on_real_embeddings(spark, sf_dir):
+    """IVF ANN with nprobe=4/nlist=16 (25% of cells) must hit ≥60% of the
+    exact top-5 on the real embeddings table."""
+    from ai_batch_processing_spark.operators.similarity import ann_ivf_topk
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ann_ivf_topk(emb, queries, k=5, nlist=16, nprobe=4).collect()}
+    assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    from ai_batch_processing_spark.operators.similarity import kmeans_centroids
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    c1 = kmeans_centroids(emb, nlist=4, n_iter=2)
+    c2 = kmeans_centroids(emb, nlist=4, n_iter=2)
+    assert c1 == c2
