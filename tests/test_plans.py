@@ -1,0 +1,78 @@
+"""Physical-plan quality gates — the 100 TB properties, pinned in CI.
+
+Correctness says the answer is right; these tests say the PLAN is right:
+filters reach the parquet scan, projections prune the read schema, small
+dimensions broadcast, aggregation is partial map-side, and nothing in the
+relational suite degenerates into a cartesian product. A regression here
+is invisible at sf0.001 and fatal at sf100.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_batch_processing_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def _explain(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession.sparkContext._jvm
+    m = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(m)
+
+
+def test_q01_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = _explain(SPECS["q01_pricing_summary"].fn(spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    # 7 of 11 lineitem columns read — l_orderkey/partkey/suppkey/linenumber pruned
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_q02_broadcasts_dimensions(spark, sf_dir):
+    plan = _explain(SPECS["q02_shipping_priority"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # lineitem must never shuffle on the join
+    assert "TakeOrderedAndProject" in plan  # top-k without a full sort
+
+
+def test_q03_star_join_all_broadcast(spark, sf_dir):
+    plan = _explain(SPECS["q03_region_revenue"].fn(spark, sf_dir))
+    # star schema: every dim side broadcast, fact table scanned once
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q35_exists_decorrelates_to_semi_join(spark, sf_dir):
+    plan = _explain(SPECS["q35_exists_subquery"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan  # EXISTS decorrelated, not re-executed per row
+
+
+def test_q56_sample_predicate_pushed(spark, sf_dir):
+    plan = _explain(SPECS["q56_systematic_sample"].fn(spark, sf_dir))
+    # mod-predicate isn't a parquet-pushable filter, but it must sit
+    # directly on the scan (no shuffle before it) and prune columns
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "o_orderdate" not in read_schema and "o_custkey" not in read_schema
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(n for n, s in SPECS.items() if "relational" in s.tags),
+)
+def test_no_cartesian_products_in_relational_suite(name, spark, sf_dir):
+    plan = _explain(SPECS[name].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_whole_stage_codegen_everywhere_hot(spark, sf_dir):
+    """The flagship's hot path (scan→filter→partial agg) must be one
+    codegen span — Python never touches these rows."""
+    df = SPECS["q01_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes THIS plan (count() would execute a different one)
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    # codegen'd operators print with a "*(n)" stage prefix in the final plan
+    assert "*(" in final, f"no codegen span in final plan:\n{final[:500]}"
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
