@@ -62,19 +62,37 @@ def render_template(df: DataFrame, template: str, out_col: str = "prompt") -> Da
 def with_row_index(df: DataFrame, order_by: list[str] | None = None, col: str = ROW_INDEX_COL) -> DataFrame:
     """Attach a 0-based row index (main.py:366-369 parity).
 
-    With ``order_by``: ``row_number()`` over that ordering — deterministic,
-    but a global window is a single-reducer sort; fine for result-sized
-    data, wrong for raw 100 TB input.
+    With ``order_by``: contiguous global index over that ordering WITHOUT a
+    single-reducer sort. Range-partition on the keys (distributed sort),
+    number rows within each partition, then add each partition's
+    cumulative offset — only the ≤n_partitions-row offsets table ever
+    passes through one reducer, never the data.
 
     Without ``order_by``: ``monotonically_increasing_id()`` — distributed,
     no shuffle; ids are non-contiguous but strictly increasing in dataset
     order (partition index in the high bits), which is exactly what
     order-restoring export needs.
     """
-    if order_by:
-        w = Window.orderBy(*[F.col(c) for c in order_by])
-        return df.withColumn(col, F.row_number().over(w) - F.lit(1))
-    return df.withColumn(col, F.monotonically_increasing_id())
+    if not order_by:
+        return df.withColumn(col, F.monotonically_increasing_id())
+    keys = [F.col(c) for c in order_by]
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(n, *keys).withColumn("_pid", F.spark_partition_id())
+    w_in = Window.partitionBy("_pid").orderBy(*keys)
+    numbered = ranged.withColumn("_rn", F.row_number().over(w_in))
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # constant partition key: same single-partition execution over the
+    # ≤n_partitions offset rows, but without WindowExec's all-data warning
+    # (which would be misleading here — the data never takes this path).
+    w_off = Window.partitionBy(F.lit(0)).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))).select(
+        "_pid", "_off"
+    )
+    return (
+        numbered.join(F.broadcast(offsets), "_pid")
+        .withColumn(col, (F.col("_off") + F.col("_rn") - 1).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
 
 
 @register(
