@@ -104,3 +104,54 @@ def write_individual_files(df: DataFrame, out_dir: str, structured: bool = True)
 
     rows.foreachPartition(write_partition)
     return len(os.listdir(out_dir))
+
+
+def export_zip(
+    df: DataFrame,
+    zip_path: str,
+    format_type: str = "both",
+    include_prompt: bool = True,
+    structured: bool = True,
+) -> str:
+    """S9 parity: one downloadable ZIP (main.py:820-914).
+
+    ``format_type``: ``json`` / ``csv`` → consolidated file only;
+    ``individual`` → one text file per row under ``individual/``;
+    ``both`` → ``individual/*`` plus ``consolidated/results.{json,csv}``.
+
+    Spark writes everything in parallel to a staging dir; only the final
+    ZIP assembly is a driver-side walk (the reference builds the whole
+    archive in RAM — main.py:858; here rows never pass through the
+    driver). Returns ``zip_path``.
+    """
+    import shutil
+    import tempfile
+    import zipfile
+
+    staging = tempfile.mkdtemp(prefix="abps_export_")
+    try:
+        members: list[tuple[str, str]] = []  # (arcname, local path)
+        if format_type in ("json", "both"):
+            out = os.path.join(staging, "json")
+            write_consolidated_json(df, out, include_prompt)
+            part = next(p for p in os.listdir(out) if p.startswith("part-"))
+            members.append(("consolidated/results.json", os.path.join(out, part)))
+        if format_type in ("csv", "both"):
+            out = os.path.join(staging, "csv")
+            write_consolidated_csv(df, out, include_prompt)
+            part = next(p for p in os.listdir(out) if p.startswith("part-"))
+            members.append(("consolidated/results.csv", os.path.join(out, part)))
+        if format_type in ("individual", "both"):
+            out = os.path.join(staging, "individual")
+            write_individual_files(df, out, structured)
+            members.extend(
+                (f"individual/{name}", os.path.join(out, name)) for name in sorted(os.listdir(out))
+            )
+        if not members:
+            raise ValueError(f"unknown format_type: {format_type!r}")
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for arcname, local in members:
+                zf.write(local, arcname)
+        return zip_path
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

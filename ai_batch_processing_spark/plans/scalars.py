@@ -234,3 +234,40 @@ def q28_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "q29_map_funcs",
+    oracle="""
+        SELECT
+            event_id,
+            2 AS n_keys,
+            'k,type' AS keys_sorted,
+            json_extract_string(props, '$.k') AS k_val,
+            event_type AS type_val
+        FROM events
+        WHERE event_id < 500
+        ORDER BY event_id
+    """,
+    doc="map construction + map_keys/element_at/map_concat over typed MapType "
+    "(from_json to map<string,string>, merged with a built map). The DuckDB "
+    "oracle checks the flattened values — map internals are Spark-typed.",
+    tags=("scalar", "map"),
+)
+def q29_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    props_map = F.from_json("props", "map<string,string>")
+    merged = F.map_concat(props_map, F.create_map(F.lit("type"), F.col("event_type")))
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 500)
+        .select("event_id", merged.alias("m"))
+        .select(
+            "event_id",
+            F.size(F.map_keys("m")).alias("n_keys"),
+            F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
+            F.element_at("m", "k").alias("k_val"),
+            F.element_at("m", "type").alias("type_val"),
+        )
+        .orderBy("event_id")
+    )

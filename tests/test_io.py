@@ -176,3 +176,27 @@ def test_individual_files(spark, tmp_path):
     assert names == ["result_0_g.txt", "result_1_g1.txt"]  # sanitized group names
     body = open(os.path.join(out_dir, "result_1_g1.txt")).read()
     assert "INPUT: hello" in body and "RESPONSE: resp-0" in body
+
+
+def test_export_zip_both(spark, tmp_path):
+    import json
+    import zipfile
+
+    from ai_batch_processing_spark.io.writers import export_zip
+
+    df = spark.createDataFrame(
+        [("a", "hi", "p1", "r1", 0, "x"), ("b/!", "yo", "p2", "r2", 1, "y")],
+        "group string, main_content string, prompt string, response string, row_index long, extra string",
+    )
+    zp = str(tmp_path / "out.zip")
+    export_zip(df, zp, format_type="both")
+    with zipfile.ZipFile(zp) as zf:
+        names = sorted(zf.namelist())
+        assert "consolidated/results.json" in names
+        assert "consolidated/results.csv" in names
+        individual = [n for n in names if n.startswith("individual/")]
+        assert len(individual) == 2
+        # sanitized group in filename: 'b/!' → 'b'
+        assert any("_b" in n for n in individual)
+        first = json.loads(zf.read("consolidated/results.json").decode().splitlines()[0])
+        assert list(first)[:2] == ["group", "main_content"]  # export column order
