@@ -39,6 +39,9 @@ def main() -> None:
     for spec in bench_specs.values():
         spec.fn(spark, warm_dir).count()
 
+    # Warm-up persists are not part of any timed query's cost.
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name, spec in bench_specs.items():
         t0 = time.time()
@@ -46,6 +49,8 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # isolate queries: no cross-query cache reuse in the timings
+        spark.catalog.clearCache()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

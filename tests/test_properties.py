@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5.2(3).
+
+Pure-driver functions (delimiter sniffing) get full hypothesis fuzzing;
+Spark-evaluated semantics (template rendering) are checked batch-wise
+against a pure-Python oracle — one Spark job per example set, not per
+example.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ai_batch_processing_spark.io.readers import _sniff_delimiter
+
+# --------------------------------------------------------------------------
+# delimiter sniffing (main.py:225-238 semantics)
+# --------------------------------------------------------------------------
+printable_line = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\n\r"), max_size=120
+)
+
+
+@given(printable_line)
+@settings(max_examples=300)
+def test_sniff_total_and_lawful(line):
+    """Never raises; returns one of the four outcomes; obeys the spec."""
+    d = _sniff_delimiter(line)
+    assert d in (",", "|", "\t", None)
+    if d == ",":
+        parts = [p.strip() for p in line.split(",")]
+        assert len(parts) >= 2 and all(p and len(p) < 30 and " " not in p for p in parts)
+    elif d == "|":
+        assert "|" in line
+    elif d == "\t":
+        assert "\t" in line
+
+
+@given(st.lists(st.from_regex(r"[A-Za-z0-9_]{1,29}", fullmatch=True), min_size=2, max_size=8))
+@settings(max_examples=100)
+def test_sniff_accepts_headerish_comma_lines(tokens):
+    assert _sniff_delimiter(",".join(tokens)) == ","
+
+
+@given(printable_line)
+@settings(max_examples=200)
+def test_sniff_prose_with_commas_never_comma(line):
+    """A comma line containing a spaced token (prose) must not sniff as CSV."""
+    prose = line + ", hello world"
+    assert _sniff_delimiter(prose) != ","
+
+
+# --------------------------------------------------------------------------
+# template rendering (main.py:372-377 semantics)
+# --------------------------------------------------------------------------
+_PLACEHOLDER = re.compile(r"\{(\w+)\}")
+
+
+def _render_oracle(template: str, row: dict[str, str | None], columns: list[str]) -> str:
+    """Single-pass substitution; unknown placeholders literal; None → ''."""
+
+    def sub(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in columns:
+            return m.group(0)
+        v = row.get(name)
+        return "" if v is None else str(v)
+
+    return _PLACEHOLDER.sub(sub, template)
+
+
+template_text = st.lists(
+    st.sampled_from(list("ab{}_x1 ") + ["{a}", "{b}", "{zz}"]), max_size=12
+).map("".join)
+value = st.one_of(st.none(), st.text(st.characters(codec="ascii", exclude_characters="\n\r"), max_size=10))
+
+
+@given(st.lists(st.tuples(template_text, value, value), min_size=1, max_size=12))
+@settings(max_examples=12, deadline=None)
+def test_template_matches_python_oracle(spark, cases):
+    from ai_batch_processing_spark.operators.template import template_expr
+    rows = [(i, a, b) for i, (_t, a, b) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, a string, b string")
+    outs = [template_expr(t, ["a", "b"]).alias(f"o{i}") for i, (t, _a, _b) in enumerate(cases)]
+    got = {r.i: r for r in df.select("i", *outs).collect()}
+    for i, (t, a, b) in enumerate(cases):
+        expected = _render_oracle(t, {"a": a, "b": b}, ["a", "b"])
+        assert got[i][f"o{i}"] == expected, (t, a, b)
