@@ -35,6 +35,7 @@ SQL (md5 + window row_number), and exports are golden-comparable.
 from __future__ import annotations
 
 import hashlib
+import threading
 import time
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
@@ -70,6 +71,10 @@ class LLMConfig:
     group_by: str | None = None
     main_content: str | None = None
     order_by: list[str] | None = None  # in-group ordering; None → ingest order
+    concurrency: int = 1  # in-partition concurrent calls (ungrouped only);
+    # with rate_limit set, total in-flight = n_lanes × concurrency — keep 1
+    # to mirror the reference's min(rate_limit, 10) semaphore exactly
+    # (main.py:332-334; lanes already equal that clamp).
 
 
 # --------------------------------------------------------------------------
@@ -140,15 +145,19 @@ class SlidingWindowRateLimiter:
         self._now = now
         self._sleep = sleep
         self._stamps: list[float] = []
+        self._lock = threading.Lock()
 
     def wait(self) -> None:
-        t = self._now()
-        self._stamps = [s for s in self._stamps if t - s < 60.0]
-        if len(self._stamps) >= self.rpm:
-            self._sleep(60.0 - (t - self._stamps[0]))
-            t = self._now()
-            self._stamps = [s for s in self._stamps if t - s < 60.0]
-        self._stamps.append(self._now())
+        # thread-safe: concurrent in-partition callers share one window
+        while True:
+            with self._lock:
+                t = self._now()
+                self._stamps = [s for s in self._stamps if t - s < 60.0]
+                if len(self._stamps) < self.rpm:
+                    self._stamps.append(self._now())
+                    return
+                delay = 60.0 - (t - self._stamps[0])
+            self._sleep(max(delay, 0.0))
 
 
 def _make_client(cfg: LLMConfig):
@@ -270,7 +279,18 @@ def llm_map(
             client = factory(cfg)
             limiter = SlidingWindowRateLimiter(rpm_share) if rpm_share else None
             for pdf in batches:
-                results = [_complete_row(client, limiter, None, p) for p in pdf[PROMPT_COL]]
+                if cfg.concurrency > 1:
+                    # I/O-bound calls overlap inside the partition (the
+                    # reference's asyncio.gather, main.py:513-522);
+                    # executor.map preserves row order.
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=cfg.concurrency) as ex:
+                        results = list(
+                            ex.map(lambda p: _complete_row(client, limiter, None, p), pdf[PROMPT_COL])
+                        )
+                else:
+                    results = [_complete_row(client, limiter, None, p) for p in pdf[PROMPT_COL]]
                 pdf = pdf.copy()
                 pdf[RESPONSE_COL] = [r for r, _ in results]
                 pdf[ERROR_COL] = [e for _, e in results]

@@ -181,3 +181,56 @@ def test_result_schema_matches_reference_record(spark):
     cols = set(llm_map(_docs(spark), cfg).columns)
     assert {"group", "main_content", "response", "timestamp", "prompt", "row_index", "error"} <= cols
     assert {"id", "grp", "body"} <= cols
+
+
+def test_ungrouped_concurrency_overlaps_and_preserves_order(spark):
+    """concurrency=8 must overlap I/O waits (wall ≪ serial) and keep
+    responses aligned to their rows (executor.map order)."""
+    import time as _time
+
+    from ai_batch_processing_spark.operators.llm_map import LLMConfig, llm_map
+
+    class SlowClient:
+        def complete(self, model, messages, temperature, max_tokens):
+            _time.sleep(0.15)
+            return "echo:" + messages[-1]["content"]
+
+    df = spark.range(32).selectExpr("id", "cast(id as string) as txt").coalesce(1)
+    cfg = LLMConfig(prompt_template="{txt}", concurrency=8)
+    t0 = _time.time()
+    out = llm_map(df, cfg, client_factory=lambda c: SlowClient()).collect()
+    wall = _time.time() - t0
+    assert wall < 32 * 0.15 * 0.6  # serial would be ≥4.8 s; require <2.9 s
+    assert all(r.response == "echo:" + r.txt for r in out)
+    assert all(r.error is None for r in out)
+
+
+def test_rate_limiter_thread_safe_budget():
+    """N threads hammering one limiter admit exactly rpm calls per window."""
+    import threading as _threading
+
+    from ai_batch_processing_spark.operators.llm_map import SlidingWindowRateLimiter
+
+    clock = {"t": 0.0}
+    sleeps = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        clock["t"] += s
+
+    limiter = SlidingWindowRateLimiter(10, now=lambda: clock["t"], sleep=fake_sleep)
+    admitted = []
+
+    def worker():
+        limiter.wait()
+        admitted.append(clock["t"])
+
+    threads = [_threading.Thread(target=worker) for _ in range(25)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(admitted) == 25
+    # first 10 admitted at t=0; the rest had to wait ≥ one window hop
+    assert sum(1 for a in admitted if a == 0.0) == 10
+    assert sleeps  # blocking actually happened
