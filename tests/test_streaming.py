@@ -93,3 +93,45 @@ def test_batch_stream_parity_tumbling(spark, source_dir):
     s = {tuple(r) for r in stream_out.collect()}
     b = {tuple(r) for r in batch_out.collect()}
     assert s == b
+
+
+def test_stream_llm_map_chunked_resume(spark, tmp_path):
+    """Micro-batch LLM pipeline: availableNow drains pending files; a second
+    run resumes from the checkpoint and processes ONLY new files (the
+    reference's pause/resume, SURVEY.md §7.4-3)."""
+    import json as _json
+
+    from ai_batch_processing_spark.operators.llm_map import LLMConfig
+    from ai_batch_processing_spark.streaming.llm_stream import stream_llm_map
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(i, n):
+        rows = [
+            {"doc_id": i * 100 + j, "text": f"doc {i}-{j}", "lang": "en", "source": "s", "n_chars": 7}
+            for j in range(n)
+        ]
+        (src / f"f{i}.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    for i in range(3):
+        write_file(i, 4)
+    cfg = LLMConfig(prompt_template="say: {text}")
+    q = stream_llm_map(spark, str(src), out, ckpt, cfg, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    assert first.count() == 12
+    row = first.filter("doc_id = 101").first()
+    assert row.prompt == "say: doc 1-1" and row.response.startswith("mock:")
+    assert row.error is None
+
+    # "resume": two new files, same checkpoint → only the 6 new docs added
+    write_file(3, 3)
+    write_file(4, 3)
+    q2 = stream_llm_map(spark, str(src), out, ckpt, cfg, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == 18
+    assert final.select("doc_id").distinct().count() == 18  # nothing reprocessed
