@@ -425,3 +425,122 @@ def q42_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q43_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
     return simhash_near_pairs(corpus, "id", "text", max_hamming=3).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# pair graph → clusters → keep-one dedup
+# --------------------------------------------------------------------------
+def connected_components(ids: DataFrame, pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(id, cluster): cluster = min id reachable through the pair graph.
+
+    Min-label propagation: each round every node takes the smallest label
+    among itself and its neighbors; converges in O(component diameter)
+    rounds — near-dup clusters are shallow (dup sets, not chains), so this
+    is 2-4 rounds in practice. Each round is one join + one aggregate,
+    all-distributed; convergence is checked with a count of changed
+    labels. ``ids`` must have column ``id``; ``pairs`` columns
+    ``id_a``/``id_b``.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = ids.select("id", F.col("id").alias("cluster")).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select("id", F.least(F.col("cluster"), F.coalesce("nmin", "cluster")).alias("cluster"))
+            # truncate lineage each round: the plan would otherwise double
+            # per iteration (and recompute every prior round per action)
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.5,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: keep one doc per near-dup cluster.
+
+    Pairs from MinHash+LSH (scale path) or exact Jaccard (oracle path),
+    clustered by connected components, survivor = min id per cluster.
+    Returns the deduplicated rows of ``df``.
+    """
+    ids = df.select(F.col(id_col).alias("id"))
+    pairs = (
+        minhash_dedup_pairs(df, id_col, text_col, k=k, threshold=threshold)
+        if use_lsh
+        else jaccard_pairs(df, id_col, text_col, k=k, threshold=threshold)
+    )
+    comp = connected_components(ids, pairs)
+    keep = comp.filter(F.col("id") == F.col("cluster")).select("id")
+    return df.join(keep, df[id_col] == keep.id, "left_semi")
+
+
+@register(
+    "q62_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+        docs AS (SELECT id, text FROM corpus WHERE length(text) >= 5),
+        sh AS (
+            SELECT DISTINCT id, substring(text, CAST(i AS INT), 5) AS s
+            FROM docs, unnest(generate_series(1, length(text) - 4)) AS t(i)
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes na ON na.id = id_a
+            JOIN sizes nb ON nb.id = id_b
+            WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT id, id FROM corpus
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        labels AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src)
+        SELECT cluster AS keep_id, COUNT(*) AS cluster_size
+        FROM labels GROUP BY cluster ORDER BY keep_id
+    """,
+    doc="near-dup connected components: exact-Jaccard pair graph → min-label "
+    "clusters → (survivor, cluster size). Distributed label propagation vs "
+    "a DuckDB recursive-CTE transitive closure.",
+    tags=("dedup", "clustering"),
+)
+def q62_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = jaccard_pairs(corpus, "id", "text", k=5, threshold=0.5)
+    comp = connected_components(corpus.select("id"), pairs)
+    return (
+        comp.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(F.col("cluster").alias("keep_id"), "cluster_size")
+        .orderBy("keep_id")
+    )

@@ -98,3 +98,28 @@ def test_simhash_near_pairs_blocking(spark):
     pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(_corpus(spark), "id", "text").collect()}
     assert pairs[(1, 3)] == 0
     assert (1, 4) not in pairs
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from ai_batch_processing_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    # chain 1-2-3 (diameter 2), pair 4-5, singleton 6
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    comp = {r.id: r.cluster for r in connected_components(ids, pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_near_dedup_keeps_one_per_cluster(spark):
+    from ai_batch_processing_spark.operators.dedup import near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, base),
+        (2, base + "tail"),          # near-dup of 1
+        (3, "completely different content about spark engines and parquet"),
+        (4, base + "another tail"),  # near-dup of 1 and 2
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    kept = sorted(r.id for r in near_dedup(df, "id", "text", use_lsh=False).collect())
+    assert kept == [1, 3]
