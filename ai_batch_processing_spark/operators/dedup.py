@@ -72,7 +72,13 @@ def _exploded_positions(df: DataFrame, id_col: str, text_col: str, k: int):
     # every downstream per-doc aggregate becomes shuffle-free. The explicit
     # partition count is required: AQE sizes shuffles by the compact
     # PRE-explode bytes and would coalesce to one task otherwise.
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    # Partition count: bounded by the session's shuffle setting but never
+    # more than a few waves per core — an untuned session (driver default
+    # 200) would otherwise pay 200-task overhead on every dedup stage.
+    sess = df.sparkSession
+    conf_n = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    cores = sess.sparkContext.defaultParallelism
+    n = min(conf_n, max(2 * cores, 16))
     return (
         df.repartition(n, F.col(id_col))
         .filter(F.length(text_col) >= k)
