@@ -111,6 +111,55 @@ def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataF
     return df.mapInPandas(run, out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    max_width: int = 64,
+    max_height: int = 64,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize plumbing: payload → payload' with updated dimension metadata.
+
+    The fake transform scales the payload proportionally to the pixel
+    reduction (a real implementation decodes, resizes with PIL/cv2,
+    re-encodes — one function swap). Aspect ratio is preserved; images
+    already within bounds pass through byte-identical. Output = input
+    columns with ``payload`` replaced + (width, height, resized).
+    """
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("resized", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, resized, payloads = [], [], [], []
+            for p in pdf[payload_col]:
+                w, h, _fmt = fake_decode_features(p)
+                scale = min(max_width / w, max_height / h, 1.0)
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                if scale < 1.0:
+                    keep = max(1, int(len(p) * (nw * nh) / (w * h)))
+                    payloads.append(p[:keep])
+                    resized.append("yes")
+                else:
+                    payloads.append(p)
+                    resized.append("no")
+                widths.append(nw)
+                heights.append(nh)
+            pdf = pdf.copy()
+            pdf[payload_col] = payloads
+            pdf["width"] = widths
+            pdf["height"] = heights
+            pdf["resized"] = resized
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def sample_frames(df: DataFrame, payload_col: str = "payload", every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling plumbing: flatMap one media row → many frame rows.
 

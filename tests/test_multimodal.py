@@ -65,3 +65,30 @@ def test_metadata_filter_prunes_before_decode(spark):
     assert df.count() == 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_resize_respects_bounds_and_aspect(spark):
+    from ai_batch_processing_spark.operators.multimodal import (
+        attach_payload,
+        fake_decode_features,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some fairly long text payload standing in for image bytes " * 4), (2, "tiny")],
+        "id long, text string",
+    )
+    out = resize_images(attach_payload(df), max_width=32, max_height=32).collect()
+    by_id = {r.id: r for r in out}
+    for r in out:
+        assert r.width <= 32 and r.height <= 32
+    # original dims recomputed from the pre-resize payload
+    orig = {r.id: fake_decode_features(r.text.encode()) for r in df.collect()}
+    for i, (w, h, _f) in orig.items():
+        r = by_id[i]
+        if w <= 32 and h <= 32:
+            assert r.resized == "no" and bytes(r.payload) == r.text.encode()
+        else:
+            assert r.resized == "yes" and len(r.payload) < len(r.text.encode())
+            # aspect ratio preserved within integer rounding
+            assert abs(r.width / r.height - w / h) < 0.2
