@@ -337,3 +337,86 @@ def q59_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "hour", "n")
         .orderBy("event_type")
     )
+
+
+# --- q63: funnel via time-interval self-join ---------------------------------
+# The batch form of a stream-stream interval join: click → purchase by the
+# same user within 30 minutes. The equi-key (user_id) makes this a hash
+# join with the interval as a post-join range predicate — NOT a cartesian;
+# at scale both sides shuffle once on user_id and AQE handles hot users.
+@register(
+    "q63_funnel_interval_join",
+    oracle="""
+        SELECT
+            c.user_id,
+            COUNT(*) AS conversions,
+            ROUND(SUM(p.value), 2) AS converted_value
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND p.ts > c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        GROUP BY c.user_id
+        ORDER BY c.user_id
+    """,
+    doc="click→purchase funnel within 30 min per user (interval self-join).",
+    tags=("relational", "join", "interval", "funnel"),
+)
+def q63_funnel_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    clicks = t["events"].filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    buys = t["events"].filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), "value"
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return (
+        joined.groupBy(F.col("cu").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("conversions"), F.round(F.sum("value"), 2).alias("converted_value"))
+        .orderBy("user_id")
+    )
+
+
+# --- q64: consecutive-duplicate collapse (lag) -------------------------------
+# Event streams repeat (retries, double-fires); keeping only rows whose
+# type differs from the previous row per user is the lag-window idiom.
+# One shuffle on user_id; the window is per-user, never global.
+@register(
+    "q64_collapse_consecutive",
+    oracle="""
+        SELECT user_id, event_type, n_runs
+        FROM (
+            SELECT user_id, event_type, COUNT(*) AS n_runs
+            FROM (
+                SELECT
+                    user_id, event_type,
+                    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+                FROM events
+            )
+            WHERE prev_type IS NULL OR event_type <> prev_type
+            GROUP BY user_id, event_type
+        )
+        WHERE user_id < 30
+        ORDER BY user_id, event_type
+    """,
+    doc="collapse consecutive duplicate events per user (lag window), count runs.",
+    tags=("window", "dedup", "events"),
+)
+def q64_collapse_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        t["events"]
+        .select("user_id", "event_type", "ts", "event_id", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_runs"))
+    )
+    return runs.filter(F.col("user_id") < 30).orderBy("user_id", "event_type")
