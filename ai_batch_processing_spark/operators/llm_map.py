@@ -140,10 +140,12 @@ class SlidingWindowRateLimiter:
         rpm: int,
         now: Callable[[], float] = time.monotonic,
         sleep: Callable[[float], None] = time.sleep,
+        on_wait: Callable[[float], None] | None = None,
     ):
         self.rpm = max(1, min(60, rpm))  # main.py:608 clamp
         self._now = now
         self._sleep = sleep
+        self._on_wait = on_wait  # rate_limit_wait notification (main.py:620-627)
         self._stamps: list[float] = []
         self._lock = threading.Lock()
 
@@ -157,6 +159,8 @@ class SlidingWindowRateLimiter:
                     self._stamps.append(self._now())
                     return
                 delay = 60.0 - (t - self._stamps[0])
+            if self._on_wait is not None:
+                self._on_wait(max(delay, 0.0))
             self._sleep(max(delay, 0.0))
 
 
