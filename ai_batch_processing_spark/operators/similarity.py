@@ -67,13 +67,19 @@ def cosine_topk(
     partitions on query id, so it scales with query count.
     Output: (query_id, neighbor_id, score).
     """
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    # Norms computed once per side BEFORE the join — the per-pair work is
+    # one dot product, not three array reductions.
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"), _norm(F.col(vec_col)).alias("_qn")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"), _norm(F.col(vec_col)).alias("_cn")
+    )
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("score"),
+        F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -295,10 +301,10 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Cosine ≥ threshold pairs (id_a < id_b). Brute force — bound the input
     or feed it LSH-bucket candidates at scale."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), _norm(F.col(vec_col)).alias("_na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), _norm(F.col(vec_col)).alias("_nb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    score = cosine(F.col("_va"), F.col("_vb"))
+    score = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return pairs.select("id_a", "id_b", F.round(score, 6).alias("score")).filter(
         F.col("score") >= threshold
     )
