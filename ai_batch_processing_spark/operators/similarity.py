@@ -157,20 +157,22 @@ def ann_lsh_topk(
             planes.append([x / n for x in v])
         tables.append(planes)
 
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")).select(
-        "neighbor_id", "_cv", F.explode(_table_bucket_expr("_cv", tables)).alias("tb")
-    )
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")).select(
-        "query_id", "_qv", F.explode(_table_bucket_expr("_qv", tables)).alias("tb")
-    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"), _norm(F.col(vec_col)).alias("_cn")
+    ).select("neighbor_id", "_cv", "_cn", F.explode(_table_bucket_expr("_cv", tables)).alias("tb"))
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"), _norm(F.col(vec_col)).alias("_qn")
+    ).select("query_id", "_qv", "_qn", F.explode(_table_bucket_expr("_qv", tables)).alias("tb"))
     cands = (
         c.join(F.broadcast(q), c.tb == q.tb)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
-        "query_id", "neighbor_id", F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("score")
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -275,10 +277,16 @@ def ann_ivf_topk(
     """
     centroids = kmeans_centroids(corpus, nlist=nlist, id_col=corpus_id, vec_col=vec_col)
     c = assign_cells(corpus, centroids, id_col=corpus_id, vec_col=vec_col).select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell"
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+        "cell",
     )
     q = assign_cells(queries, centroids, id_col=query_id, vec_col=vec_col, nprobe=nprobe).select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"), "cell"
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+        "cell",
     )
     cands = (
         c.join(F.broadcast(q), "cell")
@@ -286,7 +294,9 @@ def ann_ivf_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
-        "query_id", "neighbor_id", F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("score")
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
