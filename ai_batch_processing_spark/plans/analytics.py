@@ -420,3 +420,96 @@ def q64_collapse_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_runs"))
     )
     return runs.filter(F.col("user_id") < 30).orderBy("user_id", "event_type")
+
+
+# --- q66: fuzzy matching (edit distance) -------------------------------------
+# Levenshtein runs JVM-side in both engines; the candidate space is the
+# near-dup corpus (bounded), mirroring the LSH-verify pattern: never run
+# edit distance corpus × corpus, only on pre-blocked candidates.
+@register(
+    "q66_fuzzy_match_pairs",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id AS id, substring(text, 1, 40) AS head
+            FROM documents WHERE doc_id < 150
+            UNION ALL
+            SELECT doc_id + 100000 AS id, substring('x' || text, 1, 40) AS head
+            FROM documents WHERE doc_id < 150 AND doc_id % 4 = 0
+        )
+        SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.head, b.head) AS dist
+        FROM corpus a JOIN corpus b ON a.id < b.id
+        WHERE levenshtein(a.head, b.head) <= 3
+        ORDER BY id_a, id_b
+    """,
+    doc="fuzzy matching: levenshtein ≤ 3 on 40-char heads over a bounded candidate set.",
+    tags=("text", "fuzzy", "levenshtein"),
+)
+def q66_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    base = t["documents"].filter(F.col("doc_id") < 150).select(
+        F.col("doc_id").alias("id"), F.substring("text", 1, 40).alias("head")
+    )
+    shifted = (
+        t["documents"]
+        .filter((F.col("doc_id") < 150) & (F.col("doc_id") % 4 == 0))
+        .select(
+            (F.col("doc_id") + 100000).alias("id"),
+            F.substring(F.concat(F.lit("x"), F.col("text")), 1, 40).alias("head"),
+        )
+    )
+    corpus = base.unionAll(shifted)
+    a = corpus.select(F.col("id").alias("id_a"), F.col("head").alias("ha"))
+    b = corpus.select(F.col("id").alias("id_b"), F.col("head").alias("hb"))
+    dist = F.levenshtein("ha", "hb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("dist"))
+        .filter(F.col("dist") <= 3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- q67: sessionization (assign session ids to events) ----------------------
+# session boundary = gap > 30 min since the previous event of the same
+# user; session_id = running count of boundaries. Two per-user windows,
+# one shuffle on user_id — the assignment twin of q54's session_window
+# AGGREGATE (this one labels every event row).
+@register(
+    "q67_sessionize_events",
+    oracle="""
+        SELECT user_id, event_id, session_id
+        FROM (
+            SELECT
+                user_id, event_id,
+                SUM(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS session_id
+            FROM (
+                SELECT
+                    user_id, event_id, ts,
+                    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              <= INTERVAL 30 MINUTE
+                         THEN 0 ELSE 1 END AS is_new
+                FROM events
+            )
+        )
+        WHERE user_id < 10
+        ORDER BY user_id, event_id
+    """,
+    doc="per-event session assignment: gap>30min boundaries + running count.",
+    tags=("window", "session", "events"),
+)
+def q67_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = F.col("ts") <= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+    flagged = t["events"].select(
+        "user_id", "event_id", "ts", F.when(gap_ok, 0).otherwise(1).alias("is_new")
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        flagged.select("user_id", "event_id", F.sum("is_new").over(wsum).alias("session_id"))
+        .filter(F.col("user_id") < 10)
+        .orderBy("user_id", "event_id")
+    )
