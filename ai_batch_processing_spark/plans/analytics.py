@@ -513,3 +513,66 @@ def q67_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 10)
         .orderBy("user_id", "event_id")
     )
+
+
+# --- q65: referential-integrity audit (orphan detection) ---------------------
+# Data-quality staple for pipeline ingest: fact rows whose dimension key
+# is missing. Anti join; the probe side streams, the missing-key side
+# builds. Orphans are synthesized by restricting orders.
+@register(
+    "q65_orphan_audit",
+    oracle="""
+        WITH orders_subset AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0
+        )
+        SELECT l_orderkey, COUNT(*) AS n_lines, ROUND(SUM(l_extendedprice), 2) AS orphan_value
+        FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders_subset)
+        GROUP BY l_orderkey
+        ORDER BY l_orderkey
+    """,
+    doc="referential-integrity audit: lineitem rows with no matching order (anti join).",
+    tags=("relational", "join", "anti", "quality"),
+)
+def q65_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    subset = t["orders"].filter(F.col("o_orderkey") % 7 != 0).select("o_orderkey")
+    return (
+        t["lineitem"]
+        .join(subset, t["lineitem"].l_orderkey == subset.o_orderkey, "left_anti")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.round(F.sum("l_extendedprice"), 2).alias("orphan_value"))
+        .orderBy("l_orderkey")
+    )
+
+
+# --- q68: keep-latest dedup (CDC/upsert compaction) --------------------------
+# The standard change-log compaction: many versions per key, keep the
+# newest. One shuffle on the key; WindowGroupLimit prunes to rank 1
+# before the final sort. Versions are synthesized from events (user_id =
+# key, ts = version time).
+@register(
+    "q68_keep_latest_version",
+    oracle="""
+        SELECT user_id, event_id AS latest_event, ts AS latest_ts
+        FROM (
+            SELECT user_id, event_id, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+            FROM events
+        )
+        WHERE rk = 1
+        ORDER BY user_id
+    """,
+    doc="CDC keep-latest compaction: newest row per key via descending row_number.",
+    tags=("window", "dedup", "cdc"),
+)
+def q68_keep_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        t["events"]
+        .select("user_id", "event_id", "ts", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_id").alias("latest_event"), F.col("ts").alias("latest_ts"))
+        .orderBy("user_id")
+    )
