@@ -209,3 +209,36 @@ def q53_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q54_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["events"])
     return session_counts(t["events"]).orderBy("user_id", "session_start")
+
+
+def stream_funnel_join(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: click → purchase within ``within``.
+
+    The streaming twin of the batch funnel (q63). Both sides carry
+    watermarks so the join state store can evict: a click older than
+    watermark + within can never match a future purchase and is dropped.
+    Output: one row per (click, purchase) conversion pair.
+    """
+    stream = spark.readStream.schema(schema).json(source_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+        .withWatermark("cts", watermark)
+    )
+    buys = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("pts"), "value")
+        .withWatermark("pts", watermark)
+    )
+    return clicks.join(
+        buys,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr(f"INTERVAL {within}")),
+    ).select(F.col("cu").alias("user_id"), "cts", "pts", "value")

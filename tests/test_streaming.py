@@ -135,3 +135,25 @@ def test_stream_llm_map_chunked_resume(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 18
     assert final.select("doc_id").distinct().count() == 18  # nothing reprocessed
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream funnel join: click→purchase within 30 min,
+    across micro-batches, matching the batch join on the same data."""
+    from ai_batch_processing_spark.streaming.events import stream_funnel_join
+
+    d = tmp_path / "funnel_in"
+    d.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "purchase", "value": 9.5, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T00:50:00", "user_id": 1, "event_type": "purchase", "value": 1.0, "props": "{}"},  # outside 30m
+        {"event_id": 4, "ts": "2024-01-01T00:00:00", "user_id": 2, "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 5, "ts": "2024-01-01T00:05:00", "user_id": 3, "event_type": "purchase", "value": 7.0, "props": "{}"},  # no click
+    ]
+    # split across two files → two micro-batches exercise the join state store
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:2]))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows[2:]))
+    out = _run(spark, stream_funnel_join(spark, str(d)), "funnel_join", mode="append")
+    got = [(r.user_id, r.value) for r in out.collect()]
+    assert got == [(1, 9.5)]
