@@ -242,3 +242,20 @@ def stream_funnel_join(
         & (F.col("pts") > F.col("cts"))
         & (F.col("pts") <= F.col("cts") + F.expr(f"INTERVAL {within}")),
     ).select(F.col("cu").alias("user_id"), "cts", "pts", "value")
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup on event_id (at-least-once ingestion repair).
+
+    ``dropDuplicates`` over a watermarked stream keeps per-key state only
+    until the watermark passes the event's time — bounded state, unlike an
+    unwatermarked dedup that remembers every key forever. Re-deliveries
+    across micro-batches are suppressed.
+    """
+    stream = spark.readStream.schema(schema).json(source_dir)
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])

@@ -157,3 +157,18 @@ def test_stream_stream_interval_join(spark, tmp_path):
     out = _run(spark, stream_funnel_join(spark, str(d)), "funnel_join", mode="append")
     got = [(r.user_id, r.value) for r in out.collect()]
     assert got == [(1, 9.5)]
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    """Duplicate event_ids delivered in different micro-batches are dropped
+    by the watermarked state store."""
+    from ai_batch_processing_spark.streaming.events import stream_dedup_events
+
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    e1 = {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"}
+    e2 = {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 1, "event_type": "view", "value": 2.0, "props": "{}"}
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in [e1, e2, e1]))  # dup within batch
+    (d / "b.json").write_text(json.dumps(e1))  # re-delivery in a later batch
+    out = _run(spark, stream_dedup_events(spark, str(d)), "dedup_stream", mode="append")
+    assert sorted(r.event_id for r in out.collect()) == [1, 2]
