@@ -155,3 +155,41 @@ def export_zip(
         return zip_path
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    target_rows_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Scale-path parquet writer: controls file count and in-file ordering.
+
+    The consolidated writers above are for human-download exports; THIS is
+    how pipeline output should land at scale:
+
+    - ``target_rows_per_file`` repartitions before the write so each task
+      emits one right-sized file — the small-files problem (one file per
+      shuffle partition per partition-dir) is death at 100 TB.
+    - ``sort_by`` sorts within partitions before writing, so parquet
+      row-group min/max stats become selective and later scans with
+      filters on those columns skip whole row groups (poor-man's
+      Z-order for the single-column case).
+    """
+    out = df
+    if target_rows_per_file is not None:
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // target_rows_per_file))
+        out = (
+            out.repartition(n_files, *[F.col(c) for c in partition_by])
+            if partition_by
+            else out.repartition(n_files)
+        )
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
