@@ -576,3 +576,69 @@ def q68_keep_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("event_id").alias("latest_event"), F.col("ts").alias("latest_ts"))
         .orderBy("user_id")
     )
+
+
+# --- q69: fixed-width histogram ----------------------------------------------
+# Data profiling staple. Bin id = floor((v - lo) / width), clamped; one
+# partial-aggregated shuffle on ≤n_bins keys, regardless of table size.
+@register(
+    "q69_price_histogram",
+    oracle="""
+        SELECT
+            CAST(LEAST(FLOOR(o_totalprice / 25000), 19) AS BIGINT) AS bin,
+            COUNT(*) AS n,
+            ROUND(MIN(o_totalprice), 2) AS lo,
+            ROUND(MAX(o_totalprice), 2) AS hi
+        FROM orders
+        GROUP BY 1
+        ORDER BY bin
+    """,
+    doc="fixed-width histogram of order totals (20 bins × 25k), bin stats.",
+    tags=("relational", "agg", "histogram", "profiling"),
+)
+def q69_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    bin_id = F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(19)).cast("long")
+    return (
+        t["orders"]
+        .groupBy(bin_id.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --- q70: one-pass column profile --------------------------------------------
+# The ingest-time quality report: nulls / distincts / range per column in
+# ONE scan (all metrics are independent aggregates; distincts are exact
+# here and would switch to approx_count_distinct at 100 TB).
+@register(
+    "q70_profile_customer",
+    oracle="""
+        SELECT
+            COUNT(*) AS n_rows,
+            SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS null_name,
+            COUNT(DISTINCT c_nationkey) AS distinct_nations,
+            COUNT(DISTINCT c_mktsegment) AS distinct_segments,
+            ROUND(MIN(c_acctbal), 2) AS min_bal,
+            ROUND(MAX(c_acctbal), 2) AS max_bal,
+            ROUND(AVG(c_acctbal) + 1e-9, 4) AS avg_bal
+        FROM customer
+    """,
+    doc="one-pass column profile: nulls, distincts, range, mean (ingest QA report).",
+    tags=("relational", "agg", "profiling"),
+)
+def q70_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer"])
+    return t["customer"].agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0)).alias("null_name"),
+        F.countDistinct("c_nationkey").alias("distinct_nations"),
+        F.countDistinct("c_mktsegment").alias("distinct_segments"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.avg("c_acctbal") + 1e-9, 4).alias("avg_bal"),
+    )
