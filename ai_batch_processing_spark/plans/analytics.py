@@ -642,3 +642,72 @@ def q70_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         F.round(F.avg("c_acctbal") + 1e-9, 4).alias("avg_bal"),
     )
+
+
+# --- q71: deterministic stratified sample ------------------------------------
+# Different keep-rates per stratum (the class-balancing move in training
+# pipelines), driven by key-mod so every engine/cluster draws the same
+# rows. The CASE predicate evaluates scan-side; no shuffle until the
+# per-stratum count.
+@register(
+    "q71_stratified_sample",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_sampled
+        FROM events
+        WHERE (event_type = 'click'    AND event_id % 10 = 0)
+           OR (event_type = 'purchase' AND event_id % 2 = 0)
+           OR (event_type = 'error')
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="stratified sampling: 10% clicks / 50% purchases / all errors, key-mod deterministic.",
+    tags=("relational", "sample", "stratified"),
+)
+def q71_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    keep = (
+        ((F.col("event_type") == "click") & (F.col("event_id") % 10 == 0))
+        | ((F.col("event_type") == "purchase") & (F.col("event_id") % 2 == 0))
+        | (F.col("event_type") == "error")
+    )
+    return (
+        t["events"]
+        .filter(keep)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("event_type")
+    )
+
+
+# --- q72: z-score outlier detection ------------------------------------------
+# Two-pass anomaly scan: global mean/stddev (one tiny aggregate,
+# broadcast back via scalar subqueries), then the filter runs scan-side.
+@register(
+    "q72_outlier_detection",
+    oracle="""
+        WITH stats AS (
+            SELECT AVG(value) AS mu, STDDEV_SAMP(value) AS sigma FROM events
+        )
+        SELECT event_id, user_id, ROUND(value, 2) AS value,
+               ROUND((value - mu) / sigma, 4) AS zscore
+        FROM events, stats
+        WHERE ABS(value - mu) > 2.5 * sigma
+        ORDER BY event_id
+    """,
+    doc="z-score outliers: |v - mean| > 2.5 sigma via broadcast scalar stats.",
+    tags=("relational", "agg", "outliers"),
+)
+def q72_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        WITH stats AS (
+            SELECT AVG(value) AS mu, STDDEV_SAMP(value) AS sigma FROM events
+        )
+        SELECT event_id, user_id, ROUND(value, 2) AS value,
+               ROUND((value - mu) / sigma, 4) AS zscore
+        FROM events, stats
+        WHERE ABS(value - mu) > 2.5 * sigma
+        ORDER BY event_id
+        """
+    )
