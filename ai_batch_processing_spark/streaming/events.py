@@ -259,3 +259,65 @@ def stream_dedup_events(
     """
     stream = spark.readStream.schema(schema).json(source_dir)
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def stream_user_sessions_with_timeout(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom sessionizer with STATE EVICTION: emits a (user, session)
+    summary row once the event-time watermark passes the session's gap.
+
+    The piece ``stream_running_totals`` doesn't show: with NoTimeout,
+    per-key state lives forever — unbounded at 100 TB key cardinality.
+    Here state carries (start, last, n, total) per user and uses an
+    EventTimeTimeout; when no event arrives for ``gap`` past the
+    watermark, the timeout fires, the closed session is EMITTED, and the
+    state is dropped. Open sessions emit nothing — output is
+    finalized-sessions-only, exactly once per session.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, session_start timestamp, session_end timestamp, n_events long, total_value double"
+    state_schema = "start timestamp, last timestamp, n long, total double"
+    gap_ms = 30 * 60 * 1000 if gap == "30 minutes" else int(gap.split()[0]) * 60 * 1000
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": key[0], "session_start": start, "session_end": last,
+                  "n_events": n, "total_value": total}]
+            )
+            return
+        start = last = None
+        n, total = 0, 0.0
+        if state.exists:
+            start, last, n, total = state.get
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts = pd.to_datetime(pdf["ts"])
+            start = min(start, ts.min()) if start is not None else ts.min()
+            last = max(last, ts.max()) if last is not None else ts.max()
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((start, last, n, total))
+        # close the session once the watermark passes last-event + gap
+        state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap_ms)
+        yield pd.DataFrame([], columns=["user_id", "session_start", "session_end", "n_events", "total_value"])
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

@@ -172,3 +172,30 @@ def test_stream_dedup_across_batches(spark, tmp_path):
     (d / "b.json").write_text(json.dumps(e1))  # re-delivery in a later batch
     out = _run(spark, stream_dedup_events(spark, str(d)), "dedup_stream", mode="append")
     assert sorted(r.event_id for r in out.collect()) == [1, 2]
+
+
+def test_stateful_session_timeout_emits_closed_sessions(spark, tmp_path):
+    """EventTimeTimeout evicts idle per-user state and emits the finalized
+    session exactly once; open sessions emit nothing."""
+    from ai_batch_processing_spark.streaming.events import stream_user_sessions_with_timeout
+
+    d = tmp_path / "sess_in"
+    d.mkdir()
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "click", "value": 2.0, "props": "{}"},
+    ]
+    # user 2's event advances the watermark far past user 1's gap
+    batch2 = [
+        {"event_id": 3, "ts": "2024-01-01T03:00:00", "user_id": 2, "event_type": "view", "value": 5.0, "props": "{}"},
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in batch2))
+    out = _run(spark, stream_user_sessions_with_timeout(spark, str(d)), "sess_timeout", mode="append")
+    rows = out.collect()
+    closed = {r.user_id: r for r in rows}
+    assert 1 in closed  # user 1's session closed by the advanced watermark
+    assert closed[1].n_events == 2 and closed[1].total_value == 3.0
+    assert str(closed[1].session_start).startswith("2024-01-01 00:00")
+    assert str(closed[1].session_end).startswith("2024-01-01 00:10")
+    assert 2 not in closed  # user 2's session still open → not emitted
