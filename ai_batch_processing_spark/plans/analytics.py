@@ -711,3 +711,105 @@ def q72_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_id
         """
     )
+
+
+# --- q74: time-series resample with gap fill ---------------------------------
+# Sparse events → dense hourly series: generate the hour spine
+# (sequence+explode — distributed, no driver loop), left-join the hourly
+# aggregate, fill gaps with zeros. The spine is tiny (hours in range);
+# the aggregate is one shuffle on ≤n_hours keys.
+@register(
+    "q74_resample_hourly_fill",
+    oracle="""
+        WITH spine AS (
+            SELECT unnest(generate_series(
+                TIMESTAMP '2024-01-01 00:00:00',
+                TIMESTAMP '2024-01-03 23:00:00',
+                INTERVAL 1 HOUR)) AS hour
+        ),
+        hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+            FROM events
+            WHERE event_type = 'purchase'
+              AND ts < TIMESTAMP '2024-01-04 00:00:00'
+            GROUP BY 1
+        )
+        SELECT s.hour, COALESCE(h.n, 0) AS n, COALESCE(h.total, 0.0) AS total
+        FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+        ORDER BY s.hour
+    """,
+    doc="resample sparse events to a dense hourly series with zero fill (spine left-join).",
+    tags=("relational", "timeseries", "resample"),
+)
+def q74_resample_hourly_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    spine = spark.sql(
+        """
+        SELECT explode(sequence(
+            TIMESTAMP '2024-01-01 00:00:00',
+            TIMESTAMP '2024-01-03 23:00:00',
+            INTERVAL 1 HOUR)) AS hour
+        """
+    )
+    hourly = (
+        t["events"]
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    return (
+        spine.join(hourly, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+        )
+        .orderBy("hour")
+    )
+
+
+# --- q75: cumulative new users per day ---------------------------------------
+# Running distinct count done scale-correctly: exact running distinct
+# needs unbounded state, but "first time each key appears" (min ts per
+# user — one shuffle) then a running SUM over the tiny per-day series
+# gives the same curve.
+@register(
+    "q75_cumulative_new_users",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+        ),
+        daily AS (
+            SELECT first_day, COUNT(*) AS new_users FROM first_seen GROUP BY first_day
+        )
+        SELECT CAST(first_day AS VARCHAR) AS first_day, new_users,
+               SUM(new_users) OVER (ORDER BY first_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_users
+        FROM daily
+        ORDER BY first_day
+    """,
+    doc="cumulative distinct-user curve via first-seen reduction + running sum.",
+    tags=("relational", "window", "timeseries"),
+)
+def q75_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    first_seen = t["events"].groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = first_seen.groupBy("first_day").agg(F.count(F.lit(1)).alias("new_users"))
+    # the per-day series is tiny (≤ days-in-range rows): constant-key
+    # partition keeps WindowExec quiet, same single-partition execution
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.select(
+            F.col("first_day").cast("string").alias("first_day"),
+            "new_users",
+            F.sum("new_users").over(w).alias("cumulative_users"),
+        )
+        .orderBy("first_day")
+    )
