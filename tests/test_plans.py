@@ -76,3 +76,23 @@ def test_whole_stage_codegen_everywhere_hot(spark, sf_dir):
     # codegen'd operators print with a "*(n)" stage prefix in the final plan
     assert "*(" in final, f"no codegen span in final plan:\n{final[:500]}"
     assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
+    """Hive-partitioned output + a partition-key filter → PartitionFilters
+    in the scan and only the matching directory read."""
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.io.writers import write_partitioned_parquet
+    from ai_batch_processing_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    out = str(tmp_path / "events_by_type")
+    write_partitioned_parquet(events, out, partition_by=["event_type"])
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "purchase").select("event_id")
+    plan = _explain(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_type" in pf[0]  # the filter prunes directories...
+    n_purchase = events.filter("event_type = 'purchase'").count()
+    assert df.count() == n_purchase  # ...and the answer is still right
