@@ -96,3 +96,25 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
     assert pf and "event_type" in pf[0]  # the filter prunes directories...
     n_purchase = events.filter("event_type = 'purchase'").count()
     assert df.count() == n_purchase  # ...and the answer is still right
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """A filter on the DIM side prunes the partitioned FACT's directories at
+    runtime (dynamicpruningexpression in PartitionFilters) — the star-join
+    optimization that makes partitioned 100 TB facts queryable."""
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.io.writers import write_partitioned_parquet
+    from ai_batch_processing_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    out = str(tmp_path / "events_dpp")
+    write_partitioned_parquet(events, out, partition_by=["event_type"])
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("click", 2)], "event_type string, w int"
+    ).filter(F.col("w") == 1)
+    joined = fact.join(dim, "event_type").select("event_id", "w")
+    plan = _explain(joined)
+    assert "dynamicpruningexpression" in plan.lower()
+    assert joined.count() == events.filter("event_type = 'purchase'").count()
