@@ -118,3 +118,41 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
     plan = _explain(joined)
     assert "dynamicpruningexpression" in plan.lower()
     assert joined.count() == events.filter("event_type = 'purchase'").count()
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE detects the hot key at runtime and splits its partition:
+    SortMergeJoin(skew=true) + a skewed AQEShuffleRead in the final plan.
+    Thresholds are lowered so test-scale data triggers the same code path
+    production skew does."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 190_000, 1).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = left.join(right, "k")
+        assert j.count() == 190_000  # only the hot key matches the right side
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
