@@ -147,7 +147,8 @@ def test_aqe_splits_skewed_join_partitions(spark):
         )
         right = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
         j = left.join(right, "k")
-        assert j.count() == 190_000  # only the hot key matches the right side
+        rows = j.collect()  # collect() finalizes THIS plan (count() executes another)
+        assert len(rows) == 190_000  # only the hot key matches the right side
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan
     finally:
