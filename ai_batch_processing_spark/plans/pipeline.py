@@ -112,6 +112,7 @@ def q34_pipeline_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY k.doc_id
     """,
     doc="capstone curation pipeline: quality gate → lang filter → exact dedup → embedding join.",
+    bench=True,
     tags=("pipeline", "dedup", "quality", "join"),
 )
 def q73_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
