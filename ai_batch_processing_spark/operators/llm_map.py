@@ -35,6 +35,7 @@ SQL (md5 + window row_number), and exports are golden-comparable.
 from __future__ import annotations
 
 import hashlib
+import re
 import threading
 import time
 from collections.abc import Callable, Iterator
@@ -231,6 +232,7 @@ def llm_map(
     ``error`` is null on success; a failed row carries the message instead
     of failing the task (main.py:487-502).
     """
+    validate_config(cfg, df.columns)
     factory = client_factory or _make_client
 
     # --- JVM-side prep: row index, group key, prompt, main_content ---------
@@ -399,3 +401,40 @@ def q33_llm_map_grouped_conversation(spark: SparkSession, sf_dir: str) -> DataFr
     )
     out = llm_map(t["documents"], cfg)
     return out.select("doc_id", F.col("group").alias("group_key"), "prompt", "response").orderBy("doc_id")
+
+
+class ConfigError(ValueError):
+    """Invalid LLMConfig — raised before any Spark job starts."""
+
+
+def validate_config(cfg: LLMConfig, columns: list[str]) -> None:
+    """The reference's pre-flight validation (flask_template.html:911-982),
+    enforced engine-side: numeric ranges, placeholder presence against the
+    ingested schema, provider/API-key prefix pairing.
+    """
+    problems: list[str] = []
+    if not (0.0 <= cfg.temperature <= 2.0):
+        problems.append(f"temperature {cfg.temperature} outside [0, 2]")
+    if not (1 <= cfg.max_tokens <= 4000):  # main.py:22,27
+        problems.append(f"max_tokens {cfg.max_tokens} outside [1, 4000]")
+    if cfg.rate_limit is not None and not (1 <= cfg.rate_limit <= 60):  # main.py:20,26
+        problems.append(f"rate_limit {cfg.rate_limit} outside [1, 60]")
+    if not (1 <= cfg.retry_attempts <= 10):  # main.py:23
+        problems.append(f"retry_attempts {cfg.retry_attempts} outside [1, 10]")
+    known = set(columns)
+    placeholders = {m.group(1) for m in re.finditer(r"\{(\w+)\}", cfg.prompt_template)}
+    if not placeholders & known:  # flask_template.html:943-947
+        problems.append(
+            f"prompt_template references no ingested column (has {sorted(placeholders)}, "
+            f"columns {sorted(known)})"
+        )
+    if cfg.group_by is not None and cfg.group_by not in known:
+        problems.append(f"group_by {cfg.group_by!r} is not an ingested column")
+    if cfg.main_content is not None and cfg.main_content not in known:
+        problems.append(f"main_content {cfg.main_content!r} is not an ingested column")
+    prefixes = {"openai": "sk-", "anthropic": "sk-ant-"}  # flask_template.html:924-928
+    want = prefixes.get(cfg.provider)
+    if want and not cfg.api_key.startswith(want):
+        problems.append(f"{cfg.provider} api_key must start with {want!r}")
+    if problems:
+        raise ConfigError("; ".join(problems))

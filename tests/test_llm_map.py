@@ -234,3 +234,29 @@ def test_rate_limiter_thread_safe_budget():
     # first 10 admitted at t=0; the rest had to wait ≥ one window hop
     assert sum(1 for a in admitted if a == 0.0) == 10
     assert sleeps  # blocking actually happened
+
+
+def test_validate_config_rules(spark):
+    import pytest as _pytest
+
+    from ai_batch_processing_spark.operators.llm_map import ConfigError, LLMConfig, llm_map, validate_config
+
+    cols = ["id", "text"]
+    validate_config(LLMConfig(prompt_template="{text}"), cols)  # ok
+    for bad in [
+        LLMConfig(prompt_template="{text}", temperature=3.0),
+        LLMConfig(prompt_template="{text}", max_tokens=0),
+        LLMConfig(prompt_template="{text}", rate_limit=0),
+        LLMConfig(prompt_template="{text}", retry_attempts=11),
+        LLMConfig(prompt_template="no placeholders here"),
+        LLMConfig(prompt_template="{nope}"),
+        LLMConfig(prompt_template="{text}", group_by="missing"),
+        LLMConfig(prompt_template="{text}", provider="openai", api_key="bad"),
+        LLMConfig(prompt_template="{text}", provider="anthropic", api_key="sk-wrong"),
+    ]:
+        with _pytest.raises(ConfigError):
+            validate_config(bad, cols)
+    # enforced at the operator boundary, before any job starts
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with _pytest.raises(ConfigError):
+        llm_map(df, LLMConfig(prompt_template="{missing_only}"))
