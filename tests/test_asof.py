@@ -54,3 +54,49 @@ def test_left_rows_all_preserved(spark):
     out = asof_join(left, right, on="user", left_ts="lts", right_ts="rts", right_cols={"rid": "m"})
     assert out.count() == left.count()
     assert set(out.columns) == {"lid", "user", "lts", "m"}
+
+
+def test_asof_matches_pandas_merge_asof_property(spark):
+    """Randomized parity with pandas.merge_asof (backward, by-key) — the
+    authoritative as-of semantics, across ties, misses, and empty keys."""
+    import numpy as np
+    import pandas as pd
+
+    from ai_batch_processing_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, 40),
+                "lts": rng.integers(0, 100, 40).astype("int64"),
+                "lv": np.arange(40),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, 25),
+                "rts": rng.integers(0, 100, 25).astype("int64"),
+                "rv": np.arange(25) * 10,
+            }
+        )
+        # merge_asof needs sorted inputs; ties broken by taking the LAST
+        # right row at equal ts — drop right-side ts duplicates per key so
+        # both engines agree on a unique match
+        right = right.drop_duplicates(["k", "rts"], keep="last")
+        expected = pd.merge_asof(
+            left.sort_values("lts", kind="stable"),
+            right.sort_values("rts", kind="stable"),
+            left_on="lts",
+            right_on="rts",
+            by="k",
+            direction="backward",
+        )
+        ldf = spark.createDataFrame(left)
+        rdf = spark.createDataFrame(right)
+        got = asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts", right_cols={"rv": "rv"}
+        ).toPandas()
+        exp_map = {int(r.lv): (None if pd.isna(r.rv) else int(r.rv)) for r in expected.itertuples()}
+        got_map = {int(r.lv): (None if pd.isna(r.rv) else int(r.rv)) for r in got.itertuples()}
+        assert got_map == exp_map, f"trial {trial} mismatch"
