@@ -813,3 +813,100 @@ def q75_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_day")
     )
+
+
+# --- q76: merge / upsert (emulated MERGE INTO) -------------------------------
+# Vanilla Spark has no MERGE without a table format; the engine-level
+# emulation is a full-outer join + COALESCE per column: updates win,
+# unmatched base rows persist, unmatched updates insert. One shuffle on
+# the key (or zero if both sides are bucketed on it — tests/test_joins).
+@register(
+    "q76_merge_upsert",
+    oracle="""
+        WITH updates AS (
+            SELECT c_custkey, c_acctbal * 2 AS new_bal
+            FROM customer WHERE c_custkey % 5 = 0
+            UNION ALL
+            SELECT 900001 AS c_custkey, 123.45 AS new_bal
+        )
+        SELECT
+            COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+            ROUND(COALESCE(u.new_bal, b.c_acctbal), 2) AS acctbal,
+            CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                 WHEN u.c_custkey IS NULL THEN 'keep'
+                 ELSE 'update' END AS action
+        FROM customer b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+        ORDER BY c_custkey
+    """,
+    doc="MERGE INTO emulation: full-outer join + per-column COALESCE (update/keep/insert).",
+    tags=("relational", "join", "merge", "cdc"),
+)
+def q76_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer"])
+    base = t["customer"].select("c_custkey", "c_acctbal")
+    updates = (
+        base.filter(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey", (F.col("c_acctbal") * 2).alias("new_bal"))
+        .unionAll(spark.sql("SELECT CAST(900001 AS BIGINT) AS c_custkey, 123.45 AS new_bal"))
+    )
+    b = base.alias("b")
+    u = updates.alias("u")
+    merged = b.join(u, F.col("b.c_custkey") == F.col("u.c_custkey"), "full_outer")
+    action = (
+        F.when(F.col("b.c_custkey").isNull(), "insert")
+        .when(F.col("u.c_custkey").isNull(), "keep")
+        .otherwise("update")
+    )
+    return merged.select(
+        F.coalesce(F.col("u.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
+        F.round(F.coalesce(F.col("u.new_bal"), F.col("b.c_acctbal")), 2).alias("acctbal"),
+        action.alias("action"),
+    ).orderBy("c_custkey")
+
+
+# --- q77: SCD2 validity intervals --------------------------------------------
+# Build slowly-changing-dimension rows from an event log: each (user,
+# event_type) run becomes a row valid [start, next_start); the current
+# row's end is NULL. lead() over per-user windows; one shuffle.
+@register(
+    "q77_scd2_intervals",
+    oracle="""
+        WITH changes AS (
+            SELECT user_id, event_type, ts,
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        starts AS (
+            SELECT user_id, event_type, ts AS valid_from
+            FROM changes WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT user_id, event_type,
+               CAST(valid_from AS VARCHAR) AS valid_from,
+               CAST(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS VARCHAR) AS valid_to
+        FROM starts
+        WHERE user_id < 20
+        ORDER BY user_id, valid_from
+    """,
+    doc="SCD2 from an event log: state-change rows with [valid_from, valid_to) via lag+lead.",
+    tags=("window", "scd2", "cdc"),
+)
+def q77_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        t["events"]
+        .select("user_id", "event_type", "ts", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        starts.select(
+            "user_id",
+            "event_type",
+            F.col("valid_from").cast("string").alias("valid_from"),
+            F.lead("valid_from").over(w2).cast("string").alias("valid_to"),
+        )
+        .filter(F.col("user_id") < 20)
+        .orderBy("user_id", "valid_from")
+    )
