@@ -910,3 +910,109 @@ def q77_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 20)
         .orderBy("user_id", "valid_from")
     )
+
+
+# --- q78: correlated aggregate subquery --------------------------------------
+# Catalyst decorrelates the per-customer COUNT into a grouped join —
+# exercised via spark.sql so the rewrite itself runs (no manual unnesting).
+@register(
+    "q78_correlated_agg_subquery",
+    oracle="""
+        SELECT c_custkey,
+               (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        WHERE c_custkey < 200
+        ORDER BY c_custkey
+    """,
+    doc="correlated COUNT subquery per row → decorrelated grouped join.",
+    tags=("relational", "subquery", "correlated"),
+)
+def q78_correlated_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        WHERE c_custkey < 200
+        ORDER BY c_custkey
+        """
+    )
+
+
+# --- q79: RANGE window frame -------------------------------------------------
+# Value-based frame (not row-count): all orders within 10k below the
+# current price count toward the frame — the frame width varies per row.
+@register(
+    "q79_range_frame_window",
+    oracle="""
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+               n_in_band
+        FROM (
+            SELECT o_orderkey, o_totalprice,
+                   COUNT(*) OVER (
+                       ORDER BY o_totalprice
+                       RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
+                   ) AS n_in_band
+            FROM orders WHERE o_orderkey < 2000
+        )
+        ORDER BY o_orderkey
+    """,
+    doc="RANGE frame: per-row value-based band (orders within 10k below current price).",
+    tags=("window", "frame", "range"),
+)
+def q79_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    # small bounded slice: a single global RANGE frame is a per-key sort —
+    # partition by a constant keeps WindowExec quiet on the bounded input
+    w = Window.partitionBy(F.lit(0)).orderBy("o_totalprice").rangeBetween(-10000, 0)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.count(F.lit(1)).over(w).alias("n_in_band"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --- q80: value-picking window functions -------------------------------------
+@register(
+    "q80_value_window_funcs",
+    oracle="""
+        SELECT user_id, event_id,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS last_type,
+               nth_value(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_type
+        FROM events
+        WHERE user_id < 10
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id
+    """,
+    doc="first_value / last_value / nth_value with explicit full frames.",
+    tags=("window", "analytic"),
+)
+def q80_value_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        t["events"]
+        .filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(wfull).alias("last_type"),
+            F.nth_value("event_type", 2).over(wfull).alias("second_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
