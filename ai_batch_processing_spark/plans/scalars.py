@@ -271,3 +271,33 @@ def q29_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q81_regex_extract",
+    oracle="""
+        SELECT
+            doc_id,
+            len(regexp_extract_all(text, '([a-z]{5})')) AS n_five_plus,
+            COALESCE(regexp_extract(text, '(qu[a-z]+)', 1), '') AS first_qu_word,
+            CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END AS mentions_spark
+        FROM documents
+        WHERE doc_id < 300
+        ORDER BY doc_id
+    """,
+    doc="regexp breadth: extract_all count, group extraction with default, boolean match.",
+    tags=("scalar", "string", "regex"),
+)
+def q81_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.size(F.expr("regexp_extract_all(text, '([a-z]{5})')")).alias("n_five_plus"),
+            F.regexp_extract("text", "(qu[a-z]+)", 1).alias("first_qu_word"),
+            F.when(F.col("text").rlike("spark"), 1).otherwise(0).alias("mentions_spark"),
+        )
+        .orderBy("doc_id")
+    )
