@@ -301,3 +301,40 @@ def q81_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q82_higher_order_array_funcs",
+    oracle="""
+        SELECT
+            vec_id,
+            len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_positive,
+            ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 4) AS l1_norm,
+            CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) > 0.2)) > 0
+                 THEN 1 ELSE 0 END AS has_large,
+            ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_val
+        FROM embeddings
+        WHERE vec_id < 200
+        ORDER BY vec_id
+    """,
+    doc="higher-order array functions: filter / transform+aggregate / exists / max "
+    "— all JVM-side lambda expressions, no Python.",
+    tags=("scalar", "array", "hof"),
+)
+def q82_higher_order_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return (
+        t["embeddings"]
+        .filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            F.size(F.filter(dbl, lambda x: x > 0)).alias("n_positive"),
+            F.round(
+                F.aggregate(F.transform(dbl, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x), 4
+            ).alias("l1_norm"),
+            F.when(F.exists(dbl, lambda x: F.abs(x) > 0.2), 1).otherwise(0).alias("has_large"),
+            F.round(F.array_max(dbl), 6).alias("max_val"),
+        )
+        .orderBy("vec_id")
+    )
