@@ -1016,3 +1016,37 @@ def q80_value_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --- q83: literal-map enrichment (join elimination) --------------------------
+# A 25-row dimension doesn't need a join at all: bake it into the plan as
+# a map literal and enrich with element_at — zero shuffle, zero broadcast,
+# stays inside codegen. The dim is collected ONCE on the driver (25 rows);
+# the same trick at 100 TB replaces the most frequent broadcast joins.
+@register(
+    "q83_literal_map_enrichment",
+    oracle="""
+        SELECT n.n_name AS nation, COUNT(*) AS n_customers,
+               ROUND(SUM(c.c_acctbal), 2) AS total_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY nation
+    """,
+    doc="tiny-dim join eliminated: 25-row nation table inlined as a map literal, "
+    "element_at lookup inside codegen.",
+    tags=("relational", "join", "broadcast", "codegen"),
+)
+def q83_literal_map_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "nation"])
+    pairs = t["nation"].select("n_nationkey", "n_name").collect()  # 25 rows, once
+    entries = []
+    for r in pairs:
+        entries += [F.lit(r.n_nationkey), F.lit(r.n_name)]
+    nation_map = F.create_map(*entries)
+    return (
+        t["customer"]
+        .select(F.element_at(nation_map, F.col("c_nationkey")).alias("nation"), "c_acctbal")
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .orderBy("nation")
+    )
