@@ -1050,3 +1050,64 @@ def q83_literal_map_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
         .orderBy("nation")
     )
+
+
+# --- q84: grouping_id / GROUPING() disambiguation ----------------------------
+# Rollup nulls vs data nulls are different things; GROUPING() tells them
+# apart — required for correct subtotal rendering over nullable keys.
+@register(
+    "q84_grouping_id",
+    oracle="""
+        SELECT
+            COALESCE(o_orderstatus, '<all>') AS status,
+            COALESCE(o_orderpriority, '<all>') AS priority,
+            GROUPING(o_orderstatus) AS g_status,
+            GROUPING(o_orderpriority) AS g_priority,
+            COUNT(*) AS n
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_priority, status, priority
+    """,
+    doc="ROLLUP with GROUPING() flags: subtotal rows distinguished from data nulls.",
+    tags=("relational", "agg", "rollup", "grouping"),
+)
+def q84_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping("o_orderstatus").alias("g_status"), F.grouping("o_orderpriority").alias("g_priority"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+        )
+        .orderBy("g_status", "g_priority", "status", "priority")
+    )
+
+
+# --- q85: ordered string aggregation -----------------------------------------
+# listagg/string_agg: collect_list has nondeterministic order in a
+# distributed engine, so the scale-correct form is collect + array_sort +
+# array_join — deterministic regardless of partition layout.
+@register(
+    "q85_string_agg",
+    oracle="""
+        SELECT r_name AS region, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY region
+    """,
+    doc="ordered string aggregation: collect_list → array_sort → array_join (deterministic listagg).",
+    tags=("relational", "agg", "stringagg"),
+)
+def q85_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["nation", "region"])
+    joined = t["nation"].join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        joined.groupBy(F.col("r_name").alias("region"))
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+        .orderBy("region")
+    )
