@@ -1111,3 +1111,62 @@ def q85_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
         .orderBy("region")
     )
+
+
+# --- q86: conditional distinct aggregation -----------------------------------
+@register(
+    "q86_conditional_distinct",
+    oracle="""
+        SELECT
+            l_returnflag,
+            COUNT(DISTINCT CASE WHEN l_quantity >= 25 THEN l_orderkey END) AS big_orders,
+            COUNT(DISTINCT CASE WHEN l_quantity < 25 THEN l_orderkey END) AS small_orders,
+            COUNT(DISTINCT l_suppkey) AS suppliers
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="conditional distinct counts: distinct aggregation over CASE-filtered keys.",
+    tags=("relational", "agg", "distinct"),
+)
+def q86_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct(F.when(F.col("l_quantity") >= 25, F.col("l_orderkey"))).alias("big_orders"),
+            F.countDistinct(F.when(F.col("l_quantity") < 25, F.col("l_orderkey"))).alias("small_orders"),
+            F.countDistinct("l_suppkey").alias("suppliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- q87: top-k WITH TIES (rank, not row_number) -----------------------------
+# rank() keeps every row tied at the boundary — the correct "top 3
+# balances" when ties exist; row_number would drop arbitrary tied rows.
+@register(
+    "q87_topk_with_ties",
+    oracle="""
+        SELECT n_nationkey, c_custkey, ROUND(c_acctbal, 0) AS bal, rk
+        FROM (
+            SELECT n_nationkey, c_custkey, c_acctbal,
+                   RANK() OVER (PARTITION BY n_nationkey ORDER BY ROUND(c_acctbal, 0) DESC) AS rk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        )
+        WHERE rk <= 3 AND n_nationkey < 5
+        ORDER BY n_nationkey, rk, c_custkey
+    """,
+    doc="top-k with ties via rank(): boundary ties retained (row_number would drop them).",
+    tags=("window", "topk", "rank"),
+)
+def q87_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "nation"])
+    joined = t["customer"].join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    w = Window.partitionBy("n_nationkey").orderBy(F.desc(F.round("c_acctbal", 0)))
+    return (
+        joined.select("n_nationkey", "c_custkey", F.round("c_acctbal", 0).alias("bal"), F.rank().over(w).alias("rk"))
+        .filter((F.col("rk") <= 3) & (F.col("n_nationkey") < 5))
+        .orderBy("n_nationkey", "rk", "c_custkey")
+    )
