@@ -15,6 +15,8 @@ rounded, ORDER BY ending in a unique key.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve in module globals
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1169,4 +1171,50 @@ def q87_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("n_nationkey", "c_custkey", F.round("c_acctbal", 0).alias("bal"), F.rank().over(w).alias("rk"))
         .filter((F.col("rk") <= 3) & (F.col("n_nationkey") < 5))
         .orderBy("n_nationkey", "rk", "c_custkey")
+    )
+
+
+# --- q88: custom UDAF via grouped-agg pandas UDF -----------------------------
+# The UDAF surface (SURVEY.md §2.10): Series→scalar pandas UDF as a
+# grouped aggregate. Geometric mean isn't a Spark builtin; the UDF gets
+# each group's values as one Arrow batch and reduces in numpy. (The
+# all-builtin spelling exp(avg(ln)) exists — the point here is the
+# custom-aggregate machinery, verified against that exact identity.)
+@register(
+    "q88_grouped_agg_pandas_udf",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(EXP(AVG(LN(l_extendedprice))) + 1e-9, 2) AS gmean_price,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="custom UDAF: geometric mean as a grouped-agg pandas UDF (Arrow batch per group).",
+    tags=("udf", "udaf", "agg"),
+)
+def q88_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+
+    @F.pandas_udf("double")
+    def gmean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    @F.pandas_udf("long")
+    def ucount(v: pd.Series) -> int:
+        return len(v)
+
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT) — every output column goes through
+    # the pandas path here.
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(gmean("l_extendedprice") + 1e-9, 2).alias("gmean_price"),
+            ucount("l_extendedprice").alias("n"),
+        )
+        .orderBy("l_returnflag")
     )
