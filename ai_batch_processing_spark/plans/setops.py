@@ -84,3 +84,32 @@ def q22_union_all_counted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "custkey")
         .limit(50)
     )
+
+
+@register(
+    "q89_multiset_setops",
+    oracle="""
+        WITH a AS (SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 30),
+        b AS (SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+        i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+        e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+        SELECT 'intersect_all' AS op, COUNT(*) AS n, COUNT(DISTINCT k) AS n_distinct FROM i
+        UNION ALL
+        SELECT 'except_all' AS op, COUNT(*) AS n, COUNT(DISTINCT k) AS n_distinct FROM e
+        ORDER BY op
+    """,
+    doc="multiset set ops: INTERSECT ALL / EXCEPT ALL preserve duplicate counts "
+    "(q20/q21 are the distinct variants).",
+    tags=("setop", "multiset"),
+)
+def q89_multiset_setops(spark, sf_dir: str):
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    a = t["lineitem"].filter(F.col("l_quantity") >= 30).select(F.col("l_orderkey").alias("k"))
+    b = t["lineitem"].filter(F.col("l_returnflag") == "R").select(F.col("l_orderkey").alias("k"))
+    i = a.intersectAll(b).agg(
+        F.lit("intersect_all").alias("op"), F.count(F.lit(1)).alias("n"), F.countDistinct("k").alias("n_distinct")
+    )
+    e = a.exceptAll(b).agg(
+        F.lit("except_all").alias("op"), F.count(F.lit(1)).alias("n"), F.countDistinct("k").alias("n_distinct")
+    )
+    return i.unionAll(e).orderBy("op")
