@@ -1218,3 +1218,41 @@ def q88_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- q90: null-safe equality join --------------------------------------------
+# NULL keys never match under plain equality; eqNullSafe (IS NOT DISTINCT
+# FROM) matches NULL to NULL — the semantics CDC/merge pipelines need for
+# nullable business keys. Keys are synthesized nullable via NULLIF.
+@register(
+    "q90_null_safe_join",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS pk
+            FROM orders WHERE o_orderkey < 500
+        ),
+        b AS (
+            SELECT DISTINCT NULLIF(o_orderpriority, '3-MEDIUM') AS pk FROM orders
+        )
+        SELECT
+            COALESCE(a.pk, '<null>') AS pk,
+            COUNT(*) AS n
+        FROM a JOIN b ON a.pk IS NOT DISTINCT FROM b.pk
+        GROUP BY a.pk
+        ORDER BY pk
+    """,
+    doc="null-safe equality join (IS NOT DISTINCT FROM / eqNullSafe): NULL keys match NULL.",
+    tags=("relational", "join", "nullsafe"),
+)
+def q90_null_safe_join(spark, sf_dir: str):
+    t = load_tables(spark, sf_dir, ["orders"])
+    a = t["orders"].filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey", F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("pk")
+    )
+    b = t["orders"].select(F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("pk")).distinct()
+    return (
+        a.join(b, a.pk.eqNullSafe(b.pk))
+        .groupBy(F.coalesce(a.pk, F.lit("<null>")).alias("pk"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pk")
+    )
