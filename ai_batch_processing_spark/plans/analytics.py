@@ -1256,3 +1256,49 @@ def q90_null_safe_join(spark, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("pk")
     )
+
+
+# --- q91: filter with audit trail --------------------------------------------
+# Curation filters should say WHY a document was dropped. One pass labels
+# each doc with its first failing rule (or 'pass'); the aggregate is the
+# rejection report. All scan-side CASE logic, one tiny shuffle.
+@register(
+    "q91_filter_audit",
+    oracle="""
+        SELECT verdict, COUNT(*) AS n_docs, ROUND(AVG(n_chars) + 1e-9, 2) AS avg_chars
+        FROM (
+            SELECT
+                CASE
+                    WHEN n_chars < 50 THEN 'too_short'
+                    WHEN n_chars > 2000 THEN 'too_long'
+                    WHEN lang NOT IN ('en', 'es') THEN 'wrong_lang'
+                    WHEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+                         < CAST(0.8 * length(text) AS BIGINT) THEN 'low_alpha'
+                    ELSE 'pass'
+                END AS verdict,
+                n_chars
+            FROM documents
+        )
+        GROUP BY verdict
+        ORDER BY verdict
+    """,
+    doc="filter-with-reasons: first failing rule per doc + rejection report.",
+    tags=("text", "quality", "audit"),
+)
+def q91_filter_audit(spark, sf_dir: str):
+    t = load_tables(spark, sf_dir, ["documents"])
+    alpha_len = F.length(F.regexp_replace("text", "[^a-zA-Z ]", ""))
+    verdict = (
+        F.when(F.col("n_chars") < 50, "too_short")
+        .when(F.col("n_chars") > 2000, "too_long")
+        .when(~F.col("lang").isin("en", "es"), "wrong_lang")
+        .when(alpha_len < (0.8 * F.length("text")).cast("long"), "low_alpha")
+        .otherwise("pass")
+    )
+    return (
+        t["documents"]
+        .select(verdict.alias("verdict"), "n_chars")
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("n_chars") + 1e-9, 2).alias("avg_chars"))
+        .orderBy("verdict")
+    )
