@@ -1302,3 +1302,74 @@ def q91_filter_audit(spark, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("n_chars") + 1e-9, 2).alias("avg_chars"))
         .orderBy("verdict")
     )
+
+
+# --- q92: cross-table consistency report -------------------------------------
+@register(
+    "q92_fact_coverage_report",
+    oracle="""
+        SELECT
+            (SELECT COUNT(*) FROM orders) AS n_orders,
+            (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS orders_with_lines,
+            ROUND((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)
+                  / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE), 6) AS coverage,
+            (SELECT COUNT(*) FROM lineitem li
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)
+            ) AS orphan_lines
+    """,
+    doc="cross-table consistency: dimension coverage ratio + orphan count in one report row.",
+    tags=("relational", "quality", "subquery"),
+)
+def q92_fact_coverage_report(spark, sf_dir: str):
+    load_tables(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT
+            (SELECT COUNT(*) FROM orders) AS n_orders,
+            (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS orders_with_lines,
+            ROUND((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)
+                  / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE), 6) AS coverage,
+            (SELECT COUNT(*) FROM lineitem li
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)
+            ) AS orphan_lines
+        """
+    )
+
+
+# --- q93: sequence-gap detection ---------------------------------------------
+# Missing-id audit over an append log: lead() exposes each gap as
+# [id+1, next_id-1]. One global sort over the bounded slice.
+@register(
+    "q93_sequence_gaps",
+    oracle="""
+        SELECT gap_start, gap_end, gap_len
+        FROM (
+            SELECT event_id + 1 AS gap_start,
+                   next_id - 1 AS gap_end,
+                   next_id - event_id - 1 AS gap_len
+            FROM (
+                SELECT event_id, LEAD(event_id) OVER (ORDER BY event_id) AS next_id
+                FROM events WHERE event_id % 3 <> 0 AND event_id < 3000
+            )
+        )
+        WHERE gap_len > 0
+        ORDER BY gap_start
+    """,
+    doc="sequence-gap audit: lead() exposes missing id ranges (ids thinned by mod-3 to create gaps).",
+    tags=("window", "quality", "sequence"),
+)
+def q93_sequence_gaps(spark, sf_dir: str):
+    t = load_tables(spark, sf_dir, ["events"])
+    # bounded slice → constant-key partition keeps the global window quiet
+    w = Window.partitionBy(F.lit(0)).orderBy("event_id")
+    thinned = t["events"].filter((F.col("event_id") % 3 != 0) & (F.col("event_id") < 3000))
+    return (
+        thinned.select("event_id", F.lead("event_id").over(w).alias("next_id"))
+        .select(
+            (F.col("event_id") + 1).alias("gap_start"),
+            (F.col("next_id") - 1).alias("gap_end"),
+            (F.col("next_id") - F.col("event_id") - 1).alias("gap_len"),
+        )
+        .filter(F.col("gap_len") > 0)
+        .orderBy("gap_start")
+    )
