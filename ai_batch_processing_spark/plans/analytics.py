@@ -1373,3 +1373,103 @@ def q93_sequence_gaps(spark, sf_dir: str):
         .filter(F.col("gap_len") > 0)
         .orderBy("gap_start")
     )
+
+
+# --- q94: weighted and harmonic means ----------------------------------------
+@register(
+    "q94_weighted_harmonic_means",
+    oracle="""
+        SELECT
+            l_returnflag,
+            ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity) + 1e-9, 4) AS weighted_avg_price,
+            ROUND(COUNT(*) / SUM(1.0 / l_extendedprice) + 1e-9, 4) AS harmonic_mean_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="weighted average (by quantity) and harmonic mean — composed from sums, one shuffle.",
+    tags=("relational", "agg", "stats"),
+)
+def q94_weighted_harmonic_means(spark, sf_dir: str):
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity") + 1e-9, 4
+            ).alias("weighted_avg_price"),
+            F.round(F.count(F.lit(1)) / F.sum(1.0 / F.col("l_extendedprice")) + 1e-9, 4).alias(
+                "harmonic_mean_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- q95: median absolute deviation (robust dispersion) ----------------------
+# Two exact percentile passes: per-group median, broadcast back, median
+# of absolute deviations. Robust stats for outlier-heavy pipelines.
+@register(
+    "q95_median_absolute_deviation",
+    oracle="""
+        WITH med AS (
+            SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT li.l_returnflag,
+               ROUND(ANY_VALUE(med.m), 4) AS median_price,
+               ROUND(quantile_cont(ABS(li.l_extendedprice - med.m), 0.5), 4) AS mad
+        FROM lineitem li JOIN med ON li.l_returnflag = med.l_returnflag
+        GROUP BY li.l_returnflag
+        ORDER BY li.l_returnflag
+    """,
+    doc="median absolute deviation per group: two exact-percentile passes, medians broadcast back.",
+    tags=("relational", "agg", "stats", "percentile"),
+)
+def q95_median_absolute_deviation(spark, sf_dir: str):
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    med = (
+        t["lineitem"]
+        .groupBy(F.col("l_returnflag").alias("rf"))
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
+    )
+    joined = t["lineitem"].join(F.broadcast(med), F.col("l_returnflag") == F.col("rf"))
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("m"), 4).alias("median_price"),
+            F.round(F.expr("percentile(abs(l_extendedprice - m), 0.5)"), 4).alias("mad"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- q96: correlation and covariance -----------------------------------------
+@register(
+    "q96_corr_covar",
+    oracle="""
+        SELECT
+            l_returnflag,
+            ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS qty_price_corr,
+            ROUND(covar_samp(l_quantity, l_extendedprice) + 1e-9, 4) AS qty_price_covar,
+            ROUND(stddev_samp(l_extendedprice) + 1e-9, 4) AS price_stddev
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="bivariate stats: corr / covar_samp / stddev_samp per group (single-pass builtins).",
+    tags=("relational", "agg", "stats"),
+)
+def q96_corr_covar(spark, sf_dir: str):
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice") + 1e-9, 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice") + 1e-9, 4).alias("qty_price_covar"),
+            F.round(F.stddev_samp("l_extendedprice") + 1e-9, 4).alias("price_stddev"),
+        )
+        .orderBy("l_returnflag")
+    )
