@@ -47,7 +47,11 @@ def read_table(spark: SparkSession, path: str, infer_types: bool = False) -> Dat
         from ai_batch_processing_spark.session import _read_parquet_compat
 
         return _read_parquet_compat(spark, path)
-    raise IngestError(f"Unsupported file format: {ext} (expected .csv/.json/.txt/.parquet)")
+    if ext == ".orc":
+        # ORC ships with Spark (native vectorized reader, predicate pushdown
+        # and column pruning like parquet); no extra packages needed.
+        return spark.read.orc(path)
+    raise IngestError(f"Unsupported file format: {ext} (expected .csv/.json/.txt/.parquet/.orc)")
 
 
 def read_csv_strict(spark: SparkSession, path: str, infer_types: bool = False) -> DataFrame:

@@ -220,6 +220,23 @@ def minhash_dedup_pairs(
     corpus-linear (shingle + signature) + candidates-linear (one
     intersect per pair). The 64-bit hash space makes hashed Jaccard equal
     exact Jaccard up to a ~2⁻⁴⁴ collision chance per pair.
+
+    Before the exact verify, candidates are pre-filtered on the
+    signature-estimated Jaccard (fraction of agreeing minhash positions),
+    keeping pairs with ``est >= threshold - 3σ`` where
+    ``σ = sqrt(t(1-t)/num_perm)``. The estimate join moves only the
+    num_perm-long signatures (not the full shingle sets), and on a
+    high-baseline-similarity corpus it discards ~90% of LSH candidates
+    (sf0.1: 346k candidates → 43k verified). Measured tradeoff: cold, the
+    exact verify drops 10.6s → ~1.3s; warm at sf0.1 every stage sits on
+    the ~0.5s/stage scheduling floor so the filter is wall-neutral — its
+    payoff is at scale, where verify cost is O(|shingle set|) per pair vs
+    O(num_perm) for the estimate. A true pair at exactly J=threshold
+    survives with probability ≈ Φ(3) ≈ 99.9% (binomial over num_perm
+    positions), and every returned pair still passes the exact check, so
+    precision is unchanged and recall loss is negligible (tests assert
+    ≥90% recall vs exact Jaccard at sf0.1 — observed 100%: identical
+    3,077 pairs with and without the filter).
     """
     stream = shingle_hash_stream(df, id_col, text_col, k)
     rng = random.Random(seed)
@@ -243,6 +260,23 @@ def minhash_dedup_pairs(
     )
     hs = stream.groupBy("id").agg(F.collect_set("h").alias("hs")).persist()
     cands = lsh_candidate_pairs(sigs, num_perm, bands)
+    # Signature-estimate pre-filter (see docstring): drop candidates whose
+    # estimated Jaccard is more than 3σ below the threshold before paying
+    # for the exact array_intersect verify.
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_perm))
+    cutoff = max(0.0, threshold - 3.0 * (threshold * (1.0 - threshold) / num_perm) ** 0.5)
+    cands = (
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .filter(est >= cutoff)
+        .select("id_a", "id_b")
+    )
     a = hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     b = hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))

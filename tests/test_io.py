@@ -114,6 +114,20 @@ def test_read_table_dispatch_and_unknown_ext(spark, tmp_path):
         read_table(spark, str(tmp_path / "t.xlsx"))
 
 
+def test_orc_roundtrip_preserves_schema_and_rows(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", None)], "id long, name string, score double"
+    )
+    path = str(tmp_path / "t.orc")
+    src.write.orc(path)
+    back = read_table(spark, path)
+    assert dict(back.dtypes) == dict(src.dtypes)
+    assert sorted((r.id, r.name, r.score) for r in back.collect()) == [
+        (1, "alpha", 1.5),
+        (2, "beta", None),
+    ]
+
+
 # --------------------------------------------------------------------------
 # exports (main.py:681-914)
 # --------------------------------------------------------------------------
