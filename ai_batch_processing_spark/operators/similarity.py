@@ -306,6 +306,86 @@ def ann_ivf_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: corpus partitioned by cell + a centroid table.
+
+    The production shape of ``ann_ivf_topk``: the k-means build and the
+    corpus assignment pass run ONCE and are written out —
+    ``{path}/corpus`` parquet partitioned by ``cell`` (so a search scans
+    only its probed cells via partition pruning), ``{path}/centroids``
+    the nlist×dim matrix. Query batches then pay only the probe+rescore,
+    not the index build: at 100 TB the corpus is assigned once per index
+    refresh, and every search touches ~nprobe/nlist of the data directory.
+    """
+    centroids = kmeans_centroids(corpus, nlist=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    spark = corpus.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+        "cell",
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search against a ``build_ivf_index`` directory.
+
+    Queries are assigned to their ``nprobe`` nearest cells (one Arrow
+    batch matmul), then joined to the cell-partitioned corpus — the cell
+    equi-join condition reaches the parquet scan as a partition filter
+    (dynamic partition pruning; only probed cells are read). Exact cosine
+    rescore + per-query top-k window, identical semantics to
+    ``ann_ivf_topk`` with the same centroids.
+    """
+    centroids = [
+        list(r.centroid)
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    ]
+    c = spark.read.parquet(f"{path}/corpus")
+    q = assign_cells(queries, centroids, id_col=query_id, vec_col=vec_col, nprobe=nprobe).select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+        "cell",
+    )
+    cands = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, threshold: float = 0.99, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

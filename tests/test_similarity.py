@@ -91,3 +91,29 @@ def test_ivf_centroids_deterministic(spark, sf_dir):
     c1 = kmeans_centroids(emb, nlist=4, n_iter=2)
     c2 = kmeans_centroids(emb, nlist=4, n_iter=2)
     assert c1 == c2
+
+
+def test_ivf_persisted_index_matches_oneshot_and_prunes(spark, sf_dir, tmp_path):
+    """build_ivf_index + search_ivf_index == ann_ivf_topk (same centroids),
+    and the corpus scan reads only the probed cell partitions."""
+    from ai_batch_processing_spark.operators.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(emb.vec_id < 8)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, nlist=8)  # n_iter default matches ann_ivf_topk
+
+    got = search_ivf_index(spark, idx, queries, k=5, nprobe=2)
+    want = ann_ivf_topk(emb, queries, k=5, nlist=8, nprobe=2)
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(got) == as_set(want)
+
+    # partition pruning: the executed scan must not read all 8 cell dirs.
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan
