@@ -1473,3 +1473,43 @@ def q96_corr_covar(spark, sf_dir: str):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- q97: boolean + bitwise aggregates ---------------------------------------
+# every/any predicates over a group and bit-folds of a key column — all
+# partial-aggregable single-pass reductions (map-side combine, one shuffle;
+# the XOR fold is order-insensitive so the distributed result is exact).
+@register(
+    "q97_boolean_bitwise_aggs",
+    oracle="""
+        SELECT
+            o_orderstatus,
+            bool_and(o_totalprice > 1000)            AS all_above_1k,
+            bool_or(o_orderpriority = '1-URGENT')    AS any_urgent,
+            count_if(o_totalprice > 100000)          AS n_big,
+            CAST(bit_and(o_orderkey) AS BIGINT)      AS key_and,
+            CAST(bit_or(o_orderkey)  AS BIGINT)      AS key_or,
+            CAST(bit_xor(o_orderkey) AS BIGINT)      AS key_xor
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    doc="boolean (bool_and/bool_or/count_if) and bitwise (bit_and/or/xor) "
+    "grouped aggregates — every one a commutative partial-aggregable fold.",
+    tags=("relational", "agg", "boolean", "bitwise"),
+)
+def q97_boolean_bitwise_aggs(spark, sf_dir: str):
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            F.bit_and("o_orderkey").alias("key_and"),
+            F.bit_or("o_orderkey").alias("key_or"),
+            F.bit_xor("o_orderkey").alias("key_xor"),
+        )
+        .orderBy("o_orderstatus")
+    )
