@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 _SIDE = "__asof_side"
 _TS = "__asof_ts"
+_PACK = "__asof_pack"
 
 
 def asof_join(
@@ -41,10 +42,17 @@ def asof_join(
         if alias in left.columns:
             raise ValueError(f"output alias {alias!r} collides with a left column")
 
+    # All carried right columns ride in ONE struct: the struct itself is
+    # non-null for every right row even when its fields are NULL, so
+    # `last(_PACK, ignorenulls=True)` tracks the most-recent matched ROW and
+    # NULL field values propagate from it — per-column last(ignorenulls)
+    # would skip a NULL field and resurrect a stale value from an older row.
     r = right.select(
         *keys,
         F.col(right_ts).alias(_TS),
-        *[F.col(src).alias(dst) for src, dst in right_cols.items()],
+        F.struct(
+            *[F.col(src).alias(dst) for src, dst in right_cols.items()]
+        ).alias(_PACK),
     ).withColumn(_SIDE, F.lit(0))
 
     l = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
@@ -58,7 +66,12 @@ def asof_join(
         .orderBy(F.col(_TS).asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for dst in right_cols.values():
-        unioned = unioned.withColumn(dst, F.last(dst, ignorenulls=True).over(w))
+    unioned = unioned.withColumn(_PACK, F.last(_PACK, ignorenulls=True).over(w))
 
-    return unioned.filter(F.col(_SIDE) == 1).drop(_SIDE, _TS)
+    return (
+        unioned.filter(F.col(_SIDE) == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"{_PACK}.{dst}").alias(dst) for dst in right_cols.values()],
+        )
+    )

@@ -72,6 +72,10 @@ class LLMConfig:
     group_by: str | None = None
     main_content: str | None = None
     order_by: list[str] | None = None  # in-group ordering; None → ingest order
+    max_group_rows: int | None = None  # grouped mode: fail fast when one
+    # group exceeds this many rows — a giant conversation group otherwise
+    # stalls a whole task silently (skew guard; whole-group-on-one-task is
+    # inherent to conversation semantics, main.py:402-431)
     concurrency: int = 1  # in-partition concurrent calls (ungrouped only);
     # with rate_limit set, total in-flight = n_lanes × concurrency — keep 1
     # to mirror the reference's min(rate_limit, 10) semaphore exactly
@@ -163,6 +167,28 @@ class SlidingWindowRateLimiter:
             if self._on_wait is not None:
                 self._on_wait(max(delay, 0.0))
             self._sleep(max(delay, 0.0))
+
+
+_LIMITER_REGISTRY: dict[tuple, SlidingWindowRateLimiter] = {}
+_LIMITER_LOCK = threading.Lock()
+
+
+def _shared_limiter(key: tuple, rpm: int) -> SlidingWindowRateLimiter:
+    """One limiter per (config key, Python worker process).
+
+    ``applyInPandas`` invokes the group function once per GROUP and Spark
+    reuses worker processes across tasks — a fresh limiter per group would
+    reset the 60 s window on every group and let aggregate request rate
+    scale with task parallelism instead of honoring the configured rpm
+    (round-1 advice). The registry keeps one window alive per process;
+    combined with the n_lanes partition bound, aggregate in-flight rate is
+    ≤ n_lanes × rpm_share ≤ clamped rpm (main.py:606-629 parity).
+    """
+    with _LIMITER_LOCK:
+        lim = _LIMITER_REGISTRY.get(key)
+        if lim is None:
+            lim = _LIMITER_REGISTRY[key] = SlidingWindowRateLimiter(rpm)
+        return lim
 
 
 def _make_client(cfg: LLMConfig):
@@ -257,6 +283,9 @@ def llm_map(
         rpm = max(1, min(60, cfg.rate_limit))
         n_lanes = min(rpm, 10)
         rpm_share = max(1, rpm // n_lanes)
+    # Keyed per logical llm_map config: one 60 s window per worker process,
+    # shared across groups/batches/tasks that land on it.
+    limiter_key = (cfg.provider, cfg.model, cfg.group_by, rpm_share)
 
     def _complete_row(client, limiter, history: list[Message] | None, prompt: str) -> tuple[str | None, str | None]:
         if limiter is not None:
@@ -283,7 +312,7 @@ def llm_map(
         # Ungrouped: stateless per row, partition-parallel (main.py:513-522).
         def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             client = factory(cfg)
-            limiter = SlidingWindowRateLimiter(rpm_share) if rpm_share else None
+            limiter = _shared_limiter(limiter_key, rpm_share) if rpm_share else None
             for pdf in batches:
                 if cfg.concurrency > 1:
                     # I/O-bound calls overlap inside the partition (the
@@ -308,8 +337,16 @@ def llm_map(
         # Grouped: one conversation per group, strictly sequential in row
         # order (main.py:402-431, 508-512).
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            if cfg.max_group_rows is not None and len(pdf) > cfg.max_group_rows:
+                key = pdf[GROUP_COL].iloc[0] if len(pdf) else "?"
+                raise LLMError(
+                    f"group {key!r} has {len(pdf)} rows > max_group_rows="
+                    f"{cfg.max_group_rows}; a group this large runs sequentially "
+                    "on one task (conversation semantics) and would stall the "
+                    "stage — split the group or raise the cap"
+                )
             client = factory(cfg)
-            limiter = SlidingWindowRateLimiter(rpm_share) if rpm_share else None
+            limiter = _shared_limiter(limiter_key, rpm_share) if rpm_share else None
             pdf = pdf.sort_values(ROW_INDEX_COL).reset_index(drop=True)
             history: list[Message] = []
             if cfg.system_prompt:
@@ -323,7 +360,12 @@ def llm_map(
             pdf[ERROR_COL] = errors
             return pdf
 
-        result = df.groupBy(GROUP_COL).applyInPandas(run_group, out_schema)
+        # Bound concurrent group tasks to n_lanes: hashpartitioning(GROUP_COL,
+        # n_lanes) already satisfies applyInPandas' ClusteredDistribution, so
+        # no second Exchange is inserted — at most n_lanes tasks run at once
+        # and the aggregate request rate stays ≤ the clamped rpm.
+        grouped_src = df.repartition(n_lanes, GROUP_COL) if n_lanes else df
+        result = grouped_src.groupBy(GROUP_COL).applyInPandas(run_group, out_schema)
 
     return result.withColumnRenamed(ROW_INDEX_COL, "row_index").withColumn(
         "timestamp", F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp")

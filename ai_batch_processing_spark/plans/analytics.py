@@ -128,11 +128,11 @@ _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     oracle="""
         SELECT
             o_orderstatus,
-            COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0)        AS urgent,
-            COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0)          AS high,
-            COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0)        AS medium,
-            COALESCE(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END), 0) AS notspec,
-            COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0)           AS low
+            COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)        AS urgent,
+            COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)          AS high,
+            COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)        AS medium,
+            COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS notspec,
+            COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)           AS low
         FROM orders
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
@@ -483,10 +483,10 @@ def q66_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT
                 user_id, event_id,
-                SUM(is_new) OVER (
+                CAST(SUM(is_new) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                ) AS session_id
+                ) AS BIGINT) AS session_id
             FROM (
                 SELECT
                     user_id, event_id, ts,
@@ -622,7 +622,7 @@ def q69_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
             COUNT(*) AS n_rows,
-            SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS null_name,
+            COUNT(CASE WHEN c_name IS NULL THEN 1 END) AS null_name,
             COUNT(DISTINCT c_nationkey) AS distinct_nations,
             COUNT(DISTINCT c_mktsegment) AS distinct_segments,
             ROUND(MIN(c_acctbal), 2) AS min_bal,
@@ -788,8 +788,8 @@ def q74_resample_hourly_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT first_day, COUNT(*) AS new_users FROM first_seen GROUP BY first_day
         )
         SELECT CAST(first_day AS VARCHAR) AS first_day, new_users,
-               SUM(new_users) OVER (ORDER BY first_day
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_users
+               CAST(SUM(new_users) OVER (ORDER BY first_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
         FROM daily
         ORDER BY first_day
     """,
@@ -1486,7 +1486,7 @@ def q96_corr_covar(spark, sf_dir: str):
             o_orderstatus,
             bool_and(o_totalprice > 1000)            AS all_above_1k,
             bool_or(o_orderpriority = '1-URGENT')    AS any_urgent,
-            count_if(o_totalprice > 100000)          AS n_big,
+            CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
             CAST(bit_and(o_orderkey) AS BIGINT)      AS key_and,
             CAST(bit_or(o_orderkey)  AS BIGINT)      AS key_or,
             CAST(bit_xor(o_orderkey) AS BIGINT)      AS key_xor

@@ -57,6 +57,15 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
         sv, dv = s[c], d[c]
+        # The driver's hash gate does NOT coerce numeric KIND: int64-vs-float64
+        # drift (e.g. DuckDB HUGEINT from SUM over integers → float64)
+        # hash-mismatches even when values are equal ("3" vs "3.0"), while
+        # integer-width drift (int32 vs int64) hashes identically. Surface
+        # kind drift here so oracles stay type-exact (VERDICT r1 #1).
+        if sv.dtype.kind != dv.dtype.kind and {sv.dtype.kind, dv.dtype.kind} <= {
+            "i", "u", "f", "b", "O", "M",
+        } and not ({sv.dtype.kind, dv.dtype.kind} <= {"i", "u"}):
+            problems.append(f"dtype kind drift in {c!r}: spark={sv.dtype} duck={dv.dtype}")
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
             ok = np.allclose(
                 sv.astype(float),

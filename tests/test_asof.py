@@ -56,6 +56,25 @@ def test_left_rows_all_preserved(spark):
     assert set(out.columns) == {"lid", "user", "lts", "m"}
 
 
+def test_null_right_value_propagates_from_matched_row(spark):
+    """A NULL carried-column value on the MATCHED right row must surface as
+    NULL, not a stale value from an older right row (merge_asof parity)."""
+    left = spark.createDataFrame(
+        [(1, "u1", 30.0), (2, "u1", 12.0)], "lid long, user string, lts double"
+    )
+    right = spark.createDataFrame(
+        [("u1", 10.0, "old"), ("u1", 20.0, None)], "user string, rts double, tag string"
+    )
+    out = {
+        r.lid: r.matched_tag
+        for r in asof_join(
+            left, right, on="user", left_ts="lts", right_ts="rts", right_cols={"tag": "matched_tag"}
+        ).collect()
+    }
+    assert out[1] is None  # matched row (rts=20) carries NULL — must NOT fall back to "old"
+    assert out[2] == "old"  # genuinely matches the older row
+
+
 def test_asof_matches_pandas_merge_asof_property(spark):
     """Randomized parity with pandas.merge_asof (backward, by-key) — the
     authoritative as-of semantics, across ties, misses, and empty keys."""

@@ -236,6 +236,53 @@ def test_rate_limiter_thread_safe_budget():
     assert sleeps  # blocking actually happened
 
 
+def test_shared_limiter_one_window_per_process_key():
+    """Grouped mode must NOT reset the 60 s window per group: the registry
+    hands back the SAME limiter for the same config key (round-1 advice —
+    per-group fresh limiters let aggregate rate scale with parallelism)."""
+    from ai_batch_processing_spark.operators.llm_map import _shared_limiter
+
+    a = _shared_limiter(("mock", "m", None, 6), 6)
+    b = _shared_limiter(("mock", "m", None, 6), 6)
+    c = _shared_limiter(("mock", "m", "grp", 6), 6)
+    assert a is b  # same key → same window (stamps persist across groups)
+    assert a is not c
+    assert a.rpm == 6
+
+
+def test_grouped_rate_limit_bounds_concurrent_tasks(spark):
+    """With rate_limit set, grouped mode repartitions groups into n_lanes
+    tasks (hash on group key satisfies ClusteredDistribution — no second
+    Exchange), so total in-flight rate ≤ n_lanes × rpm_share ≤ rpm."""
+    # 20 rows / 7 groups keeps every lane ≤ its rpm share (6) so the real
+    # limiter admits everything without sleeping — the test pins the PLAN
+    # shape, not wall-clock throttling (that's the clock-injected tests).
+    df = spark.createDataFrame(
+        [(i, f"g{i % 7}", f"t{i}") for i in range(20)], "id long, grp string, body string"
+    )
+    cfg = LLMConfig(prompt_template="{body}", group_by="grp", order_by=["id"], rate_limit=60)
+    out = llm_map(df, cfg)
+    # Plan-shape pin WITHOUT executing (executing would engage the real
+    # wall-clock limiter): the lane repartition IS the group shuffle — one
+    # REPARTITION_BY_NUM(group, 10) and no ENSURE_REQUIREMENTS re-shuffle.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    assert _re.search(r"hashpartitioning\(group#\d+, 10\), REPARTITION_BY_NUM", plan)
+    assert not _re.search(r"hashpartitioning\(group#\d+, \d+\), ENSURE_REQUIREMENTS", plan)
+
+
+def test_grouped_skew_guard_fails_fast_with_group_key(spark):
+    df = spark.createDataFrame(
+        [(1, "big", "a"), (2, "big", "b"), (3, "big", "c"), (4, "ok", "d")],
+        "id long, grp string, body string",
+    )
+    cfg = LLMConfig(prompt_template="{body}", group_by="grp", order_by=["id"], max_group_rows=2)
+    with pytest.raises(Exception) as exc:
+        llm_map(df, cfg).collect()
+    assert "big" in str(exc.value) and "max_group_rows" in str(exc.value)
+
+
 def test_validate_config_rules(spark):
     import pytest as _pytest
 
