@@ -5,9 +5,11 @@ Reference surface (SURVEY.md §2.11): ``POST /start_processing`` creates a
 job dict, ``POST /stop_processing`` flips a cooperative flag
 (main.py:640-647), ``GET /get_status`` reports current/total/completed/
 errors/rate/eta (main.py:649-669), and socket.io streams progress events
-(main.py:475-485). Pause (main.py:631-638) has no Spark batch analog and is
-documented out of scope (SURVEY.md §7.4-3); stop-with-partial-results is
-provided instead.
+(main.py:475-485). Pause/resume (main.py:631-638) has no Spark BATCH
+analog; the streaming pipeline provides it (``register_stream`` /
+``pause_stream`` / ``resume_stream`` over ``LLMStreamJob``: stop the
+micro-batch trigger, keep the checkpoint, restart exactly where it left
+off). For batch jobs, stop-with-partial-results is provided.
 
 Spark mapping:
 - a job = one action executed under a Spark **job group**
@@ -82,6 +84,7 @@ class JobRegistry:
         self._poll = poll_interval
         self._jobs: dict[str, JobStatus] = {}
         self._threads: dict[str, threading.Thread] = {}
+        self._streams: dict[str, Any] = {}  # job_id → LLMStreamJob
         self._lock = threading.Lock()
 
     # -- lifecycle ----------------------------------------------------------
@@ -149,6 +152,30 @@ class JobRegistry:
             return False
         st.status = "stopped"
         self._spark.sparkContext.cancelJobGroup(job_id)
+        return True
+
+    # -- streaming jobs (pause/resume, main.py:631-638 analog) --------------
+    def register_stream(self, stream_job, job_id: str | None = None) -> str:
+        """Track an :class:`~ai_batch_processing_spark.streaming.llm_stream.
+        LLMStreamJob` so pause/resume joins the job-control surface."""
+        job_id = job_id or f"stream_{uuid.uuid4().hex[:12]}"
+        with self._lock:
+            self._streams[job_id] = stream_job
+        return job_id
+
+    def pause_stream(self, job_id: str) -> bool:
+        """POST /pause_processing analog: stop the trigger, keep the
+        checkpoint. Returns False for unknown/not-running streams."""
+        sj = self._streams.get(job_id)
+        return sj is not None and sj.pause()
+
+    def resume_stream(self, job_id: str) -> bool:
+        """POST /resume_processing analog: restart from the checkpoint —
+        committed micro-batches are never reprocessed."""
+        sj = self._streams.get(job_id)
+        if sj is None:
+            return False
+        sj.resume()
         return True
 
     def wait(self, job_id: str, timeout: float | None = None) -> JobStatus:

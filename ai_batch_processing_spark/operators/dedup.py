@@ -507,6 +507,16 @@ def connected_components(ids: DataFrame, pairs: DataFrame, max_iter: int = 20) -
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Silent non-convergence would hand back wrong clusters (a chain
+        # component with diameter > max_iter keeps multiple labels) and
+        # near_dedup would then keep bogus extra survivors — fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — component diameter exceeds "
+            "max_iter; raise max_iter (rounds are O(diameter), near-dup "
+            "clusters are normally shallow)"
+        )
     return labels
 
 

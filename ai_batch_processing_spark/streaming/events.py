@@ -28,6 +28,33 @@ from ai_batch_processing_spark.session import load_tables
 # --------------------------------------------------------------------------
 # shared window expressions (batch == streaming)
 # --------------------------------------------------------------------------
+_DURATION_UNIT_MS = {
+    "millisecond": 1, "milliseconds": 1, "ms": 1,
+    "second": 1000, "seconds": 1000, "sec": 1000, "secs": 1000, "s": 1000,
+    "minute": 60_000, "minutes": 60_000, "min": 60_000, "mins": 60_000, "m": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000, "h": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000, "d": 86_400_000,
+}
+
+
+def _duration_ms(spec: str | int) -> int:
+    """Parse a Spark-style duration string ('30 minutes', '2 hours', '90
+    seconds') — or a bare int of seconds — into milliseconds. Assuming
+    minutes for every unit silently closed sessions at the wrong time
+    (round-1 advice)."""
+    if isinstance(spec, int):
+        return spec * 1000
+    parts = spec.strip().lower().split()
+    if len(parts) == 2 and parts[1] in _DURATION_UNIT_MS:
+        return int(parts[0]) * _DURATION_UNIT_MS[parts[1]]
+    if len(parts) == 1 and parts[0].isdigit():
+        return int(parts[0]) * 1000  # bare number = seconds
+    raise ValueError(
+        f"unparseable duration {spec!r}; use e.g. '30 minutes', '2 hours', "
+        "'90 seconds', or an integer number of seconds"
+    )
+
+
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     return (
         events.groupBy(F.window("ts", width).alias("win"), "event_type")
@@ -283,7 +310,7 @@ def stream_user_sessions_with_timeout(
 
     out_schema = "user_id long, session_start timestamp, session_end timestamp, n_events long, total_value double"
     state_schema = "start timestamp, last timestamp, n long, total double"
-    gap_ms = 30 * 60 * 1000 if gap == "30 minutes" else int(gap.split()[0]) * 60 * 1000
+    gap_ms = _duration_ms(gap)
 
     def update(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -110,6 +110,23 @@ def test_connected_components_chain_and_singleton(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_iter must fail loudly, not
+    silently return wrong clusters (round-1 advice)."""
+    import pytest as _pytest
+
+    from ai_batch_processing_spark.operators.dedup import connected_components
+
+    n = 8  # chain 1-2-...-8: diameter 7 > max_iter=2
+    ids = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, n)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ids, pairs, max_iter=2)
+    # and a sufficient max_iter still resolves the same chain fine
+    comp = {r.id: r.cluster for r in connected_components(ids, pairs).collect()}
+    assert set(comp.values()) == {1}
+
+
 def test_near_dedup_keeps_one_per_cluster(spark):
     from ai_batch_processing_spark.operators.dedup import near_dedup
 

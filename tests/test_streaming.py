@@ -137,6 +137,77 @@ def test_stream_llm_map_chunked_resume(spark, tmp_path):
     assert final.select("doc_id").distinct().count() == 18  # nothing reprocessed
 
 
+def test_stream_llm_map_pause_resume_exactly_once(spark, tmp_path):
+    """Pause mid-drain, resume from the checkpoint: final output is
+    identical to an uninterrupted run — no lost and no duplicated docs
+    (main.py:631-638 pause/resume via trigger control + idempotent
+    batch_id-keyed sink)."""
+    import json as _json
+
+    from ai_batch_processing_spark.jobs import JobRegistry
+    from ai_batch_processing_spark.operators.llm_map import LLMConfig
+    from ai_batch_processing_spark.streaming.llm_stream import LLMStreamJob
+
+    src = tmp_path / "psrc"
+    src.mkdir()
+    out = str(tmp_path / "pout")
+    ckpt = str(tmp_path / "pckpt")
+    for i in range(6):
+        rows = [
+            {"doc_id": i * 10 + j, "text": f"d{i}-{j}", "lang": "en", "source": "s", "n_chars": 4}
+            for j in range(3)
+        ]
+        (src / f"f{i}.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    cfg = LLMConfig(prompt_template="p: {text}")
+    reg = JobRegistry(spark)
+    job = LLMStreamJob(spark, str(src), out, ckpt, cfg, max_files_per_trigger=1)
+    jid = reg.register_stream(job.start())
+    import time as _time
+
+    _time.sleep(2.0)  # let some (not necessarily all) micro-batches commit
+    paused = reg.pause_stream(jid)
+    assert job.active is False
+    # resume drains the remainder from the checkpoint (loop: availableNow
+    # self-terminates; re-resume until nothing is pending)
+    assert reg.resume_stream(jid)
+    job.wait(120)
+    final = spark.read.parquet(out)
+    assert final.count() == 18
+    assert final.select("doc_id").distinct().count() == 18  # exactly once
+    assert paused in (True, False)  # pause may race a finished drain; both fine
+
+
+def test_stream_llm_map_replayed_batch_is_skipped(spark, tmp_path):
+    """The sink is idempotent per batch_id: re-running a committed batch
+    (at-least-once foreachBatch replay) must not duplicate rows or call
+    the API again."""
+    import json as _json
+
+    from ai_batch_processing_spark.operators.llm_map import LLMConfig
+    from ai_batch_processing_spark.streaming.llm_stream import stream_llm_map
+
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    out = str(tmp_path / "rout")
+    (src / "f0.json").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": j, "text": f"t{j}", "lang": "en", "source": "s", "n_chars": 2})
+            for j in range(4)
+        )
+    )
+    cfg = LLMConfig(prompt_template="p: {text}")
+    q = stream_llm_map(spark, str(src), out, str(tmp_path / "rckpt1"), cfg)
+    q.awaitTermination(120)
+    # simulate a replay of the SAME batch: fresh checkpoint → batch_id 0
+    # again, same sink dir; the _SUCCESS marker short-circuits the write
+    q2 = stream_llm_map(spark, str(src), out, str(tmp_path / "rckpt2"), cfg)
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == 4
+    assert final.select("doc_id").distinct().count() == 4
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Watermarked stream-stream funnel join: click→purchase within 30 min,
     across micro-batches, matching the batch join on the same data."""
@@ -172,6 +243,24 @@ def test_stream_dedup_across_batches(spark, tmp_path):
     (d / "b.json").write_text(json.dumps(e1))  # re-delivery in a later batch
     out = _run(spark, stream_dedup_events(spark, str(d)), "dedup_stream", mode="append")
     assert sorted(r.event_id for r in out.collect()) == [1, 2]
+
+
+def test_duration_parser_units():
+    import pytest as _pytest
+
+    from ai_batch_processing_spark.streaming.events import _duration_ms
+
+    assert _duration_ms("30 minutes") == 30 * 60 * 1000
+    assert _duration_ms("2 hours") == 2 * 3600 * 1000
+    assert _duration_ms("90 seconds") == 90 * 1000
+    assert _duration_ms("500 ms") == 500
+    assert _duration_ms("1 day") == 86_400_000
+    assert _duration_ms(45) == 45_000
+    assert _duration_ms("45") == 45_000
+    with _pytest.raises(ValueError):
+        _duration_ms("fortnight")
+    with _pytest.raises(ValueError):
+        _duration_ms("3 fortnights")
 
 
 def test_stateful_session_timeout_emits_closed_sessions(spark, tmp_path):
