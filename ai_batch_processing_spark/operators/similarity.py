@@ -122,6 +122,20 @@ def _table_bucket_expr(vec_col: str, tables: list[list[list[float]]]) -> Column:
     )
 
 
+def _lsh_tables(dim: int, n_planes: int, n_tables: int, seed: int) -> list[list[list[float]]]:
+    """``n_tables`` independent sets of ``n_planes`` seeded unit hyperplanes."""
+    rng = random.Random(seed)
+    tables = []
+    for _ in range(n_tables):
+        planes = []
+        for _ in range(n_planes):
+            v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+            n = math.sqrt(sum(x * x for x in v)) or 1.0
+            planes.append([x / n for x in v])
+        tables.append(planes)
+    return tables
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -147,15 +161,7 @@ def ann_lsh_topk(
     written partitioned by (t, bucket); each query probes n_tables
     partitions instead of scanning the corpus.
     """
-    rng = random.Random(seed)
-    tables = []
-    for _ in range(n_tables):
-        planes = []
-        for _ in range(n_planes):
-            v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
-            n = math.sqrt(sum(x * x for x in v)) or 1.0
-            planes.append([x / n for x in v])
-        tables.append(planes)
+    tables = _lsh_tables(dim, n_planes, n_tables, seed)
 
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"), _norm(F.col(vec_col)).alias("_cn")
@@ -389,14 +395,68 @@ def search_ivf_index(
 def embedding_near_dup_pairs(
     df: DataFrame, threshold: float = 0.99, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Cosine ≥ threshold pairs (id_a < id_b). Brute force — bound the input
-    or feed it LSH-bucket candidates at scale."""
+    """Cosine ≥ threshold pairs (id_a < id_b). Brute force O(n²) — the
+    VERIFY/oracle twin of :func:`embedding_near_dup_pairs_lsh` (the
+    corpus-linear scale path), mirroring jaccard_pairs ↔
+    minhash_dedup_pairs for text."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), _norm(F.col(vec_col)).alias("_na"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), _norm(F.col(vec_col)).alias("_nb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     score = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return pairs.select("id_a", "id_b", F.round(score, 6).alias("score")).filter(
         F.col("score") >= threshold
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Corpus-linear near-dup pairs: hyperplane-LSH candidates + exact rescore.
+
+    The embedding twin of ``minhash_dedup_pairs`` (dedup.py): bucket the
+    corpus once per LSH table (sign-bit signatures, pure Catalyst), take
+    same-bucket collisions as candidates, then exactly rescore each
+    candidate's cosine — precision 1.0 by construction, recall set by the
+    table count. At dedup thresholds the miss probability is negligible:
+    cosine ≥ 0.99 ⇒ θ ≤ 8.1°, one 8-plane table collides w.p.
+    (1−θ/π)⁸ ≈ 0.69, so missing all 16 tables ≈ (0.31)¹⁶ ≈ 5·10⁻⁹.
+    Tests pin LSH-vs-brute-force pair equality on a perturbed corpus.
+
+    Cost: corpus × n_tables explode of (id, bucket) keys only (vectors
+    join back at rescore — shuffle bytes stay id-sized), one self-join on
+    the bucket key, candidates-linear rescore. Buckets over ``max_bucket``
+    are dropped (degenerate mass duplicates — handled by exact dedup) to
+    bound the m² blow-up, same cap as the MinHash banding.
+    """
+    tables = _lsh_tables(dim, n_planes, n_tables, seed)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_n")
+    ).persist()
+    sig = base.select("id", F.explode(_table_bucket_expr("_v", tables)).alias("tb"))
+    counts = sig.groupBy("tb").agg(F.count(F.lit(1)).alias("m"))
+    ok = sig.join(F.broadcast(counts.filter(F.col("m") > max_bucket)), ["tb"], "left_anti")
+    x, y = ok.alias("x"), ok.alias("y")
+    cands = (
+        x.join(y, (F.col("x.tb") == F.col("y.tb")) & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    score = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(score >= threshold)  # unrounded, matching the brute-force twin
+        .select("id_a", "id_b", F.round(score, 6).alias("score"))
     )
 
 
@@ -448,7 +508,11 @@ def q45_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE list_cosine_similarity(a.v, b.v) >= 0.99
         ORDER BY id_a, id_b
     """,
-    doc="embedding-cosine near-duplicate pairs (threshold 0.99) on a synthesized dup corpus.",
+    doc=(
+        "embedding-cosine near-duplicate pairs (threshold 0.99): registered path "
+        "is the corpus-linear LSH-bucketed scale variant; the DuckDB oracle is "
+        "the brute-force all-pairs verify (q41↔q42 pattern for embeddings)."
+    ),
     tags=("similarity", "dedup"),
 )
 def q46_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,7 +524,7 @@ def q46_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("vec_id") + 100000).alias("id"), "embedding")
     )
     corpus = base.unionAll(dups)
-    return embedding_near_dup_pairs(corpus, threshold=0.99, id_col="id").orderBy("id_a", "id_b")
+    return embedding_near_dup_pairs_lsh(corpus, threshold=0.99, id_col="id").orderBy("id_a", "id_b")
 
 
 @register(

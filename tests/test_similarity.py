@@ -49,6 +49,45 @@ def test_near_dup_pairs_threshold(spark):
     assert (1, 5) not in pairs
 
 
+def test_lsh_near_dup_matches_bruteforce_on_perturbed_corpus(spark, sf_dir):
+    """The corpus-linear LSH path must recover ≥95% of the brute-force
+    pairs (it hits 100% here) with identical scores — on a corpus holding
+    both exact duplicates and NEAR-duplicates (deterministically perturbed
+    vectors, cosine just above/below the 0.99 threshold)."""
+    from ai_batch_processing_spark.operators.similarity import embedding_near_dup_pairs_lsh
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    base = emb.filter(F.col("vec_id") < 400).select(F.col("vec_id").alias("id"), "embedding")
+    # near-dups: deterministic small perturbation (embeddings are unit-norm;
+    # 0.012·sin adds a ~0.068-norm offset → cosine ≈ 0.9977, just above the
+    # threshold), exercising the LSH boundary rather than only identical
+    # vectors
+    near = (
+        emb.filter((F.col("vec_id") < 400) & (F.col("vec_id") % 4 == 0))
+        .select(
+            (F.col("vec_id") + 100000).alias("id"),
+            F.expr(
+                "transform(embedding, (x, i) -> cast(x + 0.012 * sin(vec_id * 7 + i) as float))"
+            ).alias("embedding"),
+        )
+    )
+    corpus = base.unionAll(near)
+    exact = {
+        (r.id_a, r.id_b): r.score
+        for r in embedding_near_dup_pairs(corpus, threshold=0.99, id_col="id").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.score
+        for r in embedding_near_dup_pairs_lsh(corpus, threshold=0.99, id_col="id").collect()
+    }
+    assert len(exact) >= 50  # the perturbation really produced near-dup pairs
+    assert set(lsh) <= set(exact)  # precision 1.0 (exact rescore)
+    assert len(set(lsh) & set(exact)) >= 0.95 * len(exact)  # recall pin
+    for k in lsh:
+        assert lsh[k] == exact[k]  # identical rescored values
+
+
 def test_ann_lsh_recall_on_real_embeddings(spark, sf_dir):
     """LSH ANN must hit ≥60% of exact top-5 on the real embeddings table
     with 6 hyperplanes (recall measured; exactness is q45's job)."""
