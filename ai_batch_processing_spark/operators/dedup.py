@@ -55,6 +55,37 @@ def exact_dedup(df: DataFrame, key_cols: list[str], keep_min: str) -> DataFrame:
     )
 
 
+def exact_dedup_hashed(df: DataFrame, key_cols: list[str], keep_min: str) -> DataFrame:
+    """``exact_dedup`` for PAYLOAD-SIZED keys (document text): group on a
+    128-bit content hash instead of the raw key.
+
+    Grouping by multi-KB text makes the text both the shuffle KEY and part
+    of the carried row, and every hash-table probe compares full strings.
+    Two seeded ``xxhash64`` columns (16 bytes total) replace the key: the
+    aggregate compares longs, and map-side partial aggregation collapses
+    duplicates before anything wide moves. Collision odds are
+    ~pairs × 2⁻¹²⁸ — zero in practice (at 10¹² docs: ~10⁻¹⁴). Survivor
+    selection is identical to ``exact_dedup`` (min-struct on ``keep_min``),
+    and a parity test pins equality of results.
+    """
+    h1 = F.xxhash64(*[F.col(c) for c in key_cols])
+    h2 = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(0x5F3E))
+    others = [c for c in df.columns if c not in key_cols]
+    packed = F.struct(
+        F.col(keep_min),
+        *[F.col(c) for c in others if c != keep_min],
+        *[F.col(c) for c in key_cols],
+    )
+    agg = df.groupBy(h1.alias("_h1"), h2.alias("_h2")).agg(
+        F.min(packed).alias("_rep"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return agg.select(
+        *[F.col(f"_rep.{c}").alias(c) for c in key_cols],
+        *[F.col(f"_rep.{c}").alias(c) for c in [keep_min] + [c for c in others if c != keep_min]],
+        "n_copies",
+    )
+
+
 # --------------------------------------------------------------------------
 # shingling
 # --------------------------------------------------------------------------
@@ -401,6 +432,36 @@ def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("keep_id", "n_copies")
         .orderBy("keep_id")
     )
+
+
+@register(
+    "q98_dedup_exact_hashed",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id AS id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT CAST(MIN(id) AS BIGINT) AS id, COUNT(*) AS n_copies
+        FROM corpus
+        GROUP BY text
+        ORDER BY id
+    """,
+    doc=(
+        "exact dedup via 128-bit content hash (q40's 100 TB form): the shuffle "
+        "key is 16 bytes instead of the payload-sized text; results identical."
+    ),
+    tags=("dedup", "exact"),
+)
+def q98_dedup_exact_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    base = t["documents"].select(F.col("doc_id").alias("id"), "text")
+    dups = (
+        t["documents"].filter(F.col("doc_id") % 3 == 0).select((F.col("doc_id") + 100000).alias("id"), "text")
+    )
+    corpus = base.unionAll(dups)
+    out = exact_dedup_hashed(corpus, ["text"], "id")
+    return out.select(F.col("id").cast("long").alias("id"), "n_copies").orderBy("id")
 
 
 @register(

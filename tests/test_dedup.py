@@ -39,6 +39,28 @@ def test_exact_dedup_keeps_min_and_all_columns(spark):
     assert out["b"] == (9, "z")
 
 
+def test_exact_dedup_hashed_matches_exact_dedup(spark, sf_dir):
+    """The 16-byte-shuffle-key form must pick the SAME survivors (and all
+    carried columns) as grouping by the raw text."""
+    from ai_batch_processing_spark.operators.dedup import exact_dedup, exact_dedup_hashed
+    from ai_batch_processing_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    corpus = docs.select(F.col("doc_id").alias("id"), "text", "lang").unionAll(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000).alias("id"), "text", "lang"
+        )
+    )
+    plain = {
+        (r.id, r.text, r.lang) for r in exact_dedup(corpus, ["text"], "id").collect()
+    }
+    hashed = {
+        (r.id, r.text, r.lang)
+        for r in exact_dedup_hashed(corpus, ["text"], "id").drop("n_copies").collect()
+    }
+    assert plain == hashed and len(plain) > 0
+
+
 def test_jaccard_identical_is_one(spark):
     pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(_corpus(spark), "id", "text").collect()}
     assert pairs[(1, 3)] == 1.0
