@@ -458,3 +458,116 @@ def q13_asof_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("signup_id"),
         (F.unix_timestamp("ts") - F.unix_timestamp("signup_ts")).cast("long").alias("gap_seconds"),
     ).orderBy("purchase_id")
+
+
+# --- q99: TPC-H-Q7-shaped bilateral trade volume ------------------------------
+# Two big facts (lineitem, orders) and three dims; the nation pair
+# predicate shrinks supplier and customer to ~2/25 BEFORE they are
+# broadcast, so the only shuffle is lineitem⋈orders on orderkey + the
+# final 4-key aggregate. The cross-pair condition stays a cheap residual
+# filter on two broadcast columns — no blow-up.
+@register(
+    "q99_nation_trade_volume",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+        FROM (
+            SELECT
+                n1.n_name AS supp_nation,
+                n2.n_name AS cust_nation,
+                CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: 6-way join, pair-filtered dims broadcast, one fact shuffle.",
+    tags=("relational", "join", "star"),
+)
+def q99_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"])
+    pair = ["NATION_3", "NATION_7"]
+    supp = (
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(pair))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(pair))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair_ok = (
+        ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+        | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair_ok)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --- q100: TPC-H-Q9-shaped product profit -------------------------------------
+# Q9 adapted to this schema (no partsupp table): profit = revenue minus a
+# retail-price-based cost proxy. Exercises the deepest join tree in the
+# registry (lineitem⋈orders shuffle; part+supplier+nation broadcast after
+# the name filter) + a 2-key aggregate.
+@register(
+    "q100_product_profit",
+    oracle="""
+        SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+        FROM (
+            SELECT
+                n_name AS nation,
+                CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity AS amount
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+        )
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape: deepest join tree, filtered part broadcast, profit rollup.",
+    tags=("relational", "join", "star"),
+)
+def q100_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["part", "lineitem", "supplier", "orders", "nation"])
+    parts = t["part"].filter(F.col("p_name").like("%widget%")).select("p_partkey", "p_retailprice")
+    supp = (
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )

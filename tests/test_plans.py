@@ -44,6 +44,22 @@ def test_q03_star_join_all_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_q99_pair_filtered_dims_broadcast(spark, sf_dir):
+    plan = _explain(SPECS["q99_nation_trade_volume"].fn(spark, sf_dir))
+    # supplier/customer shrink behind the nation-pair filter, then
+    # broadcast; the only fact-fact shuffle is lineitem⋈orders
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "In(n_name" in plan  # pair predicate pushed into the dim scans
+
+
+def test_q100_filtered_part_broadcast_and_pruned(spark, sf_dir):
+    plan = _explain(SPECS["q100_product_profit"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "StringContains(p_name,widget)" in plan  # LIKE pushed to the part scan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "p_name" not in read_schema or "p_retailprice" in read_schema
+
+
 def test_q35_exists_decorrelates_to_semi_join(spark, sf_dir):
     plan = _explain(SPECS["q35_exists_subquery"].fn(spark, sf_dir))
     assert "LeftSemi" in plan  # EXISTS decorrelated, not re-executed per row
