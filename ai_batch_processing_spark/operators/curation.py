@@ -1,0 +1,405 @@
+"""Training-corpus curation beyond dedup: decontamination, PII redaction,
+sequence packing, and mixture reweighting.
+
+These are the remaining first-class ops a 100 TB pretraining-data pipeline
+runs after quality/lang/dedup (which live in text.py / dedup.py). The
+reference has no analog (its pipeline stops at prompt→response export,
+main.py:697-733); all four are north-star extensions, built Catalyst-first:
+
+- decontamination: benchmark n-gram shingles are a SMALL set → broadcast;
+  the corpus side stays scan-parallel, two shuffles total (per-doc distinct
+  shingles, then the per-doc rollup). Never an all-pairs join.
+- PII redaction: pure `regexp_replace`/`regexp_extract_all` chains — runs
+  at scan speed inside whole-stage codegen, no Python in the path.
+- sequence packing (concat-and-chunk): needs a GLOBAL running token offset
+  per source — the naive `Window.partitionBy(source)` puts a whole source
+  on one task. Uses the same two-phase distributed prefix sum as
+  `template.with_row_index`: range-partition, per-partition cumsum, then
+  broadcast the tiny per-(partition, source) offset table.
+- mixture reweighting: one tiny per-source aggregate; the repeat factors it
+  emits are what a weighted-sampling epoch plan consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.registry import register
+from ai_batch_processing_spark.session import load_tables
+
+from ai_batch_processing_spark.operators.text import tokens_expr
+
+# ---------------------------------------------------------------------------
+# Decontamination: n-gram overlap against a held-out benchmark set
+# ---------------------------------------------------------------------------
+
+
+def shingles_expr(text: Column | str, n: int = 8) -> Column:
+    """All ``n``-token shingles of ``text`` (whitespace tokens, lowercased).
+
+    Documents shorter than ``n`` tokens yield ONE shingle — the whole token
+    sequence — so short docs still participate in overlap checks.
+    """
+    toks = tokens_expr(text)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Per-document benchmark contamination: share of the doc's distinct
+    n-gram shingles that also appear in the benchmark set.
+
+    Scale shape: the benchmark (a test/eval set) is small by definition —
+    its distinct shingle hashes are broadcast. The corpus side is two
+    shuffles (distinct (doc, shingle), then per-doc rollup), both
+    corpus-linear. Shingles travel as 64-bit xxhash, not strings, so the
+    shuffle payload is 8 bytes per shingle regardless of n.
+    """
+    sh = F.explode(shingles_expr(F.col(text_col), n)).alias("_shingle")
+    corpus_sh = (
+        corpus.select(F.col(id_col), sh)
+        .select(id_col, F.xxhash64("_shingle").alias("_sh"))
+        .distinct()
+    )
+    bench_sh = (
+        benchmark.select(F.explode(shingles_expr(F.col(text_col), n)).alias("_shingle"))
+        .select(F.xxhash64("_shingle").alias("_sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "_sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_overlap") / F.col("n_shingles"), 6),
+        )
+        .withColumn("flagged", F.col("contamination") >= threshold)
+    )
+
+
+@register(
+    "q101_decontaminate_ngram",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 7, 1) + 1),
+                       i -> array_to_string(t[i:i+7], ' '))) AS shingle
+            FROM toks
+        ),
+        corpus AS (
+            SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0
+        ),
+        bench AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+        )
+        SELECT c.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+               ROUND(CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS contamination,
+               (CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*)) >= 0.2 AS flagged
+        FROM corpus c LEFT JOIN bench b USING (shingle)
+        GROUP BY c.doc_id
+        ORDER BY c.doc_id
+    """,
+    doc=(
+        "test-set decontamination: 8-gram shingle overlap of every corpus doc "
+        "against a held-out benchmark slice (doc_id % 97 = 0); benchmark "
+        "shingle hashes broadcast, corpus side two corpus-linear shuffles."
+    ),
+    tags=("curation", "decontamination", "ngram"),
+)
+def q101_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(corpus, benchmark, n=8, threshold=0.2).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (pure Catalyst regex chain)
+# ---------------------------------------------------------------------------
+
+# Order matters: SSN (ddd-dd-dddd) before PHONE (ddd-dddd) so the phone
+# pattern can't eat an SSN tail; EMAIL first so its local part's digits
+# aren't clipped by the number patterns.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "[SSN]"),
+    ("ip", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "[IP]"),
+    ("phone", r"\d{3}-\d{4}", "[PHONE]"),
+)
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (before redaction)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with its category token, in pattern order."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+@register(
+    "q102_pii_redaction",
+    oracle=r"""
+        WITH contact AS (
+            SELECT doc_id,
+                   'u' || CAST(doc_id AS VARCHAR) || '@mail.example.com ip 10.'
+                       || CAST(doc_id % 200 AS VARCHAR) || '.'
+                       || CAST((doc_id * 7) % 250 AS VARCHAR) || '.4 ssn 123-45-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' call 555-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+                       AS contact
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+               CAST(len(regexp_extract_all(regexp_replace(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\d{3}-\d{2}-\d{4}')) AS INTEGER) AS n_ssn,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(contact,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\d{3}-\d{2}-\d{4}', '[SSN]', 'g'),
+                   '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
+                   '\d{3}-\d{4}', '[PHONE]', 'g') AS redacted
+        FROM contact
+        ORDER BY doc_id
+    """,
+    doc=(
+        "PII scrub: email/SSN/IP/phone detection + redaction as a pure "
+        "regexp_replace chain (codegen, scan speed); counts computed on the "
+        "pre-redaction text. Contact strings synthesized deterministically "
+        "from doc_id so the gate exercises every pattern."
+    ),
+    tags=("curation", "pii", "regex"),
+)
+def q102_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    contact = F.concat(
+        F.lit("u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ip 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 250).cast("string"),
+        F.lit(".4 ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" call 555-"),
+        F.lpad(((F.col("doc_id") * 3) % 10000).cast("string"), 4, "0"),
+    )
+    with_contact = docs.select("doc_id", contact.alias("contact"))
+    email_pat = PII_PATTERNS[0][1]
+    after_email = F.regexp_replace(F.col("contact"), email_pat, "[EMAIL]")
+    return with_contact.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("contact"), F.lit(email_pat), 0)).alias("n_email"),
+        # SSN counted after email redaction (an address' digits can't shadow it)
+        F.size(F.regexp_extract_all(after_email, F.lit(PII_PATTERNS[1][1]), 0)).alias("n_ssn"),
+        redact_pii(F.col("contact")).alias("redacted"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk) via distributed prefix sum
+# ---------------------------------------------------------------------------
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "_prefix",
+) -> DataFrame:
+    """Exclusive running sum of ``value_col`` per group in ``order_cols``
+    order, WITHOUT putting any whole group on one task.
+
+    `Window.partitionBy(group)` is the textbook answer and the textbook
+    scale bug: one source = one task. Instead (mirrors
+    `template.with_row_index`): range-partition on (group, order) — a
+    distributed sort — cumsum within each physical partition, then lift the
+    tiny per-(partition, group) totals to the driver-side offsets table and
+    broadcast it back. Only ≤ n_partitions × n_groups offset rows ever
+    cross one reducer, never the data.
+    """
+    keys = [F.col(c) for c in group_cols + order_cols]
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(n, *keys).withColumn("_pid", F.spark_partition_id())
+    w_in = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    summed = ranged.withColumn("_incl", F.sum(value_col).over(w_in))
+    totals = ranged.groupBy("_pid", *group_cols).agg(F.sum(value_col).alias("_tot"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn("_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))).select(
+        "_pid", *group_cols, "_off"
+    )
+    return (
+        summed.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(out_col, (F.col("_off") + F.col("_incl") - F.col(value_col)).cast("long"))
+        .drop("_pid", "_incl", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    group_cols: list[str],
+    order_cols: list[str],
+    token_col: str,
+) -> DataFrame:
+    """Concat-and-chunk packing: lay every document's tokens end-to-end per
+    group (in ``order_cols`` order) and cut a training sequence every
+    ``budget`` tokens. Each doc is assigned the pack where its first token
+    lands (``pack_id``) and its offset inside that pack (``pack_offset``) —
+    the standard pretraining packing where documents may straddle pack
+    boundaries and get truncated/continued by the loader.
+    """
+    out = grouped_prefix_sum(df, group_cols, order_cols, token_col, out_col="_start")
+    return (
+        out.withColumn("pack_id", F.floor(F.col("_start") / budget))
+        .withColumn("pack_offset", (F.col("_start") % budget).cast("long"))
+        .drop("_start")
+    )
+
+
+@register(
+    "q103_sequence_packing",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        laid AS (
+            SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS start_off
+            FROM toks
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(FLOOR(start_off / 512) AS BIGINT) AS pack_id,
+               CAST(start_off % 512 AS BIGINT) AS pack_offset
+        FROM laid
+        ORDER BY doc_id
+    """,
+    doc=(
+        "sequence packing for training (concat-and-chunk, 512-token packs "
+        "per source): per-source running token offset computed as a "
+        "distributed prefix sum — range-partitioned cumsum + broadcast "
+        "offsets, no whole-source-on-one-task window."
+    ),
+    tags=("curation", "packing", "prefix-sum"),
+)
+def q103_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import token_count_ws
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sized = docs.select(
+        "doc_id", "source", token_count_ws(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        sized, budget=512, group_cols=["source"], order_cols=["doc_id"], token_col="n_tokens"
+    ).select("doc_id", "source", "n_tokens", "pack_id", "pack_offset").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Mixture reweighting (domain balancing)
+# ---------------------------------------------------------------------------
+
+
+def mixture_weights(
+    df: DataFrame, group_col: str, token_col: str, target_share: dict[str, float] | None = None
+) -> DataFrame:
+    """Per-source token shares and the repeat factor that moves the mix to
+    the target distribution (uniform when ``target_share`` is None).
+
+    repeat_factor > 1 ⇒ upsample (repeat epochs), < 1 ⇒ downsample. One
+    tiny per-source aggregate; the constant-key share window runs over
+    n_sources rows, never the data.
+    """
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(token_col).alias("n_tokens")
+    )
+    w = Window.partitionBy(F.lit(0))
+    shared = agg.withColumn(
+        "token_share", F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6)
+    )
+    if target_share is None:
+        target = 1.0 / F.count(F.lit(1)).over(w)
+    else:
+        m = F.create_map(*[F.lit(x) for kv in target_share.items() for x in kv])
+        target = m[F.col(group_col)]
+    return shared.withColumn(
+        "repeat_factor",
+        F.round(target / (F.col("n_tokens") / F.sum("n_tokens").over(w)), 6),
+    )
+
+
+@register(
+    "q104_mixture_reweighting",
+    oracle=r"""
+        WITH toks AS (
+            SELECT source,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        agg AS (
+            SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS token_share,
+               ROUND((1.0 / COUNT(*) OVER ())
+                     / (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()), 6) AS repeat_factor
+        FROM agg
+        ORDER BY source
+    """,
+    doc=(
+        "domain mixture reweighting: per-source token share + repeat factor "
+        "to reach a uniform mix — the knob a weighted-epoch sampler consumes; "
+        "one tiny aggregate, share window over n_sources rows only."
+    ),
+    tags=("curation", "mixture"),
+)
+def q104_mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import token_count_ws
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sized = docs.select("source", token_count_ws(F.col("text")).cast("long").alias("n_tokens"))
+    return mixture_weights(sized, "source", "n_tokens").orderBy("source")

@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "ai_batch_processing_spark.operators.dedup",
     "ai_batch_processing_spark.operators.similarity",
     "ai_batch_processing_spark.operators.text",
+    "ai_batch_processing_spark.operators.curation",
     "ai_batch_processing_spark.operators.multimodal",
     "ai_batch_processing_spark.streaming.events",
 ]

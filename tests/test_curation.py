@@ -1,0 +1,152 @@
+"""Curation operators: decontamination, PII redaction, sequence packing,
+mixture reweighting — semantics units + the scale-shape pins (broadcast
+benchmark side, no whole-group window in the prefix sum)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.operators.curation import (
+    decontaminate,
+    grouped_prefix_sum,
+    mixture_weights,
+    pack_sequences,
+    pii_counts,
+    redact_pii,
+    shingles_expr,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- shingles / decontamination ---------------------------------------------
+
+
+def test_shingles_short_doc_yields_whole_sequence(spark):
+    out = (
+        _docs(spark, [(1, "only three tokens")])
+        .select(shingles_expr("text", n=8).alias("sh"))
+        .head()[0]
+    )
+    assert out == ["only three tokens"]
+
+
+def test_shingles_sliding(spark):
+    out = (
+        _docs(spark, [(1, "a b c d")])
+        .select(shingles_expr("text", n=3).alias("sh"))
+        .head()[0]
+    )
+    assert out == ["a b c", "b c d"]
+
+
+def test_decontaminate_flags_verbatim_overlap(spark):
+    # doc 1 contains the benchmark sentence verbatim; doc 2 is clean.
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "intro words the quick brown fox jumps over the lazy dog outro"),
+            (2, "completely different content with no overlap at all here now"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["flagged"])
+        for r in decontaminate(corpus, bench, n=8, threshold=0.2).collect()
+    }
+    assert got[1][0] > 0 and got[1][1] is True
+    assert got[2] == (0, False)
+
+
+def test_decontaminate_benchmark_is_broadcast(spark):
+    bench = _docs(spark, [(100, "a b c d e f g h")])
+    corpus = _docs(spark, [(1, "a b c d e f g h i j")])
+    plan = decontaminate(corpus, bench)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan
+
+
+# --- PII --------------------------------------------------------------------
+
+
+def test_redact_pii_all_categories(spark):
+    s = "mail bob.smith+x@corp.example.org ssn 123-45-6789 ip 192.168.0.1 tel 555-0192 end"
+    out = spark.range(1).select(redact_pii(F.lit(s)).alias("r")).head()["r"]
+    assert out == "mail [EMAIL] ssn [SSN] ip [IP] tel [PHONE] end"
+
+
+def test_redact_pii_order_ssn_before_phone(spark):
+    # the phone pattern (ddd-dddd) must not clip the SSN's tail
+    out = spark.range(1).select(redact_pii(F.lit("123-45-6789")).alias("r")).head()["r"]
+    assert out == "[SSN]"
+
+
+def test_pii_counts(spark):
+    s = "a@b.co and c@d.ie, 10.0.0.1"
+    row = spark.range(1).select(*pii_counts(F.lit(s)).values()).head()
+    assert row["n_email"] == 2 and row["n_ip"] == 1 and row["n_ssn"] == 0
+
+
+# --- prefix sum / packing ---------------------------------------------------
+
+
+def test_grouped_prefix_sum_matches_naive_window(spark):
+    rows = [(i, f"s{i % 3}", (i * 7) % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, src string, v long").repartition(7)
+    got = grouped_prefix_sum(df, ["src"], ["id"], "v", out_col="p")
+    w = (
+        Window.partitionBy("src")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("p", (F.sum("v").over(w) - F.col("v")).cast("long"))
+    cols = ["id", "src", "v", "p"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+
+def test_grouped_prefix_sum_no_whole_group_window(spark):
+    df = spark.createDataFrame([(1, "a", 1)], "id long, src string, v long")
+    plan = grouped_prefix_sum(df, ["src"], ["id"], "v")._jdf.queryExecution().toString()
+    # every data-side Window must include the physical partition id — a
+    # window partitioned by src alone would serialize each whole group
+    for line in plan.splitlines():
+        if "Window " in line and "windowspecdefinition(src" in line and "_pid" not in line:
+            raise AssertionError(f"whole-group window in plan: {line}")
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, "s", 100) for i in range(10)]  # 100 tokens each, budget 256
+    df = spark.createDataFrame(rows, "doc_id long, src string, n long")
+    out = pack_sequences(df, budget=256, group_cols=["src"], order_cols=["doc_id"], token_col="n")
+    got = {r["doc_id"]: (r["pack_id"], r["pack_offset"]) for r in out.collect()}
+    # doc i starts at token 100*i → pack floor(100i/256), offset 100i % 256
+    for i in range(10):
+        assert got[i] == (100 * i // 256, 100 * i % 256)
+    assert len(got) == 10  # nothing dropped or duplicated
+
+
+# --- mixture ----------------------------------------------------------------
+
+
+def test_mixture_weights_uniform_target(spark):
+    df = spark.createDataFrame(
+        [("a", 300), ("b", 100)], "src string, n long"
+    )
+    got = {r["src"]: r for r in mixture_weights(df, "src", "n").collect()}
+    assert got["a"]["token_share"] == 0.75
+    # uniform target is 0.5 each → a downsampled 2/3, b upsampled 2×
+    assert abs(got["a"]["repeat_factor"] - 0.666667) < 1e-6
+    assert abs(got["b"]["repeat_factor"] - 2.0) < 1e-6
+
+
+def test_mixture_weights_explicit_target(spark):
+    df = spark.createDataFrame([("a", 100), ("b", 100)], "src string, n long")
+    got = {
+        r["src"]: r["repeat_factor"]
+        for r in mixture_weights(df, "src", "n", target_share={"a": 0.9, "b": 0.1}).collect()
+    }
+    assert abs(got["a"] - 1.8) < 1e-6 and abs(got["b"] - 0.2) < 1e-6
