@@ -489,6 +489,7 @@ def q13_asof_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY supp_nation, cust_nation, l_year
     """,
     doc="TPC-H Q7 shape: 6-way join, pair-filtered dims broadcast, one fact shuffle.",
+    bench=True,
     tags=("relational", "join", "star"),
 )
 def q99_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,6 +548,7 @@ def q99_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation, o_year
     """,
     doc="TPC-H Q9 shape: deepest join tree, filtered part broadcast, profit rollup.",
+    bench=True,
     tags=("relational", "join", "star"),
 )
 def q100_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,6 +42,8 @@ QUERIES = [
     "q03_region_revenue",
     "q40_dedup_exact",
     "q73_training_data_filter",
+    "q99_nation_trade_volume",
+    "q100_product_profit",
 ]
 
 
