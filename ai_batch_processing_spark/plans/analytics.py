@@ -1513,3 +1513,149 @@ def q97_boolean_bitwise_aggs(spark, sf_dir: str):
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- q105: TPC-H-Q21-shaped multi-correlated EXISTS / NOT EXISTS -------------
+# Two correlated subqueries against the same fact, both correlated on
+# l_orderkey with a non-equi conjunct (l_suppkey <>). Catalyst decorrelates
+# them into one LeftSemi and one LeftAnti join on the order key; the
+# supplier dim broadcasts. At 100 TB the fact appears three times but every
+# appearance is filtered before its shuffle, and all three shuffles share
+# the l_orderkey key — no cartesian, no per-row re-execution.
+@register(
+    "q105_supplier_return_isolation",
+    oracle="""
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+    """,
+    doc="TPC-H Q21 shape: sole supplier with a return on a multi-supplier "
+    "order — EXISTS + NOT EXISTS decorrelated to semi/anti joins.",
+    tags=("relational", "subquery", "semi", "anti"),
+)
+def q105_supplier_return_isolation(spark, sf_dir: str):
+    load_tables(spark, sf_dir, ["supplier", "lineitem", "orders"])
+    return spark.sql(
+        """
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        """
+    )
+
+
+# --- q106: TPC-H-Q22-shaped anti-join + scalar-subquery threshold ------------
+# The scalar AVG is computed once and broadcast into the outer predicate;
+# the NOT EXISTS decorrelates to a LeftAnti on o_custkey. Customer-side
+# filters (nationkey IN, acctbal >) are pushed to the scan, so the anti
+# join's left side is already pruned before it shuffles.
+@register(
+    "q106_idle_high_balance_segments",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)
+          AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0
+                             AND c_nationkey IN (1, 3, 5, 7, 9, 11))
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 480000)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no "
+    "high-value orders, per segment — scalar subquery + anti join.",
+    tags=("relational", "subquery", "anti", "scalar"),
+)
+def q106_idle_high_balance_segments(spark, sf_dir: str):
+    load_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)
+          AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0
+                             AND c_nationkey IN (1, 3, 5, 7, 9, 11))
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 480000)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+# --- q107: TPC-H-Q20-shaped nested IN + correlated aggregate subquery --------
+# The shares CTE is one grouped aggregate; the correlated AVG over it
+# decorrelates into a second aggregate on l_partkey joined back — the CTE
+# is scanned twice but both sides are post-aggregation (tiny vs the fact),
+# and the final IN is a semi join into the supplier dim. No per-row
+# subquery execution anywhere.
+@register(
+    "q107_dominant_part_suppliers",
+    oracle="""
+        WITH shares AS (
+            SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_size <= 10
+            GROUP BY l_suppkey, l_partkey
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM shares s1
+            WHERE qty > 2.0 * (SELECT AVG(qty) FROM shares s2
+                               WHERE s2.l_partkey = s1.l_partkey)
+        )
+        ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20 shape: suppliers holding >2x the average per-supplier "
+    "share of a small part — nested IN with correlated aggregate subquery.",
+    tags=("relational", "subquery", "semi", "agg"),
+)
+def q107_dominant_part_suppliers(spark, sf_dir: str):
+    load_tables(spark, sf_dir, ["supplier", "lineitem", "part"])
+    return spark.sql(
+        """
+        WITH shares AS (
+            SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_size <= 10
+            GROUP BY l_suppkey, l_partkey
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM shares s1
+            WHERE qty > 2.0 * (SELECT AVG(qty) FROM shares s2
+                               WHERE s2.l_partkey = s1.l_partkey)
+        )
+        ORDER BY s_suppkey
+        """
+    )

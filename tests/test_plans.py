@@ -173,3 +173,19 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q105_double_correlation_decorrelates(spark, sf_dir):
+    # Both correlated subqueries must become joins (semi + anti) on
+    # l_orderkey — per-row re-execution would be quadratic in the fact.
+    plan = _explain(SPECS["q105_supplier_return_isolation"].fn(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q107_correlated_agg_decorrelates(spark, sf_dir):
+    # The correlated AVG over the CTE becomes an aggregate joined back on
+    # l_partkey; the IN becomes a semi join. Nothing re-executes per row.
+    plan = _explain(SPECS["q107_dominant_part_suppliers"].fn(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
