@@ -269,3 +269,115 @@ def q51_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").cast("long").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
         .orderBy("keep_id")
     )
+
+
+# --- document chunking -------------------------------------------------------
+# Fixed-size overlapping character chunks — the step between curation and
+# embedding in a training pipeline (each chunk becomes one embedding row).
+# Pure Catalyst: sequence() builds the chunk-start list from the document
+# length, posexplode fans it out, substring slices — all whole-stage
+# codegen, no Python in the path. At 100 TB the fan-out multiplies rows by
+# ~len/stride but each output partition derives from its input partition
+# (no shuffle at all until a downstream op asks for one).
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split each document into overlapping character chunks.
+
+    Chunks start at offsets 0, stride, 2*stride, ... (stride = chunk_size -
+    overlap) while the offset is inside the document; the last chunk may be
+    short. Empty documents produce no chunks. Output: (id_col, chunk_idx,
+    start_offset, chunk_text), one row per chunk, 0-indexed.
+
+    The reference has no chunking (it maps whole rows to prompts,
+    main.py:385-402); this is a north-star extension. A row-at-a-time UDTF
+    parity surface exists in tests — this composition is the scale path.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
+    stride = chunk_size - overlap
+    n_chunks = (F.floor((F.length(F.col(text_col)) - 1) / stride) + 1).cast("int")
+    return (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_start_n"),
+            F.col(text_col),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("_start_n").cast("long") * stride).alias("start_offset"),
+            F.substring(
+                F.col(text_col), F.col("_start_n") * stride + 1, F.lit(chunk_size)
+            ).alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "q108_chunk_documents",
+    oracle="""
+        WITH rng AS (
+            -- constant bound (docs up to ~153k chars); the join predicate
+            -- below trims it to the true per-doc chunk count
+            SELECT g FROM generate_series(0, 1023) t(g)
+        )
+        SELECT d.doc_id,
+               CAST(r.g AS BIGINT) AS chunk_idx,
+               CAST(r.g * 150 AS BIGINT) AS start_offset,
+               substr(d.text, CAST(r.g * 150 + 1 AS BIGINT), 200) AS chunk_text
+        FROM documents d
+        JOIN rng r ON r.g <= CAST(floor((length(d.text) - 1) / 150) AS BIGINT)
+        WHERE length(d.text) > 0
+        ORDER BY doc_id, chunk_idx
+    """,
+    doc="overlapping character chunking (size 200 / overlap 50) — "
+    "sequence+posexplode+substring, zero-shuffle row fan-out.",
+    tags=("text", "chunking", "pipeline"),
+)
+def q108_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return chunk_documents(t["documents"], chunk_size=200, overlap=50).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+# Row-at-a-time UDTF twin of chunk_documents — the table-function API
+# surface (SURVEY.md §2.10: the reference has no UDTF; Spark 4 adds
+# python UDTFs). Kept as a parity/reference implementation: per-row
+# Python is the slow path, so the Catalyst composition above is what
+# queries register. Registered per-session via register_chunk_udtf().
+try:  # pragma: no cover - import guard exercised implicitly
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="chunk_idx: bigint, start_offset: bigint, chunk_text: string")
+    class ChunkTextUDTF:
+        def eval(self, text: str, chunk_size: int, overlap: int):  # noqa: D102
+            if not text or chunk_size is None or overlap is None:
+                return
+            stride = chunk_size - overlap
+            if stride <= 0:
+                raise ValueError("overlap must be < chunk_size")
+            idx = 0
+            for start in range(0, len(text), stride):
+                yield (idx, start, text[start : start + chunk_size])
+                idx += 1
+
+    HAS_UDTF = True
+except ImportError:  # pragma: no cover - pyspark < 3.5
+    ChunkTextUDTF = None
+    HAS_UDTF = False
+
+
+def register_chunk_udtf(spark: SparkSession, name: str = "chunk_text") -> None:
+    """Register the chunking UDTF for SQL LATERAL use on this session."""
+    if not HAS_UDTF:  # pragma: no cover
+        raise RuntimeError("python UDTFs need pyspark >= 3.5")
+    spark.udtf.register(name, ChunkTextUDTF)

@@ -288,6 +288,25 @@ def stream_dedup_events(
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def stream_enrich_events(
+    spark: SparkSession,
+    source_dir: str,
+    dim: DataFrame,
+    on: str = "user_id",
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a batch dim.
+
+    The static side is broadcast (stateless — unlike stream-stream joins
+    there is no state store; every micro-batch re-joins against the dim as
+    of that batch). This is the streaming twin of the q02/q03 broadcast
+    dim joins: at 100 TB of stream, the dim rides along with each task and
+    the stream side never shuffles.
+    """
+    stream = spark.readStream.schema(schema).json(source_dir)
+    return stream.join(F.broadcast(dim), on=on, how="left")
+
+
 def stream_user_sessions_with_timeout(
     spark: SparkSession,
     source_dir: str,

@@ -288,3 +288,23 @@ def test_stateful_session_timeout_emits_closed_sessions(spark, tmp_path):
     assert str(closed[1].session_start).startswith("2024-01-01 00:00")
     assert str(closed[1].session_end).startswith("2024-01-01 00:10")
     assert 2 not in closed  # user 2's session still open → not emitted
+
+
+def test_stream_static_enrichment_joins_each_batch(spark, tmp_path):
+    """Stream-static broadcast join: events enriched with a batch dim,
+    across micro-batches, matching the equivalent batch join."""
+    from ai_batch_processing_spark.streaming.events import stream_enrich_events
+
+    d = tmp_path / "enrich_in"
+    d.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 2, "event_type": "view", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T00:20:00", "user_id": 9, "event_type": "click", "value": 3.0, "props": "{}"},  # no dim row
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:2]))
+    (d / "b.json").write_text(json.dumps(rows[2]))
+    dim = spark.createDataFrame([(1, "gold"), (2, "trial")], "user_id long, tier string")
+    out = _run(spark, stream_enrich_events(spark, str(d), dim), "enriched", mode="append")
+    got = {r.event_id: r.tier for r in out.collect()}
+    assert got == {1: "gold", 2: "trial", 3: None}

@@ -1,0 +1,71 @@
+"""Document chunking: Catalyst composition vs row-at-a-time UDTF parity.
+
+chunk_documents is the scale path (sequence+posexplode+substring, zero
+shuffle); ChunkTextUDTF is the table-function API surface. They must
+produce identical rows.
+"""
+
+from __future__ import annotations
+
+from ai_batch_processing_spark.operators.text import (
+    HAS_UDTF,
+    chunk_documents,
+    register_chunk_udtf,
+)
+
+DOCS = [
+    (1, "a" * 450),  # 4 chunks at stride 150: starts 0/150/300 -> wait, 3
+    (2, "b" * 150),  # exactly one stride -> 1 chunk
+    (3, "c" * 151),  # one past the stride -> 2 chunks
+    (4, ""),  # empty -> no chunks
+    (5, "short"),  # shorter than chunk_size -> 1 chunk
+]
+
+
+def _chunk_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_chunk_boundaries(spark):
+    out = (
+        chunk_documents(_chunk_df(spark), chunk_size=200, overlap=50)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 4 not in by_doc  # empty doc dropped
+    assert [r.start_offset for r in by_doc[1]] == [0, 150, 300]
+    assert [len(r.chunk_text) for r in by_doc[1]] == [200, 200, 150]
+    assert [r.start_offset for r in by_doc[2]] == [0]
+    assert [r.start_offset for r in by_doc[3]] == [0, 150]
+    assert by_doc[3][1].chunk_text == "c"  # 1-char tail chunk
+    assert by_doc[5][0].chunk_text == "short"
+    # reconstruction: stripping the overlap from non-first chunks rebuilds the doc
+    rebuilt = by_doc[1][0].chunk_text + "".join(c.chunk_text[50:] for c in by_doc[1][1:])
+    assert rebuilt == "a" * 450
+
+
+def test_chunk_plan_has_no_shuffle(spark):
+    plan = chunk_documents(_chunk_df(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure row fan-out, partition-local
+
+
+def test_udtf_parity_with_catalyst(spark):
+    assert HAS_UDTF
+    register_chunk_udtf(spark)
+    _chunk_df(spark).createOrReplaceTempView("chunk_parity_docs")
+    via_udtf = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.start_offset, c.chunk_text
+        FROM chunk_parity_docs d, LATERAL chunk_text(d.text, 200, 50) c
+        ORDER BY doc_id, chunk_idx
+        """
+    ).collect()
+    via_catalyst = (
+        chunk_documents(_chunk_df(spark), chunk_size=200, overlap=50)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    assert [tuple(r) for r in via_udtf] == [tuple(r) for r in via_catalyst]
