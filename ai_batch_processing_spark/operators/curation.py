@@ -403,3 +403,76 @@ def q104_mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     sized = docs.select("source", token_count_ws(F.col("text")).cast("long").alias("n_tokens"))
     return mixture_weights(sized, "source", "n_tokens").orderBy("source")
+
+
+# --- deterministic train/val/test split --------------------------------------
+# Split assignment must be a pure function of the row (reproducible across
+# runs, clusters, and re-partitioning) and uncorrelated with the id's
+# natural ordering. Production default hashes with xxhash64; the "knuth"
+# multiplicative variant uses only BIGINT arithmetic so the exact same
+# assignment is expressible in ANSI SQL — that variant is what the oracle
+# gate checks, and a unit test pins the xxhash64 path's proportions.
+
+_SPLIT_BUCKETS = 1_000_000
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[tuple[str, float], ...] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    seed: int = 7,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Attach a deterministic ``split`` column by hashing ``id_col``.
+
+    Zero shuffle: the bucket is a per-row expression. ``method="knuth"``
+    ((id * 2654435761 + seed) mod 2^32 — Knuth's multiplicative hash) is
+    SQL-portable for oracle checks; ``xxhash64`` is the production default
+    (better avalanche on structured ids).
+    """
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if method == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(_SPLIT_BUCKETS))
+    elif method == "knuth":
+        bucket = F.pmod(
+            (F.col(id_col).cast("long") * F.lit(2654435761) + F.lit(seed)) % F.lit(4294967296),
+            F.lit(_SPLIT_BUCKETS),
+        )
+    else:
+        raise ValueError(f"method must be xxhash64|knuth, got {method!r}")
+    expr = None
+    acc = 0.0
+    for name, w in weights[:-1]:
+        acc += w
+        cond = bucket < int(acc * _SPLIT_BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = weights[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", split)
+
+
+@register(
+    "q109_split_assignment",
+    oracle="""
+        SELECT doc_id, source,
+               CASE
+                   WHEN ((doc_id * 2654435761 + 7) % 4294967296) % 1000000 < 900000 THEN 'train'
+                   WHEN ((doc_id * 2654435761 + 7) % 4294967296) % 1000000 < 950000 THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="deterministic hash-based train/val/test split (90/5/5) — "
+    "reproducible across runs and partitionings, zero shuffle.",
+    tags=("curation", "split"),
+)
+def q109_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        assign_splits(t["documents"], method="knuth")
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    )

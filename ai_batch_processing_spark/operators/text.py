@@ -381,3 +381,158 @@ def register_chunk_udtf(spark: SparkSession, name: str = "chunk_text") -> None:
     if not HAS_UDTF:  # pragma: no cover
         raise RuntimeError("python UDTFs need pyspark >= 3.5")
     spark.udtf.register(name, ChunkTextUDTF)
+
+
+# --- repetition metrics (Gopher-style quality rules) -------------------------
+# Intra-document repetition: duplicate-word fraction and the count of the
+# most frequent word bigram. Both are per-row array computations — size /
+# array_distinct / a run-length fold over the SORTED bigram array — so the
+# whole metric is a zero-shuffle scan. The fold replaces the obvious
+# explode→groupBy(doc,bigram)→max plan (two shuffles) with O(len log len)
+# per-row work that scales embarrassingly parallel.
+
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc repetition: (id, n_tokens, dup_word_frac, top_bigram_n)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    dup_frac = F.round(1.0 - F.size(F.array_distinct(toks)) / n.cast("double"), 6)
+    # bigrams, sorted; then a single fold tracks (prev, current run, best run)
+    # sequence(1, 0) is DESCENDING [1, 0], not empty — docs with < 2 tokens
+    # must short-circuit to an empty bigram array or element_at throws.
+    top_bigram = F.expr(
+        """
+        aggregate(
+            sort_array(CASE WHEN size(split({t}, ' ')) < 2 THEN array()
+                ELSE transform(sequence(1, size(split({t}, ' ')) - 1),
+                               i -> concat(element_at(split({t}, ' '), i), ' ',
+                                           element_at(split({t}, ' '), i + 1))) END),
+            struct(CAST('' AS STRING) AS prev, 0L AS run, 0L AS best),
+            (acc, x) -> struct(
+                x AS prev,
+                CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1L END AS run,
+                GREATEST(acc.best,
+                         CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1L END) AS best),
+            acc -> acc.best)
+        """.format(t=text_col)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        dup_frac.alias("dup_word_frac"),
+        top_bigram.alias("top_bigram_n"),
+    )
+
+
+@register(
+    "q110_repetition_metrics",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        rng AS (SELECT g FROM generate_series(1, 4095) t(g)),
+        exploded AS (
+            SELECT d.doc_id, list_extract(d.ts, r.g) AS tok,
+                   CASE WHEN r.g < len(d.ts)
+                        THEN list_extract(d.ts, r.g) || ' ' || list_extract(d.ts, r.g + 1)
+                   END AS bg
+            FROM toks d JOIN rng r ON r.g <= len(d.ts)
+        ),
+        per_tok AS (
+            SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+            FROM exploded GROUP BY doc_id
+        ),
+        bg_counts AS (
+            SELECT doc_id, bg, COUNT(*) AS c
+            FROM exploded WHERE bg IS NOT NULL GROUP BY doc_id, bg
+        ),
+        per_bg AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bg_counts GROUP BY doc_id)
+        SELECT p.doc_id,
+               CAST(p.n_tokens AS BIGINT) AS n_tokens,
+               ROUND(1.0 - CAST(p.n_distinct AS DOUBLE) / p.n_tokens, 6) AS dup_word_frac,
+               CAST(b.top_bigram_n AS BIGINT) AS top_bigram_n
+        FROM per_tok p JOIN per_bg b USING (doc_id)
+        ORDER BY doc_id
+    """,
+    doc="Gopher-style intra-doc repetition: dup-word fraction + max bigram "
+    "count, as a zero-shuffle per-row fold (no explode/groupBy).",
+    tags=("text", "quality", "repetition"),
+)
+def q110_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return repetition_metrics(t["documents"]).orderBy("doc_id")
+
+
+# --- cross-document n-gram repetition ----------------------------------------
+# Inter-document repetition: the fraction of a doc's distinct word 8-grams
+# that also appear in at least one OTHER document. High values flag
+# boilerplate/template docs that survive exact dedup. Corpus-linear: one
+# explode, one groupBy on a compact 8-byte hash, one join back.
+
+
+def cross_doc_ngram_overlap(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """(id, n_shingles, dup_frac): share of distinct word n-grams seen in >1 doc.
+
+    The corpus-wide frequency groupBy keys on xxhash64 of the shingle (8
+    bytes through the shuffle, never the 8-word string); the per-doc
+    distinct explode keeps id-locality so the final per-doc aggregate is
+    cheap. At 64-bit hash width, cross-shingle collisions are ~n_shingles²
+    x 2⁻⁶⁴ — noise-free in practice.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    # sequence(1, 0) is descending, not empty — short docs
+                    # must short-circuit to no shingles
+                    f"CASE WHEN size(split({text_col}, ' ')) < {n} THEN array() "
+                    f"ELSE transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+                    f" i -> xxhash64(concat_ws(' ', slice(split({text_col}, ' '), i, {n})))) END"
+                )
+            )
+        ).alias("h"),
+    )
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(freq, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(F.avg((F.col("n_docs") > 1).cast("double")), 6).alias("dup_frac"),
+        )
+        .select(F.col("id").alias(id_col), "n_shingles", "dup_frac")
+    )
+
+
+@register(
+    "q111_cross_doc_ngram_overlap",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        rng AS (SELECT g FROM generate_series(1, 4095) t(g)),
+        sh AS (
+            SELECT DISTINCT d.doc_id,
+                   array_to_string(list_slice(d.ts, r.g, r.g + 7), ' ') AS sh8
+            FROM toks d JOIN rng r ON r.g <= len(d.ts) - 7
+        ),
+        freq AS (
+            SELECT sh8, COUNT(*) AS n_docs FROM sh GROUP BY sh8
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               ROUND(AVG(CASE WHEN f.n_docs > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_frac
+        FROM sh s JOIN freq f USING (sh8)
+        GROUP BY s.doc_id
+        ORDER BY doc_id
+    """,
+    doc="inter-doc repetition: fraction of a doc's distinct word 8-grams "
+    "appearing in >1 document — boilerplate detector past exact dedup.",
+    tags=("text", "quality", "dedup"),
+)
+def q111_cross_doc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return cross_doc_ngram_overlap(t["documents"]).orderBy("doc_id")

@@ -162,3 +162,18 @@ def test_near_dedup_keeps_one_per_cluster(spark):
     df = spark.createDataFrame(rows, "id long, text string")
     kept = sorted(r.id for r in near_dedup(df, "id", "text", use_lsh=False).collect())
     assert kept == [1, 3]
+
+
+def test_minhash_verify_scope_parity(spark, sf_dir):
+    """'candidates' verify scope (restricted collect_set) returns exactly
+    the same pairs as the default corpus-wide verify."""
+    from ai_batch_processing_spark.operators.dedup import minhash_dedup_pairs
+    from ai_batch_processing_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    corpus = {tuple(r) for r in minhash_dedup_pairs(docs, "doc_id", "text").collect()}
+    restricted = {
+        tuple(r)
+        for r in minhash_dedup_pairs(docs, "doc_id", "text", verify_scope="candidates").collect()
+    }
+    assert corpus == restricted and len(corpus) > 0
