@@ -1,0 +1,337 @@
+"""Corpus-level statistics for training-data pipelines: TF-IDF keyword
+extraction, vocabulary/Zipf profiling, unigram-LM surprise scoring, and
+incremental (batch-vs-corpus) dedup.
+
+These complete the text-analysis family in ``text.py`` with the operators
+that need CORPUS-WIDE state (document frequencies, the global vocabulary,
+the unigram distribution, an existing corpus's fingerprint set) rather than
+per-row expressions. The reference has no analog (its only string ops are
+trim/split/replace, SURVEY.md §2.8); all four are BASELINE.json north-star
+extensions.
+
+Scale shape, per operator:
+
+- **TF-IDF**: token explode → per-(doc, term) counts (one shuffle, partial
+  agg map-side) → per-term document frequencies (vocab-sized, second
+  shuffle) → join back. The df table is vocab-sized, typically ≪ corpus;
+  the join strategy is left to AQE (broadcast when small, shuffle when a
+  100 TB vocabulary isn't). Corpus cardinality N rides in as a broadcast
+  1-row cross join, never a driver-side ``.count()``.
+- **vocab/Zipf**: term counts (one shuffle), then a GLOBAL frequency rank.
+  The rank uses the same two-phase range-partition + offsets scheme as
+  ``template.with_row_index`` — no single-reducer window over the
+  vocabulary — and feeds ``regr_slope`` partial aggregates.
+- **unigram surprise**: per-term corpus probabilities joined back onto the
+  token stream (AQE-sized join), then one per-doc aggregate. Three keyed
+  shuffles total, all corpus-linear.
+- **incremental dedup**: the daily-batch pattern — fingerprint the new
+  batch, LEFT ANTI join against the existing corpus's fingerprints
+  (column-pruned to the 32-char fp only), then intra-batch exact dedup.
+  One anti-join shuffle on the fingerprint + one batch-sized groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.registry import register
+from ai_batch_processing_spark.session import load_tables
+from ai_batch_processing_spark.operators.template import with_row_index
+from ai_batch_processing_spark.operators.text import fingerprint_expr, tokens_expr
+
+# Shared token-stream CTE for the oracles (DuckDB spelling of tokens_expr).
+_TOKS_SQL = r"""
+    toks AS (
+        SELECT doc_id, t.tok AS term
+        FROM documents,
+             UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t(tok)
+    )
+"""
+
+
+def token_stream(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, term): one row per token occurrence, lowercased whitespace tokens."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-``top_k`` TF-IDF terms per document: (doc_id, term, rnk, tfidf).
+
+    tf = term count / doc token count; idf = ln((1+N)/(1+df)) + 1 (the
+    smoothed sklearn form — never divides by zero, unseen-term safe).
+    Ranking happens on the ROUNDED score with the term as tiebreak, so the
+    selected rows are reproducible across engines and float-sum orders.
+    """
+    toks = token_stream(docs, id_col, text_col)
+    # Persisted: totals, dfreq, and the final join all consume the (doc,
+    # term) aggregate — without the persist Catalyst re-derives the full
+    # token explode + aggregate per consumer (three corpus scans in the
+    # physical plan). tf is the compacted form (≪ token stream), so this
+    # is the cheapest thing to materialize, spilling per-partition at scale.
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c")).persist()
+    totals = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("nd"))
+    scored = (
+        tf.join(totals, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("c") / F.col("n"))
+                * (F.log((F.lit(1.0) + F.col("nd")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_k)
+        .select("doc_id", "term", "rnk", "tfidf")
+    )
+
+
+@register(
+    "q112_tfidf_top_terms",
+    oracle=f"""
+        WITH {_TOKS_SQL},
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS c
+            FROM toks GROUP BY doc_id, term
+        ),
+        tot AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND((tf.c / tot.n) * (ln((1 + nd.nd) / (1 + dfreq.df)) + 1), 6) AS tfidf
+            FROM tf
+            JOIN tot USING (doc_id)
+            JOIN dfreq USING (term)
+            CROSS JOIN nd
+        ),
+        ranked AS (
+            SELECT doc_id, term, tfidf,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term
+                   ) AS BIGINT) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, term, rnk, tfidf
+        FROM ranked WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+    """,
+    doc="TF-IDF top-3 terms per doc: token explode + vocab-sized df join, "
+    "rank on the rounded score for cross-engine determinism.",
+    tags=("text", "corpus", "tfidf"),
+)
+def q112_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return tfidf_top_terms(docs).orderBy("doc_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary / Zipf profile
+# ---------------------------------------------------------------------------
+def vocab_zipf_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-row corpus profile: vocab size, token count, hapax fraction, and
+    the Zipf slope (regression of ln(freq) on ln(rank)).
+
+    The frequency rank is GLOBAL over the vocabulary. A plain
+    ``row_number`` window with no partition would drag the whole vocab
+    through one reducer — a 100 TB corpus's vocabulary is itself a big
+    table — so the rank comes from the distributed two-phase index
+    (``with_row_index``: range-partition sort + broadcast offsets), and
+    ``regr_slope`` partial-aggregates map-side like any other agg.
+    """
+    # Persisted: the distributed rank consumes freq through two plan
+    # branches (partition numbering + per-partition counts); the persist
+    # stops each branch re-running the corpus-wide token aggregate.
+    freq = (
+        token_stream(docs, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    # with_row_index sorts ascending; rank 1 = highest count ⇒ order by
+    # (-c, term). 0-based index + 1 = the rank.
+    ranked = with_row_index(
+        freq.withColumn("_negc", -F.col("c")), order_by=["_negc", "term"], col="_idx"
+    ).select("c", (F.col("_idx") + 1).alias("rnk"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("total_tokens"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("hapax_frac"),
+        F.round(
+            F.regr_slope(F.log(F.col("c").cast("double")), F.log(F.col("rnk").cast("double"))), 6
+        ).alias("zipf_slope"),
+    )
+
+
+@register(
+    "q113_vocab_zipf_stats",
+    oracle=f"""
+        WITH {_TOKS_SQL},
+        freq AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+        ranked AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk
+            FROM freq
+        )
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS vocab_size,
+            CAST(SUM(c) AS BIGINT) AS total_tokens,
+            ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+                AS hapax_frac,
+            ROUND(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+                AS zipf_slope
+        FROM ranked
+    """,
+    doc="corpus vocabulary profile: vocab size, hapax fraction, Zipf slope "
+    "via regr_slope over a DISTRIBUTED global frequency rank.",
+    tags=("text", "corpus", "stats"),
+)
+def q113_vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return vocab_zipf_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprise (bits per token)
+# ---------------------------------------------------------------------------
+def unigram_surprise(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc mean surprise under the corpus unigram LM:
+    (doc_id, n_tokens, bits_per_token).
+
+    bits_per_token = avg(-log2 p(term)), p = corpus frequency / total.
+    The cheap statistical stand-in for model-perplexity quality filtering:
+    low = repetitive/templated text, high = rare-token soup; both tails are
+    what a curation pipeline prunes. Corpus-linear: the probability table
+    is vocab-sized and its join onto the token stream is AQE-sized.
+    """
+    toks = token_stream(docs, id_col, text_col)
+    # freq is vocab-sized: persist it so the probability join doesn't
+    # re-run the corpus-wide aggregate (the token STREAM is deliberately
+    # NOT cached — re-scanning parquet beats materializing the ~10× bigger
+    # exploded form).
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
+    total = freq.select(F.sum("c").cast("double").alias("t"))
+    return (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log2(F.col("c") / F.col("t"))), 6).alias("bits_per_token"),
+        )
+    )
+
+
+@register(
+    "q114_unigram_surprise",
+    oracle=f"""
+        WITH {_TOKS_SQL},
+        freq AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM freq)
+        SELECT toks.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(-log2(freq.c / tot.t)), 6) AS bits_per_token
+        FROM toks JOIN freq USING (term) CROSS JOIN tot
+        GROUP BY toks.doc_id
+        ORDER BY toks.doc_id
+    """,
+    doc="per-doc unigram-LM surprise (bits/token) — the statistical stand-in "
+    "for perplexity-based quality filtering, fully corpus-linear.",
+    tags=("text", "corpus", "quality"),
+)
+def q114_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return unigram_surprise(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """New-batch rows that are novel vs the corpus AND unique in-batch:
+    (doc_id, fp).
+
+    The daily-ingest pattern at 100 TB: the corpus side is column-pruned
+    to the fingerprint expression only (the scan never materializes
+    corpus text downstream), the LEFT ANTI join shuffles 32-byte
+    fingerprints, and the intra-batch survivor pick is a batch-sized
+    min-aggregate. Nothing corpus-sized is collected or broadcast.
+    """
+    bfp = batch.select(F.col(id_col).alias("doc_id"), fingerprint_expr(text_col).alias("fp"))
+    cfp = corpus.select(fingerprint_expr(text_col).alias("fp"))
+    fresh = bfp.join(cfp, "fp", "left_anti")
+    return fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id", "fp")
+
+
+# The base table has no exact duplicates, so the registered query
+# synthesizes the scenario: the "batch" is every 10th doc plus re-ingested
+# copies (id + 900000) of corpus docs — those copies must be dropped by the
+# anti-join, the rest must survive.
+_BATCH_FILTER = "doc_id % 10 = 0"
+_REINGEST_FILTER = "doc_id % 10 = 1 AND doc_id % 3 = 0"
+
+
+@register(
+    "q115_incremental_dedup",
+    oracle=rf"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+            FROM documents
+        ),
+        corpus AS (SELECT fp FROM fp WHERE NOT ({_BATCH_FILTER})),
+        batch AS (
+            SELECT doc_id, fp FROM fp WHERE {_BATCH_FILTER}
+            UNION ALL
+            SELECT doc_id + 900000 AS doc_id, fp FROM fp WHERE {_REINGEST_FILTER}
+        ),
+        fresh AS (
+            SELECT b.doc_id, b.fp FROM batch b
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+        )
+        SELECT MIN(doc_id) AS doc_id, fp
+        FROM fresh GROUP BY fp
+        ORDER BY doc_id
+    """,
+    doc="incremental (batch-vs-corpus) dedup: anti-join on normalized "
+    "fingerprints + intra-batch survivor pick; re-ingested copies dropped.",
+    tags=("dedup", "corpus", "incremental"),
+)
+def q115_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    corpus = docs.filter(f"NOT ({_BATCH_FILTER})")
+    batch = docs.filter(_BATCH_FILTER).select("doc_id", "text").union(
+        docs.filter(_REINGEST_FILTER).select(
+            (F.col("doc_id") + 900000).alias("doc_id"), "text"
+        )
+    )
+    return incremental_dedup(batch, corpus).orderBy("doc_id")

@@ -553,3 +553,93 @@ def q47_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     queries = emb.filter(F.col("vec_id") < 8)
     return ann_lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Per-label centroid outliers (semantic QA for labeled embedding sets)
+# --------------------------------------------------------------------------
+def label_centroids(emb: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """(label, centroid: array<double>) — dimension-wise mean per label.
+
+    The scale pattern for vector aggregation: ``posexplode`` the vectors so
+    each (label, dimension) pair is an independent partial-aggregated avg —
+    one shuffle of #labels × dim rows, never a whole-vector reduce through
+    one task — then re-assemble with a position-sorted ``collect_list``.
+    """
+    pos = emb.select(F.col(label_col).alias("label"), F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"))
+    cent = pos.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    return (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    per_label: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ``per_label`` vectors FARTHEST from their own label's centroid:
+    (vec_id, label, cos_centroid, rnk) — mislabel/noise candidates.
+
+    Centroids are #labels rows → explicitly broadcast; ranking is a
+    per-label window on the ROUNDED cosine (vec_id tiebreak) so the
+    selected rows are stable across engines and float-sum orders.
+    """
+    cents = label_centroids(emb, label_col, vec_col)
+    scored = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(label_col).alias("label"), F.col(vec_col).cast("array<double>").alias("v"))
+        .join(F.broadcast(cents), "label")
+        .select("vec_id", "label", F.round(cosine(F.col("v"), F.col("centroid")), 6).alias("cos_centroid"))
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos_centroid"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= per_label)
+        .select("vec_id", "label", "cos_centroid", "rnk")
+    )
+
+
+@register(
+    "q116_embedding_outliers",
+    oracle="""
+        WITH pos AS (
+            SELECT vec_id, label, g AS pos,
+                   CAST(list_extract(embedding, g) AS DOUBLE) AS x
+            FROM embeddings, generate_series(1, 64) t(g)
+        ),
+        cent AS (SELECT label, pos, AVG(x) AS m FROM pos GROUP BY label, pos),
+        dots AS (
+            SELECT p.vec_id, p.label,
+                   SUM(p.x * c.m) AS dot,
+                   SQRT(SUM(p.x * p.x)) AS nv
+            FROM pos p JOIN cent c USING (label, pos)
+            GROUP BY p.vec_id, p.label
+        ),
+        cn AS (SELECT label, SQRT(SUM(m * m)) AS nc FROM cent GROUP BY label),
+        scored AS (
+            SELECT d.vec_id, d.label,
+                   ROUND(d.dot / (d.nv * cn.nc), 6) AS cos_centroid
+            FROM dots d JOIN cn USING (label)
+        ),
+        ranked AS (
+            SELECT vec_id, label, cos_centroid,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY label ORDER BY cos_centroid ASC, vec_id
+                   ) AS BIGINT) AS rnk
+            FROM scored
+        )
+        SELECT vec_id, label, cos_centroid, rnk
+        FROM ranked WHERE rnk <= 5
+        ORDER BY label, rnk
+    """,
+    doc="per-label centroid outliers: dimension-wise distributed centroid "
+    "(posexplode + partial-agg avg), broadcast join, farthest-5 per label.",
+    tags=("similarity", "quality", "outliers"),
+)
+def q116_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return centroid_outliers(t["embeddings"], per_label=5).orderBy("label", "rnk")

@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "ai_batch_processing_spark.operators.similarity",
     "ai_batch_processing_spark.operators.text",
     "ai_batch_processing_spark.operators.curation",
+    "ai_batch_processing_spark.operators.corpus",
     "ai_batch_processing_spark.operators.multimodal",
     "ai_batch_processing_spark.streaming.events",
 ]
@@ -118,6 +119,11 @@ _PRIORITY = [
     "q108_chunk_documents",
     "q110_repetition_metrics",
     "q111_cross_doc_ngram_overlap",
+    "q112_tfidf_top_terms",
+    "q113_vocab_zipf_stats",
+    "q114_unigram_surprise",
+    "q115_incremental_dedup",
+    "q116_embedding_outliers",
     # curation pipeline
     "q101_decontaminate_ngram",
     "q102_pii_redaction",

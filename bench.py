@@ -42,15 +42,22 @@ def main() -> None:
     # Warm-up persists are not part of any timed query's cost.
     spark.catalog.clearCache()
 
+    # Min of 2 timed runs per query (the same protocol as CROSSOVER.md):
+    # single-run walls on a busy box swing ±50% from GC/scheduling jitter
+    # (q42 measured 2.8–7.5 s for identical work); the min is the
+    # reproducible data-path cost.
     timings: dict[str, float] = {}
     for name, spec in bench_specs.items():
-        t0 = time.time()
-        df = spec.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            df = spec.fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.time() - t0)
+            # isolate runs: no cross-run cache reuse in the timings
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-        # isolate queries: no cross-query cache reuse in the timings
-        spark.catalog.clearCache()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -61,6 +68,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "protocol": "min_of_2_warm_runs",
             }
         )
     )

