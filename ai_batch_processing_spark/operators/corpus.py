@@ -75,13 +75,18 @@ def tfidf_top_terms(
     selected rows are reproducible across engines and float-sum orders.
     """
     toks = token_stream(docs, id_col, text_col)
-    # Persisted: totals, dfreq, and the final join all consume the (doc,
-    # term) aggregate — without the persist Catalyst re-derives the full
-    # token explode + aggregate per consumer (three corpus scans in the
-    # physical plan). tf is the compacted form (≪ token stream), so this
-    # is the cheapest thing to materialize, spilling per-partition at scale.
+    # Persisted: dfreq and the final join both consume the (doc, term)
+    # aggregate — without the persist Catalyst re-derives the full token
+    # explode + aggregate per consumer. tf is the compacted form (≪ token
+    # stream), so this is the cheapest thing to materialize, spilling
+    # per-partition at scale.
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c")).persist()
-    totals = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    # Per-doc totals need no aggregate at all: the token count is a scalar
+    # expression on the base row (size of the token array) — a zero-shuffle
+    # scan, one row per doc, AQE-broadcastable into the score join.
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokens_expr(text_col)).cast("long").alias("n")
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("nd"))
     scored = (
@@ -335,3 +340,116 @@ def q115_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return incremental_dedup(batch, corpus).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (keyword search over the corpus)
+# ---------------------------------------------------------------------------
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi-BM25 top-``top_k`` documents for a bag of query terms:
+    (doc_id, score, rnk).
+
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the Lucene form, always
+    positive. Scale shape: the query-term list is tiny and LITERAL (an
+    ``isin`` filter pushed into the aggregate's input — the exploded token
+    stream drops to query-matching rows before any shuffle); df/N/avgdl are
+    one-row or #terms-sized side aggregates broadcast into the score join;
+    the only corpus-sized shuffle is the (doc, term) count on the filtered
+    stream. Ranking happens on the ROUNDED score (doc_id tiebreak).
+    """
+    toks = token_stream(docs, id_col, text_col)
+    hits = toks.filter(F.col("term").isin(*[t.lower() for t in query_terms]))
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokens_expr(text_col)).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    per_term = idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / denom
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(per_term), 6).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    # Global top-k the scale-safe way: orderBy+limit compiles to
+    # TakeOrderedAndProject (each task keeps its local top-k; one merge of
+    # ≤k rows per task) — no all-rows window through a single reducer. The
+    # rank column is then a window over the ALREADY-capped k rows.
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "doc_id", "score", "rnk"
+    )
+
+
+_BM25_QUERY = ["data", "model", "training"]
+
+
+@register(
+    "q117_bm25_search",
+    oracle=rf"""
+        WITH {_TOKS_SQL},
+        dl AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS DOUBLE) AS dl
+            FROM documents
+        ),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks WHERE term IN ('data', 'model', 'training')
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT tf.doc_id,
+                   ROUND(SUM(
+                       ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * (tf.tf * (1.2 + 1.0))
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                   ), 6) AS score
+            FROM tf
+            JOIN dl USING (doc_id)
+            JOIN dfreq USING (term)
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, score, rnk FROM ranked WHERE rnk <= 10
+        ORDER BY rnk
+    """,
+    doc="Okapi-BM25 keyword retrieval: literal query-term filter pushed "
+    "below the shuffle, broadcast df/N/avgdl side stats, rounded-score rank.",
+    tags=("text", "corpus", "retrieval"),
+)
+def q117_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return bm25_search(docs, _BM25_QUERY, top_k=10).orderBy("rnk")

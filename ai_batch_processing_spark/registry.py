@@ -124,6 +124,7 @@ _PRIORITY = [
     "q114_unigram_surprise",
     "q115_incremental_dedup",
     "q116_embedding_outliers",
+    "q117_bm25_search",
     # curation pipeline
     "q101_decontaminate_ngram",
     "q102_pii_redaction",

@@ -112,3 +112,26 @@ def test_centroid_outliers_flags_planted_outlier(spark):
     )
     out = centroid_outliers(emb, per_label=1).collect()
     assert len(out) == 1 and out[0].vec_id == 4 and out[0].rnk == 1
+
+
+def test_bm25_prefers_rare_term_and_caps_k(spark):
+    from ai_batch_processing_spark.operators.corpus import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "model training data data data"),
+            (2, "model model talk talk talk"),
+            (3, "unrelated words entirely here"),
+            (4, "data model"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(docs, ["data", "model"], top_k=2).collect()
+    assert [r.rnk for r in out] == [1, 2]
+    assert len(out) == 2
+    # doc 3 matches nothing → never scored
+    assert all(r.doc_id != 3 for r in out)
+    # doc 1 has tf(data)=3 + tf(model)=1 in 5 tokens; doc 4 matches both
+    # terms but shorter: BM25's length normalization favors doc 4's density.
+    top = out[0]
+    assert top.doc_id in (1, 4) and top.score > 0

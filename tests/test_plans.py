@@ -189,3 +189,30 @@ def test_q107_correlated_agg_decorrelates(spark, sf_dir):
     plan = _explain(SPECS["q107_dominant_part_suppliers"].fn(spark, sf_dir), "simple")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q112_tfidf_caches_tf_and_skips_totals_aggregate(spark, sf_dir):
+    """The (doc, term) aggregate must be computed once (InMemoryRelation)
+    and per-doc totals must come from a scan-level size() — not a second
+    corpus-wide aggregate over the cached tf."""
+    plan = _explain(SPECS["q112_tfidf_top_terms"].fn(spark, sf_dir), "simple")
+    assert "InMemoryRelation" in plan  # tf persisted, consumers share it
+    # totals branch: size(filter(split(...))) evaluated on the base scan
+    assert "size(filter(split(" in plan
+    spark.catalog.clearCache()
+
+
+def test_q115_incremental_dedup_prunes_corpus_to_fingerprint(spark, sf_dir):
+    """The anti-join's corpus side must read only the text column (pruned
+    schema) and ship only the md5 fingerprint into the join."""
+    plan = _explain(SPECS["q115_incremental_dedup"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    # corpus side scan reads text (for the fp expression), never lang/source/n_chars
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert all("n_chars" not in ln for ln in read_schemas)
+
+
+def test_q116_outliers_broadcast_centroids_no_cartesian(spark, sf_dir):
+    plan = _explain(SPECS["q116_embedding_outliers"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # label→centroid join rides broadcast
+    assert "CartesianProduct" not in plan

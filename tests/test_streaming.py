@@ -308,3 +308,30 @@ def test_stream_static_enrichment_joins_each_batch(spark, tmp_path):
     out = _run(spark, stream_enrich_events(spark, str(d), dim), "enriched", mode="append")
     got = {r.event_id: r.tier for r in out.collect()}
     assert got == {1: "gold", 2: "trial", 3: None}
+
+
+def test_stream_curate_documents_filters_and_dedups(spark, tmp_path):
+    """Streaming curation: quality/lang filters drop junk, fingerprint
+    dedup suppresses a re-ingest arriving in a later file (within the
+    watermark window), and the curated schema is stable."""
+    from ai_batch_processing_spark.streaming.docs_stream import stream_curate_documents
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    good = "the quick brown fox jumps over the lazy dog and runs away with the ball"
+    docs1 = [
+        {"doc_id": 1, "text": good, "lang": "en", "source": "crawl", "ingest_ts": "2024-01-01T00:00:00"},
+        {"doc_id": 2, "text": "!!! ??? !!!", "lang": "en", "source": "crawl", "ingest_ts": "2024-01-01T00:01:00"},  # punct soup → low quality
+        {"doc_id": 3, "text": good + " again", "lang": "zh", "source": "crawl", "ingest_ts": "2024-01-01T00:02:00"},  # lang filtered
+    ]
+    docs2 = [
+        {"doc_id": 4, "text": good.upper() + "!", "lang": "en", "source": "recrawl", "ingest_ts": "2024-01-01T00:10:00"},  # same fp as 1 → deduped
+        {"doc_id": 5, "text": "a genuinely different document about spark structured streaming state stores", "lang": "en", "source": "crawl", "ingest_ts": "2024-01-01T00:11:00"},
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in docs1))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in docs2))
+    out = _run(spark, stream_curate_documents(spark, str(d)), "curated_docs", mode="append")
+    rows = out.collect()
+    ids = sorted(r.doc_id for r in rows)
+    assert ids == [1, 5]
+    assert set(out.columns) == {"doc_id", "lang", "source", "ingest_ts", "quality_score", "fp"}

@@ -44,6 +44,10 @@ QUERIES = [
     "q73_training_data_filter",
     "q99_nation_trade_volume",
     "q100_product_profit",
+    # token-heavy corpus statistics: genuinely CPU-bound per row, the
+    # regime where the engines compare on data-path work, not floors
+    "q112_tfidf_top_terms",
+    "q114_unigram_surprise",
 ]
 
 
