@@ -145,6 +145,7 @@ def tfidf_top_terms(
     """,
     doc="TF-IDF top-3 terms per doc: token explode + vocab-sized df join, "
     "rank on the rounded score for cross-engine determinism.",
+    bench=True,  # the token-heavy headline: real per-row work at every sf
     tags=("text", "corpus", "tfidf"),
 )
 def q112_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -643,3 +643,81 @@ def centroid_outliers(
 def q116_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     return centroid_outliers(t["embeddings"], per_label=5).orderBy("label", "rnk")
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: near-identical-embedding clusters → keep one)
+# --------------------------------------------------------------------------
+def semantic_dedup_clusters(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(keep_id, cluster_size): one survivor per semantic-duplicate cluster.
+
+    The embedding-space analog of ``dedup.near_dedup``: candidate pairs
+    come from the corpus-linear hyperplane-LSH bucketing with exact cosine
+    rescore (``embedding_near_dup_pairs_lsh`` — never an all-pairs join),
+    the pair graph collapses to components by distributed min-label
+    propagation, and the survivor is the minimum id per component. At
+    100 TB the LSH banding bounds candidate generation exactly as it does
+    for q46; component diameter stays shallow (dup sets, not chains).
+    """
+    from ai_batch_processing_spark.operators.dedup import connected_components
+
+    ids = emb.select(F.col(id_col).alias("id"))
+    pairs = embedding_near_dup_pairs_lsh(emb, threshold=threshold, id_col=id_col, vec_col=vec_col)
+    comp = connected_components(ids, pairs.select("id_a", "id_b"))
+    return (
+        comp.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(F.col("cluster").alias("keep_id"), "cluster_size")
+    )
+
+
+@register(
+    "q118_semantic_dedup",
+    oracle="""
+        WITH RECURSIVE corpus AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 300
+            UNION ALL
+            SELECT vec_id + 100000 AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 300 AND vec_id % 5 = 0
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM corpus a JOIN corpus b ON a.id < b.id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT id, id FROM corpus
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        labels AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src)
+        SELECT cluster AS keep_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM labels GROUP BY cluster ORDER BY keep_id
+    """,
+    doc="semantic dedup (SemDeDup shape): LSH-bucketed embedding near-dup "
+    "pairs → min-label components → one survivor per cluster; DuckDB "
+    "recursive-CTE transitive closure as the oracle (q62 pattern for "
+    "embeddings).",
+    tags=("similarity", "dedup", "clustering"),
+)
+def q118_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    base = t["embeddings"].filter(F.col("vec_id") < 300).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    dups = (
+        t["embeddings"]
+        .filter((F.col("vec_id") < 300) & (F.col("vec_id") % 5 == 0))
+        .select((F.col("vec_id") + 100000).alias("id"), "embedding")
+    )
+    return semantic_dedup_clusters(base.unionAll(dups)).orderBy("keep_id")

@@ -125,6 +125,7 @@ _PRIORITY = [
     "q115_incremental_dedup",
     "q116_embedding_outliers",
     "q117_bm25_search",
+    "q118_semantic_dedup",
     # curation pipeline
     "q101_decontaminate_ngram",
     "q102_pii_redaction",

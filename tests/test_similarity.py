@@ -156,3 +156,20 @@ def test_ivf_persisted_index_matches_oneshot_and_prunes(spark, sf_dir, tmp_path)
     got.collect()
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "cell" in plan
+
+
+def test_semantic_dedup_clusters_planted_duplicates(spark):
+    from ai_batch_processing_spark.operators.similarity import semantic_dedup_clusters
+
+    # two exact-duplicate groups (1,2) and (3,4,5) plus a singleton 6
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 1.0, 0.0, 0.0]),
+        (6, [0.0, 0.0, 1.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "id long, embedding array<float>")
+    out = {r.keep_id: r.cluster_size for r in semantic_dedup_clusters(emb).collect()}
+    assert out == {1: 2, 3: 3, 6: 1}
