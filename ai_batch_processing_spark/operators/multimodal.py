@@ -236,3 +236,141 @@ def q60_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection for media payloads
+# ---------------------------------------------------------------------------
+def phash64(payload: bytes) -> int:
+    """64-bit perceptual hash of a media payload, capability-gated.
+
+    With Pillow: dHash — grayscale-resize to 9×8, one bit per horizontal
+    gradient sign; robust to re-encoding/resizing, small edits flip few
+    bits. Without it: a byte-level SimHash over 4-byte shingles — still
+    LOCALITY-SENSITIVE (near-identical payloads → small hamming distance),
+    so banding, verification, and tests exercise the real semantics even
+    in this container. Both paths return an unsigned-63-bit int (sign bit
+    clear — Spark longs are signed)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return _simhash_bytes(payload)
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        g = img.convert("L").resize((9, 8))
+        px = list(g.getdata())
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if px[r * 9 + c] > px[r * 9 + c + 1]:
+                bits |= 1 << (r * 8 + c)
+    return bits & ((1 << 63) - 1)
+
+
+def _simhash_bytes(payload: bytes, bits: int = 63) -> int:
+    """SimHash over overlapping 4-byte shingles (the fake-decode twin).
+
+    Fully vectorized: sliding 4-byte windows → one splitmix64 mix → a
+    (n_shingles × bits) sign matrix summed column-wise. No per-byte Python
+    loop — the per-batch cost stays numpy-bound inside the Arrow crossing.
+    """
+    import numpy as np
+
+    buf = payload if len(payload) >= 4 else payload.ljust(4, b"\0")
+    a = np.frombuffer(buf, dtype=np.uint8)
+    w = np.lib.stride_tricks.sliding_window_view(a, 4).astype(np.uint64)
+    key = (w[:, 0] << np.uint64(24)) | (w[:, 1] << np.uint64(16)) | (w[:, 2] << np.uint64(8)) | w[:, 3]
+    # splitmix64 finalizer (uint64 arithmetic wraps, which is what we want)
+    with np.errstate(over="ignore"):
+        key = (key ^ (key >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        key = (key ^ (key >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        key = key ^ (key >> np.uint64(31))
+    signs = (((key[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)).astype(np.int64) * 2 - 1)
+    counts = signs.sum(axis=0)
+    return int(sum(1 << b for b in range(bits) if counts[b] >= 0))
+
+
+def media_phash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach a ``phash`` long column — one Arrow-batched Python crossing."""
+    out_schema = StructType(df.schema.fields + [StructField("phash", LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["phash"] = [phash64(bytes(p)) for p in pdf[payload_col]]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def media_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming): media pairs whose perceptual hashes differ by
+    ≤ ``max_hamming`` bits.
+
+    The SimHash banding argument (dedup.py): two 64-bit keys within
+    hamming ≤ 3 must agree on ≥1 of 4 16-bit bands, so candidate
+    generation is a corpus-linear band-bucket join (all JVM-side — the
+    only Python is the one phash crossing), then exact hamming via
+    xor+bit_count verifies candidates. Never an all-pairs join.
+    """
+    hashed = media_phash(df, payload_col).select(
+        F.col(id_col).alias("id"), "phash"
+    )
+    banded = hashed.select(
+        "id",
+        "phash",
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), j -> shiftright(phash, j * 16) & 65535)")
+        ).alias("band", "key"),
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.phash").alias("ph_a"),
+            F.col("y.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.filter(ham <= max_hamming).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )
+
+
+@register(
+    "q61_media_phash_near_dup",
+    oracle=None,  # phash is computed in Python (Pillow dHash / byte-SimHash
+    # twin) — not SQL-expressible; unit tests pin the planted-dup semantics.
+    doc="perceptual-hash media near-dup: Arrow-batched phash, 16-bit-band "
+    "candidate blocking, xor+bit_count verify (SimHash pattern for media).",
+    tags=("multimodal", "dedup"),
+)
+def q61_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    base = t["documents"].filter(F.col("doc_id") < 150).select("doc_id", "text")
+    # planted duplicates: identical payload bytes under a new id (hamming
+    # 0 — the exact-re-upload case); the near-miss case (small byte edits
+    # → small hamming) is pinned by unit tests where the distance budget
+    # can be asserted deterministically
+    dups = (
+        t["documents"]
+        .filter((F.col("doc_id") < 150) & (F.col("doc_id") % 3 == 0))
+        .select((F.col("doc_id") + 100000).alias("doc_id"), F.col("text"))
+    )
+    corpus = attach_payload(base.unionAll(dups))
+    return media_near_dup_pairs(corpus, max_hamming=3).orderBy("id_a", "id_b")

@@ -134,6 +134,7 @@ _PRIORITY = [
     "q109_split_assignment",
     # multimodal + streaming-window parity
     "q60_multimodal_metadata",
+    "q61_media_phash_near_dup",
     "q52_tumbling_window",
     "q53_sliding_window",
     "q54_session_window",

@@ -137,3 +137,27 @@ def test_resize_respects_bounds_and_aspect(spark):
             assert r.resized == "yes" and len(r.payload) < len(r.text.encode())
             # aspect ratio preserved within integer rounding
             assert abs(r.width / r.height - w / h) < 0.2
+
+
+def test_phash_locality_sensitive_and_near_dup_pairs(spark):
+    from ai_batch_processing_spark.operators.multimodal import (
+        attach_payload,
+        media_near_dup_pairs,
+        phash64,
+    )
+
+    base = b"the quick brown fox jumps over the lazy dog " * 20
+    # identical → hamming 0; one-byte edit → small distance; different → far
+    h0, h1 = phash64(base), phash64(base[:-1] + b"!")
+    h2 = phash64(b"completely different payload content entirely unrelated " * 20)
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(h0, h1) <= 6  # near-identical payloads stay close
+    assert ham(h0, h2) > 10  # unrelated payloads are far
+
+    docs = spark.createDataFrame(
+        [(1, base.decode()), (2, base.decode()), (3, "unrelated words " * 40)],
+        "doc_id long, text string",
+    )
+    pairs = media_near_dup_pairs(attach_payload(docs), max_hamming=3).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
