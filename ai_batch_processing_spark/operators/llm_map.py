@@ -480,3 +480,97 @@ def validate_config(cfg: LLMConfig, columns: list[str]) -> None:
         problems.append(f"{cfg.provider} api_key must start with {want!r}")
     if problems:
         raise ConfigError("; ".join(problems))
+
+
+# --------------------------------------------------------------------------
+# Prompt-cached LLM map: identical prompts hit the API once
+# --------------------------------------------------------------------------
+def llm_map_cached(
+    df: DataFrame,
+    cfg: LLMConfig,
+    client_factory: Callable[[LLMConfig], object] | None = None,
+) -> DataFrame:
+    """``llm_map`` with request deduplication: each DISTINCT rendered prompt
+    is sent once; responses fan back out to every row by a prompt join.
+
+    The batch-inference optimization the reference cannot express (it loops
+    rows, main.py:370-470): on templated corpora with repeated field values
+    the API-call count drops from O(rows) to O(distinct prompts) — at rate
+    limits of ≤60 rpm that is the difference between hours and minutes.
+    Only valid UNGROUPED: grouped conversations are stateful (a response
+    depends on the per-group history, not the prompt alone), so grouped
+    configs are rejected.
+
+    Scale shape: survivor selection is one min-struct aggregate on the
+    prompt (the exact_dedup pattern), the LLM map runs on the distinct-
+    prompt representatives only, and the fan-out join ships the
+    (prompt, response, error) table — distinct-sized, AQE-broadcast when
+    small. Output schema and values are identical to ``llm_map`` whenever
+    the provider is deterministic per prompt (the mock is; real providers
+    at temperature 0 approximately so), which the q119 oracle hash-checks.
+    """
+    if cfg.group_by is not None:
+        raise ConfigError(
+            "llm_map_cached requires ungrouped mode: grouped conversations are "
+            "stateful (responses depend on history, not the prompt alone)"
+        )
+    validate_config(cfg, df.columns)
+    if ROW_INDEX_COL not in df.columns:
+        df = with_row_index(df, order_by=cfg.order_by)
+    prepped = render_template(df, cfg.prompt_template, PROMPT_COL)
+
+    # one representative row per distinct prompt (min row index — any row
+    # would do, the prompt fully determines the request)
+    others = [c for c in prepped.columns if c != PROMPT_COL]
+    packed = F.struct(*[F.col(ROW_INDEX_COL)] + [F.col(c) for c in others if c != ROW_INDEX_COL])
+    reps = (
+        prepped.groupBy(PROMPT_COL)
+        .agg(F.min(packed).alias("_rep"))
+        .select(*[F.col(f"_rep.{c}").alias(c) for c in others])
+    )
+    responses = llm_map(reps, cfg, client_factory).select(
+        PROMPT_COL,
+        F.col(RESPONSE_COL).alias("_resp"),
+        F.col(ERROR_COL).alias("_err"),
+    )
+    mc = (
+        F.coalesce(F.col(cfg.main_content).cast("string"), F.lit(""))
+        if cfg.main_content
+        else F.lit("")
+    )
+    return (
+        with_group_key(prepped, None)
+        .withColumn("main_content", mc)
+        .join(responses, PROMPT_COL)
+        .withColumn(RESPONSE_COL, F.col("_resp"))
+        .withColumn(ERROR_COL, F.col("_err"))
+        .drop("_resp", "_err")
+    )
+
+
+# Five languages → five distinct prompts over the whole corpus: the cache
+# collapses 500 rows to 5 requests, and the oracle proves every row still
+# receives exactly its prompt's response.
+_CACHED_TEMPLATE = "Summarize documents written in {lang}"
+_CACHED_PROMPT_SQL = "'Summarize documents written in ' || COALESCE(CAST(lang AS VARCHAR), '')"
+
+
+@register(
+    "q119_llm_map_prompt_cached",
+    oracle=f"""
+        SELECT
+            doc_id,
+            {_CACHED_PROMPT_SQL} AS prompt,
+            'mock:' || md5({_CACHED_PROMPT_SQL}) || ':0' AS response
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="prompt-cached LLM map: distinct prompts called once, responses "
+    "fanned back by a broadcast join — identical output to row-wise llm_map.",
+    tags=("reference", "llm_map", "caching"),
+)
+def q119_llm_map_prompt_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    cfg = LLMConfig(prompt_template=_CACHED_TEMPLATE, main_content="text", order_by=["doc_id"])
+    out = llm_map_cached(t["documents"], cfg)
+    return out.select("doc_id", "prompt", "response").orderBy("doc_id")

@@ -98,6 +98,7 @@ _PRIORITY = [
     "q32_llm_map_ungrouped",
     "q33_llm_map_grouped_conversation",
     "q34_pipeline_export",
+    "q119_llm_map_prompt_cached",
     "q73_training_data_filter",
     # dedup family (driver-unchecked in round 1)
     "q40_dedup_exact",

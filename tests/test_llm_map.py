@@ -433,3 +433,42 @@ def test_validate_config_rules(spark):
     df = spark.createDataFrame([(1, "x")], "id long, text string")
     with _pytest.raises(ConfigError):
         llm_map(df, LLMConfig(prompt_template="{missing_only}"))
+
+
+def test_llm_map_cached_calls_once_per_distinct_prompt(spark):
+    """Cache semantics: N rows with k distinct prompts → exactly k client
+    calls, every row still gets its prompt's response, grouped rejected."""
+    import pytest as _pytest
+
+    from ai_batch_processing_spark.operators.llm_map import (
+        ConfigError,
+        LLMConfig,
+        MockLLMClient,
+        llm_map_cached,
+    )
+
+    class UniquePerCallMock(MockLLMClient):
+        """Every CALL returns a distinct token (client code runs on
+        executors, so a driver-side counter can't observe it): the number
+        of distinct responses across rows IS the number of API calls."""
+
+        def complete(self, model, messages, temperature, max_tokens):
+            import uuid
+
+            return f"call:{uuid.uuid4().hex}"
+
+    df = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", "b"), (3, "fr", "c"), (4, "fr", "d"), (5, "de", "e")],
+        "doc_id long, lang string, text string",
+    )
+    cfg = LLMConfig(prompt_template="lang: {lang}", main_content="text", order_by=["doc_id"])
+    out = llm_map_cached(df, cfg, client_factory=lambda _cfg: UniquePerCallMock()).collect()
+    assert len(out) == 5
+    assert len({r.response for r in out}) == 3  # one request per distinct prompt
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].response == by_id[2].response  # same prompt, same response
+    assert by_id[1].response != by_id[3].response
+    assert all(r.error is None for r in out)
+
+    with _pytest.raises(ConfigError):
+        llm_map_cached(df, LLMConfig(prompt_template="{text}", group_by="lang"), None)
