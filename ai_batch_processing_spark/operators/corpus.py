@@ -371,7 +371,10 @@ def bm25_search(
     """
     toks = token_stream(docs, id_col, text_col)
     hits = toks.filter(F.col("term").isin(*[t.lower() for t in query_terms]))
-    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Persisted: dfreq and the score join both consume tf — same
+    # two-consumer shape as tfidf_top_terms; without the persist each
+    # branch re-runs the corpus explode + filter + aggregate.
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dl = docs.select(
         F.col(id_col).alias("doc_id"), F.size(tokens_expr(text_col)).cast("double").alias("dl")
     )

@@ -538,7 +538,7 @@ def llm_map_cached(
         if cfg.main_content
         else F.lit("")
     )
-    return (
+    fanned = (
         with_group_key(prepped, None)
         .withColumn("main_content", mc)
         .join(responses, PROMPT_COL)
@@ -546,6 +546,18 @@ def llm_map_cached(
         .withColumn(ERROR_COL, F.col("_err"))
         .drop("_resp", "_err")
     )
+    # Same output contract as llm_map (drop-in replacement): original
+    # columns first, renamed row index, stamped timestamp.
+    ordered_cols = [c for c in prepped.columns if c not in (ROW_INDEX_COL, PROMPT_COL)]
+    return fanned.select(
+        *ordered_cols,
+        F.col(ROW_INDEX_COL).alias("row_index"),
+        GROUP_COL,
+        PROMPT_COL,
+        "main_content",
+        RESPONSE_COL,
+        ERROR_COL,
+    ).withColumn("timestamp", F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"))
 
 
 # Five languages → five distinct prompts over the whole corpus: the cache

@@ -257,7 +257,15 @@ def phash64(payload: bytes) -> int:
         return _simhash_bytes(payload)
     import io
 
-    with Image.open(io.BytesIO(payload)) as img:
+    try:
+        img = Image.open(io.BytesIO(payload))
+    except Exception:
+        # Gate on DECODABILITY, not just importability: with Pillow
+        # installed, payloads that aren't real images (e.g. the synthetic
+        # text-byte payloads) must still hash deterministically instead of
+        # failing the task with UnidentifiedImageError.
+        return _simhash_bytes(payload)
+    with img:
         g = img.convert("L").resize((9, 8))
         px = list(g.getdata())
     bits = 0
@@ -286,8 +294,18 @@ def _simhash_bytes(payload: bytes, bits: int = 63) -> int:
         key = (key ^ (key >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         key = (key ^ (key >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         key = key ^ (key >> np.uint64(31))
-    signs = (((key[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)).astype(np.int64) * 2 - 1)
-    counts = signs.sum(axis=0)
+    # Accumulate per-bit counts in CHUNKS of the shingle axis: a single
+    # (n_shingles × bits) sign matrix would be ~500 bytes per payload byte
+    # (a 5 MB payload → ~2.5 GB) — chunking bounds the intermediate to a
+    # few MB regardless of payload size.
+    counts = np.zeros(bits, dtype=np.int64)
+    shifts = np.arange(bits, dtype=np.uint64)
+    chunk = 65536
+    for i in range(0, len(key), chunk):
+        k = key[i : i + chunk, None]
+        ones = ((k >> shifts) & np.uint64(1)).astype(np.int64).sum(axis=0)
+        n = min(chunk, len(key) - i)
+        counts += 2 * ones - n
     return int(sum(1 << b for b in range(bits) if counts[b] >= 0))
 
 
@@ -319,8 +337,14 @@ def media_near_dup_pairs(
     only Python is the one phash crossing), then exact hamming via
     xor+bit_count verifies candidates. Never an all-pairs join.
     """
-    hashed = media_phash(df, payload_col).select(
-        F.col(id_col).alias("id"), "phash"
+    # Persisted: the band self-join consumes the hashed relation through
+    # two plan branches — without the persist each side re-runs the
+    # Arrow/Python phash crossing over the whole corpus, doubling the
+    # single most expensive step.
+    hashed = (
+        media_phash(df, payload_col)
+        .select(F.col(id_col).alias("id"), "phash")
+        .persist()
     )
     banded = hashed.select(
         "id",

@@ -48,8 +48,14 @@ def stream_curate_documents(
     kept = scored.filter(
         (F.col("quality_score") >= min_quality) & F.col("lang").isin(*langs)
     ).withColumn("fp", fingerprint_expr("text"))
+    # dropDuplicatesWithinWatermark, NOT dropDuplicates(["fp"]): plain
+    # dedup only evicts state when the event-time column is part of the
+    # key set (events.py uses ["event_id", "ts"] for that reason) — on a
+    # bare fp key it would keep one state entry per distinct fingerprint
+    # FOREVER. The within-watermark form keeps fp-only dedup semantics
+    # while evicting each entry once the watermark passes its arrival.
     return (
         kept.withWatermark("ingest_ts", watermark)
-        .dropDuplicates(["fp"])
+        .dropDuplicatesWithinWatermark(["fp"])
         .select("doc_id", "lang", "source", "ingest_ts", "quality_score", "fp")
     )

@@ -462,7 +462,12 @@ def test_llm_map_cached_calls_once_per_distinct_prompt(spark):
         "doc_id long, lang string, text string",
     )
     cfg = LLMConfig(prompt_template="lang: {lang}", main_content="text", order_by=["doc_id"])
-    out = llm_map_cached(df, cfg, client_factory=lambda _cfg: UniquePerCallMock()).collect()
+    cached_df = llm_map_cached(df, cfg, client_factory=lambda _cfg: UniquePerCallMock())
+    # drop-in contract: same columns, same order as the row-wise map
+    from ai_batch_processing_spark.operators.llm_map import llm_map as _plain
+
+    assert cached_df.columns == _plain(df, cfg).columns
+    out = cached_df.collect()
     assert len(out) == 5
     assert len({r.response for r in out}) == 3  # one request per distinct prompt
     by_id = {r.doc_id: r for r in out}
