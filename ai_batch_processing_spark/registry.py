@@ -133,22 +133,24 @@ _PRIORITY = [
     "q103_sequence_packing",
     "q104_mixture_reweighting",
     "q109_split_assignment",
+    # round-1's only red row (oracle typing, fixed) — prove the fix
+    "q38_pivot_priority_by_status",
+    # driver-unchecked in round 1
+    "q76_merge_upsert",
+    "q88_grouped_agg_pandas_udf",
+    "q90_null_safe_join",
     # multimodal + streaming-window parity
     "q60_multimodal_metadata",
     "q61_media_phash_near_dup",
     "q52_tumbling_window",
     "q53_sliding_window",
     "q54_session_window",
-    # novel join / window / analytic shapes
+    # novel join / window / analytic shapes (green driver rows in round 1)
     "q13_asof_join_purchase_signup",
     "q12_range_join_price_tiers",
     "q63_funnel_interval_join",
     "q64_collapse_consecutive",
     "q67_sessionize_events",
-    "q76_merge_upsert",
-    "q88_grouped_agg_pandas_udf",
-    "q90_null_safe_join",
-    "q38_pivot_priority_by_status",  # round-1's only red row — prove the fix
     "q55_percentiles",
     "q58_topk_per_group",
     "q66_fuzzy_match_pairs",
