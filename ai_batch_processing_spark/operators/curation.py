@@ -476,3 +476,165 @@ def q109_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "split")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixed-k per-group sampling (reservoir analog)
+# ---------------------------------------------------------------------------
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Exactly ``min(k, group size)`` rows per group, chosen by hash rank —
+    the distributed, rerun-stable analog of per-group reservoir sampling.
+
+    Ranking by a multiplicative hash of the id gives every row equal
+    selection probability while staying a pure row function: reruns,
+    repartitions, and engines agree on the sample (the hash is the
+    SQL-portable knuth form, same as ``assign_splits``). One window per
+    group partition — partition-parallel, no global sort.
+    """
+    hk = ((F.col(id_col).cast("long") * F.lit(2654435761) + F.lit(seed)) % F.lit(4294967296))
+    w = Window.partitionBy(group_col).orderBy(hk.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(group_col, id_col, "rnk")
+    )
+
+
+@register(
+    "q120_sample_k_per_group",
+    oracle="""
+        WITH keyed AS (
+            SELECT source, doc_id,
+                   (doc_id * 2654435761 + 7) % 4294967296 AS hk
+            FROM documents
+        ),
+        ranked AS (
+            SELECT source, doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY hk, doc_id
+                   ) AS BIGINT) AS rnk
+            FROM keyed
+        )
+        SELECT source, doc_id, rnk FROM ranked WHERE rnk <= 5
+        ORDER BY source, rnk
+    """,
+    doc="deterministic k-per-group sampling: multiplicative-hash rank inside "
+    "each group partition — rerun/repartition/engine-stable reservoir analog.",
+    tags=("curation", "sample"),
+)
+def q120_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return sample_k_per_group(t["documents"], "source", k=5).orderBy("source", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Curation capstone v2: quality → lang → dedup → LM-surprise band → split
+# ---------------------------------------------------------------------------
+@register(
+    "q121_curation_v2_splits",
+    oracle=r"""
+        WITH feats AS (
+            SELECT doc_id, lang, text,
+                len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS n_tokens,
+                length(text) AS n_chars,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+                length(text) - length(regexp_replace(text, '[\.,;:!\?''"()\[\]{}-]', '', 'g')) AS punct_chars,
+                len(list_filter(
+                    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+                    t -> list_contains(['the','and','of','to','a','in','is','that','for','with'], t)
+                )) AS stop_hits
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang, text, n_tokens,
+                ROUND(
+                    (CASE WHEN n_chars BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.25 END)
+                    * (CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / n_chars ELSE 0.0 END)
+                    * (1 - (CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / n_chars ELSE 0.0 END))
+                    * LEAST(1.0, (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) * 4 + 0.5),
+                6) AS q
+            FROM feats
+        ),
+        kept AS (
+            SELECT doc_id, text, n_tokens FROM scored
+            WHERE q >= 0.1 AND lang IN ('en', 'es', 'de', 'fr')
+        ),
+        surv AS (
+            SELECT MIN(doc_id) AS doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+            FROM kept GROUP BY fp
+        ),
+        toks AS (
+            SELECT doc_id, t.tok AS term
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS t(tok)
+        ),
+        freq AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM freq),
+        bits AS (
+            SELECT toks.doc_id, ROUND(AVG(-log2(freq.c / tot.t)), 6) AS b
+            FROM toks JOIN freq USING (term) CROSS JOIN tot
+            GROUP BY toks.doc_id
+        ),
+        banded AS (
+            SELECT k.doc_id, k.n_tokens
+            FROM kept k
+            JOIN surv ON k.doc_id = surv.doc_id
+            JOIN bits ON k.doc_id = bits.doc_id
+            WHERE bits.b BETWEEN 2.0 AND 16.0
+        ),
+        assigned AS (
+            SELECT n_tokens,
+                CASE
+                    WHEN ((doc_id * 2654435761 + 7) % 4294967296) % 1000000 < 900000 THEN 'train'
+                    WHEN ((doc_id * 2654435761 + 7) % 4294967296) % 1000000 < 950000 THEN 'val'
+                    ELSE 'test'
+                END AS split
+            FROM banded
+        )
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM assigned GROUP BY split ORDER BY split
+    """,
+    doc="curation capstone v2: quality filter → lang allowlist → fingerprint "
+    "dedup → unigram-LM surprise band → deterministic split → per-split "
+    "doc/token budget. All predicates scan-side; the only corpus-sized "
+    "shuffles are the fp dedup and the LM aggregates.",
+    tags=("pipeline", "curation", "capstone"),
+)
+def q121_curation_v2_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.corpus import unigram_surprise
+    from ai_batch_processing_spark.operators.dedup import exact_dedup
+    from ai_batch_processing_spark.operators.text import fingerprint_expr, quality_features
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    kept = (
+        quality_features(docs)
+        .filter((F.col("quality_score") >= 0.1) & F.col("lang").isin("en", "es", "de", "fr"))
+        .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "text")
+        .withColumn("fp", fingerprint_expr("text"))
+    )
+    surv = exact_dedup(kept.select("doc_id", "n_tokens", "fp"), ["fp"], keep_min="doc_id")
+    # LM trained on the FULL corpus (q114 semantics), scored on survivors
+    bits = unigram_surprise(docs).select("doc_id", "bits_per_token")
+    banded = surv.join(bits, "doc_id").filter(
+        (F.col("bits_per_token") >= 2.0) & (F.col("bits_per_token") <= 16.0)
+    )
+    assigned = assign_splits(banded, method="knuth")
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )

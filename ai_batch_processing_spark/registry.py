@@ -133,6 +133,8 @@ _PRIORITY = [
     "q103_sequence_packing",
     "q104_mixture_reweighting",
     "q109_split_assignment",
+    "q120_sample_k_per_group",
+    "q121_curation_v2_splits",
     # round-1's only red row (oracle typing, fixed) — prove the fix
     "q38_pivot_priority_by_status",
     # driver-unchecked in round 1

@@ -150,3 +150,23 @@ def test_mixture_weights_explicit_target(spark):
         for r in mixture_weights(df, "src", "n", target_share={"a": 0.9, "b": 0.1}).collect()
     }
     assert abs(got["a"] - 1.8) < 1e-6 and abs(got["b"] - 0.2) < 1e-6
+
+
+def test_sample_k_per_group_exact_k_and_deterministic(spark):
+    from ai_batch_processing_spark.operators.curation import sample_k_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(60)], "doc_id long, source string"
+    )
+    a = sample_k_per_group(df, "source", k=4).collect()
+    b = sample_k_per_group(df.repartition(7), "source", k=4).collect()
+    by_group: dict = {}
+    for r in a:
+        by_group.setdefault(r.source, []).append(r.doc_id)
+    assert all(len(v) == 4 for v in by_group.values())  # exactly k per group
+    assert sorted((r.source, r.doc_id) for r in a) == sorted(
+        (r.source, r.doc_id) for r in b
+    )  # partitioning-invariant
+    # small group: returns all rows, never errors
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
+    assert len(sample_k_per_group(tiny, "source", k=10).collect()) == 2
