@@ -487,17 +487,25 @@ def sample_k_per_group(
     k: int,
     id_col: str = "doc_id",
     seed: int = 7,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Exactly ``min(k, group size)`` rows per group, chosen by hash rank —
     the distributed, rerun-stable analog of per-group reservoir sampling.
 
-    Ranking by a multiplicative hash of the id gives every row equal
-    selection probability while staying a pure row function: reruns,
-    repartitions, and engines agree on the sample (the hash is the
-    SQL-portable knuth form, same as ``assign_splits``). One window per
-    group partition — partition-parallel, no global sort.
+    Ranking by a hash of the id gives every row equal selection
+    probability while staying a pure row function: reruns, repartitions,
+    and engines agree on the sample. ``method="xxhash64"`` (default) works
+    on ANY id type with no overflow; ``"knuth"`` is the SQL-portable twin
+    (``assign_splits`` pattern) for oracle checks, valid for integral ids
+    only — string ids would fail the long cast under ANSI mode. One window
+    per group partition — partition-parallel, no global sort.
     """
-    hk = ((F.col(id_col).cast("long") * F.lit(2654435761) + F.lit(seed)) % F.lit(4294967296))
+    if method == "xxhash64":
+        hk = F.xxhash64(F.col(id_col), F.lit(seed))
+    elif method == "knuth":
+        hk = (F.col(id_col).cast("long") * F.lit(2654435761) + F.lit(seed)) % F.lit(4294967296)
+    else:
+        raise ValueError(f"method must be xxhash64|knuth, got {method!r}")
     w = Window.partitionBy(group_col).orderBy(hk.asc(), F.col(id_col).asc())
     return (
         df.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -530,7 +538,9 @@ def sample_k_per_group(
 )
 def q120_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    return sample_k_per_group(t["documents"], "source", k=5).orderBy("source", "rnk")
+    return sample_k_per_group(t["documents"], "source", k=5, method="knuth").orderBy(
+        "source", "rnk"
+    )
 
 
 # ---------------------------------------------------------------------------

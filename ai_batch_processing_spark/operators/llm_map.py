@@ -546,12 +546,17 @@ def llm_map_cached(
         .withColumn(ERROR_COL, F.col("_err"))
         .drop("_resp", "_err")
     )
-    # Same output contract as llm_map (drop-in replacement): original
-    # columns first, renamed row index, stamped timestamp.
-    ordered_cols = [c for c in prepped.columns if c not in (ROW_INDEX_COL, PROMPT_COL)]
+    # Same output contract as llm_map (drop-in replacement): llm_map
+    # renames the row-index column IN PLACE (it may sit mid-schema when the
+    # caller pre-indexed the input), then appends group/prompt/main_content
+    # — mirror that exactly so column ORDER also matches.
+    ordered_cols = [
+        F.col(ROW_INDEX_COL).alias("row_index") if c == ROW_INDEX_COL else F.col(c)
+        for c in prepped.columns
+        if c != PROMPT_COL
+    ]
     return fanned.select(
         *ordered_cols,
-        F.col(ROW_INDEX_COL).alias("row_index"),
         GROUP_COL,
         PROMPT_COL,
         "main_content",

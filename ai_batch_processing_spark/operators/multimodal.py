@@ -258,16 +258,17 @@ def phash64(payload: bytes) -> int:
     import io
 
     try:
-        img = Image.open(io.BytesIO(payload))
+        # Gate on full DECODABILITY, not just importability or a parseable
+        # header: Image.open only reads the header lazily, so convert/
+        # resize (which force the pixel decode) must sit inside the same
+        # fallback — a truncated-body JPEG or a non-image payload (e.g.
+        # the synthetic text bytes) hashes deterministically via the
+        # byte-SimHash instead of failing the task.
+        with Image.open(io.BytesIO(payload)) as img:
+            g = img.convert("L").resize((9, 8))
+            px = list(g.getdata())
     except Exception:
-        # Gate on DECODABILITY, not just importability: with Pillow
-        # installed, payloads that aren't real images (e.g. the synthetic
-        # text-byte payloads) must still hash deterministically instead of
-        # failing the task with UnidentifiedImageError.
         return _simhash_bytes(payload)
-    with img:
-        g = img.convert("L").resize((9, 8))
-        px = list(g.getdata())
     bits = 0
     for r in range(8):
         for c in range(8):
@@ -279,9 +280,11 @@ def phash64(payload: bytes) -> int:
 def _simhash_bytes(payload: bytes, bits: int = 63) -> int:
     """SimHash over overlapping 4-byte shingles (the fake-decode twin).
 
-    Fully vectorized: sliding 4-byte windows → one splitmix64 mix → a
-    (n_shingles × bits) sign matrix summed column-wise. No per-byte Python
-    loop — the per-batch cost stays numpy-bound inside the Arrow crossing.
+    Fully vectorized: sliding 4-byte windows → one splitmix64 mix → per-bit
+    popcounts accumulated over 64 Ki-shingle CHUNKS of the shingle axis.
+    No per-byte Python loop — the per-batch cost stays numpy-bound inside
+    the Arrow crossing — and the intermediate is bounded (~65 MB per chunk
+    matrix) regardless of payload size.
     """
     import numpy as np
 
@@ -296,8 +299,9 @@ def _simhash_bytes(payload: bytes, bits: int = 63) -> int:
         key = key ^ (key >> np.uint64(31))
     # Accumulate per-bit counts in CHUNKS of the shingle axis: a single
     # (n_shingles × bits) sign matrix would be ~500 bytes per payload byte
-    # (a 5 MB payload → ~2.5 GB) — chunking bounds the intermediate to a
-    # few MB regardless of payload size.
+    # (a 5 MB payload → ~2.5 GB). Each chunk materializes a 65536×63
+    # uint64 shift matrix plus an int64 reduction (~65 MB) — constant in
+    # payload size, sized to stay cache-friendly without loop overhead.
     counts = np.zeros(bits, dtype=np.int64)
     shifts = np.arange(bits, dtype=np.uint64)
     chunk = 65536

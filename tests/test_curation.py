@@ -170,3 +170,17 @@ def test_sample_k_per_group_exact_k_and_deterministic(spark):
     # small group: returns all rows, never errors
     tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
     assert len(sample_k_per_group(tiny, "source", k=10).collect()) == 2
+
+
+def test_sample_k_per_group_xxhash_handles_string_ids(spark):
+    from ai_batch_processing_spark.operators.curation import sample_k_per_group
+
+    df = spark.createDataFrame(
+        [("id-%02d" % i, "g%d" % (i % 2)) for i in range(20)],
+        "doc_id string, source string",
+    )
+    out = sample_k_per_group(df, "source", k=3, id_col="doc_id").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append(r.doc_id)
+    assert all(len(v) == 3 for v in per.values())

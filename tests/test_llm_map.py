@@ -477,3 +477,17 @@ def test_llm_map_cached_calls_once_per_distinct_prompt(spark):
 
     with _pytest.raises(ConfigError):
         llm_map_cached(df, LLMConfig(prompt_template="{text}", group_by="lang"), None)
+
+
+def test_llm_map_cached_preserves_preindexed_column_order(spark):
+    """Drop-in parity also when the caller pre-indexed the input: the row
+    index column is renamed IN PLACE, matching llm_map's order."""
+    from ai_batch_processing_spark.operators.llm_map import LLMConfig, llm_map, llm_map_cached
+    from ai_batch_processing_spark.operators.template import with_row_index
+
+    df = with_row_index(
+        spark.createDataFrame([(1, "en", "a"), (2, "fr", "b")], "doc_id long, lang string, text string"),
+        order_by=["doc_id"],
+    ).select("_row_index", "doc_id", "lang", "text")  # index mid/front of schema
+    cfg = LLMConfig(prompt_template="lang: {lang}", main_content="text")
+    assert llm_map_cached(df, cfg).columns == llm_map(df, cfg).columns
