@@ -53,6 +53,7 @@ _QUERY_MODULES = [
     "ai_batch_processing_spark.operators.text",
     "ai_batch_processing_spark.operators.curation",
     "ai_batch_processing_spark.operators.corpus",
+    "ai_batch_processing_spark.operators.graph",
     "ai_batch_processing_spark.operators.multimodal",
     "ai_batch_processing_spark.streaming.events",
 ]
@@ -127,6 +128,7 @@ _PRIORITY = [
     "q116_embedding_outliers",
     "q117_bm25_search",
     "q118_semantic_dedup",
+    "q122_pagerank_knn_graph",
     # curation pipeline
     "q101_decontaminate_ngram",
     "q102_pii_redaction",
