@@ -139,16 +139,16 @@ _PRIORITY = [
     "q121_curation_v2_splits",
     # round-1's only red row (oracle typing, fixed) — prove the fix
     "q38_pivot_priority_by_status",
-    # driver-unchecked in round 1
-    "q76_merge_upsert",
-    "q88_grouped_agg_pandas_udf",
-    "q90_null_safe_join",
-    # multimodal + streaming-window parity
-    "q60_multimodal_metadata",
-    "q61_media_phash_near_dup",
+    # streaming-window parity + multimodal (verdict: guarantee q52–q54)
     "q52_tumbling_window",
     "q53_sliding_window",
     "q54_session_window",
+    "q60_multimodal_metadata",
+    "q61_media_phash_near_dup",
+    # driver-unchecked in round 1 (judge-verified locally — lower urgency)
+    "q76_merge_upsert",
+    "q88_grouped_agg_pandas_udf",
+    "q90_null_safe_join",
     # novel join / window / analytic shapes (green driver rows in round 1)
     "q13_asof_join_purchase_signup",
     "q12_range_join_price_tiers",
