@@ -416,6 +416,23 @@ def q104_mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_BUCKETS = 1_000_000
 
 
+def _hash_key(id_col: str, seed: int, method: str) -> Column:
+    """Deterministic per-row hash of ``id_col`` — the one place the two
+    portable hash variants live (``assign_splits`` and
+    ``sample_k_per_group`` must never drift apart).
+
+    ``xxhash64``: any id type, no overflow — the production default.
+    ``knuth``: (id · 2654435761 + seed) mod 2³² — BIGINT-only arithmetic,
+    expressible verbatim in ANSI SQL for the oracle gates; integral ids
+    only (a string id would fail the long cast under ANSI mode).
+    """
+    if method == "xxhash64":
+        return F.xxhash64(F.col(id_col), F.lit(seed))
+    if method == "knuth":
+        return (F.col(id_col).cast("long") * F.lit(2654435761) + F.lit(seed)) % F.lit(4294967296)
+    raise ValueError(f"method must be xxhash64|knuth, got {method!r}")
+
+
 def assign_splits(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -433,15 +450,7 @@ def assign_splits(
     total = sum(w for _, w in weights)
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    if method == "xxhash64":
-        bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(_SPLIT_BUCKETS))
-    elif method == "knuth":
-        bucket = F.pmod(
-            (F.col(id_col).cast("long") * F.lit(2654435761) + F.lit(seed)) % F.lit(4294967296),
-            F.lit(_SPLIT_BUCKETS),
-        )
-    else:
-        raise ValueError(f"method must be xxhash64|knuth, got {method!r}")
+    bucket = F.pmod(_hash_key(id_col, seed, method), F.lit(_SPLIT_BUCKETS))
     expr = None
     acc = 0.0
     for name, w in weights[:-1]:
@@ -500,12 +509,7 @@ def sample_k_per_group(
     only — string ids would fail the long cast under ANSI mode. One window
     per group partition — partition-parallel, no global sort.
     """
-    if method == "xxhash64":
-        hk = F.xxhash64(F.col(id_col), F.lit(seed))
-    elif method == "knuth":
-        hk = (F.col(id_col).cast("long") * F.lit(2654435761) + F.lit(seed)) % F.lit(4294967296)
-    else:
-        raise ValueError(f"method must be xxhash64|knuth, got {method!r}")
+    hk = _hash_key(id_col, seed, method)
     w = Window.partitionBy(group_col).orderBy(hk.asc(), F.col(id_col).asc())
     return (
         df.withColumn("rnk", F.row_number().over(w).cast("long"))

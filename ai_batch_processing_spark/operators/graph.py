@@ -50,11 +50,11 @@ def pagerank(
     odeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
     # out-degree attached to each edge once, reused every iteration
     e = edges.join(odeg, "src").select("src", "dst", "odeg").persist()
-    ranks = (
-        nodes.crossJoin(F.broadcast(n_row))
-        .select("id", (F.lit(1.0) / F.col("n")).alias("rank"))
-        .localCheckpoint(eager=False)
-    )
+    # (id, n) materialized ONCE — every iteration joins onto this
+    # checkpointed frame instead of re-running the node scan and the
+    # count aggregate 10 times over
+    base = nodes.crossJoin(F.broadcast(n_row)).select("id", "n").localCheckpoint(eager=True)
+    ranks = base.select("id", (F.lit(1.0) / F.col("n")).alias("rank"))
     for _ in range(iterations):
         contribs = (
             e.join(ranks, e.src == ranks.id)
@@ -62,8 +62,7 @@ def pagerank(
             .agg(F.sum(F.col("rank") / F.col("odeg")).alias("inflow"))
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(n_row))
-            .join(contribs, nodes.id == contribs.dst, "left")
+            base.join(contribs, base.id == contribs.dst, "left")
             .select(
                 "id",
                 (
@@ -73,6 +72,9 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    # ranks is eagerly checkpointed — nothing downstream depends on e's
+    # cache, and a library function must not leak storage across calls
+    e.unpersist()
     return ranks
 
 
@@ -85,7 +87,7 @@ def knn_edges(
     """Directed k-NN edges (src → its k most-cosine-similar neighbors)."""
     from ai_batch_processing_spark.operators.similarity import cosine_topk
 
-    top = cosine_topk(emb, emb, k=k, corpus_id=id_col, query_id=id_col)
+    top = cosine_topk(emb, emb, k=k, corpus_id=id_col, query_id=id_col, vec_col=vec_col)
     return top.select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
 
 
