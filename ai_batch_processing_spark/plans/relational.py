@@ -573,3 +573,210 @@ def q100_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
         .orderBy("nation", "o_year")
     )
+
+
+# --- q123: TPC-H Q8 shape — national market share ---------------------------
+@register(
+    "q123_market_share",
+    oracle="""
+        WITH all_orders AS (
+            SELECT
+                CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                l_extendedprice * (1 - l_discount) AS volume,
+                n2.n_name AS supp_nation
+            FROM part
+            JOIN lineitem ON l_partkey = p_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON n1.n_nationkey = c_nationkey
+            JOIN region   ON r_regionkey = n1.n_regionkey
+            JOIN nation n2 ON n2.n_nationkey = s_nationkey
+            WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+        )
+        SELECT
+            o_year,
+            ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                  / SUM(volume), 6) AS mkt_share
+        FROM all_orders
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape: market share of one supplier nation inside a "
+    "region-scoped product market — 7-way join (filtered dims broadcast), "
+    "conditional-share aggregate, one shuffle on the year.",
+    tags=("relational", "join", "star", "share"),
+)
+def q123_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, ["part", "supplier", "lineitem", "orders", "customer", "nation", "region"]
+    )
+    cust_dims = (
+        t["region"].filter(F.col("r_name") == "AMERICA")
+        .join(t["nation"].alias("n1"), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(t["customer"], F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        t["supplier"]
+        .join(
+            t["nation"].alias("n2").select(
+                F.col("n2.n_nationkey").alias("_sn_key"), F.col("n2.n_name").alias("supp_nation")
+            ),
+            F.col("s_nationkey") == F.col("_sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    parts = t["part"].filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --- q124: TPC-H Q10 shape — returned-item customer ranking -----------------
+@register(
+    "q124_returned_item_customers",
+    oracle="""
+        SELECT
+            c_custkey,
+            c_name,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            n_name
+        FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: who returned the most revenue — returnflag filter "
+    "pushed to the lineitem scan, date filter to orders, nation broadcast, "
+    "top-20 via TakeOrderedAndProject.",
+    tags=("relational", "join", "topk"),
+)
+def q124_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    rets = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    ords = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    cust = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey")
+    )
+    return (
+        rets.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- q125: TPC-H Q14 shape — promo revenue share ----------------------------
+@register(
+    "q125_promo_revenue_share",
+    oracle="""
+        SELECT
+            ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                  / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: promo revenue percentage in one month — ship-date "
+    "filter on the fact scan, part broadcast, single global conditional agg.",
+    tags=("relational", "join", "share"),
+)
+def q125_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    month = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        month.join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --- q126: TPC-H Q19 shape — disjunctive bracket predicates -----------------
+@register(
+    "q126_bracket_predicates",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity >= 10 AND l_quantity <= 35)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+    doc="TPC-H Q19 shape: OR-of-AND bracket predicates spanning both join "
+    "sides — evaluated post-join in one pass, no union-of-three-joins.",
+    tags=("relational", "join", "predicates"),
+)
+def q126_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    br = F.col("p_brand")
+    bracket = (
+        ((br == "Brand#1") & sz.between(1, 15) & (q >= 1) & (q <= 20))
+        | ((br == "Brand#2") & sz.between(10, 30) & (q >= 10) & (q <= 35))
+        | ((br == "Brand#3") & sz.between(20, 50) & (q >= 20) & (q <= 50))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(bracket)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
