@@ -780,3 +780,131 @@ def q126_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- q127: TPC-H Q15 shape — top supplier(s) by revenue ---------------------
+@register(
+    "q127_top_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape: revenue view + scalar-MAX subquery — the max rides "
+    "back as a broadcast 1-row join, the per-supplier aggregate is computed "
+    "once (no correlated re-evaluation).",
+    tags=("relational", "subquery", "agg"),
+)
+def q127_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+        .persist()  # consumed by the MAX aggregate AND the equality filter
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- q128: TPC-H Q17 shape — small-quantity-order revenue -------------------
+@register(
+    "q128_small_quantity_revenue",
+    oracle="""
+        WITH avgq AS (
+            SELECT l_partkey AS pk, 0.5 * AVG(l_quantity) AS half_avg
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN avgq ON pk = l_partkey
+        WHERE p_brand = 'Brand#1' AND l_quantity < half_avg
+    """,
+    doc="TPC-H Q17 shape: correlated per-part AVG subquery decorrelated to "
+    "one grouped aggregate + a keyed join — the fact table is scanned "
+    "twice (avg pass + probe pass), never once per part.",
+    tags=("relational", "subquery", "decorrelation"),
+)
+def q128_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    avgq = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg((F.lit(0.5) * F.avg("l_quantity")).alias("half_avg"))
+    )
+    brand = t["part"].filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avgq, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# --- q129: TPC-H Q18 shape — large-volume customers -------------------------
+@register(
+    "q129_large_volume_customers",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 250
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+        FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: HAVING-aggregate semi join — the big-order id set "
+    "comes from one grouped aggregate and semi-joins the fact scan before "
+    "the wide customer join.",
+    tags=("relational", "subquery", "semi", "topk"),
+)
+def q129_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey")
+    )
+    li = t["lineitem"].join(big.withColumnRenamed("l_orderkey", "_bk"), F.col("l_orderkey") == F.col("_bk"), "left_semi")
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
