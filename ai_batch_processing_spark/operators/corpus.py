@@ -457,3 +457,122 @@ _BM25_QUERY = ["data", "model", "training"]
 def q117_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return bm25_search(docs, _BM25_QUERY, top_k=10).orderBy("rnk")
+
+
+
+
+# ---------------------------------------------------------------------------
+# Corpus health report (per-source monitoring rollup)
+# ---------------------------------------------------------------------------
+def corpus_health(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-source health metrics: (source, n_docs, n_tokens, avg_quality,
+    dup_rate, n_langs, top_lang) — the rollup an ingest pipeline alerts on.
+
+    One scan computes every per-row feature (quality score, token count,
+    fingerprint — all Catalyst expressions). dup_rate counts rows whose
+    normalized fingerprint repeats WITHIN the source via a window count
+    over (source, fp) — no self-join. top_lang is a deterministic argmax
+    (row_number over count desc, lang asc — engine-stable tiebreak); the
+    per-source language tables are #sources-sized → broadcast back.
+    """
+    from pyspark.sql import Window
+
+    from ai_batch_processing_spark.operators.text import (
+        fingerprint_expr,
+        quality_features,
+        token_count_ws,
+    )
+
+    feats = quality_features(docs).withColumn("fp", fingerprint_expr(text_col))
+    feats = feats.withColumn(
+        "_fp_copies", F.count(F.lit(1)).over(Window.partitionBy("source", "fp"))
+    )
+    lang_counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("lc"))
+    top_lang = (
+        lang_counts.withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("lc"), F.asc("lang"))
+            ),
+        )
+        .filter(F.col("_r") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    n_langs = lang_counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs")
+    )
+    per_source = feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(F.col(text_col)).cast("long")).alias("n_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.round(
+            F.sum(F.when(F.col("_fp_copies") > 1, 1).otherwise(0)) / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
+    return per_source.join(F.broadcast(n_langs), "source").join(
+        F.broadcast(top_lang), "source"
+    )
+
+
+@register(
+    "q130_corpus_health_report",
+    oracle=r"""
+        WITH feats AS (
+            SELECT doc_id, source, lang,
+                len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS n_tokens,
+                length(text) AS n_chars,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+                length(text) - length(regexp_replace(text, '[\.,;:!\?''"()\[\]{}-]', '', 'g')) AS punct_chars,
+                len(list_filter(
+                    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+                    t -> list_contains(['the','and','of','to','a','in','is','that','for','with'], t)
+                )) AS stop_hits,
+                md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+            FROM documents
+        ),
+        scored AS (
+            SELECT *,
+                ROUND(
+                    (CASE WHEN n_chars BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.25 END)
+                    * (CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / n_chars ELSE 0.0 END)
+                    * (1 - (CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / n_chars ELSE 0.0 END))
+                    * LEAST(1.0, (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) * 4 + 0.5),
+                6) AS q,
+                COUNT(*) OVER (PARTITION BY source, fp) AS fp_copies
+            FROM feats
+        ),
+        per_source AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(q), 6) AS avg_quality,
+                   ROUND(SUM(CASE WHEN fp_copies > 1 THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+            FROM scored GROUP BY source
+        ),
+        lang_counts AS (
+            SELECT source, lang, COUNT(*) AS lc FROM documents GROUP BY source, lang
+        ),
+        nl AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs FROM lang_counts GROUP BY source),
+        tl AS (
+            SELECT source, lang AS top_lang
+            FROM (
+                SELECT source, lang,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY lc DESC, lang) AS r
+                FROM lang_counts
+            ) WHERE r = 1
+        )
+        SELECT p.source, p.n_docs, p.n_tokens, p.avg_quality, p.dup_rate,
+               nl.n_langs, tl.top_lang
+        FROM per_source p JOIN nl USING (source) JOIN tl USING (source)
+        ORDER BY p.source
+    """,
+    doc="per-source corpus health rollup: docs/tokens/avg-quality/intra-source "
+    "dup-rate/language mix in one scan + one shuffle — the daily ingest "
+    "monitoring query.",
+    tags=("corpus", "profiling", "monitoring"),
+)
+def q130_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return corpus_health(docs).orderBy("source")

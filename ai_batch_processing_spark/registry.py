@@ -137,6 +137,7 @@ _PRIORITY = [
     "q109_split_assignment",
     "q120_sample_k_per_group",
     "q121_curation_v2_splits",
+    "q130_corpus_health_report",
     # round-1's only red row (oracle typing, fixed) — prove the fix
     "q38_pivot_priority_by_status",
     # streaming-window parity + multimodal (verdict: guarantee q52–q54)
