@@ -88,3 +88,53 @@ def test_template_matches_python_oracle(spark, cases):
     for i, (t, a, b) in enumerate(cases):
         expected = _render_oracle(t, {"a": a, "b": b}, ["a", "b"])
         assert got[i][f"o{i}"] == expected, (t, a, b)
+
+
+# --------------------------------------------------------------------------
+# text analytics expressions vs pure-Python oracles (batch-wise)
+# --------------------------------------------------------------------------
+# Printable ascii + tab/newline ONLY: the three regex engines in play
+# disagree about exotic whitespace (Python's \s matches \x1c-\x1f, Java's
+# matches \x0b, RE2's matches neither) — on printable text + [ \t\n] all
+# of them agree, which is the domain the operators are specified over.
+doc_text = st.text(
+    alphabet=st.characters(codec="ascii", min_codepoint=0x20, max_codepoint=0x7E)
+    | st.sampled_from("\t\n"),
+    max_size=80,
+)
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text.lower()) if t != ""]
+
+
+def _py_fingerprint(text: str) -> str:
+    import hashlib as _h
+
+    norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", "", text.lower())).strip()
+    return _h.md5(norm.encode()).hexdigest()
+
+
+@given(st.lists(doc_text, min_size=1, max_size=25))
+@settings(max_examples=12, deadline=None)
+def test_token_count_and_fingerprint_match_python_oracle(spark, texts):
+    """tokens_expr / fingerprint_expr agree with the straightforward Python
+    reading of their specs on arbitrary ascii text — one Spark job per
+    example set."""
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.operators.text import fingerprint_expr, token_count_ws
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r.i: r
+        for r in df.select(
+            "i",
+            token_count_ws(F.col("text")).alias("n"),
+            fingerprint_expr("text").alias("fp"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i].n == len(_py_tokens(t)), repr(t)
+        assert got[i].fp == _py_fingerprint(t), repr(t)
