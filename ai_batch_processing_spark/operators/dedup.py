@@ -364,18 +364,37 @@ def minhash_dedup_pairs(
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 63) -> DataFrame:
-    """(id, simhash) 63-bit SimHash over whitespace-token xxhash64 hashes.
+# Portable polynomial token hash: (acc*31 + ascii(char)) mod (2³¹−1), chars
+# left-to-right. Computable identically in Spark (aggregate over split chars)
+# and DuckDB (list_reduce) — the hash that lets a SimHash query be pinned
+# against an independent SQL oracle (q132). xxhash64 stays the production
+# default (better bit diffusion, no per-char lambda).
+_POLY_P = _MERSENNE31
+
+
+def _portable_token_hash(tok) -> F.Column:
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(_POLY_P),
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 63, portable_hash: bool = False
+) -> DataFrame:
+    """(id, simhash) ``bits``-bit SimHash over whitespace-token hashes.
 
     Per bit: sum ±1 across token hashes, bit set if the sum is
     non-negative. ``bits`` aggregate expressions in one groupBy — stays in
-    codegen, no Python.
+    codegen, no Python. ``portable_hash`` switches the token hash from
+    xxhash64 to the cross-engine polynomial hash (oracle-checkable).
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    h = F.xxhash64("tok")
+    h = _portable_token_hash(F.col("tok")) if portable_hash else F.xxhash64("tok")
     sums = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"_b{i}")
         for i in range(bits)
@@ -389,19 +408,29 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 63) -> DataFr
     return agg.select("id", sim.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 63,
+    portable_hash: bool = False,
+) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    Candidate generation blocks on four 16-bit sub-keys (two hashes within
-    hamming ≤ 3 of a 64-bit key must agree on at least one of 4 bands) —
+    Candidate generation blocks on four sub-keys of ``ceil(bits/4)`` bits
+    (two hashes within hamming ≤ 3 must agree on at least one of 4 bands —
+    pigeonhole, so banding recall is EXACTLY 1, unlike MinHash-LSH) —
     corpus-linear, then exact hamming verify on candidates.
     """
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col, bits=bits, portable_hash=portable_hash)
+    band_bits = (bits + 3) // 4
+    mask = (1 << band_bits) - 1
     banded = sh.select(
         "id",
         "simhash",
         F.posexplode(
-            F.expr("transform(sequence(0, 3), j -> shiftright(simhash, j * 16) & 65535)")
+            F.expr(f"transform(sequence(0, 3), j -> shiftright(simhash, j * {band_bits}) & {mask})")
         ).alias("band", "key"),
     )
     x = banded.alias("x")
@@ -505,9 +534,10 @@ def q98_dedup_exact_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").cast("long").alias("id"), "n_copies").orderBy("id")
 
 
-@register(
-    "q41_dedup_ngram_jaccard",
-    oracle=f"""
+# Exact character-5-gram Jaccard ≥ 0.5 over the planted-dup corpus — the
+# independent DuckDB ground truth shared by q41 (shingle-self-join path) and
+# q131 (the MinHash verify-stage path run in its recall-1 configuration).
+_EXACT_JACCARD_PAIRS_SQL = f"""
         WITH corpus AS ({_DUP_CORPUS_SQL}),
         docs AS (SELECT id, text FROM corpus WHERE length(text) >= 5),
         sh AS (
@@ -526,7 +556,12 @@ def q98_dedup_exact_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sizes nb ON nb.id = id_b
         WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
         ORDER BY id_a, id_b
-    """,
+    """
+
+
+@register(
+    "q41_dedup_ngram_jaccard",
+    oracle=_EXACT_JACCARD_PAIRS_SQL,
     doc="exact n-gram Jaccard near-dup pairs (the verify stage of MinHash dedup).",
     tags=("dedup", "jaccard"),
 )
@@ -569,57 +604,181 @@ def q43_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(corpus, "id", "text", max_hamming=3).orderBy("id_a", "id_b")
 
 
+@register(
+    "q131_minhash_jaccard_verified",
+    oracle=_EXACT_JACCARD_PAIRS_SQL,
+    doc=(
+        "q42's full MinHash→LSH→estimate-filter→exact-verify pipeline run in "
+        "its recall-1 configuration (bands = num_perm, i.e. one-row bands: a "
+        "pair is a candidate iff ANY of the 64 minhash positions agree — "
+        "miss probability (1−J)⁶⁴ ≤ 5·10⁻²⁰ at J ≥ 0.5, and deterministic "
+        "given the fixed seed). The output is therefore exactly the "
+        "Jaccard ≥ 0.5 pair set, hash-matched against the independent DuckDB "
+        "shingle-self-join oracle. This is the oracle-backed twin the "
+        "approximate q42 can't have: it pins every deterministic stage "
+        "(shingling, signatures, banding machinery, signature-estimate "
+        "pre-filter, collect_set/array_intersect exact verify) end to end."
+    ),
+    tags=("dedup", "minhash", "lsh", "verify"),
+)
+def q131_minhash_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return minhash_dedup_pairs(
+        corpus, "id", "text", k=5, num_perm=64, bands=64, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_portable_oracle(bits: int, max_hamming: int) -> str:
+    """DuckDB twin of ``simhash(portable_hash=True)`` + all-pairs hamming.
+
+    Same polynomial token hash (list_reduce), same ±1 bit sums, same
+    non-negative fold; hamming via xor + bit_count. Banding is omitted on
+    the oracle side because SimHash banding has recall exactly 1
+    (pigeonhole) — all-pairs hamming ≤ d is the same answer.
+    """
+    bitsums = ",\n                   ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
+    )
+    fold = " + ".join(f"(CASE WHEN b{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+        WITH corpus AS ({_DUP_CORPUS_SQL}),
+        toks AS (
+            SELECT id, tok FROM (
+                SELECT id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+                FROM corpus
+            ) WHERE tok <> ''
+        ),
+        hashed AS (
+            SELECT id, list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(length(tok)),
+                                   i -> CAST(ascii(substring(tok, i + 1, 1)) AS BIGINT))),
+                (acc, x) -> (acc * 31 + x) % 2147483647
+            ) AS h
+            FROM toks
+        ),
+        bitsums AS (SELECT id, {bitsums}
+                    FROM hashed GROUP BY id),
+        fp AS (SELECT id, CAST({fold} AS BIGINT) AS simhash FROM bitsums)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "q132_simhash_verified",
+    oracle=_simhash_portable_oracle(bits=32, max_hamming=3),
+    doc=(
+        "q43's SimHash banding + hamming-verify machinery made fully "
+        "oracle-checkable: the token hash switches from xxhash64 to a "
+        "cross-engine polynomial hash ((acc·31 + ascii) mod 2³¹−1) that "
+        "DuckDB reproduces with list_reduce, so the 32-bit fingerprints — "
+        "and therefore the exact hamming ≤ 3 pair set — hash-match an "
+        "independent SQL oracle. Banding recall is exactly 1 by pigeonhole "
+        "(4 bands, ≤ 3 flipped bits), so the banded Spark plan and the "
+        "all-pairs oracle agree by construction, not by luck."
+    ),
+    tags=("dedup", "simhash", "verify"),
+)
+def q132_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    out = simhash_near_pairs(corpus, "id", "text", max_hamming=3, bits=32, portable_hash=True)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # --------------------------------------------------------------------------
 # pair graph → clusters → keep-one dedup
 # --------------------------------------------------------------------------
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every neighbor v > u re-links to u's minimum.
+
+    Input/output: directed edge set (src, dst), self-loop-free. Operating
+    on the symmetrized neighborhood, each node u computes
+    m = min(N(u) ∪ {u}) and emits (v, m) for its larger neighbors — one
+    shuffle for the groupBy, one broadcast-or-shuffle join back.
+    """
+    sym = edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = sym.groupBy("src").agg(F.min("dst").alias("_nm")).select(
+        "src", F.least("_nm", "src").alias("m")
+    )
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: each node and its smaller neighbors re-link to
+    the minimum of that down-neighborhood. Canonicalizes to src > dst first."""
+    e = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    m = e.groupBy("src").agg(F.min("dst").alias("m"))
+    relinked = e.join(m, "src").select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    rooted = m.select(F.col("src"), F.col("m").alias("dst"))
+    return relinked.unionAll(rooted).filter(F.col("src") != F.col("dst")).distinct()
+
+
 def connected_components(ids: DataFrame, pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """(id, cluster): cluster = min id reachable through the pair graph.
 
-    Min-label propagation: each round every node takes the smallest label
-    among itself and its neighbors; converges in O(component diameter)
-    rounds — near-dup clusters are shallow (dup sets, not chains), so this
-    is 2-4 rounds in practice. Each round is one join + one aggregate,
-    all-distributed; convergence is checked with a count of changed
-    labels. ``ids`` must have column ``id``; ``pairs`` columns
-    ``id_a``/``id_b``.
+    Alternating large-star/small-star rounds (the map-reduce CC algorithm
+    of Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): each round is two groupBy+join passes, and the edge set
+    contracts toward a star per component in O(log d) rounds — unlike
+    min-label propagation's O(d), so chain-shaped components (diameter ≫
+    20) converge in single-digit rounds. Near-dup graphs are usually
+    shallow; the log bound removes the tail risk at 100 TB.
+
+    Convergence is detected by an order-insensitive fingerprint of the
+    edge set (count + hash-sum) reaching a fixed point; at the fixed
+    point every edge is (node → component-min). ``ids`` must have column
+    ``id``; ``pairs`` columns ``id_a``/``id_b``.
     """
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=False)
     )
-    labels = ids.select("id", F.col("id").alias("cluster")).localCheckpoint(eager=False)
+
+    def fingerprint(e: DataFrame):
+        # bit_xor fold: order-insensitive and overflow-free (ANSI mode);
+        # the edge set is distinct, so no pair can cancel another.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("src", "dst")).alias("h")
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = fingerprint(edges)
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("cluster").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select("id", F.least(F.col("cluster"), F.coalesce("nmin", "cluster")).alias("cluster"))
-            # truncate lineage each round: the plan would otherwise double
-            # per iteration (and recompute every prior round per action)
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # localCheckpoint each round: the plan would otherwise double per
+        # iteration (and recompute every prior round per action)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = fingerprint(edges)
+        if cur == prev:
             break
+        prev = cur
     else:
-        # Silent non-convergence would hand back wrong clusters (a chain
-        # component with diameter > max_iter keeps multiple labels) and
-        # near_dedup would then keep bogus extra survivors — fail loudly.
+        # Silent non-convergence would hand back wrong clusters and
+        # near_dedup would keep bogus extra survivors — fail loudly.
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — component diameter exceeds "
-            "max_iter; raise max_iter (rounds are O(diameter), near-dup "
-            "clusters are normally shallow)"
+            f"connected_components did not converge in {max_iter} rounds — "
+            "edge set still changing; this is O(log diameter), so max_iter="
+            f"{max_iter} covers graphs of diameter ~2^{max_iter}; the input "
+            "is likely adversarial or max_iter was lowered"
         )
-    return labels
+    # Fixed point: edges = (member → component min). Singletons label themselves.
+    return ids.join(edges, ids.id == edges.src, "left").select(
+        "id", F.coalesce("dst", "id").alias("cluster")
+    )
 
 
 def near_dedup(

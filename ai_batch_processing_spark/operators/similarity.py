@@ -147,6 +147,7 @@ def ann_lsh_topk(
     query_id: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: multi-table hyperplane LSH + exact in-bucket rescore.
 
@@ -157,20 +158,48 @@ def ann_lsh_topk(
     this corpus: 4 planes × 16 tables ≈ 0.85 recall touching ~6% of the
     corpus per table.
 
+    ``probe_hamming`` > 0 enables multi-probe: each query additionally
+    probes every bucket within that hamming distance of its own (the
+    classic recall/table-count trade — more probes per table instead of
+    more tables; the corpus-side index cost is unchanged, only the probe
+    fan-out grows by Σ C(n_planes, i)). At ``probe_hamming = n_planes``
+    every bucket is probed, making the search EXHAUSTIVE — the
+    configuration q134 pins against the brute-force SQL oracle.
+
     At 100 TB: the corpus-side signature explode is computed once and
-    written partitioned by (t, bucket); each query probes n_tables
-    partitions instead of scanning the corpus.
+    written partitioned by (t, bucket); each query probes its bucket set
+    via partition pruning instead of scanning the corpus.
     """
     tables = _lsh_tables(dim, n_planes, n_tables, seed)
 
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"), _norm(F.col(vec_col)).alias("_cn")
-    ).select("neighbor_id", "_cv", "_cn", F.explode(_table_bucket_expr("_cv", tables)).alias("tb"))
-    q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"), _norm(F.col(vec_col)).alias("_qn")
-    ).select("query_id", "_qv", "_qn", F.explode(_table_bucket_expr("_qv", tables)).alias("tb"))
+    c = (
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"), _norm(F.col(vec_col)).alias("_cn")
+        )
+        .select("neighbor_id", "_cv", "_cn", F.explode(_table_bucket_expr("_cv", tables)).alias("tb"))
+        .select("neighbor_id", "_cv", "_cn", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    )
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"), _norm(F.col(vec_col)).alias("_qn")
+        )
+        .select("query_id", "_qv", "_qn", F.explode(_table_bucket_expr("_qv", tables)).alias("tb"))
+        .select("query_id", "_qv", "_qn", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    )
+    if probe_hamming > 0:
+        masks = [m for m in range(1 << n_planes) if bin(m).count("1") <= probe_hamming]
+        q = q.select(
+            "query_id",
+            "_qv",
+            "_qn",
+            "t",
+            F.col("bucket").alias("_b0"),
+            F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias("_m"),
+        ).select(
+            "query_id", "_qv", "_qn", "t", F.col("_b0").bitwiseXOR(F.col("_m")).alias("bucket")
+        )
     cands = (
-        c.join(F.broadcast(q), c.tb == q.tb)
+        c.join(F.broadcast(q), ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -463,10 +492,13 @@ def embedding_near_dup_pairs_lsh(
 # --------------------------------------------------------------------------
 # Registered queries
 # --------------------------------------------------------------------------
-@register(
-    "q45_ann_bruteforce_topk",
-    oracle="""
-        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+def _bruteforce_topk_oracle(lo: int, hi: int, k: int = 5) -> str:
+    """Exact cosine top-k DuckDB SQL for queries ``lo <= vec_id < hi`` —
+    the shared ground truth for q45 (brute force) and the exhaustive-probe
+    ANN twins q133/q134 (which provably reduce to brute force)."""
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id >= {lo} AND vec_id < {hi}),
         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
         scored AS (
             SELECT
@@ -480,9 +512,14 @@ def embedding_near_dup_pairs_lsh(
             FROM scored
         )
         SELECT query_id, neighbor_id, score, rank
-        FROM ranked WHERE rank <= 5
+        FROM ranked WHERE rank <= {k}
         ORDER BY query_id, rank
-    """,
+    """
+
+
+@register(
+    "q45_ann_bruteforce_topk",
+    oracle=_bruteforce_topk_oracle(0, 8),
     doc="brute-force cosine top-k (exact ANN baseline) — zip_with/aggregate dot products, broadcast queries.",
     bench=True,
     tags=("similarity", "ann"),
@@ -553,6 +590,50 @@ def q47_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     queries = emb.filter(F.col("vec_id") < 8)
     return ann_lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "q133_ivf_exhaustive_topk",
+    oracle=_bruteforce_topk_oracle(8, 16),
+    doc=(
+        "q44's full IVF pipeline (deterministic distributed k-means build, "
+        "Arrow-batched matmul cell assignment, cell-join probe, exact "
+        "rescore, per-query top-k window) run with nprobe = nlist: every "
+        "cell is probed, so the result provably equals brute-force top-k "
+        "regardless of where k-means placed the centroids — which makes the "
+        "whole machinery hash-matchable against the independent DuckDB "
+        "oracle. The approximation itself (nprobe < nlist) remains covered "
+        "by q44's recall tests; this twin pins everything deterministic."
+    ),
+    tags=("similarity", "ann", "ivf", "verify"),
+)
+def q133_ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    return ann_ivf_topk(emb, queries, k=5, nlist=16, nprobe=16).orderBy("query_id", "rank")
+
+
+@register(
+    "q134_lsh_multiprobe_exhaustive_topk",
+    oracle=_bruteforce_topk_oracle(16, 24),
+    doc=(
+        "q47's hyperplane-LSH pipeline with multi-probe at full radius "
+        "(probe_hamming = n_planes): every bucket of every table is probed, "
+        "so bucketing + probe-join + exact rescore provably reduce to "
+        "brute-force top-k and hash-match the DuckDB oracle. Partial-radius "
+        "multi-probe (the production recall knob) is covered by recall "
+        "tests; this twin pins the deterministic machinery."
+    ),
+    tags=("similarity", "ann", "lsh", "verify"),
+)
+def q134_lsh_multiprobe_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    queries = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 24))
+    return ann_lsh_topk(
+        emb, queries, k=5, n_planes=4, n_tables=2, probe_hamming=4
+    ).orderBy("query_id", "rank")
 
 
 # --------------------------------------------------------------------------

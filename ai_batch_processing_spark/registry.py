@@ -88,6 +88,71 @@ def register(
 # order after the listed ones. All queries stay registered either way —
 # this only biases WHICH subset a capped driver proves.
 _PRIORITY = [
+    # ---- round-3 gate prefix (the driver caps at ~50 rows) ----
+    # Coverage plan across rounds: r1 gated the first 50 registration-order
+    # queries, r2 gated the flagship+pipeline families. This round the
+    # prefix is (a) the four oracle-backed verify twins that replace r2's
+    # only non-green rows (q42/q43/q44/q47 were `no_oracle` by design —
+    # their deterministic verify stages now hash-match DuckDB as
+    # q131-q134), then (b) every oracle-backed query that has never had a
+    # driver row, then (c) a rotation of r1-only families — so after r3
+    # every oracle-backed query has a green driver row in some round.
+    # The approximate originals (q42/q43/q44/q47/q61) stay registered and
+    # recall-tested but sit past the cap: a rows-only driver row proves
+    # nothing their tests don't.
+    "q131_minhash_jaccard_verified",
+    "q132_simhash_verified",
+    "q133_ivf_exhaustive_topk",
+    "q134_lsh_multiprobe_exhaustive_topk",
+    # never-gated, oracle-backed (39)
+    "q123_market_share",
+    "q124_returned_item_customers",
+    "q125_promo_revenue_share",
+    "q126_bracket_predicates",
+    "q127_top_supplier",
+    "q128_small_quantity_revenue",
+    "q129_large_volume_customers",
+    "q65_orphan_audit",
+    "q66_fuzzy_match_pairs",
+    "q67_sessionize_events",
+    "q68_keep_latest_version",
+    "q69_price_histogram",
+    "q70_profile_customer",
+    "q71_stratified_sample",
+    "q72_outlier_detection",
+    "q74_resample_hourly_fill",
+    "q75_cumulative_new_users",
+    "q76_merge_upsert",
+    "q77_scd2_intervals",
+    "q78_correlated_agg_subquery",
+    "q79_range_frame_window",
+    "q80_value_window_funcs",
+    "q83_literal_map_enrichment",
+    "q84_grouping_id",
+    "q85_string_agg",
+    "q86_conditional_distinct",
+    "q87_topk_with_ties",
+    "q88_grouped_agg_pandas_udf",
+    "q90_null_safe_join",
+    "q91_filter_audit",
+    "q92_fact_coverage_report",
+    "q93_sequence_gaps",
+    "q94_weighted_harmonic_means",
+    "q95_median_absolute_deviation",
+    "q96_corr_covar",
+    "q97_boolean_bitwise_aggs",
+    "q105_supplier_return_isolation",
+    "q106_idle_high_balance_segments",
+    "q107_dominant_part_suppliers",
+    # r1-only rotation (diverse families, green in r1, re-proven here)
+    "q12_range_join_price_tiers",
+    "q13_asof_join_purchase_signup",
+    "q35_exists_subquery",
+    "q39_unpivot_part_measures",
+    "q55_percentiles",
+    "q63_funnel_interval_join",
+    "q89_multiset_setops",
+    # ---- past the gate cap: r2's green prefix, kept for ordering ----
     # flagship / bench headliners
     "q01_pricing_summary",
     "q02_shipping_priority",
@@ -168,7 +233,11 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (idempotent); return the registry priority-ordered."""
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    rank = {name: i for i, name in enumerate(_PRIORITY)}
+    # first occurrence wins: the gate prefix above may re-list names that
+    # also appear in the kept r2 ordering further down
+    rank: dict[str, int] = {}
+    for i, name in enumerate(_PRIORITY):
+        rank.setdefault(name, i)
     insertion = {name: i for i, name in enumerate(_REGISTRY)}
     ordered = sorted(
         _REGISTRY,
