@@ -28,6 +28,18 @@ Scale shape, per operator:
   batch, LEFT ANTI join against the existing corpus's fingerprints
   (column-pruned to the 32-char fp only), then intra-batch exact dedup.
   One anti-join shuffle on the fingerprint + one batch-sized groupBy.
+
+Storage note: ``tfidf_top_terms``, ``vocab_zipf_stats``,
+``unigram_surprise``, and ``bm25_search`` ``persist()`` a compacted
+intermediate that two downstream branches consume (Catalyst does not reuse
+the exchange across the branches — measured, not assumed). Because the
+returned DataFrame is lazy, the cache cannot be released inside the
+function the way ``graph.pagerank`` does (pagerank materializes every
+iteration internally, so it can unpersist before returning). The cached
+relation lives until the consumer is done with the result; long-lived
+sessions calling these repeatedly should release it with
+``spark.catalog.clearCache()`` (or ``unpersist()`` on the input lineage)
+between calls. It is MEMORY_AND_DISK, so at worst it spills, never OOMs.
 """
 
 from __future__ import annotations
@@ -464,7 +476,7 @@ def q117_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Corpus health report (per-source monitoring rollup)
 # ---------------------------------------------------------------------------
-def corpus_health(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def corpus_health(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-source health metrics: (source, n_docs, n_tokens, avg_quality,
     dup_rate, n_langs, top_lang) — the rollup an ingest pipeline alerts on.
 
@@ -483,7 +495,7 @@ def corpus_health(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         token_count_ws,
     )
 
-    feats = quality_features(docs).withColumn("fp", fingerprint_expr(text_col))
+    feats = quality_features(docs, text_col).withColumn("fp", fingerprint_expr(text_col))
     feats = feats.withColumn(
         "_fp_copies", F.count(F.lit(1)).over(Window.partitionBy("source", "fp"))
     )

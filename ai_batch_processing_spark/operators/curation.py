@@ -249,8 +249,10 @@ def grouped_prefix_sum(
     broadcast it back. Only ≤ n_partitions × n_groups offset rows ever
     cross one reducer, never the data.
     """
+    from ai_batch_processing_spark.session import shuffle_partitions
+
     keys = [F.col(c) for c in group_cols + order_cols]
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    n = shuffle_partitions(df.sparkSession)
     ranged = df.repartitionByRange(n, *keys).withColumn("_pid", F.spark_partition_id())
     w_in = (
         Window.partitionBy("_pid", *group_cols)

@@ -107,7 +107,9 @@ def _exploded_positions(df: DataFrame, id_col: str, text_col: str, k: int):
     # more than a few waves per core — an untuned session (driver default
     # 200) would otherwise pay 200-task overhead on every dedup stage.
     sess = df.sparkSession
-    conf_n = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    from ai_batch_processing_spark.session import shuffle_partitions
+
+    conf_n = shuffle_partitions(sess)
     cores = sess.sparkContext.defaultParallelism
     n = min(conf_n, max(2 * cores, 16))
     return (

@@ -291,6 +291,30 @@ def assign_cells(
     return cells.select(*df.columns, F.explode("_cells").alias("cell"))
 
 
+def _probe_join(c: DataFrame, q: DataFrame, queries: DataFrame, max_query_rows: int | None) -> DataFrame:
+    """Join the probed query side to the cell-assigned corpus.
+
+    The broadcast-the-queries plan is only right for bounded query BATCHES
+    — the day someone passes the corpus as queries (all-vs-all), a
+    broadcast would try to ship the whole corpus to every task. Guard:
+    with ``max_query_rows`` set (default), a limit-pushdown count fails
+    fast past the cap; with ``max_query_rows=None`` the broadcast hint is
+    dropped and AQE plans a shuffled cell-co-partitioned join instead
+    (correct at any query cardinality, pays one query-side shuffle).
+    """
+    if max_query_rows is not None:
+        n = queries.limit(max_query_rows + 1).count()
+        if n > max_query_rows:
+            raise ValueError(
+                f"IVF probe: query set exceeds max_query_rows={max_query_rows}. "
+                "The probe broadcasts the query side, which is only right for "
+                "bounded query batches. Pass max_query_rows=None to switch to a "
+                "shuffled cell-partitioned join for corpus-sized query sets."
+            )
+        return c.join(F.broadcast(q), "cell")
+    return c.join(q, "cell")
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -300,6 +324,7 @@ def ann_ivf_topk(
     corpus_id: str = "vec_id",
     query_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int | None = 100_000,
 ) -> DataFrame:
     """IVF approximate top-k: k-means cells + nprobe-cell search.
 
@@ -308,7 +333,8 @@ def ann_ivf_topk(
     query batch (partition pruning turns each query into an nprobe-cell
     scan, ~nprobe/nlist of the corpus). Search: queries explode to their
     nprobe nearest cells, join corpus on cell, exact cosine rescore,
-    per-query top-k window.
+    per-query top-k window. Query-side cardinality contract: see
+    :func:`_probe_join` (``max_query_rows``).
     """
     centroids = kmeans_centroids(corpus, nlist=nlist, id_col=corpus_id, vec_col=vec_col)
     c = assign_cells(corpus, centroids, id_col=corpus_id, vec_col=vec_col).select(
@@ -324,7 +350,7 @@ def ann_ivf_topk(
         "cell",
     )
     cands = (
-        c.join(F.broadcast(q), "cell")
+        _probe_join(c, q, queries, max_query_rows)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -382,6 +408,7 @@ def search_ivf_index(
     nprobe: int = 4,
     query_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int | None = 100_000,
 ) -> DataFrame:
     """Top-k search against a ``build_ivf_index`` directory.
 
@@ -404,7 +431,7 @@ def search_ivf_index(
         "cell",
     )
     cands = (
-        c.join(F.broadcast(q), "cell")
+        _probe_join(c, q, queries, max_query_rows)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -788,7 +815,13 @@ def semantic_dedup_clusters(
     doc="semantic dedup (SemDeDup shape): LSH-bucketed embedding near-dup "
     "pairs → min-label components → one survivor per cluster; DuckDB "
     "recursive-CTE transitive closure as the oracle (q62 pattern for "
-    "embeddings).",
+    "embeddings). Oracle caveat: the Spark side is LSH-probabilistic "
+    "(documented miss ≈ 5e-9 per pair at cosine 0.99) while the oracle is "
+    "exhaustive — the hash gate holds on THIS corpus because only planted "
+    "exact duplicates clear the 0.99 threshold; a dataset with many "
+    "non-identical pairs near the threshold would make it flaky. The "
+    "dataset-independent proof is the brute-force-vs-LSH pair-equality "
+    "unit test.",
     tags=("similarity", "dedup", "clustering"),
 )
 def q118_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

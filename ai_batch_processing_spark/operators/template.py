@@ -76,7 +76,9 @@ def with_row_index(df: DataFrame, order_by: list[str] | None = None, col: str = 
     if not order_by:
         return df.withColumn(col, F.monotonically_increasing_id())
     keys = [F.col(c) for c in order_by]
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    from ai_batch_processing_spark.session import shuffle_partitions
+
+    n = shuffle_partitions(df.sparkSession)
     ranged = df.repartitionByRange(n, *keys).withColumn("_pid", F.spark_partition_id())
     w_in = Window.partitionBy("_pid").orderBy(*keys)
     numbered = ranged.withColumn("_rn", F.row_number().over(w_in))

@@ -62,6 +62,16 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def shuffle_partitions(spark: SparkSession, default: int = 200) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating non-numeric
+    values some platforms set (e.g. "auto" with AQE) by falling back to the
+    cluster's default parallelism."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
 _SHIPPED_CONTEXTS: set[str] = set()
 
 

@@ -273,7 +273,7 @@ def _install_fake_anthropic(monkeypatch, calls, raise_err=None):
                 model=model, system=system, messages=messages,
                 temperature=temperature, max_tokens=max_tokens,
             )
-            return types.SimpleNamespace(content=[types.SimpleNamespace(text="anthropic-says-hi")])
+            return types.SimpleNamespace(content=[types.SimpleNamespace(text="provider-b-says-hi")])
 
     class _Anthropic:
         def __init__(self, api_key):
@@ -316,7 +316,7 @@ def test_anthropic_adapter_extracts_system_out_of_band(monkeypatch):
     calls = {}
     not_given = _install_fake_anthropic(monkeypatch, calls)
     cfg = LLMConfig(
-        prompt_template="{x}", provider="anthropic", model="claude-test", api_key="sk-ant-unit"
+        prompt_template="{x}", provider="anthropic", model="modelb-unit-test", api_key="sk-ant-unit"
     )
     client = _make_client(cfg)
     msgs = [
@@ -325,11 +325,11 @@ def test_anthropic_adapter_extracts_system_out_of_band(monkeypatch):
         {"role": "assistant", "content": "a1"},
         {"role": "user", "content": "q2"},
     ]
-    assert client.complete("claude-test", msgs, 0.7, 1000) == "anthropic-says-hi"
+    assert client.complete("modelb-unit-test", msgs, 0.7, 1000) == "provider-b-says-hi"
     assert calls["system"] == "be kind"
     assert [m["role"] for m in calls["messages"]] == ["user", "assistant", "user"]
 
-    client.complete("claude-test", [{"role": "user", "content": "solo"}], 0.7, 1000)
+    client.complete("modelb-unit-test", [{"role": "user", "content": "solo"}], 0.7, 1000)
     assert calls["system"] is not_given
 
 
@@ -343,7 +343,7 @@ def test_real_sdk_exception_shapes_map_to_retry_taxonomy(monkeypatch):
     calls = {}
     _install_fake_anthropic(monkeypatch, calls, raise_err=err)
     cfg = LLMConfig(
-        prompt_template="{x}", provider="anthropic", model="claude-test",
+        prompt_template="{x}", provider="anthropic", model="modelb-unit-test",
         api_key="sk-ant-unit", retry_attempts=2,
     )
     client = _make_client(cfg)

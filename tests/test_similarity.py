@@ -173,3 +173,50 @@ def test_semantic_dedup_clusters_planted_duplicates(spark):
     emb = spark.createDataFrame(rows, "id long, embedding array<float>")
     out = {r.keep_id: r.cluster_size for r in semantic_dedup_clusters(emb).collect()}
     assert out == {1: 2, 3: 3, 6: 1}
+
+
+def test_ivf_probe_query_cardinality_guard(spark, sf_dir):
+    """The IVF probe broadcasts the query side — right for bounded query
+    batches, wrong for corpus-sized query sets (all-vs-all). The guard must
+    fail fast past max_query_rows; max_query_rows=None must run without the
+    broadcast (AQE-planned shuffle join) and return identical results."""
+    from ai_batch_processing_spark.operators.similarity import ann_ivf_topk
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ann_ivf_topk(emb, emb, k=3, nlist=4, nprobe=2, max_query_rows=50).collect()
+    queries = emb.filter(F.col("vec_id") < 4)
+    bounded = ann_ivf_topk(emb, queries, k=3, nlist=4, nprobe=4).orderBy("query_id", "rank")
+    unbounded = ann_ivf_topk(
+        emb, queries, k=3, nlist=4, nprobe=4, max_query_rows=None
+    ).orderBy("query_id", "rank")
+    assert [tuple(r) for r in bounded.collect()] == [tuple(r) for r in unbounded.collect()]
+
+
+def test_lsh_multiprobe_raises_recall(spark, sf_dir):
+    """Partial-radius multi-probe must be a recall knob: probing hamming-1
+    neighbors of the query bucket finds a superset of the candidates found
+    at radius 0, so per-query top-k scores can only improve or tie."""
+    from ai_batch_processing_spark.operators.similarity import ann_lsh_topk, cosine_topk
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_lsh_topk(
+                emb, queries, k=5, n_planes=4, n_tables=4, probe_hamming=probe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0
+    assert r1 >= 0.6
