@@ -204,7 +204,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, num_perm: int = 64, bands: int = 16, max_bucket: int = 500
+    sig_df: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 500,
+    distinct: bool = True,
 ) -> DataFrame:
     """Banded-LSH candidate pairs from MinHash signatures.
 
@@ -213,6 +217,12 @@ def lsh_candidate_pairs(
     ``max_bucket`` are dropped (degenerate content — a single bucket of
     m docs costs m² pairs; the cap bounds the blow-up, and dropped
     buckets are exact-duplicate clusters better handled by exact dedup).
+
+    ``distinct=False`` skips the pair dedup shuffle: a pair colliding in
+    several bands is emitted once per band. Callers that run a cheap
+    per-pair filter next (the signature-estimate pre-filter) dedup AFTER
+    it — the distinct then shuffles the filtered ~10% instead of the full
+    candidate stream.
     """
     # slice() is 1-indexed; band j covers [j*r+1, r].
     r = max(1, num_perm // bands)
@@ -228,11 +238,11 @@ def lsh_candidate_pairs(
     )
     x = ok.alias("x")
     y = ok.alias("y")
-    return (
+    pairs = (
         x.join(y, (F.col("x.band") == F.col("y.band")) & (F.col("x.bh") == F.col("y.bh")) & (F.col("x.id") < F.col("y.id")))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
     )
+    return pairs.distinct() if distinct else pairs
 
 
 def minhash_dedup_pairs(
@@ -300,18 +310,25 @@ def minhash_dedup_pairs(
         F.min(F.pmod(F.lit(a) * h31 + F.lit(b), F.lit(_MERSENNE31))).alias(f"_m{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    # One full-corpus pass, persisted and computed exactly once:
-    # sigs — whole-stage-codegen min-aggregates (tiny table, 3 consumers
-    # in the banding self-join + bucket counts). Catalyst would otherwise
-    # re-derive the full explode+aggregate per consumer. MEMORY_AND_DISK
-    # default → spills per-partition at scale.
-    sigs = (
-        stream.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig"))
-        .persist()
+    # One full-corpus pass, persisted and computed exactly once. In
+    # "corpus" verify scope the 64 signature mins AND the verify stage's
+    # collect_set(h) fold into a SINGLE aggregate over the shingle stream —
+    # the explode+substring+hash (the corpus-dominant cost) runs once, not
+    # once per aggregate. The cached relation is columnar, so the banding
+    # self-join's 3 consumers read only (id, sig) batches and never
+    # deserialize the shingle sets. MEMORY_AND_DISK default → spills
+    # per-partition at scale.
+    one_pass = verify_scope == "corpus"
+    extra = [F.collect_set("h").alias("hs")] if one_pass else []
+    combined = stream.groupBy("id").agg(*mins, *extra).persist()
+    sigs = combined.select(
+        "id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig")
     )
-    cands = lsh_candidate_pairs(sigs, num_perm, bands)
+    # distinct=False: the pair dedup shuffle moves AFTER the est filter —
+    # multi-band duplicates just re-evaluate the cheap estimate, and the
+    # distinct then shuffles the surviving ~10% instead of the full
+    # candidate stream.
+    cands = lsh_candidate_pairs(sigs, num_perm, bands, distinct=False)
     # Signature-estimate pre-filter (see docstring): drop candidates whose
     # estimated Jaccard is more than 3σ below the threshold before paying
     # for the exact array_intersect verify.
@@ -328,6 +345,7 @@ def minhash_dedup_pairs(
         .join(sig_b, "id_b")
         .filter(est >= cutoff)
         .select("id_a", "id_b")
+        .distinct()
     )
     if verify_scope == "candidates":
         # Restrict the heavy collect_set to documents that survive into a
@@ -345,12 +363,11 @@ def minhash_dedup_pairs(
         verify_stream = shingle_hash_stream(
             df.join(cand_ids, id_col, "left_semi"), id_col, text_col, k
         )
+        hs = verify_stream.groupBy("id").agg(F.collect_set("h").alias("hs")).persist()
     else:
-        # Reuse the signature pass's stream object: identical lineage, so
-        # the id-repartition exchange is reused and the aggregate runs
-        # shuffle-free off the existing shuffle files.
-        verify_stream = stream
-    hs = verify_stream.groupBy("id").agg(F.collect_set("h").alias("hs")).persist()
+        # The sets were computed in the same aggregate as the signatures —
+        # zero extra passes over the shingle stream.
+        hs = combined.select("id", "hs")
     a = hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     b = hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
