@@ -298,6 +298,104 @@ def pack_sequences(
     )
 
 
+def pack_fragments(
+    df: DataFrame,
+    budget: int,
+    group_cols: list[str],
+    order_cols: list[str],
+    token_col: str,
+) -> DataFrame:
+    """Per-fragment packing rows: one row per (document, pack) slice.
+
+    ``pack_sequences`` tells a loader where each document STARTS; a doc
+    straddling pack boundaries still forces the loader to re-derive where
+    its continuation lands. This emits the loader-ready form directly —
+    for every pack a document touches: ``pack_id``, ``slice_start`` (token
+    offset INSIDE the document where the fragment begins), ``slice_len``,
+    and ``pack_offset`` (where the fragment begins inside the pack). A
+    loader materializes pack p by concatenating its fragments ordered by
+    pack_offset; Σ slice_len per document = the document's token count
+    (test-pinned).
+
+    Scale shape: the same distributed prefix sum as ``pack_sequences``
+    (range-partitioned cumsum, broadcast offsets — no whole-group window),
+    then a per-row explode over the touched pack range — output is
+    fragments-linear (≤ 1 + tokens/budget rows per doc), all Catalyst.
+    Zero-token documents emit one zero-length fragment rather than
+    disappearing silently.
+    """
+    out = grouped_prefix_sum(df, group_cols, order_cols, token_col, out_col="_start")
+    first = F.floor(F.col("_start") / budget).cast("long")
+    last = F.greatest(
+        first, F.floor((F.col("_start") + F.col(token_col) - 1) / budget).cast("long")
+    )
+    frag = out.withColumn("pack_id", F.explode(F.sequence(first, last)))
+    gstart = F.greatest(F.col("_start"), F.col("pack_id") * budget)
+    gend = F.least(F.col("_start") + F.col(token_col), (F.col("pack_id") + 1) * F.lit(budget))
+    return (
+        frag.withColumn("slice_start", (gstart - F.col("_start")).cast("long"))
+        .withColumn("slice_len", (gend - gstart).cast("long"))
+        .withColumn("pack_offset", (gstart - F.col("pack_id") * budget).cast("long"))
+        .drop("_start")
+    )
+
+
+@register(
+    "q135_sequence_packing_fragments",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        laid AS (
+            SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS start_off
+            FROM toks
+        ),
+        frag AS (
+            SELECT doc_id, source, n_tokens, start_off, CAST(p AS BIGINT) AS pack_id
+            FROM laid, unnest(generate_series(
+                CAST(FLOOR(start_off / 512.0) AS BIGINT),
+                GREATEST(CAST(FLOOR(start_off / 512.0) AS BIGINT),
+                         CAST(FLOOR((start_off + n_tokens - 1) / 512.0) AS BIGINT))
+            )) t(p)
+        )
+        SELECT doc_id, source, pack_id,
+               CAST(GREATEST(start_off, pack_id * 512) - start_off AS BIGINT) AS slice_start,
+               CAST(LEAST(start_off + n_tokens, (pack_id + 1) * 512)
+                    - GREATEST(start_off, pack_id * 512) AS BIGINT) AS slice_len,
+               CAST(GREATEST(start_off, pack_id * 512) - pack_id * 512 AS BIGINT) AS pack_offset
+        FROM frag
+        ORDER BY doc_id, pack_id
+    """,
+    doc=(
+        "loader-ready sequence packing: one row per (document, pack) "
+        "fragment with slice_start/slice_len/pack_offset, so straddling "
+        "documents need no loader-side re-derivation (q103's continuation "
+        "form). Distributed prefix sum + fragments-linear explode."
+    ),
+    tags=("curation", "packing", "prefix-sum"),
+)
+def q135_sequence_packing_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import token_count_ws
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sized = docs.select(
+        "doc_id", "source", token_count_ws(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        pack_fragments(
+            sized, budget=512, group_cols=["source"], order_cols=["doc_id"], token_col="n_tokens"
+        )
+        .select("doc_id", "source", "pack_id", "slice_start", "slice_len", "pack_offset")
+        .orderBy("doc_id", "pack_id")
+    )
+
+
 @register(
     "q103_sequence_packing",
     oracle=r"""

@@ -104,6 +104,8 @@ _PRIORITY = [
     "q132_simhash_verified",
     "q133_ivf_exhaustive_topk",
     "q134_lsh_multiprobe_exhaustive_topk",
+    # new round-3 operator (loader-ready packing continuation rows)
+    "q135_sequence_packing_fragments",
     # never-gated, oracle-backed (39)
     "q123_market_share",
     "q124_returned_item_customers",
@@ -151,7 +153,6 @@ _PRIORITY = [
     "q39_unpivot_part_measures",
     "q55_percentiles",
     "q63_funnel_interval_join",
-    "q89_multiset_setops",
     # ---- past the gate cap: r2's green prefix, kept for ordering ----
     # flagship / bench headliners
     "q01_pricing_summary",

@@ -184,3 +184,47 @@ def test_sample_k_per_group_xxhash_handles_string_ids(spark):
     for r in out:
         per.setdefault(r.source, []).append(r.doc_id)
     assert all(len(v) == 3 for v in per.values())
+
+
+def test_pack_fragments_reassembles_documents(spark):
+    """Fragment rows must be a lossless decomposition: per doc, slice_len
+    sums to the token count, slices are contiguous from 0, packs are the
+    contiguous range the doc spans, and the first fragment agrees with
+    pack_sequences' (pack_id, pack_offset). Zero-token docs keep one
+    zero-length fragment instead of vanishing."""
+    from ai_batch_processing_spark.operators.curation import pack_fragments, pack_sequences
+
+    rows = [
+        ("s", 1, 300), ("s", 2, 300), ("s", 3, 700),  # doc 2,3 straddle
+        ("s", 4, 0),                                   # zero-token doc
+        ("t", 5, 1025),                                # spans 3 packs alone
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    frags = pack_fragments(df, 512, ["source"], ["doc_id"], "n_tokens").collect()
+    by_doc = {}
+    for r in frags:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    tokens = dict((r[1], r[2]) for r in rows)
+    for doc, fs in by_doc.items():
+        fs.sort(key=lambda r: r.pack_id)
+        assert sum(f.slice_len for f in fs) == tokens[doc]
+        # contiguous doc-side slices starting at 0
+        pos = 0
+        for f in fs:
+            assert f.slice_start == pos
+            pos += f.slice_len
+        # contiguous pack range
+        assert [f.pack_id for f in fs] == list(range(fs[0].pack_id, fs[-1].pack_id + 1))
+        # continuation fragments start at the pack boundary
+        for f in fs[1:]:
+            assert f.pack_offset == 0
+    assert len(by_doc[4]) == 1 and by_doc[4][0].slice_len == 0
+    assert len(by_doc[5]) == 3  # 1025 tokens = 512 + 512 + 1
+    # first fragment agrees with pack_sequences
+    starts = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in pack_sequences(df, 512, ["source"], ["doc_id"], "n_tokens").collect()
+    }
+    for doc, fs in by_doc.items():
+        fs.sort(key=lambda r: r.pack_id)
+        assert (fs[0].pack_id, fs[0].pack_offset) == starts[doc]
