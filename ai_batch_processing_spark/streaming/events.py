@@ -244,6 +244,8 @@ def stream_funnel_join(
     schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
     within: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Stream-stream interval join: click → purchase within ``within``.
 
@@ -251,8 +253,23 @@ def stream_funnel_join(
     watermarks so the join state store can evict: a click older than
     watermark + within can never match a future purchase and is dropped.
     Output: one row per (click, purchase) conversion pair.
+
+    ``how="left_outer"`` additionally emits every NON-converting click
+    with null purchase columns — but only once the watermark has passed
+    the point where a future match is provably impossible (cts + within):
+    the null row is a watermark-expiry emission from the join state store,
+    appearing in the micro-batch where the state expires, not when the
+    click arrives. This is the funnel-abandonment stream (clicks that
+    never purchased) — computable exactly BECAUSE the interval bound plus
+    the watermark make "never" decidable with bounded state; an unbounded
+    left join could never retire a click.
     """
-    stream = spark.readStream.schema(schema).json(source_dir)
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
     clicks = (
         stream.filter(F.col("event_type") == "click")
         .select(F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
@@ -268,6 +285,7 @@ def stream_funnel_join(
         (F.col("pu") == F.col("cu"))
         & (F.col("pts") > F.col("cts"))
         & (F.col("pts") <= F.col("cts") + F.expr(f"INTERVAL {within}")),
+        how,
     ).select(F.col("cu").alias("user_id"), "cts", "pts", "value")
 
 

@@ -230,6 +230,77 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert got == [(1, 9.5)]
 
 
+def test_stream_stream_left_outer_join_emits_on_watermark_expiry(spark, tmp_path):
+    """Left-outer stream-stream join: a click with no purchase inside the
+    interval must surface as a null-extended row — and only AFTER the
+    watermark passes cts + within (state expiry), i.e. in a later
+    micro-batch than the click's own. Result must equal the batch
+    left-outer join over the same data."""
+    from ai_batch_processing_spark.streaming.events import stream_funnel_join
+
+    d = tmp_path / "funnel_outer_in"
+    d.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "purchase", "value": 9.5, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T00:00:00", "user_id": 2, "event_type": "click", "value": 0.0, "props": "{}"},  # never converts
+        {"event_id": 4, "ts": "2024-01-01T00:50:00", "user_id": 2, "event_type": "purchase", "value": 1.0, "props": "{}"},  # outside 30m
+    ]
+    # Far-future sentinels advance the watermark (2h delay) well past every
+    # click's cts + within. Two subtleties this test pins: (a) the global
+    # watermark is the MIN of the click-side and purchase-side watermarks,
+    # so the sentinels must include a late CLICK and a late PURCHASE — a
+    # late event of a filtered-out type advances nothing; (b) watermarks
+    # move after a batch commits, so expiry takes extra micro-batches:
+    # file b raises the watermark, file c's batch (plus the final no-data
+    # cleanup batch) evicts and emits user 2's unmatched click.
+    def sentinel(eid, ts, uid, etype):
+        return {"event_id": eid, "ts": ts, "user_id": uid, "event_type": etype, "value": 0.0, "props": "{}"}
+
+    s1 = [sentinel(98, "2024-01-01T12:00:00", 8, "click"), sentinel(97, "2024-01-01T12:00:00", 9, "purchase")]
+    s2 = [sentinel(96, "2024-01-01T13:00:00", 8, "click"), sentinel(95, "2024-01-01T13:00:00", 9, "purchase")]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in s1))
+    (d / "c.json").write_text("\n".join(json.dumps(r) for r in s2))
+    sdf = stream_funnel_join(spark, str(d), how="left_outer", max_files_per_trigger=1)
+    q = (
+        sdf.writeStream.format("memory").queryName("funnel_outer").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # Sentinel clicks (user 8) are younger than the final watermark, so
+    # their state never expires and the stream rightly emits nothing for
+    # them before stopping — parity is over the real users only.
+    got = {
+        (r.user_id, r.value, r.pts is None)
+        for r in spark.sql("SELECT * FROM funnel_outer WHERE user_id < 8").collect()
+    }
+    # batch twin: same condition, left outer, over all events
+    batch = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).json(str(d))
+    clicks = batch.filter((F.col("event_type") == "click") & (F.col("user_id") < 8)).select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    buys = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), "value"
+    )
+    expected = {
+        (r.user_id, r.value, r.pts is None)
+        for r in clicks.join(
+            buys,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("pts") > F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 minutes")),
+            "left_outer",
+        ).select(F.col("cu").alias("user_id"), "cts", "pts", "value").collect()
+    }
+    assert got == expected
+    assert (2, None, True) in got  # the abandonment row, emitted on expiry
+
+
 def test_stream_dedup_across_batches(spark, tmp_path):
     """Duplicate event_ids delivered in different micro-batches are dropped
     by the watermarked state store."""
