@@ -309,6 +309,95 @@ def incremental_dedup(
     return fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id", "fp")
 
 
+def bloom_bitmap_words(df: DataFrame, key_col: str, num_bits: int = 1 << 22, k: int = 5) -> DataFrame:
+    """Distributed Bloom filter as a (word_idx, word) bitmap table.
+
+    Pure Catalyst (Spark doesn't expose bloom_filter_agg to SQL): each key
+    sets ``k`` seeded-xxhash64 bit positions; positions fold into 64-bit
+    words with a ``bit_or`` partial aggregate. The result is ≤ num_bits/64
+    rows (num_bits=2²² → ≤ 65k rows, ~1 MB) REGARDLESS of corpus size —
+    the whole point: the corpus compresses to a broadcastable table built
+    in one map-side-combined pass, and membership probes never touch the
+    corpus again.
+    """
+    pos = F.explode(
+        F.array(*[F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits)) for i in range(k)])
+    ).alias("pos")
+    return (
+        df.select(pos)
+        .groupBy(F.shiftright(F.col("pos"), 6).alias("word_idx"))
+        .agg(
+            # shiftleft with a COLUMN bit count needs the SQL form (the
+            # Python helper only takes a literal int)
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")).alias("word")
+        )
+    )
+
+
+def bloom_maybe_contains(
+    probe: DataFrame, words: DataFrame, key_col: str, num_bits: int = 1 << 22, k: int = 5
+) -> DataFrame:
+    """Add boolean ``_maybe``: False ⇒ key DEFINITELY not in the filtered
+    set; True ⇒ present or false positive (rate set by num_bits/k vs n).
+
+    The probe explodes each row's k positions, broadcast-joins the word
+    table, and requires all k bits set — all JVM-side, no Python. The
+    verdict is computed per distinct ``key_col`` value and joined back, so
+    duplicate keys get the same verdict.
+    """
+    pos_exprs = [F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits)) for i in range(k)]
+    e = probe.select(F.col(key_col).alias("_k"), F.explode(F.array(*pos_exprs)).alias("pos"))
+    hit = (
+        F.expr("shiftright(COALESCE(word, CAST(0 AS BIGINT)), CAST(pos % 64 AS INT))")
+        .bitwiseAND(F.lit(1))
+        == 1
+    )
+    verdict = (
+        e.withColumn("word_idx", F.shiftright(F.col("pos"), 6))
+        .join(F.broadcast(words), "word_idx", "left")
+        .groupBy("_k")
+        .agg(F.min(hit.cast("int")).alias("_all_hit"))
+        .select(F.col("_k"), (F.col("_all_hit") == 1).alias("_maybe"))
+    )
+    return probe.join(verdict, probe[key_col] == verdict._k).drop("_k")
+
+
+def incremental_dedup_bloom(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 1 << 22,
+    k: int = 5,
+) -> DataFrame:
+    """``incremental_dedup`` with a Bloom pre-filter — EXACT results, but
+    the corpus-vs-batch anti-join shrinks to the rows the Bloom bitmap
+    can't rule out.
+
+    Why this is the 100 TB shape: the plain anti-join shuffles the
+    CORPUS-side fingerprints on every batch (corpus ≫ batch, daily). Here
+    the corpus compresses once into the ≤1 MB bitmap table
+    (:func:`bloom_bitmap_words` — rebuilt incrementally in production by
+    OR-ing the new batch's words in); a broadcast probe splits the batch
+    into definitely-new rows (no corpus contact at all) and maybe-dup
+    rows, and only the maybe rows — reingested dups plus the ~n·2⁻ᵏ'
+    false positives — pay the exact anti-join. False positives can only
+    route extra rows into the exact check, never change the answer, so
+    the output is hash-identical to ``incremental_dedup`` (test- and
+    oracle-pinned).
+    """
+    bfp = batch.select(F.col(id_col).alias("doc_id"), fingerprint_expr(text_col).alias("fp"))
+    cfp = corpus.select(fingerprint_expr(text_col).alias("fp"))
+    words = bloom_bitmap_words(cfp, "fp", num_bits, k)
+    flagged = bloom_maybe_contains(bfp, words, "fp", num_bits, k)
+    definite_new = flagged.filter(~F.col("_maybe")).select("doc_id", "fp")
+    maybe = flagged.filter(F.col("_maybe")).select("doc_id", "fp")
+    # the equi-join moves fp to the front — re-project before the
+    # positional union
+    fresh = definite_new.unionAll(maybe.join(cfp, "fp", "left_anti").select("doc_id", "fp"))
+    return fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id", "fp")
+
+
 # The base table has no exact duplicates, so the registered query
 # synthesizes the scenario: the "batch" is every 10th doc plus re-ingested
 # copies (id + 900000) of corpus docs — those copies must be dropped by the
@@ -317,9 +406,10 @@ _BATCH_FILTER = "doc_id % 10 = 0"
 _REINGEST_FILTER = "doc_id % 10 = 1 AND doc_id % 3 = 0"
 
 
-@register(
-    "q115_incremental_dedup",
-    oracle=rf"""
+# Shared ground truth for q115 (plain anti-join) and q136 (Bloom-prefiltered
+# path): the Bloom pre-filter is exact by construction, so both hash-match
+# the same SQL.
+_INCREMENTAL_DEDUP_ORACLE = rf"""
         WITH fp AS (
             SELECT doc_id,
                    md5(trim(regexp_replace(regexp_replace(lower(text),
@@ -339,12 +429,10 @@ _REINGEST_FILTER = "doc_id % 10 = 1 AND doc_id % 3 = 0"
         SELECT MIN(doc_id) AS doc_id, fp
         FROM fresh GROUP BY fp
         ORDER BY doc_id
-    """,
-    doc="incremental (batch-vs-corpus) dedup: anti-join on normalized "
-    "fingerprints + intra-batch survivor pick; re-ingested copies dropped.",
-    tags=("dedup", "corpus", "incremental"),
-)
-def q115_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _incremental_scenario(spark: SparkSession, sf_dir: str):
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     corpus = docs.filter(f"NOT ({_BATCH_FILTER})")
     batch = docs.filter(_BATCH_FILTER).select("doc_id", "text").union(
@@ -352,7 +440,38 @@ def q115_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 900000).alias("doc_id"), "text"
         )
     )
+    return batch, corpus
+
+
+@register(
+    "q115_incremental_dedup",
+    oracle=_INCREMENTAL_DEDUP_ORACLE,
+    doc="incremental (batch-vs-corpus) dedup: anti-join on normalized "
+    "fingerprints + intra-batch survivor pick; re-ingested copies dropped.",
+    tags=("dedup", "corpus", "incremental"),
+)
+def q115_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch, corpus = _incremental_scenario(spark, sf_dir)
     return incremental_dedup(batch, corpus).orderBy("doc_id")
+
+
+@register(
+    "q136_incremental_dedup_bloom",
+    oracle=_INCREMENTAL_DEDUP_ORACLE,
+    doc=(
+        "q115's daily-ingest dedup behind a pure-Catalyst Bloom pre-filter: "
+        "the corpus compresses to a ≤1 MB (word_idx, word) bitmap table "
+        "(bit_or partial aggregate), the batch probes it via a broadcast "
+        "join, and only maybe-duplicate rows pay the exact anti-join — "
+        "definitely-new rows never touch the corpus. False positives only "
+        "route extra rows into the exact check, so the output hash-matches "
+        "the plain anti-join oracle."
+    ),
+    tags=("dedup", "corpus", "incremental", "bloom"),
+)
+def q136_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch, corpus = _incremental_scenario(spark, sf_dir)
+    return incremental_dedup_bloom(batch, corpus).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

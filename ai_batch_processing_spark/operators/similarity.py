@@ -761,6 +761,8 @@ def semantic_dedup_clusters(
     threshold: float = 0.99,
     id_col: str = "id",
     vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 16,
 ) -> DataFrame:
     """(keep_id, cluster_size): one survivor per semantic-duplicate cluster.
 
@@ -775,7 +777,14 @@ def semantic_dedup_clusters(
     from ai_batch_processing_spark.operators.dedup import connected_components
 
     ids = emb.select(F.col(id_col).alias("id"))
-    pairs = embedding_near_dup_pairs_lsh(emb, threshold=threshold, id_col=id_col, vec_col=vec_col)
+    # n_planes is the log-scale knob: buckets per table = 2^n_planes, so
+    # planes must grow with log(corpus) to keep expected bucket size — and
+    # therefore candidate count — bounded (random corpora collide at rate
+    # ~1/2^n_planes per table).
+    pairs = embedding_near_dup_pairs_lsh(
+        emb, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables,
+    )
     comp = connected_components(ids, pairs.select("id_a", "id_b"))
     return (
         comp.groupBy("cluster")

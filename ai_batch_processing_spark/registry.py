@@ -104,8 +104,10 @@ _PRIORITY = [
     "q132_simhash_verified",
     "q133_ivf_exhaustive_topk",
     "q134_lsh_multiprobe_exhaustive_topk",
-    # new round-3 operator (loader-ready packing continuation rows)
+    # new round-3 operators (loader-ready packing rows; Bloom-prefiltered
+    # incremental dedup)
     "q135_sequence_packing_fragments",
+    "q136_incremental_dedup_bloom",
     # never-gated, oracle-backed (39)
     "q123_market_share",
     "q124_returned_item_customers",
@@ -152,7 +154,6 @@ _PRIORITY = [
     "q35_exists_subquery",
     "q39_unpivot_part_measures",
     "q55_percentiles",
-    "q63_funnel_interval_join",
     # ---- past the gate cap: r2's green prefix, kept for ordering ----
     # flagship / bench headliners
     "q01_pricing_summary",

@@ -135,3 +135,39 @@ def test_bm25_prefers_rare_term_and_caps_k(spark):
     # terms but shorter: BM25's length normalization favors doc 4's density.
     top = out[0]
     assert top.doc_id in (1, 4) and top.score > 0
+
+
+def test_bloom_incremental_dedup_matches_plain_and_prunes(spark, sf_dir):
+    """The Bloom-prefiltered incremental dedup must return exactly the
+    plain anti-join's rows (false positives only add exact-check work),
+    and the bitmap probe must rule out genuinely-new fingerprints so they
+    skip the corpus join entirely."""
+    from ai_batch_processing_spark.operators.corpus import (
+        bloom_bitmap_words,
+        bloom_maybe_contains,
+        incremental_dedup,
+        incremental_dedup_bloom,
+    )
+    from ai_batch_processing_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    corpus = docs.filter("doc_id % 10 != 0")
+    batch = docs.filter("doc_id % 10 = 0").select("doc_id", "text").union(
+        docs.filter("doc_id % 10 = 1").select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+    )
+    plain = {tuple(r) for r in incremental_dedup(batch, corpus).collect()}
+    bloom = {tuple(r) for r in incremental_dedup_bloom(batch, corpus).collect()}
+    assert bloom == plain and len(plain) > 0
+
+    # direct probe semantics: every corpus member is 'maybe' (no false
+    # negatives — the Bloom guarantee), and with 2^22 bits over a few
+    # thousand keys false positives are essentially absent
+    cfp = corpus.select(F.md5("text").alias("fp"))
+    words = bloom_bitmap_words(cfp, "fp")
+    member = bloom_maybe_contains(cfp.distinct(), words, "fp")
+    assert member.filter(~F.col("_maybe")).count() == 0
+    fresh = batch.filter("doc_id < 900000").select(F.md5("text").alias("fp")).distinct()
+    flagged = bloom_maybe_contains(fresh, words, "fp")
+    n_fresh = flagged.count()
+    n_fp = flagged.filter(F.col("_maybe")).count()
+    assert n_fp <= max(1, n_fresh // 100)  # fp rate ~0 at this load factor
