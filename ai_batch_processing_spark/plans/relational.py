@@ -908,3 +908,226 @@ def q129_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+# --- q137: TPC-H Q13 shape — customer order-count distribution --------------
+@register(
+    "q137_order_count_distribution",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders
+              ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape (adapted: priority filter stands in for the "
+    "comment NOT LIKE): LEFT OUTER join with the filter INSIDE the join "
+    "condition — customers with zero qualifying orders must appear with "
+    "c_count 0, which an ON-clause filter preserves and a WHERE would "
+    "destroy — then a two-level aggregate (per-customer count → "
+    "distribution of counts).",
+    tags=("relational", "outer-join", "aggregate"),
+)
+def q137_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    c, o = t["customer"], t["orders"]
+    joined = c.join(
+        o,
+        (F.col("o_custkey") == F.col("c_custkey")) & (F.col("o_orderpriority") != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --- q138: TPC-H Q16 shape — supplier diversity per part class --------------
+@register(
+    "q138_supplier_diversity",
+    oracle="""
+        WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+        supplied AS (
+            SELECT DISTINCT l_partkey, l_suppkey
+            FROM lineitem
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+        )
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM supplied
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (lineitem stands in for partsupp): COUNT(DISTINCT "
+    "supplier) per (brand, type, size) with a NOT IN exclusion subquery — "
+    "the exclusion compiles to an anti join on the tiny bad-supplier set, "
+    "the distinct-agg expands map-side.",
+    tags=("relational", "distinct-agg", "anti"),
+)
+def q138_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    supplied = (
+        t["lineitem"]
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = t["part"].filter((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4, 5))
+    return (
+        supplied.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# --- q139: TPC-H Q20 shape — heavy suppliers of a part class ----------------
+@register(
+    "q139_heavy_part_suppliers",
+    oracle="""
+        WITH green AS (SELECT p_partkey FROM part WHERE p_type LIKE '%A%'),
+        vol AS (
+            SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM green)
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(l_quantity) > 60
+        )
+        SELECT DISTINCT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (SELECT l_suppkey FROM vol)
+        ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20 shape: nested semi-join chain — part-class filter semi-"
+    "joins the fact scan, a per-(supplier, part) HAVING aggregate derives "
+    "the qualifying supplier set, which semi-joins the supplier dim. Each "
+    "level prunes before the next touches anything wide.",
+    tags=("relational", "semi", "subquery"),
+)
+def q139_heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    green = t["part"].filter(F.col("p_type").like("%A%")).select("p_partkey")
+    vol = (
+        t["lineitem"]
+        .join(F.broadcast(green), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(vol, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+# --- q140: TPC-H Q21 shape — sole blamed supplier per order -----------------
+@register(
+    "q140_sole_blamed_supplier",
+    oracle="""
+        WITH l AS (SELECT DISTINCT l_orderkey, l_suppkey, l_returnflag FROM lineitem)
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN l l1 ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (
+              SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM l l3
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+    """,
+    doc="TPC-H Q21 shape (returnflag stands in for the receipt-late "
+    "predicate): for each order, the supplier whose lines were returned "
+    "while every OTHER supplier's lines were not — a correlated EXISTS "
+    "(other suppliers participated) plus NOT EXISTS (none of them "
+    "returned), compiled as one semi and one anti self-join of the "
+    "distinct (order, supplier) projection.",
+    tags=("relational", "exists", "anti", "self-join"),
+)
+def q140_sole_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    l = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag").distinct()
+    l1 = l.filter(F.col("l_returnflag") == "R")
+    others = l.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"), F.col("l_returnflag").alias("r2")
+    )
+    # EXISTS: some other supplier in the same order
+    with_other = l1.join(
+        others, (F.col("o2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")), "left_semi"
+    )
+    # NOT EXISTS: no other supplier with a returned line in the same order
+    sole = with_other.join(
+        others.filter(F.col("r2") == "R"),
+        (F.col("o2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+# --- q141: TPC-H Q22 shape — idle wealthy customers by nation ---------------
+@register(
+    "q141_idle_wealthy_by_nation",
+    oracle="""
+        WITH cutoff AS (
+            SELECT AVG(c_acctbal) AS m FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer CROSS JOIN cutoff
+        WHERE c_acctbal > m
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape (nation key stands in for the phone prefix): "
+    "above-average-balance customers with no URGENT orders — a broadcast 1-row "
+    "scalar aggregate for the cutoff, an anti join against orders, one "
+    "grouped rollup. The scalar rides the plan as a broadcast cross join, "
+    "never a driver collect.",
+    tags=("relational", "scalar-subquery", "anti"),
+)
+def q141_idle_wealthy_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    c, o = t["customer"], t["orders"]
+    cutoff = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("m"))
+    return (
+        c.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("m"))
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

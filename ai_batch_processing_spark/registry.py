@@ -105,9 +105,14 @@ _PRIORITY = [
     "q133_ivf_exhaustive_topk",
     "q134_lsh_multiprobe_exhaustive_topk",
     # new round-3 operators (loader-ready packing rows; Bloom-prefiltered
-    # incremental dedup)
+    # incremental dedup; TPC-H Q13/Q16/Q20/Q21/Q22 shapes)
     "q135_sequence_packing_fragments",
     "q136_incremental_dedup_bloom",
+    "q137_order_count_distribution",
+    "q138_supplier_diversity",
+    "q139_heavy_part_suppliers",
+    "q140_sole_blamed_supplier",
+    "q141_idle_wealthy_by_nation",
     # never-gated, oracle-backed (39)
     "q123_market_share",
     "q124_returned_item_customers",
@@ -148,13 +153,9 @@ _PRIORITY = [
     "q105_supplier_return_isolation",
     "q106_idle_high_balance_segments",
     "q107_dominant_part_suppliers",
-    # r1-only rotation (diverse families, green in r1, re-proven here)
-    "q12_range_join_price_tiers",
-    "q13_asof_join_purchase_signup",
-    "q35_exists_subquery",
-    "q39_unpivot_part_measures",
-    "q55_percentiles",
     # ---- past the gate cap: r2's green prefix, kept for ordering ----
+    # (the r1-only families q04-q29/q35-q39/q55-q64/q81-q89 keep their
+    # round-1 green rows; round-3 slots went to queries with NO row yet)
     # flagship / bench headliners
     "q01_pricing_summary",
     "q02_shipping_priority",
