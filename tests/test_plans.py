@@ -216,3 +216,42 @@ def test_q116_outliers_broadcast_centroids_no_cartesian(spark, sf_dir):
     plan = _explain(SPECS["q116_embedding_outliers"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan  # label→centroid join rides broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_q136_bloom_probe_broadcasts_bitmap(spark, sf_dir):
+    """The Bloom path's whole point: the bitmap word table broadcasts into
+    the probe (never a shuffled join against the corpus for the probe
+    stage), and the plan still carries exactly one exact anti/semi check
+    for the maybe rows."""
+    plan = _explain(SPECS["q136_incremental_dedup_bloom"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the maybe-rows exact check compiles to a LeftAnti join somewhere
+    assert "LeftAnti" in plan
+
+
+def test_q137_outer_join_pushes_on_clause_to_scan(spark, sf_dir):
+    """Q13 shape: the priority predicate lives in the JOIN's ON clause (a
+    post-join WHERE would drop zero-order customers). Catalyst may then
+    legally push it below the join onto the RIGHT side's scan — the ideal
+    plan — but it must never become a filter above the LeftOuter join."""
+    plan = _explain(SPECS["q137_order_count_distribution"].fn(spark, sf_dir))
+    assert "LeftOuter" in plan
+    # the predicate reached the orders parquet scan as a pushed filter
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_q140_semi_and_anti_self_joins(spark, sf_dir):
+    """Q21 shape compiles to one LeftSemi (other supplier exists) and one
+    LeftAnti (no other returned line) over the distinct projection — not
+    to any cartesian or inner-join explosion."""
+    plan = _explain(SPECS["q140_sole_blamed_supplier"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q139_semi_chain_prunes_before_wide_joins(spark, sf_dir):
+    """Q20 shape: the part-class filter reaches the part scan, and the
+    supplier dim is reached only through a semi join."""
+    plan = _explain(SPECS["q139_heavy_part_suppliers"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
