@@ -150,6 +150,58 @@ def stream_running_totals(
     )
 
 
+def stream_running_totals_tws(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``stream_running_totals`` on Spark 4's ``transformWithStateInPandas``
+    — the successor API to ``applyInPandasWithState``: typed state
+    variables (ValueState here; ListState/MapState/timers available) on
+    the RocksDB state store instead of a single packed tuple on the HDFS
+    store. Output parity with the applyInPandasWithState twin is
+    test-pinned across micro-batches; both are kept because the old API
+    remains the compatibility surface while this is the forward one.
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (set per-query via the writeStream conf or
+    session-wide); the test sets it on the session. Capability gate: the
+    API's state server speaks protobuf over a local socket — environments
+    without a working ``google.protobuf`` fail at query start (the test
+    importorskips), which is why the ``applyInPandasWithState`` twin above
+    remains the always-available path.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = "user_id long, n_events long, total_value double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "total_value": total}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(), out_schema, "update", "None"
+    )
+
+
 # --------------------------------------------------------------------------
 # registered batch-mode queries (oracle-checked window semantics)
 # --------------------------------------------------------------------------
