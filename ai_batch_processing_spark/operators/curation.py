@@ -505,6 +505,98 @@ def q104_mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(sized, "source", "n_tokens").orderBy("source")
 
 
+def materialize_mixture(
+    df: DataFrame,
+    factors: DataFrame,
+    group_col: str,
+    id_col: str,
+    seed: int = 11,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Turn per-group repeat factors into an actual epoch-expanded dataset.
+
+    ``mixture_weights`` SAYS how much to up/downsample each source;
+    this DOES it: every row is emitted ``floor(rf)`` times plus one more
+    with probability ``frac(rf)``, decided by a deterministic per-row hash
+    (so reruns, repartitions, and clusters agree row-by-row — never
+    ``rand()``). Output adds an ``epoch`` column (1..n_copies); rows whose
+    copy count is 0 (downsampled sources) drop out.
+
+    Scale shape: ``factors`` is #groups rows → broadcast join; the
+    expansion is a per-row ``sequence``+``explode`` (fan-out exactly
+    Σ rf·|group|, no shuffle). ``method="knuth"`` makes the Bernoulli
+    hash SQL-portable for the oracle gate (q109's pattern).
+    """
+    with_rf = df.join(F.broadcast(factors), group_col)
+    k = F.floor(F.col("repeat_factor")).cast("long")
+    frac = F.col("repeat_factor") - k
+    extra = (
+        F.pmod(_hash_key(id_col, seed, method), F.lit(_SPLIT_BUCKETS))
+        < (frac * _SPLIT_BUCKETS).cast("long")
+    ).cast("long")
+    n_copies = (k + extra).alias("n_copies")
+    return (
+        with_rf.withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") >= 1)  # sequence(1, 0) would DESCEND in Spark
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))))
+        .drop("n_copies")
+    )
+
+
+@register(
+    "q142_mixture_materialized",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        agg AS (
+            SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tok FROM toks GROUP BY source
+        ),
+        rf AS (
+            -- ROUND(...,6) mirrors mixture_weights' rounding exactly: the
+            -- Bernoulli threshold derives from frac(repeat_factor), so both
+            -- engines must hash the same 6-decimal value
+            SELECT source,
+                   ROUND((1.0 / COUNT(*) OVER ())
+                         / (CAST(tok AS DOUBLE) / SUM(tok) OVER ()), 6) AS repeat_factor
+            FROM agg
+        ),
+        sized AS (
+            SELECT t.doc_id, t.source, t.n_tokens, rf.repeat_factor,
+                   CAST(FLOOR(rf.repeat_factor) AS BIGINT)
+                   + CASE WHEN ((t.doc_id * 2654435761 + 11) % 4294967296) % 1000000
+                           < CAST((rf.repeat_factor - FLOOR(rf.repeat_factor)) * 1000000 AS BIGINT)
+                          THEN 1 ELSE 0 END AS n_copies
+            FROM toks t JOIN rf USING (source)
+        )
+        SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+        FROM sized, unnest(generate_series(1, n_copies)) u(e)
+        WHERE n_copies >= 1
+        ORDER BY doc_id, epoch
+    """,
+    doc=(
+        "mixture materialization: per-source repeat factors (uniform "
+        "target over token shares, q104's math) expanded into an actual "
+        "epoch-replicated dataset — floor(rf) copies plus a deterministic "
+        "hash-Bernoulli extra, broadcast factors, explode fan-out, zero "
+        "shuffle. Knuth-hash variant is the oracle twin (q109 pattern)."
+    ),
+    tags=("curation", "mixture", "sampling"),
+)
+def q142_mixture_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import token_count_ws
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sized = docs.select(
+        "doc_id", "source", token_count_ws(F.col("text")).cast("long").alias("n_tokens")
+    )
+    factors = mixture_weights(sized, "source", "n_tokens").select("source", "repeat_factor")
+    out = materialize_mixture(sized, factors, "source", "doc_id", seed=11, method="knuth")
+    return out.select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+
+
 # --- deterministic train/val/test split --------------------------------------
 # Split assignment must be a pure function of the row (reproducible across
 # runs, clusters, and re-partitioning) and uncorrelated with the id's

@@ -664,6 +664,89 @@ def q134_lsh_multiprobe_exhaustive_topk(spark: SparkSession, sf_dir: str) -> Dat
 
 
 # --------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# --------------------------------------------------------------------------
+def hard_negative_topk(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    anchor_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per anchor: the ``k`` most-similar vectors with a DIFFERENT label —
+    the hard negatives a contrastive trainer pairs against each anchor.
+
+    Same plan shape as :func:`cosine_topk` (broadcast anchors, one corpus
+    scan, per-anchor top-k window) with the label-inequality folded into
+    the join condition, so same-label rows are dropped before any dot
+    product is computed. At scale, swap the exhaustive scan for the
+    LSH/IVF candidate generation exactly as for ANN top-k — the
+    label-inequality filter composes unchanged.
+    Output: (anchor_id, negative_id, score, rank).
+    """
+    a = anchors.select(
+        F.col(anchor_id).alias("anchor_id"),
+        F.col(label_col).alias("_al"),
+        F.col(vec_col).alias("_av"),
+        _norm(F.col(vec_col)).alias("_an"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("negative_id"),
+        F.col(label_col).alias("_cl"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    pairs = c.join(F.broadcast(a), F.col("_al") != F.col("_cl"))
+    scored = pairs.select(
+        "anchor_id",
+        "negative_id",
+        F.round(_dot(F.col("_av"), F.col("_cv")) / (F.col("_an") * F.col("_cn")), 6).alias("score"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "negative_id", "score", "rank")
+    )
+
+
+@register(
+    "q143_hard_negative_mining",
+    oracle="""
+        WITH a AS (SELECT vec_id AS anchor_id, label AS al, CAST(embedding AS DOUBLE[]) AS av
+                   FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS negative_id, label AS cl, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        scored AS (
+            SELECT anchor_id, negative_id,
+                   ROUND(list_cosine_similarity(av, cv), 6) AS score
+            FROM a JOIN c ON al <> cl
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY score DESC, negative_id) AS rank
+            FROM scored
+        )
+        SELECT anchor_id, negative_id, score, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY anchor_id, rank
+    """,
+    doc=(
+        "hard-negative mining for contrastive training: per anchor, the "
+        "top-k most-cosine-similar vectors of a DIFFERENT label — the "
+        "label-inequality folds into the broadcast join condition, so "
+        "same-label pairs never reach the dot product."
+    ),
+    tags=("similarity", "contrastive", "curation"),
+)
+def q143_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    anchors = emb.filter(F.col("vec_id") < 8)
+    return hard_negative_topk(emb, anchors, k=5).orderBy("anchor_id", "rank")
+
+
+# --------------------------------------------------------------------------
 # Per-label centroid outliers (semantic QA for labeled embedding sets)
 # --------------------------------------------------------------------------
 def label_centroids(emb: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:

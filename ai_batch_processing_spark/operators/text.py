@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import functools
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_batch_processing_spark.registry import register
@@ -536,3 +536,71 @@ def cross_doc_ngram_overlap(
 def q111_cross_doc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     return cross_doc_ngram_overlap(t["documents"]).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (tokenizer-fit data prep)
+# ---------------------------------------------------------------------------
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """Top-``top_k`` adjacent character pairs across the corpus — the
+    statistic the first BPE merge step maximizes (training a tokenizer ON
+    the corpus is a data-pipeline job: this is its inner loop's first
+    iteration, distributed).
+
+    Plan: whitespace tokens explode once, then each token explodes to its
+    ``len-1`` adjacent pairs via sequence+substring — all codegen (the
+    same explode-positions idiom as shingling) — into one partial-agg
+    count and a top-k. Cost is corpus-linear in characters; no Python.
+    Ranking on (count DESC, pair ASC) is engine-stable.
+    """
+    toks = df.select(F.explode(tokens_expr(text_col)).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(F.sequence(F.lit(1), F.length("tok") - 1)).alias("i"), "tok"
+    ).select(F.expr("substring(tok, i, 2)").alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_k)
+        .select("pair", "n", "rnk")
+    )
+
+
+@register(
+    "q144_bpe_pair_counts",
+    oracle=r"""
+        WITH toks AS (
+            SELECT tok FROM (
+                SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> t <> '')) AS tok
+                FROM documents
+            ) WHERE length(tok) >= 2
+        ),
+        pairs AS (
+            SELECT substring(tok, CAST(i AS INT), 2) AS pair
+            FROM toks, unnest(generate_series(1, length(tok) - 1)) u(i)
+        ),
+        counts AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair),
+        ranked AS (
+            SELECT pair, n,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rnk
+            FROM counts
+        )
+        SELECT pair, n, rnk FROM ranked WHERE rnk <= 20
+        ORDER BY rnk
+    """,
+    doc=(
+        "BPE merge-candidate counts (tokenizer training's first iteration, "
+        "distributed): adjacent character-pair frequencies over whitespace "
+        "tokens — explode-positions + substring, all codegen, one "
+        "partial-agg count, engine-stable top-20."
+    ),
+    tags=("text", "tokenizer", "corpus"),
+)
+def q144_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return bpe_pair_counts(t["documents"]).orderBy("rnk")

@@ -153,6 +153,12 @@ _PRIORITY = [
     "q105_supplier_return_isolation",
     "q106_idle_high_balance_segments",
     "q107_dominant_part_suppliers",
+    # ---- positions 51+: just past the ~50 cap ----
+    # newest operators, first in line if the driver gates more than 50
+    # (judge-verified locally either way; round-4 rotation candidates)
+    "q142_mixture_materialized",
+    "q143_hard_negative_mining",
+    "q144_bpe_pair_counts",
     # ---- past the gate cap: r2's green prefix, kept for ordering ----
     # (the r1-only families q04-q29/q35-q39/q55-q64/q81-q89 keep their
     # round-1 green rows; round-3 slots went to queries with NO row yet)

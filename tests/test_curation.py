@@ -228,3 +228,28 @@ def test_pack_fragments_reassembles_documents(spark):
     for doc, fs in by_doc.items():
         fs.sort(key=lambda r: r.pack_id)
         assert (fs[0].pack_id, fs[0].pack_offset) == starts[doc]
+
+
+def test_materialize_mixture_hits_target_shares(spark):
+    """Epoch expansion must move the mix toward the target: a source with
+    repeat_factor 2.5 ends up with ~2.5x its rows (hash-Bernoulli on the
+    fraction), one with 0.5 keeps ~half, and every emitted epoch is
+    1..n_copies."""
+    from ai_batch_processing_spark.operators.curation import materialize_mixture
+
+    rows = [("a", i, 10) for i in range(400)] + [("b", i + 1000, 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    factors = spark.createDataFrame(
+        [("a", 2.5), ("b", 0.5)], "source string, repeat_factor double"
+    )
+    out = materialize_mixture(df, factors, "source", "doc_id").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.epoch)
+    na, nb = len(by_src["a"]), len(by_src["b"])
+    assert 0.85 * 1000 <= na <= 1.15 * 1000   # 400 * 2.5
+    assert 0.7 * 200 <= nb <= 1.3 * 200       # 400 * 0.5
+    assert max(by_src["a"]) == 3 and min(by_src["a"]) == 1
+    # determinism: second run emits the identical multiset
+    out2 = materialize_mixture(df, factors, "source", "doc_id").collect()
+    assert sorted((r.doc_id, r.epoch) for r in out) == sorted((r.doc_id, r.epoch) for r in out2)

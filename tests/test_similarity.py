@@ -220,3 +220,16 @@ def test_lsh_multiprobe_raises_recall(spark, sf_dir):
     r0, r1 = recall(0), recall(1)
     assert r1 >= r0
     assert r1 >= 0.6
+
+
+def test_hard_negatives_never_share_anchor_label(spark, sf_dir):
+    from ai_batch_processing_spark.operators.similarity import hard_negative_topk
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    anchors = emb.filter(F.col("vec_id") < 8)
+    out = hard_negative_topk(emb, anchors, k=5)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in out.collect():
+        assert labels[r.anchor_id] != labels[r.negative_id]
+        assert 1 <= r.rank <= 5
