@@ -21,6 +21,8 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ai_batch_processing_spark.registry import register
+
 RESERVED = ["group", "main_content", "prompt", "response", "timestamp", "row_index", "error"]
 
 
@@ -193,3 +195,117 @@ def write_partitioned_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (space-filling-curve clustering for multi-column pruning)
+# ---------------------------------------------------------------------------
+def zorder_value(a: Column, b: Column, a_min: Column, a_max: Column, b_min: Column, b_max: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) value interleaving two columns' ``bits``-bit
+    rank buckets — pure Catalyst, no UDF.
+
+    Each column scales to [0, 2^bits) against its (min, max) range
+    (broadcast 1-row aggregates — never driver-side), then bit i of a
+    lands at position 2i and bit i of b at 2i+1. Rows close in zvalue are
+    close in BOTH dimensions, so sorting the file layout by zvalue gives
+    parquet row-group min/max stats that prune 2-D box predicates —
+    single-column sort layouts only ever prune one of the two.
+    """
+    span_a = (a_max - a_min + 1).cast("double")
+    span_b = (b_max - b_min + 1).cast("double")
+    scale = float(1 << bits)
+    qa = F.least(F.lit((1 << bits) - 1), F.floor((a - a_min).cast("double") / span_a * scale).cast("long"))
+    qb = F.least(F.lit((1 << bits) - 1), F.floor((b - b_min).cast("double") / span_b * scale).cast("long"))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(qa, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(qb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered_parquet(
+    df: DataFrame, path: str, col_a: str, col_b: str, bits: int = 16, n_files: int | None = None
+) -> None:
+    """Write ``df`` as parquet laid out along the (col_a, col_b) Z-curve.
+
+    Range-partition on the zvalue (distributed sort — each output file
+    covers a compact Z-range, i.e. a small rectangle in (a, b) space),
+    then sort within partitions so row-group min/max stats are tight for
+    BOTH columns. A reader filtering ``a BETWEEN .. AND b BETWEEN ..``
+    prunes most files/row-groups on footer stats alone — the layout
+    half of what engines with native Z-ORDER clustering do.
+    """
+    from ai_batch_processing_spark.session import shuffle_partitions
+
+    mins = df.agg(
+        F.min(col_a).alias("_amin"), F.max(col_a).alias("_amax"),
+        F.min(col_b).alias("_bmin"), F.max(col_b).alias("_bmax"),
+    )
+    z = zorder_value(
+        F.col(col_a), F.col(col_b),
+        F.col("_amin"), F.col("_amax"), F.col("_bmin"), F.col("_bmax"), bits
+    )
+    n = n_files or shuffle_partitions(df.sparkSession)
+    (
+        df.crossJoin(F.broadcast(mins))
+        .withColumn("_z", z)
+        .repartitionByRange(n, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", "_amin", "_amax", "_bmin", "_bmax")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@register(
+    "q145_zorder_values",
+    oracle="""
+        WITH rng AS (
+            SELECT MIN(l_orderkey) AS amin, MAX(l_orderkey) AS amax,
+                   MIN(l_partkey) AS bmin, MAX(l_partkey) AS bmax
+            FROM lineitem
+        ),
+        q AS (
+            SELECT l_orderkey, l_partkey, l_linenumber,
+                   LEAST(65535, CAST(FLOOR(CAST(l_orderkey - amin AS DOUBLE)
+                        / CAST(amax - amin + 1 AS DOUBLE) * 65536.0) AS BIGINT)) AS qa,
+                   LEAST(65535, CAST(FLOOR(CAST(l_partkey - bmin AS DOUBLE)
+                        / CAST(bmax - bmin + 1 AS DOUBLE) * 65536.0) AS BIGINT)) AS qb
+            FROM lineitem CROSS JOIN rng
+        )
+        SELECT l_orderkey, l_partkey, l_linenumber,
+               CAST((SELECT SUM(
+                   (((qa >> CAST(i AS INT)) & 1) << CAST(2 * i AS INT))
+                 + (((qb >> CAST(i AS INT)) & 1) << CAST(2 * i + 1 AS INT)))
+                 FROM generate_series(0, 15) s(i)) AS BIGINT) AS zvalue
+        FROM q
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    doc=(
+        "Morton/Z-order values over (l_orderkey, l_partkey): 16-bit rank "
+        "buckets against broadcast min/max aggregates, bits interleaved by "
+        "a generated Catalyst expression — the clustering key behind "
+        "write_zordered_parquet's 2-D-prunable file layout."
+    ),
+    tags=("layout", "zorder", "io"),
+)
+def q145_zorder_values(spark, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    mins = li.agg(
+        F.min("l_orderkey").alias("_amin"), F.max("l_orderkey").alias("_amax"),
+        F.min("l_partkey").alias("_bmin"), F.max("l_partkey").alias("_bmax"),
+    )
+    z = zorder_value(
+        F.col("l_orderkey"), F.col("l_partkey"),
+        F.col("_amin"), F.col("_amax"), F.col("_bmin"), F.col("_bmax"), 16
+    )
+    return (
+        li.crossJoin(F.broadcast(mins))
+        .select("l_orderkey", "l_partkey", "l_linenumber", z.alias("zvalue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -56,6 +56,7 @@ _QUERY_MODULES = [
     "ai_batch_processing_spark.operators.graph",
     "ai_batch_processing_spark.operators.multimodal",
     "ai_batch_processing_spark.streaming.events",
+    "ai_batch_processing_spark.io.writers",
 ]
 
 

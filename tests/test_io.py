@@ -242,3 +242,44 @@ def test_write_partitioned_parquet_controls_files_and_order(spark, tmp_path):
     col_idx = [meta.schema.column(i).name for i in range(meta.num_columns)].index("v")
     rg0 = meta.row_group(0).column(col_idx).statistics
     assert rg0.has_min_max
+
+
+def test_zorder_layout_prunes_2d_box_queries(spark, sf_dir, tmp_path):
+    """Z-ordered parquet must localize a 2-D box predicate: the matching
+    rows of `a BETWEEN .. AND b BETWEEN ..` live in far fewer files than
+    under a single-column sort of the same data — both columns' file-level
+    min/max stay tight, which is the whole point of the curve."""
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.io.writers import write_zordered_parquet
+    from ai_batch_processing_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zpath, spath = str(tmp_path / "zord"), str(tmp_path / "sorted")
+    write_zordered_parquet(li, zpath, "l_orderkey", "l_partkey", n_files=32)
+    li.repartitionByRange(32, "l_orderkey").sortWithinPartitions("l_orderkey").write.parquet(spath)
+
+    amax = li.agg(F.max("l_orderkey")).collect()[0][0]
+    bmax = li.agg(F.max("l_partkey")).collect()[0][0]
+    box = (
+        (F.col("l_orderkey") < amax * 0.25) & (F.col("l_partkey") < bmax * 0.25)
+    )
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .filter(box)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    nz, ns = files_touched(zpath), files_touched(spath)
+    # single-col sort: every file in the orderkey quartile matches (partkey
+    # spans everything) ≈ 8 files; z-order: only the files whose rectangle
+    # intersects the quarter-quarter box
+    assert nz < ns
+    # and the data itself round-trips
+    assert spark.read.parquet(zpath).count() == li.count()
