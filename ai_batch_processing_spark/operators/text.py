@@ -562,7 +562,10 @@ def bpe_pair_counts(
         F.explode(F.sequence(F.lit(1), F.length("tok") - 1)).alias("i"), "tok"
     ).select(F.expr("substring(tok, i, 2)").alias("pair"))
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    # constant partition key: same single-partition execution over the
+    # vocab-sized counts, without WindowExec's all-data warning (the data
+    # never takes this path — only ≤|alphabet|² aggregate rows do)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), F.asc("pair"))
     return (
         counts.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= top_k)
