@@ -315,10 +315,17 @@ def bloom_bitmap_words(df: DataFrame, key_col: str, num_bits: int = 1 << 22, k: 
     Pure Catalyst (Spark doesn't expose bloom_filter_agg to SQL): each key
     sets ``k`` seeded-xxhash64 bit positions; positions fold into 64-bit
     words with a ``bit_or`` partial aggregate. The result is ≤ num_bits/64
-    rows (num_bits=2²² → ≤ 65k rows, ~1 MB) REGARDLESS of corpus size —
-    the whole point: the corpus compresses to a broadcastable table built
-    in one map-side-combined pass, and membership probes never touch the
-    corpus again.
+    rows (num_bits=2²² → ≤ 65k rows, ~1 MB), built in one
+    map-side-combined pass; membership probes never touch the corpus
+    again.
+
+    Sizing: the false-positive rate is a function of num_bits/n_keys
+    (≈ (1 − e^(−k·n/m))^k; ~10-15 bits per key for ~0.1-1% fpp), so
+    ``num_bits`` must GROW with the corpus — the 2²² default covers a few
+    hundred thousand keys. At 10⁹+ keys a single broadcastable bitmap
+    stops being cheap (~1-2 GB); shard it by key range (one words-table
+    per shard, probe routed by the same range) or accept a higher fpp —
+    false positives cost extra exact-check work, never correctness.
     """
     pos = F.explode(
         F.array(*[F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits)) for i in range(k)])

@@ -358,6 +358,26 @@ def stream_dedup_events(
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def stream_dedup_events_within_watermark(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """``stream_dedup_events`` via ``dropDuplicatesWithinWatermark`` —
+    the Spark 3.5+ operator for the case plain ``dropDuplicates`` gets
+    wrong: re-deliveries whose EVENT TIME differs between copies (retry
+    paths often re-stamp). Keying on event_id alone with ``ts`` in the
+    key would treat a re-stamped copy as new; without ``ts`` in the key an
+    unwatermarked state entry lives forever. This operator dedups on the
+    business key only and guarantees suppression of duplicates arriving
+    within the watermark delay of each other, evicting state afterwards —
+    bounded state AND re-stamp-proof.
+    """
+    stream = spark.readStream.schema(schema).json(source_dir)
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def stream_enrich_events(
     spark: SparkSession,
     source_dir: str,

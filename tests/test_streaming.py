@@ -447,3 +447,31 @@ def test_transform_with_state_matches_applyinpandas_twin(spark, tmp_path):
         final[r.user_id] = max(cur, (r.n_events, r.total_value))
     assert final[1] == (2, 3.0)
     assert final[2] == (2, 7.0)
+
+
+def test_stream_dedup_within_watermark_catches_restamped_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must suppress a re-delivery whose
+    event time was RE-STAMPED (different ts, same business key) — the case
+    plain dropDuplicates with ts in the key misses."""
+    from ai_batch_processing_spark.streaming.events import (
+        stream_dedup_events,
+        stream_dedup_events_within_watermark,
+    )
+
+    d = tmp_path / "dedup_wm_in"
+    d.mkdir()
+    e1 = {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"}
+    e1r = dict(e1, ts="2024-01-01T00:03:00")  # re-stamped re-delivery
+    e2 = {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 1, "event_type": "view", "value": 2.0, "props": "{}"}
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in [e1, e2]))
+    (d / "b.json").write_text(json.dumps(e1r))
+    out = _run(
+        spark,
+        stream_dedup_events_within_watermark(spark, str(d)),
+        "dedup_wm_stream",
+        mode="append",
+    )
+    assert sorted(r.event_id for r in out.collect()) == [1, 2]
+    # contrast: (event_id, ts)-keyed dedup treats the re-stamp as new
+    out2 = _run(spark, stream_dedup_events(spark, str(d)), "dedup_plain_stream", mode="append")
+    assert sorted(r.event_id for r in out2.collect()) == [1, 1, 2]
