@@ -277,14 +277,20 @@ def phash64(payload: bytes) -> int:
     return bits & ((1 << 63) - 1)
 
 
-def _simhash_bytes(payload: bytes, bits: int = 63) -> int:
+def _simhash_bytes(payload: bytes, bits: int = 63, mix: str = "splitmix") -> int:
     """SimHash over overlapping 4-byte shingles (the fake-decode twin).
 
-    Fully vectorized: sliding 4-byte windows → one splitmix64 mix → per-bit
+    Fully vectorized: sliding 4-byte windows → one shingle-key mix → per-bit
     popcounts accumulated over 64 Ki-shingle CHUNKS of the shingle axis.
     No per-byte Python loop — the per-batch cost stays numpy-bound inside
     the Arrow crossing — and the intermediate is bounded (~65 MB per chunk
     matrix) regardless of payload size.
+
+    ``mix="splitmix"`` (default) is the production mixer (good diffusion);
+    ``mix="portable"`` is ((key mod p)·2654435761 + 7) mod p with
+    p = 2³¹−1 — BIGINT-only arithmetic DuckDB reproduces verbatim, which
+    is what lets q146 hash-match this whole Arrow/numpy path against an
+    independent SQL oracle (use with ``bits=32``).
     """
     import numpy as np
 
@@ -292,11 +298,15 @@ def _simhash_bytes(payload: bytes, bits: int = 63) -> int:
     a = np.frombuffer(buf, dtype=np.uint8)
     w = np.lib.stride_tricks.sliding_window_view(a, 4).astype(np.uint64)
     key = (w[:, 0] << np.uint64(24)) | (w[:, 1] << np.uint64(16)) | (w[:, 2] << np.uint64(8)) | w[:, 3]
-    # splitmix64 finalizer (uint64 arithmetic wraps, which is what we want)
-    with np.errstate(over="ignore"):
-        key = (key ^ (key >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        key = (key ^ (key >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        key = key ^ (key >> np.uint64(31))
+    if mix == "portable":
+        p = np.uint64(2147483647)
+        key = ((key % p) * np.uint64(2654435761) + np.uint64(7)) % p
+    else:
+        # splitmix64 finalizer (uint64 arithmetic wraps, which is what we want)
+        with np.errstate(over="ignore"):
+            key = (key ^ (key >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            key = (key ^ (key >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            key = key ^ (key >> np.uint64(31))
     # Accumulate per-bit counts in CHUNKS of the shingle axis: a single
     # (n_shingles × bits) sign matrix would be ~500 bytes per payload byte
     # (a 5 MB payload → ~2.5 GB). Each chunk materializes a 65536×63
@@ -313,14 +323,19 @@ def _simhash_bytes(payload: bytes, bits: int = 63) -> int:
     return int(sum(1 << b for b in range(bits) if counts[b] >= 0))
 
 
-def media_phash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Attach a ``phash`` long column — one Arrow-batched Python crossing."""
+def media_phash(df: DataFrame, payload_col: str = "payload", hasher=None) -> DataFrame:
+    """Attach a ``phash`` long column — one Arrow-batched Python crossing.
+
+    ``hasher`` overrides the per-payload hash function (default
+    :func:`phash64`); q146 passes the portable-mix byte-SimHash so the
+    crossing is oracle-checkable."""
+    h = hasher or phash64
     out_schema = StructType(df.schema.fields + [StructField("phash", LongType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["phash"] = [phash64(bytes(p)) for p in pdf[payload_col]]
+            pdf["phash"] = [h(bytes(p)) for p in pdf[payload_col]]
             yield pdf
 
     return df.mapInPandas(run, out_schema)
@@ -331,12 +346,14 @@ def media_near_dup_pairs(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     max_hamming: int = 3,
+    bits: int = 63,
+    hasher=None,
 ) -> DataFrame:
     """(id_a, id_b, hamming): media pairs whose perceptual hashes differ by
     ≤ ``max_hamming`` bits.
 
-    The SimHash banding argument (dedup.py): two 64-bit keys within
-    hamming ≤ 3 must agree on ≥1 of 4 16-bit bands, so candidate
+    The SimHash banding argument (dedup.py): two keys within hamming ≤ 3
+    must agree on ≥1 of 4 ``ceil(bits/4)``-bit bands, so candidate
     generation is a corpus-linear band-bucket join (all JVM-side — the
     only Python is the one phash crossing), then exact hamming via
     xor+bit_count verifies candidates. Never an all-pairs join.
@@ -346,15 +363,17 @@ def media_near_dup_pairs(
     # Arrow/Python phash crossing over the whole corpus, doubling the
     # single most expensive step.
     hashed = (
-        media_phash(df, payload_col)
+        media_phash(df, payload_col, hasher=hasher)
         .select(F.col(id_col).alias("id"), "phash")
         .persist()
     )
+    band_bits = (bits + 3) // 4
+    mask = (1 << band_bits) - 1
     banded = hashed.select(
         "id",
         "phash",
         F.posexplode(
-            F.expr("transform(sequence(0, 3), j -> shiftright(phash, j * 16) & 65535)")
+            F.expr(f"transform(sequence(0, 3), j -> shiftright(phash, j * {band_bits}) & {mask})")
         ).alias("band", "key"),
     )
     x = banded.alias("x")
@@ -402,3 +421,76 @@ def q61_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = attach_payload(base.unionAll(dups))
     return media_near_dup_pairs(corpus, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _phash_portable_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    """DuckDB twin of the portable-mix byte-SimHash near-dup pipeline.
+
+    The payload is the utf-8 bytes of ASCII text, so the numpy 4-byte
+    sliding windows are exactly 4-char substrings; the portable mixer is
+    BIGINT-only arithmetic. Banding is omitted (recall exactly 1 by
+    pigeonhole) — all-pairs hamming ≤ d is the same answer.
+    """
+    bitsums = ",\n                   ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
+    )
+    fold = " + ".join(f"(CASE WHEN b{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 150
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text
+            FROM documents WHERE doc_id < 150 AND doc_id % 3 = 0
+        ),
+        shingled AS (
+            SELECT doc_id,
+                   CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT) * 16777216
+                 + CAST(ascii(substring(text, CAST(i AS INT) + 1, 1)) AS BIGINT) * 65536
+                 + CAST(ascii(substring(text, CAST(i AS INT) + 2, 1)) AS BIGINT) * 256
+                 + CAST(ascii(substring(text, CAST(i AS INT) + 3, 1)) AS BIGINT) AS key
+            FROM corpus, unnest(generate_series(1, length(text) - 3)) t(i)
+            WHERE length(text) >= 4
+        ),
+        hashed AS (
+            SELECT doc_id, ((key % 2147483647) * 2654435761 + 7) % 2147483647 AS h
+            FROM shingled
+        ),
+        bitsums AS (SELECT doc_id, {bitsums}
+                    FROM hashed GROUP BY doc_id),
+        fp AS (SELECT doc_id, CAST({fold} AS BIGINT) AS phash FROM bitsums)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "q146_media_phash_verified",
+    oracle=_phash_portable_oracle(),
+    doc=(
+        "q61's media near-dup pipeline made fully oracle-checkable: the "
+        "byte-SimHash mixer switches from splitmix64 to BIGINT-portable "
+        "arithmetic, so the REAL machinery — attach_payload's binary "
+        "column, the Arrow-batched mapInPandas numpy hashing, the banded "
+        "candidate join, the xor+bit_count verify — hash-matches an "
+        "independent DuckDB oracle end to end (banding recall is exactly "
+        "1 by pigeonhole). The production splitmix/Pillow path stays "
+        "pinned by q61's rows check and the planted-dup unit tests."
+    ),
+    tags=("multimodal", "dedup", "verify"),
+)
+def q146_media_phash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    base = t["documents"].filter(F.col("doc_id") < 150).select("doc_id", "text")
+    dups = (
+        t["documents"]
+        .filter((F.col("doc_id") < 150) & (F.col("doc_id") % 3 == 0))
+        .select((F.col("doc_id") + 100000).alias("doc_id"), F.col("text"))
+    )
+    corpus = attach_payload(base.unionAll(dups))
+    portable = lambda p: _simhash_bytes(p, bits=32, mix="portable")  # noqa: E731
+    return media_near_dup_pairs(
+        corpus, max_hamming=3, bits=32, hasher=portable
+    ).orderBy("id_a", "id_b")
