@@ -366,7 +366,10 @@ def bloom_maybe_contains(
         .agg(F.min(hit.cast("int")).alias("_all_hit"))
         .select(F.col("_k"), (F.col("_all_hit") == 1).alias("_maybe"))
     )
-    return probe.join(verdict, probe[key_col] == verdict._k).drop("_k")
+    # eqNullSafe: a NULL key must keep its row (with whatever verdict its
+    # hash positions produced), not vanish at the join — the Bloom path is
+    # contractually row-preserving and output-identical to the plain path
+    return probe.join(verdict, probe[key_col].eqNullSafe(verdict._k)).drop("_k")
 
 
 def incremental_dedup_bloom(

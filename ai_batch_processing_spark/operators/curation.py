@@ -530,9 +530,12 @@ def materialize_mixture(
     with_rf = df.join(F.broadcast(factors), group_col)
     k = F.floor(F.col("repeat_factor")).cast("long")
     frac = F.col("repeat_factor") - k
+    # FLOOR, not a bare cast: Spark's cast('long') truncates but DuckDB's
+    # CAST(AS BIGINT) rounds — the oracle twin must FLOOR too, or boundary
+    # fractions shift the Bernoulli threshold by 1 between engines
     extra = (
         F.pmod(_hash_key(id_col, seed, method), F.lit(_SPLIT_BUCKETS))
-        < (frac * _SPLIT_BUCKETS).cast("long")
+        < F.floor(frac * _SPLIT_BUCKETS).cast("long")
     ).cast("long")
     n_copies = (k + extra).alias("n_copies")
     return (
@@ -567,7 +570,7 @@ def materialize_mixture(
             SELECT t.doc_id, t.source, t.n_tokens, rf.repeat_factor,
                    CAST(FLOOR(rf.repeat_factor) AS BIGINT)
                    + CASE WHEN ((t.doc_id * 2654435761 + 11) % 4294967296) % 1000000
-                           < CAST((rf.repeat_factor - FLOOR(rf.repeat_factor)) * 1000000 AS BIGINT)
+                           < CAST(FLOOR((rf.repeat_factor - FLOOR(rf.repeat_factor)) * 1000000) AS BIGINT)
                           THEN 1 ELSE 0 END AS n_copies
             FROM toks t JOIN rf USING (source)
         )

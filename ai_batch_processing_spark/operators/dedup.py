@@ -255,6 +255,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     verify_scope: str = "corpus",
+    max_bucket: int = 500,
 ) -> DataFrame:
     """Scale-path near-dup detection: LSH candidates verified by Jaccard.
 
@@ -328,7 +329,7 @@ def minhash_dedup_pairs(
     # multi-band duplicates just re-evaluate the cheap estimate, and the
     # distinct then shuffles the surviving ~10% instead of the full
     # candidate stream.
-    cands = lsh_candidate_pairs(sigs, num_perm, bands, distinct=False)
+    cands = lsh_candidate_pairs(sigs, num_perm, bands, max_bucket=max_bucket, distinct=False)
     # Signature-estimate pre-filter (see docstring): drop candidates whose
     # estimated Jaccard is more than 3σ below the threshold before paying
     # for the exact array_intersect verify.
@@ -642,25 +643,50 @@ def q43_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q131_minhash_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
+    # max_bucket disabled: the recall-1 guarantee requires that NO bucket is
+    # dropped — at r=1 a bucket is every doc agreeing on one minhash
+    # position, and the default 500-cap could silently discard true pairs
+    # on corpora with >500-doc position collisions (boilerplate). Fine
+    # here: the corpus is bounded to 300 docs, so the r=1 pair fan-out is
+    # bounded too.
     return minhash_dedup_pairs(
-        corpus, "id", "text", k=5, num_perm=64, bands=64, threshold=0.5
+        corpus, "id", "text", k=5, num_perm=64, bands=64, threshold=0.5,
+        max_bucket=1_000_000_000,
     ).orderBy("id_a", "id_b")
 
 
-def _simhash_portable_oracle(bits: int, max_hamming: int) -> str:
-    """DuckDB twin of ``simhash(portable_hash=True)`` + all-pairs hamming.
+def simhash_pairs_oracle_sql(head_ctes: str, id_col: str, bits: int, max_hamming: int) -> str:
+    """Shared DuckDB skeleton for portable-hash SimHash pair oracles.
 
-    Same polynomial token hash (list_reduce), same ±1 bit sums, same
-    non-negative fold; hamming via xor + bit_count. Banding is omitted on
-    the oracle side because SimHash banding has recall exactly 1
-    (pigeonhole) — all-pairs hamming ≤ d is the same answer.
+    ``head_ctes`` is the query-specific WITH prefix and must end with a
+    CTE ``hashed({id_col}, h)`` — one row per (document, shingle-hash).
+    The skeleton appends the ±1 bit sums, the non-negative fold, and the
+    all-pairs xor+bit_count hamming select. Banding is omitted on the
+    oracle side because SimHash banding has recall exactly 1 (pigeonhole)
+    — all-pairs hamming ≤ d is the same answer. One generator keeps the
+    q132 (token SimHash) and q146 (media byte-SimHash) oracles in sync.
     """
     bitsums = ",\n                   ".join(
         f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
     )
     fold = " + ".join(f"(CASE WHEN b{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
     return f"""
-        WITH corpus AS ({_DUP_CORPUS_SQL}),
+        WITH {head_ctes},
+        bitsums AS (SELECT {id_col}, {bitsums}
+                    FROM hashed GROUP BY {id_col}),
+        fp AS (SELECT {id_col}, CAST({fold} AS BIGINT) AS simhash FROM bitsums)
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.{id_col} < b.{id_col}
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
+def _simhash_portable_oracle(bits: int, max_hamming: int) -> str:
+    """DuckDB twin of ``simhash(portable_hash=True)`` + all-pairs hamming:
+    the polynomial token hash (list_reduce) feeding the shared skeleton."""
+    head = f"""corpus AS ({_DUP_CORPUS_SQL}),
         toks AS (
             SELECT id, tok FROM (
                 SELECT id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
@@ -675,16 +701,8 @@ def _simhash_portable_oracle(bits: int, max_hamming: int) -> str:
                 (acc, x) -> (acc * 31 + x) % 2147483647
             ) AS h
             FROM toks
-        ),
-        bitsums AS (SELECT id, {bitsums}
-                    FROM hashed GROUP BY id),
-        fp AS (SELECT id, CAST({fold} AS BIGINT) AS simhash FROM bitsums)
-        SELECT a.id AS id_a, b.id AS id_b,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        FROM fp a JOIN fp b ON a.id < b.id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
-        ORDER BY id_a, id_b
-    """
+        )"""
+    return simhash_pairs_oracle_sql(head, "id", bits, max_hamming)
 
 
 @register(

@@ -428,19 +428,22 @@ def _phash_portable_oracle(bits: int = 32, max_hamming: int = 3) -> str:
 
     The payload is the utf-8 bytes of ASCII text, so the numpy 4-byte
     sliding windows are exactly 4-char substrings; the portable mixer is
-    BIGINT-only arithmetic. Banding is omitted (recall exactly 1 by
-    pigeonhole) — all-pairs hamming ≤ d is the same answer.
+    BIGINT-only arithmetic. Reuses the shared SimHash-pairs skeleton
+    (``dedup.simhash_pairs_oracle_sql``) so the bit-fold and hamming
+    clauses can never drift from q132's.
+
+    Twin contract (matched by q146's Spark side): texts shorter than 4
+    chars are excluded (numpy would pad them; the oracle has no pad), and
+    the corpus must be ASCII (byte windows == char windows). Both hold
+    for the synthetic documents table and are filtered/asserted in q146.
     """
-    bitsums = ",\n                   ".join(
-        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
-    )
-    fold = " + ".join(f"(CASE WHEN b{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
-    return f"""
-        WITH corpus AS (
-            SELECT doc_id, text FROM documents WHERE doc_id < 150
+    from ai_batch_processing_spark.operators.dedup import simhash_pairs_oracle_sql
+
+    head = """corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 150 AND length(text) >= 4
             UNION ALL
             SELECT doc_id + 100000 AS doc_id, text
-            FROM documents WHERE doc_id < 150 AND doc_id % 3 = 0
+            FROM documents WHERE doc_id < 150 AND doc_id % 3 = 0 AND length(text) >= 4
         ),
         shingled AS (
             SELECT doc_id,
@@ -449,21 +452,12 @@ def _phash_portable_oracle(bits: int = 32, max_hamming: int = 3) -> str:
                  + CAST(ascii(substring(text, CAST(i AS INT) + 2, 1)) AS BIGINT) * 256
                  + CAST(ascii(substring(text, CAST(i AS INT) + 3, 1)) AS BIGINT) AS key
             FROM corpus, unnest(generate_series(1, length(text) - 3)) t(i)
-            WHERE length(text) >= 4
         ),
         hashed AS (
             SELECT doc_id, ((key % 2147483647) * 2654435761 + 7) % 2147483647 AS h
             FROM shingled
-        ),
-        bitsums AS (SELECT doc_id, {bitsums}
-                    FROM hashed GROUP BY doc_id),
-        fp AS (SELECT doc_id, CAST({fold} AS BIGINT) AS phash FROM bitsums)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
-        ORDER BY id_a, id_b
-    """
+        )"""
+    return simhash_pairs_oracle_sql(head, "doc_id", bits, max_hamming)
 
 
 @register(
@@ -483,10 +477,15 @@ def _phash_portable_oracle(bits: int = 32, max_hamming: int = 3) -> str:
 )
 def q146_media_phash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    base = t["documents"].filter(F.col("doc_id") < 150).select("doc_id", "text")
+    # length >= 4 mirrors the oracle exactly: numpy pads shorter payloads
+    # to 4 bytes (and would emit a fingerprint) while the oracle's window
+    # generator emits nothing for them — exclude them on BOTH sides. The
+    # oracle also assumes ASCII (byte windows == char windows); the
+    # synthetic documents table is ASCII by construction.
+    docs = t["documents"].filter(F.length("text") >= 4)
+    base = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
     dups = (
-        t["documents"]
-        .filter((F.col("doc_id") < 150) & (F.col("doc_id") % 3 == 0))
+        docs.filter((F.col("doc_id") < 150) & (F.col("doc_id") % 3 == 0))
         .select((F.col("doc_id") + 100000).alias("doc_id"), F.col("text"))
     )
     corpus = attach_payload(base.unionAll(dups))
