@@ -847,3 +847,193 @@ def q121_curation_v2_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (easy→hard, source-interleaved)
+# ---------------------------------------------------------------------------
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Attach a global training order: rank within each source by
+    difficulty score, then interleave sources round-robin — batch k sees
+    every source's k-th best document, so the curriculum progresses
+    easy→hard WITHOUT clumping one domain at the front (the failure mode
+    of a plain global score sort when sources have different score
+    distributions).
+
+    Output adds ``source_rank`` (1-based within-group) and ``curriculum``
+    (0-based global position). Scale shape: the within-group rank windows
+    partition by source (bounded partitions); the global position is pure
+    arithmetic over (rank, group index) — no global window, no single
+    reducer. The group-index table is #sources rows, broadcast.
+    """
+    order = [F.desc(score_col) if descending else F.asc(score_col), F.asc(id_col)]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    ranked = df.withColumn("source_rank", F.row_number().over(w).cast("long"))
+    groups = (
+        df.select(group_col).distinct()
+        .withColumn(
+            "_gidx",
+            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(group_col)).cast("long") - 1,
+        )
+    )
+    n_groups = F.count(F.lit(1)).over(Window.partitionBy(F.lit(0)))
+    groups = groups.withColumn("_ng", n_groups)
+    return (
+        ranked.join(F.broadcast(groups), group_col)
+        .withColumn(
+            "curriculum",
+            ((F.col("source_rank") - 1) * F.col("_ng") + F.col("_gidx")).cast("long"),
+        )
+        .drop("_gidx", "_ng")
+    )
+
+
+@register(
+    "q147_curriculum_order",
+    oracle=r"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   ROUND(
+                     (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.25 END)
+                     * (CASE WHEN length(text) > 0
+                        THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+                        ELSE 0.0 END), 6) AS ease
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, source, ease,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY ease DESC, doc_id
+                   ) AS BIGINT) AS source_rank
+            FROM scored
+        ),
+        groups AS (
+            SELECT source,
+                   CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) - 1 AS gidx,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS ng
+            FROM (SELECT DISTINCT source FROM scored)
+        )
+        SELECT r.doc_id, r.source, r.ease, r.source_rank,
+               CAST((r.source_rank - 1) * g.ng + g.gidx AS BIGINT) AS curriculum
+        FROM ranked r JOIN groups g USING (source)
+        ORDER BY curriculum, doc_id
+    """,
+    doc=(
+        "curriculum training order: per-source ease rank (simple "
+        "length/alpha score), sources interleaved round-robin so batch k "
+        "holds every source's k-th easiest doc — no global window, the "
+        "position is arithmetic over (rank, broadcast group index)."
+    ),
+    tags=("curation", "curriculum", "ordering"),
+)
+def q147_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    ease = F.round(
+        F.when((F.length("text") >= 20) & (F.length("text") <= 20000), F.lit(1.0)).otherwise(0.25)
+        * F.when(F.length("text") > 0, alpha / F.length("text")).otherwise(0.0),
+        6,
+    )
+    scored = docs.select("doc_id", "source", ease.alias("ease"))
+    out = curriculum_order(scored, "ease", "source", "doc_id")
+    return out.select("doc_id", "source", "ease", "source_rank", "curriculum").orderBy(
+        "curriculum", "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection (best docs under a budget)
+# ---------------------------------------------------------------------------
+def select_within_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    token_col: str,
+    id_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Greedy data selection: take documents best-score-first until the
+    (per-group, or global) token budget is exhausted.
+
+    The classic "we can only train on N tokens — which documents?" rule.
+    A doc is kept iff the running token total of everything ranked before
+    it is still under budget (so the selection may overshoot by at most
+    one document — the standard greedy contract, deterministic via the
+    (score desc, id) order). The running total is the distributed prefix
+    sum (range-partitioned cumsum + broadcast offsets) — no whole-corpus
+    window, same machinery as sequence packing.
+    """
+    groups = group_cols or []
+    if not groups:
+        df = df.withColumn("_g", F.lit(0))
+        groups = ["_g"]
+    neg = F.col(score_col) * -1  # prefix sum orders ASC; we need best-first
+    ordered = df.withColumn("_negscore", neg)
+    out = grouped_prefix_sum(
+        ordered, groups, ["_negscore", id_col], token_col, out_col="_tokens_before"
+    )
+    return (
+        out.filter(F.col("_tokens_before") < budget)
+        .drop("_negscore", *( ["_g"] if "_g" in out.columns else []))
+    )
+
+
+@register(
+    "q148_token_budget_selection",
+    oracle=r"""
+        WITH sized AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+                   ROUND(CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+                         ELSE 0.0 END, 6) AS score
+            FROM documents
+        ),
+        laid AS (
+            SELECT doc_id, source, n_tokens, score,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS tokens_before
+            FROM sized
+        )
+        SELECT doc_id, source, n_tokens, score,
+               CAST(tokens_before AS BIGINT) AS tokens_before
+        FROM laid WHERE tokens_before < 3000
+        ORDER BY doc_id
+    """,
+    doc=(
+        "token-budget data selection: per-source, keep best-scored docs "
+        "until 3000 tokens are spent (greedy, may overshoot by one doc — "
+        "the standard contract). The running total is the distributed "
+        "prefix sum, not a whole-corpus window."
+    ),
+    tags=("curation", "selection", "prefix-sum"),
+)
+def q148_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import token_count_ws
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    score = F.round(
+        F.when(F.length("text") > 0, alpha / F.length("text")).otherwise(0.0), 6
+    )
+    sized = docs.select(
+        "doc_id",
+        "source",
+        token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+        score.alias("score"),
+    )
+    out = select_within_token_budget(
+        sized, 3000, "score", "n_tokens", "doc_id", group_cols=["source"]
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens", "score",
+        F.col("_tokens_before").cast("long").alias("tokens_before"),
+    ).orderBy("doc_id")

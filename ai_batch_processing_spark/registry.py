@@ -162,6 +162,8 @@ _PRIORITY = [
     "q144_bpe_pair_counts",
     "q145_zorder_values",
     "q146_media_phash_verified",
+    "q147_curriculum_order",
+    "q148_token_budget_selection",
     # ---- past the gate cap: r2's green prefix, kept for ordering ----
     # (the r1-only families q04-q29/q35-q39/q55-q64/q81-q89 keep their
     # round-1 green rows; round-3 slots went to queries with NO row yet)

@@ -253,3 +253,41 @@ def test_materialize_mixture_hits_target_shares(spark):
     # determinism: second run emits the identical multiset
     out2 = materialize_mixture(df, factors, "source", "doc_id").collect()
     assert sorted((r.doc_id, r.epoch) for r in out) == sorted((r.doc_id, r.epoch) for r in out2)
+
+
+def test_curriculum_interleaves_sources(spark):
+    """Round-robin curriculum: positions 0..n_sources-1 hold every source's
+    rank-1 doc, the next block rank-2, etc.; within a source the order is
+    ease-descending."""
+    from ai_batch_processing_spark.operators.curation import curriculum_order
+
+    rows = [
+        ("a", 1, 0.9), ("a", 2, 0.5), ("a", 3, 0.1),
+        ("b", 4, 0.8), ("b", 5, 0.6), ("b", 6, 0.2),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, ease double")
+    out = sorted(
+        curriculum_order(df, "ease", "source", "doc_id").collect(),
+        key=lambda r: r.curriculum,
+    )
+    assert [r.doc_id for r in out] == [1, 4, 2, 5, 3, 6]
+    assert [r.curriculum for r in out] == list(range(6))
+
+
+def test_token_budget_selection_greedy_contract(spark):
+    """Best-score-first until the budget is spent; a doc is kept iff
+    tokens_before < budget (may overshoot by one doc, never two)."""
+    from ai_batch_processing_spark.operators.curation import select_within_token_budget
+
+    rows = [
+        ("s", 1, 400, 0.9), ("s", 2, 400, 0.8), ("s", 3, 400, 0.7), ("s", 4, 400, 0.6),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long, score double")
+    kept = sorted(
+        r.doc_id
+        for r in select_within_token_budget(
+            df, 1000, "score", "n_tokens", "doc_id", group_cols=["source"]
+        ).collect()
+    )
+    # 0 < 1000 keep; 400 < 1000 keep; 800 < 1000 keep (overshoot); 1200 drop
+    assert kept == [1, 2, 3]
