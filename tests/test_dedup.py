@@ -192,3 +192,36 @@ def test_minhash_verify_scope_parity(spark, sf_dir):
         for r in minhash_dedup_pairs(docs, "doc_id", "text", verify_scope="candidates").collect()
     }
     assert corpus == restricted and len(corpus) > 0
+
+
+def test_oph_signatures_drop_in_recall(spark, sf_dir):
+    """One-permutation MinHash must be signature-compatible with the LSH
+    banding and lose no true pairs on the perturbed corpus (recall vs
+    exact Jaccard = 1.0 here, same as classic); densification must fill
+    every bin (no nulls) even for a tiny document."""
+    from ai_batch_processing_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures_oph,
+    )
+    from ai_batch_processing_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    base = t["documents"].filter(F.col("doc_id") < 300).select(F.col("doc_id").alias("id"), "text")
+    near = (
+        t["documents"]
+        .filter((F.col("doc_id") < 300) & (F.col("doc_id") % 2 == 0))
+        .select((F.col("doc_id") + 100000).alias("id"), F.concat("text", F.lit(" tail")).alias("text"))
+    )
+    corpus = base.unionAll(near)
+    exact = {(r.id_a, r.id_b) for r in jaccard_pairs(corpus, "id", "text", 5, 0.5).collect()}
+    sigs = minhash_signatures_oph(corpus, "id", "text")
+    cands = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs).collect()}
+    assert len(cands & exact) >= 0.95 * len(exact)
+
+    tiny = spark.createDataFrame([(1, "abcdefgh"), (2, "abcdefgh")], "id long, text string")
+    rows = minhash_signatures_oph(tiny, "id", "text").collect()
+    for r in rows:
+        assert len(r.sig) == 64 and all(v is not None for v in r.sig)
+    # identical tiny docs agree on every densified bin they share content for
+    assert sum(1 for a, b in zip(rows[0].sig, rows[1].sig) if a == b) >= 8
