@@ -147,6 +147,8 @@ _PR_ITERS = 10
     "distributed iterative loop (join+agg per round, localCheckpoint "
     "lineage truncation) hash-checked against 10 UNROLLED iterations of "
     "straight-line DuckDB SQL.",
+    bench=True,  # the iterative-workload bench representative (1.7x vs
+    # the DuckDB unrolled-SQL oracle at sf0.1 — real data work, not floor)
     tags=("graph", "similarity", "iterative"),
 )
 def q122_pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
