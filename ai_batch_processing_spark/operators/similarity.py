@@ -400,6 +400,64 @@ def build_ivf_index(
     ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
 
 
+def stream_update_ivf_index(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint: str,
+    schema: str = "vec_id long, label string, embedding array<float>",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental IVF index maintenance: stream new vectors into an
+    existing ``build_ivf_index`` directory.
+
+    The production ingestion loop for a vector corpus: centroids stay
+    FROZEN (re-clustering is a periodic offline job — the standard IVF
+    practice, because moving centroids would orphan previously written
+    cells), each micro-batch assigns its vectors to cells with the same
+    Arrow-batched matmul as the build, and appends them to the
+    cell-partitioned corpus directory — dynamic partition append, so a
+    batch only touches the cell partitions it lands in, and searches see
+    new vectors as soon as their batch commits. Exactly-once comes from
+    the checkpointed file source + append-only parquet per batch.
+
+    Returns the StreamingQuery (availableNow semantics are the caller's
+    choice via trigger on the returned writer — here we drain pending
+    files and stop).
+    """
+    centroids = [
+        list(r.centroid)
+        for r in spark.read.parquet(f"{index_path}/centroids").orderBy("cell").collect()
+    ]
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = assign_cells(batch_df, centroids, id_col=id_col, vec_col=vec_col)
+        (
+            assigned.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("_cv"),
+                _norm(F.col(vec_col)).alias("_cn"),
+                "cell",
+            )
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{index_path}/corpus")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def search_ivf_index(
     spark: SparkSession,
     path: str,

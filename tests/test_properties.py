@@ -138,3 +138,84 @@ def test_token_count_and_fingerprint_match_python_oracle(spark, texts):
     for i, t in enumerate(texts):
         assert got[i].n == len(_py_tokens(t)), repr(t)
         assert got[i].fp == _py_fingerprint(t), repr(t)
+
+
+# --------------------------------------------------------------------------
+# packing fragments: lossless decomposition for arbitrary token sequences
+# --------------------------------------------------------------------------
+@given(
+    st.lists(st.integers(min_value=0, max_value=1500), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=600),
+)
+@settings(max_examples=30, deadline=None)
+def test_pack_fragments_lossless_property(spark, sizes, budget):
+    """For ANY doc-size sequence and budget: fragments are contiguous from
+    0 per doc, sum to the doc's tokens, pack ranges are contiguous, and
+    continuation fragments start at offset 0 of their pack. One Spark job
+    per example (batch-wise hypothesis pattern)."""
+    from ai_batch_processing_spark.operators.curation import pack_fragments
+
+    rows = [("g", i, n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    frags = pack_fragments(df, budget, ["source"], ["doc_id"], "n_tokens").collect()
+    by_doc = {}
+    for r in frags:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(len(sizes)))  # no doc vanishes
+    start = 0
+    for i, n in enumerate(sizes):
+        fs = sorted(by_doc[i], key=lambda r: r.pack_id)
+        assert sum(f.slice_len for f in fs) == n
+        pos = 0
+        for f in fs:
+            assert f.slice_start == pos
+            pos += f.slice_len
+        assert [f.pack_id for f in fs] == list(range(fs[0].pack_id, fs[-1].pack_id + 1))
+        assert fs[0].pack_id == start // budget and fs[0].pack_offset == start % budget
+        for f in fs[1:]:
+            assert f.pack_offset == 0
+        start += n
+
+
+# --------------------------------------------------------------------------
+# Z-order: interleave bijectivity and locality bounds (pure-python oracle)
+# --------------------------------------------------------------------------
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 10_000)),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_zorder_matches_python_interleave(spark, points):
+    """zorder_value must equal the reference bit-interleave of the scaled
+    bucket values for arbitrary (a, b) integer points."""
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.io.writers import zorder_value
+    df = spark.createDataFrame([(a, b) for a, b in points], "a long, b long")
+    mins = df.agg(
+        F.min("a").alias("_amin"), F.max("a").alias("_amax"),
+        F.min("b").alias("_bmin"), F.max("b").alias("_bmax"),
+    )
+    z = zorder_value(F.col("a"), F.col("b"), F.col("_amin"), F.col("_amax"),
+                     F.col("_bmin"), F.col("_bmax"), bits=16)
+    got = {(r.a, r.b): r.z for r in df.crossJoin(F.broadcast(mins)).select("a", "b", z.alias("z")).collect()}
+
+    amin = min(a for a, _ in points); amax = max(a for a, _ in points)
+    bmin = min(b for _, b in points); bmax = max(b for _, b in points)
+
+    def bucket(v, lo, hi):
+        return min(65535, int((v - lo) / (hi - lo + 1) * 65536))
+
+    def interleave(qa, qb):
+        out = 0
+        for i in range(16):
+            out |= ((qa >> i) & 1) << (2 * i)
+            out |= ((qb >> i) & 1) << (2 * i + 1)
+        return out
+
+    for (a, b), zv in got.items():
+        assert zv == interleave(bucket(a, amin, amax), bucket(b, bmin, bmax))

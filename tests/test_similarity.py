@@ -233,3 +233,52 @@ def test_hard_negatives_never_share_anchor_label(spark, sf_dir):
     for r in out.collect():
         assert labels[r.anchor_id] != labels[r.negative_id]
         assert 1 <= r.rank <= 5
+
+
+def test_stream_update_ivf_index_new_vectors_searchable(spark, sf_dir, tmp_path):
+    """Streaming index maintenance: vectors arriving after the build must
+    land in their cells (dynamic partition append, frozen centroids) and
+    be found by a subsequent search; a restart from the same checkpoint
+    must not re-append committed batches."""
+    import json as _json
+
+    from ai_batch_processing_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+        stream_update_ivf_index,
+    )
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    base = emb.filter(F.col("vec_id") < 400)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(base, idx, nlist=8)
+    n0 = spark.read.parquet(f"{idx}/corpus").count()
+
+    # stream in 2 files of later vectors, including an exact copy of an
+    # existing vector under a new id (its top-1 neighbor by construction)
+    probe = emb.filter(F.col("vec_id") == 3).select("embedding").first().embedding
+    newbies = [r.asDict() for r in emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 420)).collect()]
+    clone = {"vec_id": 999_999, "label": "x", "embedding": [float(x) for x in probe]}
+    src = tmp_path / "vec_in"
+    src.mkdir()
+
+    def ser(rows):
+        return "\n".join(_json.dumps({**r, "embedding": [float(x) for x in r["embedding"]]}) for r in rows)
+
+    (src / "a.json").write_text(ser(newbies[:10]))
+    (src / "b.json").write_text(ser(newbies[10:] + [clone]))
+    ckpt = str(tmp_path / "ckpt_ivf")
+    q = stream_update_ivf_index(spark, str(src), idx, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{idx}/corpus").count() == n0 + 21
+
+    queries = emb.filter(F.col("vec_id") == 3)
+    hits = search_ivf_index(spark, idx, queries, k=3, nprobe=8).collect()
+    assert 999_999 in {r.neighbor_id for r in hits}  # the clone surfaces
+    assert hits[0].score == 1.0  # identical vector, cosine 1
+
+    # restart with the same checkpoint: nothing pending → nothing appended
+    q2 = stream_update_ivf_index(spark, str(src), idx, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{idx}/corpus").count() == n0 + 21
