@@ -377,24 +377,34 @@ def minhash_dedup_pairs(
     # distinct then shuffles the surviving ~10% instead of the full
     # candidate stream.
     cands = lsh_candidate_pairs(sigs, num_perm, bands, max_bucket=max_bucket, distinct=False)
-    # Signature-estimate pre-filter (see docstring): drop candidates whose
-    # estimated Jaccard is more than 3σ below the threshold before paying
-    # for the exact array_intersect verify.
-    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(float(num_perm))
-    cutoff = max(0.0, threshold - 3.0 * (threshold * (1.0 - threshold) / num_perm) ** 0.5)
-    cands = (
-        cands.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .filter(est >= cutoff)
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    if bands >= num_perm:
+        # Recall-1 mode (one-row bands, the q131 oracle configuration): the
+        # stated miss bound is (1-J)^num_perm from banding ALONE, so the
+        # estimate pre-filter must not run — a true pair at exactly
+        # J=threshold has ~1e-3 probability of a signature estimate below
+        # the 3σ cutoff, which would add a corpus-sensitive binomial-tail
+        # term the bound doesn't account for. Every candidate goes straight
+        # to the exact array_intersect verify; precision is unchanged.
+        cands = cands.select("id_a", "id_b").distinct()
+    else:
+        # Signature-estimate pre-filter (see docstring): drop candidates
+        # whose estimated Jaccard is more than 3σ below the threshold
+        # before paying for the exact array_intersect verify.
+        sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        est = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.lit(float(num_perm))
+        cutoff = max(0.0, threshold - 3.0 * (threshold * (1.0 - threshold) / num_perm) ** 0.5)
+        cands = (
+            cands.join(sig_a, "id_a")
+            .join(sig_b, "id_b")
+            .filter(est >= cutoff)
+            .select("id_a", "id_b")
+            .distinct()
+        )
     if verify_scope == "candidates":
         # Restrict the heavy collect_set to documents that survive into a
         # candidate pair (see docstring tradeoff). cands is persisted so
@@ -686,10 +696,13 @@ def q43_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "miss probability (1−J)⁶⁴ ≤ 5·10⁻²⁰ at J ≥ 0.5, and deterministic "
         "given the fixed seed). The output is therefore exactly the "
         "Jaccard ≥ 0.5 pair set, hash-matched against the independent DuckDB "
-        "shingle-self-join oracle. This is the oracle-backed twin the "
-        "approximate q42 can't have: it pins every deterministic stage "
-        "(shingling, signatures, banding machinery, signature-estimate "
-        "pre-filter, collect_set/array_intersect exact verify) end to end."
+        "shingle-self-join oracle. In recall-1 mode the signature-estimate "
+        "pre-filter is BYPASSED (bands >= num_perm branch in "
+        "minhash_dedup_pairs) so the banding bound holds exactly — no "
+        "binomial-tail term from the 3σ cutoff. This is the oracle-backed "
+        "twin the approximate q42 can't have: it pins every deterministic "
+        "stage (shingling, signatures, banding machinery, "
+        "collect_set/array_intersect exact verify) end to end."
     ),
     tags=("dedup", "minhash", "lsh", "verify"),
 )
@@ -828,8 +841,13 @@ def connected_components(ids: DataFrame, pairs: DataFrame, max_iter: int = 20) -
     shallow; the log bound removes the tail risk at 100 TB.
 
     Convergence is detected by an order-insensitive fingerprint of the
-    edge set (count + hash-sum) reaching a fixed point; at the fixed
-    point every edge is (node → component-min). ``ids`` must have column
+    edge set (count + hash-xor) as a cheap SHORT-CIRCUIT — a differing
+    fingerprint proves the set changed — and then CONFIRMED by an exact
+    set-difference test (``exceptAll`` on the two checkpointed, distinct
+    edge sets; same O(|E|) shuffle cost as the fingerprint), so a 2⁻⁶⁴
+    hash collision between different successive edge sets cannot
+    terminate the loop early with wrong clusters. At the fixed point
+    every edge is (node → component-min). ``ids`` must have column
     ``id``; ``pairs`` columns ``id_a``/``id_b``.
     """
     edges = (
@@ -846,15 +864,19 @@ def connected_components(ids: DataFrame, pairs: DataFrame, max_iter: int = 20) -
         ).collect()[0]
         return row["n"], row["h"]
 
+    prev_edges = edges
     prev = fingerprint(edges)
     for _ in range(max_iter):
         # localCheckpoint each round: the plan would otherwise double per
         # iteration (and recompute every prior round per action)
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = fingerprint(edges)
-        if cur == prev:
+        # Both frames are distinct sets, so equal counts + empty one-sided
+        # difference ⇒ set equality. Only paid on fingerprint match (at
+        # most twice per run: a collision round and the true fixed point).
+        if cur == prev and edges.exceptAll(prev_edges).isEmpty():
             break
-        prev = cur
+        prev, prev_edges = cur, edges
     else:
         # Silent non-convergence would hand back wrong clusters and
         # near_dedup would keep bogus extra survivors — fail loudly.

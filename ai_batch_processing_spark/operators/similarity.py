@@ -392,12 +392,50 @@ def build_ivf_index(
         "overwrite"
     ).parquet(f"{path}/centroids")
     assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    # batch=-1 marks the base build; streaming updates land under their own
+    # batch partitions (see _append_ivf_batch) so replays are idempotent.
     assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         _norm(F.col(vec_col)).alias("_cn"),
+        F.lit(-1).alias("batch"),
         "cell",
-    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+    ).write.mode("overwrite").partitionBy("batch", "cell").parquet(f"{path}/corpus")
+
+
+def _append_ivf_batch(
+    index_path: str,
+    centroids: list,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write one streaming micro-batch into the index, idempotently.
+
+    foreachBatch is at-least-once: a crash after the parquet commit but
+    before the streaming checkpoint commits replays the batch on restart.
+    The write is therefore keyed by the deterministic ``batch_id``: rows
+    land under ``batch=<id>/cell=<c>`` partitions in DYNAMIC overwrite
+    mode, so a replay rewrites exactly its own partitions instead of
+    appending duplicates — at-least-once delivery + idempotent write =
+    exactly-once index contents. ``cell`` stays a partition column, so
+    search-side partition pruning is unchanged.
+    """
+    assigned = assign_cells(batch_df, centroids, id_col=id_col, vec_col=vec_col)
+    (
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            _norm(F.col(vec_col)).alias("_cn"),
+            F.lit(batch_id).cast("int").alias("batch"),
+            "cell",
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "cell")
+        .parquet(f"{index_path}/corpus")
+    )
 
 
 def stream_update_ivf_index(
@@ -418,10 +456,13 @@ def stream_update_ivf_index(
     practice, because moving centroids would orphan previously written
     cells), each micro-batch assigns its vectors to cells with the same
     Arrow-batched matmul as the build, and appends them to the
-    cell-partitioned corpus directory — dynamic partition append, so a
-    batch only touches the cell partitions it lands in, and searches see
-    new vectors as soon as their batch commits. Exactly-once comes from
-    the checkpointed file source + append-only parquet per batch.
+    cell-partitioned corpus directory — a batch only touches the
+    ``batch=<id>/cell=<c>`` partitions it lands in, and searches see new
+    vectors as soon as their batch commits. foreachBatch delivery is
+    at-least-once; exactly-once index CONTENTS come from the idempotent
+    per-batch write (:func:`_append_ivf_batch`: deterministic batch_id
+    partition + dynamic overwrite — a replayed batch rewrites its own
+    partitions rather than appending duplicates).
 
     Returns the StreamingQuery (availableNow semantics are the caller's
     choice via trigger on the returned writer — here we drain pending
@@ -437,18 +478,7 @@ def stream_update_ivf_index(
     stream = reader.json(source_dir)
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
-        assigned = assign_cells(batch_df, centroids, id_col=id_col, vec_col=vec_col)
-        (
-            assigned.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("_cv"),
-                _norm(F.col(vec_col)).alias("_cn"),
-                "cell",
-            )
-            .write.mode("append")
-            .partitionBy("cell")
-            .parquet(f"{index_path}/corpus")
-        )
+        _append_ivf_batch(index_path, centroids, batch_df, batch_id, id_col=id_col, vec_col=vec_col)
 
     return (
         stream.writeStream.foreachBatch(append_batch)
@@ -732,6 +762,7 @@ def hard_negative_topk(
     anchor_id: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_anchor_rows: int | None = 100_000,
 ) -> DataFrame:
     """Per anchor: the ``k`` most-similar vectors with a DIFFERENT label —
     the hard negatives a contrastive trainer pairs against each anchor.
@@ -742,8 +773,28 @@ def hard_negative_topk(
     product is computed. At scale, swap the exhaustive scan for the
     LSH/IVF candidate generation exactly as for ANN top-k — the
     label-inequality filter composes unchanged.
+
+    Anchor-cardinality contract (mirrors ``_probe_join``): the plan
+    broadcasts the anchors side and the inequality join is a
+    label-filtered cartesian product, so it is only right for bounded
+    anchor BATCHES. With ``max_anchor_rows`` set (default) a
+    limit-pushdown count fails fast on corpus-sized anchor sets instead
+    of blowing the broadcast limit / OOMing executors mid-scan; pass
+    ``max_anchor_rows=None`` to accept an unhinted join (AQE picks the
+    strategy, still O(|corpus|·|anchors|) work — at that shape use the
+    IVF/LSH candidate path instead).
     Output: (anchor_id, negative_id, score, rank).
     """
+    if max_anchor_rows is not None:
+        n = anchors.limit(max_anchor_rows + 1).count()
+        if n > max_anchor_rows:
+            raise ValueError(
+                f"hard_negative_topk: anchor set exceeds max_anchor_rows={max_anchor_rows}. "
+                "The plan broadcasts the anchors side against every corpus row; "
+                "corpus-sized anchor sets need the IVF/LSH candidate path "
+                "(search_ivf_index / ann_lsh_topk + label filter), or pass "
+                "max_anchor_rows=None to accept the unhinted quadratic join."
+            )
     a = anchors.select(
         F.col(anchor_id).alias("anchor_id"),
         F.col(label_col).alias("_al"),
@@ -756,7 +807,8 @@ def hard_negative_topk(
         F.col(vec_col).alias("_cv"),
         _norm(F.col(vec_col)).alias("_cn"),
     )
-    pairs = c.join(F.broadcast(a), F.col("_al") != F.col("_cl"))
+    a_side = F.broadcast(a) if max_anchor_rows is not None else a
+    pairs = c.join(a_side, F.col("_al") != F.col("_cl"))
     scored = pairs.select(
         "anchor_id",
         "negative_id",

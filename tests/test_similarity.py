@@ -282,3 +282,59 @@ def test_stream_update_ivf_index_new_vectors_searchable(spark, sf_dir, tmp_path)
     q2 = stream_update_ivf_index(spark, str(src), idx, ckpt, max_files_per_trigger=1)
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{idx}/corpus").count() == n0 + 21
+
+
+def test_append_ivf_batch_replay_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch (same batch_id) must
+    rewrite its own batch partitions, not append duplicates — the
+    exactly-once-contents contract of the streaming index maintenance."""
+    from ai_batch_processing_spark.operators.similarity import (
+        _append_ivf_batch,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    base = emb.filter(F.col("vec_id") < 400)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(base, idx, nlist=8)
+    n0 = spark.read.parquet(f"{idx}/corpus").count()
+    centroids = [
+        list(r.centroid)
+        for r in spark.read.parquet(f"{idx}/centroids").orderBy("cell").collect()
+    ]
+    batch = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 420))
+
+    _append_ivf_batch(idx, centroids, batch, batch_id=7)
+    assert spark.read.parquet(f"{idx}/corpus").count() == n0 + 20
+    # crash-replay of the SAME batch: contents unchanged
+    _append_ivf_batch(idx, centroids, batch, batch_id=7)
+    assert spark.read.parquet(f"{idx}/corpus").count() == n0 + 20
+    # a genuinely new batch still lands
+    batch2 = emb.filter((F.col("vec_id") >= 420) & (F.col("vec_id") < 425))
+    _append_ivf_batch(idx, centroids, batch2, batch_id=8)
+    assert spark.read.parquet(f"{idx}/corpus").count() == n0 + 25
+    # and the index stays searchable across base + both batches
+    queries = emb.filter(F.col("vec_id") == 3)
+    assert len(search_ivf_index(spark, idx, queries, k=3, nprobe=8).collect()) == 3
+
+
+def test_hard_negative_topk_anchor_cardinality_guard(spark, sf_dir):
+    """The broadcast-anchors plan must fail fast on corpus-sized anchor
+    sets (mirrors _probe_join's max_query_rows contract), and still run
+    unhinted when the caller opts out with max_anchor_rows=None."""
+    from ai_batch_processing_spark.operators.similarity import hard_negative_topk
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    with pytest.raises(ValueError, match="max_anchor_rows"):
+        hard_negative_topk(emb, emb, k=3, max_anchor_rows=10)
+    anchors = emb.filter(F.col("vec_id") < 4)
+    guarded = hard_negative_topk(emb, anchors, k=3).orderBy("anchor_id", "rank").collect()
+    unhinted = (
+        hard_negative_topk(emb, anchors, k=3, max_anchor_rows=None)
+        .orderBy("anchor_id", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in guarded] == [tuple(r) for r in unhinted]
