@@ -47,6 +47,37 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
+def _pair_dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ — same value as :func:`_dot`, computed vectorized.
+
+    Catalyst higher-order ``aggregate`` lambdas are interpreted per
+    element: at ~µs/pair-element they dominate candidate rescoring once
+    the pair stream is millions of rows (measured: the q150 IVF edge
+    build spent >80% of its wall in the HOF fold). This Arrow-batched
+    pandas UDF does one numpy column sweep per batch instead — BUT keeps
+    the accumulation order SEQUENTIAL (``acc += x[:,j]·y[:,j]`` per
+    dimension, i.e. ((0 + x₀y₀) + x₁y₁) + …), which is bit-identical in
+    IEEE double to the HOF fold and to the DuckDB oracle's sequential
+    sum — so swapping it into a hash-gated query cannot flip a rounded
+    score. (A numpy ``matmul``/``einsum`` would use pairwise/blocked
+    summation — faster still, but last-ulp different, and a value at a
+    6dp rounding boundary would break hash parity.)
+    """
+
+    @F.pandas_udf("double")
+    def dot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="float64")
+        x = np.array([np.asarray(v, dtype=np.float64) for v in xs])
+        y = np.array([np.asarray(v, dtype=np.float64) for v in ys])
+        acc = np.zeros(len(x), dtype=np.float64)
+        for j in range(x.shape[1]):
+            acc = acc + x[:, j] * y[:, j]
+        return pd.Series(acc)
+
+    return dot(a, b)
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -291,28 +322,94 @@ def assign_cells(
     return cells.select(*df.columns, F.explode("_cells").alias("cell"))
 
 
-def _probe_join(c: DataFrame, q: DataFrame, queries: DataFrame, max_query_rows: int | None) -> DataFrame:
-    """Join the probed query side to the cell-assigned corpus.
+def _ivf_block_scores(c: DataFrame, q: DataFrame, k: int | None = None) -> DataFrame:
+    """All (query, corpus) raw cosine scores within shared cells — the
+    corpus-sized-queries kernel (``max_query_rows=None`` path).
+
+    A pair-expanded join would shuffle every query vector once per
+    candidate (measured at the q150 edge build: ~1.6 GB of duplicated
+    64-dim arrays through the shuffle + Arrow for 1.6M pairs, >10 s);
+    instead both sides shuffle ONCE on ``cell`` (each vector shipped a
+    single time per probed cell) and a cogrouped ``applyInPandas`` block
+    kernel emits only the skinny (query_id, neighbor_id, score) rows.
+
+    Bit-parity contract: the per-dimension column sweep
+    (``acc += Q[:,j]·C[:,j]ᵀ``) accumulates each pair's dot product in
+    the SAME sequential IEEE-double order as the Catalyst
+    ``aggregate`` fold and the DuckDB oracle — a BLAS matmul would be
+    faster but pairwise-summed, and a last-ulp difference at a 6dp
+    rounding boundary would break the q149 hash gate. Norms arrive
+    precomputed from the JVM side (same ``_norm`` expression as every
+    other path); rounding stays in Spark.
+
+    Scale shape: per-group memory is O(|cell| · (dim + queries probing
+    the cell)) — nlist must grow with the corpus (the standard IVF
+    nlist ≈ √n rule) so cells stay executor-sized.
+
+    With ``k`` set, each (query, cell) emits only candidates within one
+    6dp rounding quantum of the cell's k-th best raw score — PROVABLY
+    lossless for the downstream rounded-score top-k: a dropped candidate
+    has ≥ k in-cell competitors whose raw score exceeds it by > 2·10⁻⁶,
+    hence whose ROUNDED score is strictly greater, so it can never enter
+    the global top-k under any tie-break. This keeps the kernel output
+    (and the top-k window's shuffle) at ~k rows per (query, cell)
+    instead of |cell| — the difference between 25M and 0.4M rows at the
+    q150 bench shape.
+    """
+    schema = "query_id long, neighbor_id long, score double"
+    margin = 2e-6
+
+    def score_cell(key, cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cdf) == 0 or len(qdf) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+        cm = np.array([np.asarray(v, dtype=np.float64) for v in cdf["_cv"]])
+        qm = np.array([np.asarray(v, dtype=np.float64) for v in qdf["_qv"]])
+        acc = np.zeros((len(qm), len(cm)), dtype=np.float64)
+        for j in range(cm.shape[1]):
+            acc = acc + np.outer(qm[:, j], cm[:, j])
+        denom = np.outer(qdf["_qn"].to_numpy(), cdf["_cn"].to_numpy())
+        scores = acc / denom
+        qids = qdf["query_id"].to_numpy()
+        nids = cdf["neighbor_id"].to_numpy()
+        masked = np.where(qids[:, None] == nids[None, :], -np.inf, scores)
+        if k is not None and len(nids) > k:
+            kth = np.partition(masked, len(nids) - k, axis=1)[:, len(nids) - k]
+            keep = masked >= (kth[:, None] - margin)
+        else:
+            keep = masked > -np.inf
+        qi, ci = np.nonzero(keep)
+        return pd.DataFrame(
+            {"query_id": qids[qi], "neighbor_id": nids[ci], "score": scores[qi, ci]}
+        )
+
+    return (
+        c.select("cell", "neighbor_id", "_cv", "_cn")
+        .groupBy("cell")
+        .cogroup(q.select("cell", "query_id", "_qv", "_qn").groupBy("cell"))
+        .applyInPandas(score_cell, schema)
+    )
+
+
+def _probe_join(c: DataFrame, q: DataFrame, queries: DataFrame, max_query_rows: int) -> DataFrame:
+    """Join the probed query side to the cell-assigned corpus (bounded-batch
+    path of :func:`_ivf_scored`).
 
     The broadcast-the-queries plan is only right for bounded query BATCHES
     — the day someone passes the corpus as queries (all-vs-all), a
-    broadcast would try to ship the whole corpus to every task. Guard:
-    with ``max_query_rows`` set (default), a limit-pushdown count fails
-    fast past the cap; with ``max_query_rows=None`` the broadcast hint is
-    dropped and AQE plans a shuffled cell-co-partitioned join instead
-    (correct at any query cardinality, pays one query-side shuffle).
+    broadcast would try to ship the whole corpus to every task. Guard: a
+    limit-pushdown count fails fast past the cap and points at the
+    ``max_query_rows=None`` cell-cogrouped path (:func:`_ivf_block_scores`),
+    which is correct at any query cardinality.
     """
-    if max_query_rows is not None:
-        n = queries.limit(max_query_rows + 1).count()
-        if n > max_query_rows:
-            raise ValueError(
-                f"IVF probe: query set exceeds max_query_rows={max_query_rows}. "
-                "The probe broadcasts the query side, which is only right for "
-                "bounded query batches. Pass max_query_rows=None to switch to a "
-                "shuffled cell-partitioned join for corpus-sized query sets."
-            )
-        return c.join(F.broadcast(q), "cell")
-    return c.join(q, "cell")
+    n = queries.limit(max_query_rows + 1).count()
+    if n > max_query_rows:
+        raise ValueError(
+            f"IVF probe: query set exceeds max_query_rows={max_query_rows}. "
+            "The probe broadcasts the query side, which is only right for "
+            "bounded query batches. Pass max_query_rows=None to switch to the "
+            "cell-cogrouped block kernel for corpus-sized query sets."
+        )
+    return c.join(F.broadcast(q), "cell")
 
 
 def ann_ivf_topk(
@@ -349,21 +446,44 @@ def ann_ivf_topk(
         _norm(F.col(vec_col)).alias("_qn"),
         "cell",
     )
-    cands = (
-        _probe_join(c, q, queries, max_query_rows)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("score"),
-    )
+    scored = _ivf_scored(c, q, queries, max_query_rows, k=k)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _ivf_scored(
+    c: DataFrame, q: DataFrame, queries: DataFrame, max_query_rows: int | None, k: int | None = None
+) -> DataFrame:
+    """Rounded (query_id, neighbor_id, score) candidates, path picked by the
+    query-cardinality contract:
+
+    - bounded batch (``max_query_rows`` set): guarded broadcast cell join
+      (:func:`_probe_join`) + ``_pair_dot`` rescore — the corpus side is
+      never shuffled (for a persisted index it is read partition-pruned).
+    - corpus-sized (``None``): cogrouped per-cell block kernel
+      (:func:`_ivf_block_scores`) — both sides shuffle once on cell,
+      vectors ship once each, identical scores by construction.
+
+    No pair-level distinct on either path: a corpus vector lives in
+    exactly ONE cell and a query probes nprobe DISTINCT cells, so each
+    (query, neighbor) pair appears at most once — a dropDuplicates would
+    just re-shuffle the full candidate stream.
+    """
+    if max_query_rows is None:
+        return _ivf_block_scores(c, q, k=k).select(
+            "query_id", "neighbor_id", F.round("score", 6).alias("score")
+        )
+    cands = _probe_join(c, q, queries, max_query_rows).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    return cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_pair_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("score"),
     )
 
 
@@ -518,16 +638,10 @@ def search_ivf_index(
         _norm(F.col(vec_col)).alias("_qn"),
         "cell",
     )
-    cands = (
-        _probe_join(c, q, queries, max_query_rows)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("score"),
-    )
+    # Same path contract as ann_ivf_topk (_ivf_scored); pairs are unique by
+    # construction — one cell per committed corpus vector (streaming
+    # replays are idempotent per _append_ivf_batch) × distinct probed cells.
+    scored = _ivf_scored(c, q, queries, max_query_rows, k=k)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1,8 +1,17 @@
-"""Graph operators: PageRank semantics on hand-computable graphs."""
+"""Graph operators: PageRank semantics on hand-computable graphs; exact ↔
+approximate k-NN edge-build parity and recall."""
 
 from __future__ import annotations
 
-from ai_batch_processing_spark.operators.graph import knn_edges, pagerank
+import pytest
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.operators.graph import (
+    knn_edges,
+    knn_edges_approx,
+    pagerank,
+    replicate_perturbed,
+)
 
 
 def test_pagerank_two_node_cycle_is_uniform(spark):
@@ -30,3 +39,115 @@ def test_knn_edges_shape(spark):
     e = knn_edges(emb, k=2).collect()
     assert len(e) == 12  # 6 nodes × 2 out-edges
     assert all(r.src != r.dst for r in e)
+
+
+def test_knn_edges_max_rows_guard(spark):
+    """The exact edge build is O(n²) + corpus broadcast — it must fail fast
+    past the cap instead of OOMing a cluster (mirrors _probe_join)."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        knn_edges(emb, k=2, max_rows=10)
+    assert knn_edges(emb, k=2, max_rows=None).count() == 40
+
+
+def test_knn_edges_approx_recall_one_config_matches_exact(spark, sf_dir):
+    """nprobe = nlist probes every IVF cell, so the approximate edge build
+    must return EXACTLY the exact k-NN edge set (recall 1 by construction
+    — the q149 oracle configuration)."""
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = (
+        load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    exact = {(r.src, r.dst) for r in knn_edges(emb, k=5).collect()}
+    approx = {(r.src, r.dst) for r in knn_edges_approx(emb, k=5, nlist=8, nprobe=8).collect()}
+    assert approx == exact
+
+
+def test_knn_edges_approx_recall_on_clone_corpus(spark, sf_dir):
+    """At nprobe < nlist the edge build is sublinear per node (only
+    nprobe/nlist of the corpus scanned); recall vs the exact edges is
+    measured on the perturbed-clone corpus, not guessed. Clones land in
+    the same or adjacent k-means cells, so recall stays high."""
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = (
+        load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        .filter(F.col("vec_id") < 150)
+        .select("vec_id", "embedding")
+    )
+    corpus = replicate_perturbed(emb, replicas=3)
+    exact = {(r.src, r.dst) for r in knn_edges(corpus, k=5).collect()}
+    approx = {
+        (r.src, r.dst) for r in knn_edges_approx(corpus, k=5, nlist=16, nprobe=4).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.80, f"knn_edges_approx recall {recall:.3f} < 0.80"
+
+
+def test_replicate_perturbed_deterministic_and_clone_adjacent(spark, sf_dir):
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = (
+        load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        .filter(F.col("vec_id") < 50)
+        .select("vec_id", "embedding")
+    )
+    a = replicate_perturbed(emb, replicas=3).orderBy("vec_id").collect()
+    b = replicate_perturbed(emb, replicas=3).orderBy("vec_id").collect()
+    assert [(r.vec_id, r.embedding) for r in a] == [(r.vec_id, r.embedding) for r in b]
+    assert len(a) == 150
+    # replica 0 keeps original values
+    base = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    for r in a:
+        if r.vec_id < 1_000_000:
+            assert [pytest.approx(x, abs=1e-6) for x in base[r.vec_id]] == list(r.embedding)
+
+
+def test_pagerank_approx_graph_mass_conserved_and_deterministic(spark, sf_dir):
+    """The q150 shape: Σ rank = 1 (no dangling nodes — every node has k
+    out-edges) and the whole pipeline (deterministic k-means → approx
+    edges → iterative ranks) reproduces bit-identically across runs."""
+    from ai_batch_processing_spark.operators.graph import q150_pagerank_approx_knn_graph
+
+    r1 = q150_pagerank_approx_knn_graph(spark, sf_dir).collect()
+    total = sum(r.rank for r in r1)
+    assert abs(total - 1.0) < 1e-3  # rank rounded to 6dp per node
+    r2 = q150_pagerank_approx_knn_graph(spark, sf_dir).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+
+
+def test_pagerank_parity_exact_vs_recall_one_approx_edges(spark, sf_dir):
+    """pagerank(knn_edges_approx, recall-1 config) must equal
+    pagerank(knn_edges) row-for-row — the iterative consumer can't tell
+    the two edge builds apart when recall is 1."""
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = (
+        load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    exact = pagerank(nodes, knn_edges(emb, k=5), iterations=5)
+    approx = pagerank(nodes, knn_edges_approx(emb, k=5, nlist=8, nprobe=8), iterations=5)
+    ex = {r.id: round(r.rank, 9) for r in exact.collect()}
+    ap = {r.id: round(r.rank, 9) for r in approx.collect()}
+    assert ex == ap
+
+
+def test_pagerank_checkpoint_cadence_parity(spark):
+    """Cadence-2 lineage truncation is a pure performance knob — results
+    must match per-round checkpointing exactly."""
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)] + [(i, (i + 3) % 8) for i in range(8)],
+        "src long, dst long",
+    )
+    every = {r.id: r.rank for r in pagerank(nodes, edges, iterations=7, checkpoint_every=1).collect()}
+    cad2 = {r.id: r.rank for r in pagerank(nodes, edges, iterations=7, checkpoint_every=2).collect()}
+    assert every == cad2
