@@ -607,3 +607,185 @@ def bpe_pair_counts(
 def q144_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     return bpe_pair_counts(t["documents"]).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# Full iterative BPE trainer (q144 is its first iteration)
+# ---------------------------------------------------------------------------
+# Symbol encoding for the merge step: every symbol is individually wrapped,
+# \x01<sym>\x02, and a word is the concatenation of its wrapped symbols.
+# Merging pair (a, b) is then a PLAIN (non-regex) string replace of
+# "\x01a\x02\x01b\x02" with "\x01ab\x02" — both Spark `replace` and DuckDB
+# `replace` scan left-to-right over non-overlapping occurrences without
+# rescanning replacements, which is EXACTLY BPE's leftmost-non-overlapping
+# merge rule; and because adjacent pair occurrences share no characters
+# (each symbol carries its own sentinels), "a a a a" correctly merges to
+# "aa aa" (a single shared separator would block every second merge).
+# False matches are impossible: \x01 only ever precedes a symbol start, so
+# the pattern anchors whole symbols. Tokens containing the sentinel bytes
+# are excluded (they cannot occur in well-formed text).
+_BPE_O = "\x01"
+_BPE_C = "\x02"
+
+
+def _bpe_word_types(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, cnt): wrapped-symbol word-type table — BPE trains on distinct
+    words weighted by frequency (corpus-linear once, then iterations touch
+    only the vocab-sized type table: the Sennrich formulation, the only
+    shape that survives 100 TB since re-segmenting the raw corpus per merge
+    would be corpus × merges)."""
+    toks = (
+        df.select(F.explode(tokens_expr(text_col)).alias("tok"))
+        .filter(
+            (F.length("tok") >= 2)
+            & ~F.col("tok").contains(_BPE_O)
+            & ~F.col("tok").contains(_BPE_C)
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wrapped = F.array_join(
+        F.transform(F.split("tok", ""), lambda ch: F.concat(F.lit(_BPE_O), ch, F.lit(_BPE_C))),
+        "",
+    )
+    return toks.select(wrapped.alias("w"), "cnt")
+
+
+def _bpe_pair_totals(words: DataFrame) -> DataFrame:
+    """(a, b, total): adjacent-symbol pair counts over the type table,
+    weighted by word frequency, overlaps included (the Sennrich
+    ``get_stats`` semantics)."""
+    syms = F.split(F.expr("substring(w, 2, length(w) - 2)"), _BPE_C + _BPE_O)
+    exploded = (
+        words.select("cnt", syms.alias("s"))
+        .filter(F.size("s") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.expr("transform(sequence(0, size(s) - 2), i -> struct(s[i] AS a, s[i+1] AS b))")
+            ).alias("p"),
+        )
+    )
+    return exploded.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("cnt").alias("total")
+    )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges on the corpus; returns the merge table
+    (step, left, right, merged, pair_n) in learned order — the artifact a
+    tokenizer ships.
+
+    Each iteration: one vocab-sized pair aggregate, a 1-row driver collect
+    of the argmax pair (total order: count DESC, pair ASC — deterministic
+    across engines), then a pure-string re-segmentation of the type table
+    (see the sentinel encoding above) with lazy ``localCheckpoint``
+    lineage truncation, the q122/pagerank iteration pattern. The corpus
+    is touched ONCE (word-type extraction); every merge step is
+    O(|vocab|). Stops early if no pair remains (all words fused).
+
+    Oracle: :func:`_bpe_oracle_sql` unrolls the same ``n_merges``
+    iterations as a straight-line DuckDB CTE chain — the distributed loop
+    is hash-checked end to end (q151).
+    """
+    words = _bpe_word_types(df, text_col).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    merges = []
+    for step in range(1, n_merges + 1):
+        top = (
+            _bpe_pair_totals(words)
+            .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, total = top[0].a, top[0].b, top[0].total
+        merges.append((step, a, b, a + b, total))
+        pat = f"{_BPE_O}{a}{_BPE_C}{_BPE_O}{b}{_BPE_C}"
+        words = words.select(
+            F.replace(F.col("w"), F.lit(pat), F.lit(f"{_BPE_O}{a + b}{_BPE_C}")).alias("w"),
+            "cnt",
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, merged string, pair_n long"
+    )
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Straight-line DuckDB twin of :func:`bpe_train` on ``documents``:
+    the same word-type table, then ``n_merges`` unrolled
+    count→argmax→replace iterations (the q122 unrolled-CTE pattern)."""
+    o, c = "chr(1)", "chr(2)"
+    head = rf"""
+        WITH toks AS (
+            SELECT tok, COUNT(*) AS cnt FROM (
+                SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> t <> '')) AS tok
+                FROM documents
+            )
+            WHERE length(tok) >= 2
+              AND NOT contains(tok, {o}) AND NOT contains(tok, {c})
+            GROUP BY tok
+        ),
+        w0 AS (
+            SELECT array_to_string(
+                       list_transform(range(length(tok)),
+                                      i -> {o} || substring(tok, i + 1, 1) || {c}),
+                       '') AS w,
+                   cnt
+            FROM toks
+        )
+    """
+    steps = []
+    for i in range(n_merges):
+        steps.append(
+            f"""
+        , p{i} AS (
+            SELECT s[i] AS a, s[i + 1] AS b, SUM(cnt) AS total
+            FROM (
+                SELECT string_split(substring(w, 2, length(w) - 2), {c} || {o}) AS s, cnt
+                FROM w{i}
+            ), unnest(generate_series(1, len(s) - 1)) u(i)
+            WHERE len(s) >= 2
+            GROUP BY s[i], s[i + 1]
+        ),
+        t{i} AS (
+            SELECT CAST({i + 1} AS BIGINT) AS step, a AS "left", b AS "right",
+                   a || b AS merged, CAST(total AS BIGINT) AS pair_n
+            FROM p{i} ORDER BY total DESC, a, b LIMIT 1
+        ),
+        w{i + 1} AS (
+            SELECT replace(w, {o} || t.a2 || {c} || {o} || t.b2 || {c},
+                           {o} || t.a2 || t.b2 || {c}) AS w, cnt
+            FROM w{i},
+                 (SELECT "left" AS a2, "right" AS b2 FROM t{i}) t
+        )"""
+        )
+    unions = "\n        UNION ALL ".join(
+        f'SELECT step, "left", "right", merged, pair_n FROM t{i}' for i in range(n_merges)
+    )
+    return head + "".join(steps) + f"\n        {unions}\n        ORDER BY step\n"
+
+
+_BPE_MERGES = 8
+
+
+@register(
+    "q151_bpe_trainer",
+    oracle=_bpe_oracle_sql(_BPE_MERGES),
+    doc=(
+        "full iterative BPE tokenizer training (q144 is its first "
+        "iteration): 8 merge rounds of count-pairs → argmax → re-segment "
+        "over the frequency-weighted word-type table, the corpus touched "
+        "once. Merge is a plain sentinel-delimited string replace — "
+        "leftmost-non-overlapping in both engines — so the distributed "
+        "loop hash-matches 8 UNROLLED DuckDB CTE iterations."
+    ),
+    tags=("text", "tokenizer", "iterative"),
+)
+def q151_bpe_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return bpe_train(t["documents"], n_merges=_BPE_MERGES).orderBy("step")

@@ -69,3 +69,48 @@ def test_udtf_parity_with_catalyst(spark):
         .collect()
     )
     assert [tuple(r) for r in via_udtf] == [tuple(r) for r in via_catalyst]
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer
+# ---------------------------------------------------------------------------
+def test_bpe_train_hand_computed_merges(spark):
+    """Classic BPE on a corpus small enough to verify by hand:
+    types {aaab×2, ab×1} → merge (a,a) n=4 (overlapping pairs counted),
+    then (a,b) n=3, then (aa,ab) n=2, then no pair remains (early stop)."""
+    from ai_batch_processing_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([("aaab aaab ab",)], "text string")
+    rows = [tuple(r) for r in bpe_train(df, n_merges=8).orderBy("step").collect()]
+    assert rows == [
+        (1, "a", "a", "aa", 4),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "ab", "aaab", 2),
+    ]
+
+
+def test_bpe_train_leftmost_nonoverlapping_merge(spark):
+    """'a a a a' must merge to 'aa aa', not 'aa a a' — the sentinel
+    encoding must not let adjacent occurrences share boundary chars."""
+    from ai_batch_processing_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([("aaaa xy",)], "text string")
+    rows = [tuple(r) for r in bpe_train(df, n_merges=2).orderBy("step").collect()]
+    # (a,a) appears 3 times in 'aaaa' (overlaps counted); after the merge
+    # the word is [aa, aa], so (aa, aa) is the next-best pair with count 1.
+    assert rows[0] == (1, "a", "a", "aa", 3)
+    assert rows[1] == (2, "aa", "aa", "aaaa", 1)
+
+
+def test_bpe_train_deterministic_and_max_count_nonincreasing(spark, sf_dir):
+    from ai_batch_processing_spark.operators.text import bpe_train
+    from ai_batch_processing_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].limit(100)
+    a = [tuple(r) for r in bpe_train(docs, n_merges=5).orderBy("step").collect()]
+    b = [tuple(r) for r in bpe_train(docs, n_merges=5).orderBy("step").collect()]
+    assert a == b and len(a) == 5
+    counts = [r[4] for r in a]
+    # merging the argmax pair can never create a more frequent pair:
+    # count(new pair (x, ab)) <= count(old pair (x, a)) <= old max
+    assert counts == sorted(counts, reverse=True)
