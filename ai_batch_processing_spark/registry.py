@@ -89,18 +89,29 @@ def register(
 # order after the listed ones. All queries stay registered either way —
 # this only biases WHICH subset a capped driver proves.
 _PRIORITY = [
-    # ---- round-3 gate prefix (the driver caps at ~50 rows) ----
+    # ---- round-4 gate prefix (the driver caps at ~50 rows) ----
     # Coverage plan across rounds: r1 gated the first 50 registration-order
-    # queries, r2 gated the flagship+pipeline families. This round the
-    # prefix is (a) the four oracle-backed verify twins that replace r2's
-    # only non-green rows (q42/q43/q44/q47 were `no_oracle` by design —
-    # their deterministic verify stages now hash-match DuckDB as
-    # q131-q134), then (b) every oracle-backed query that has never had a
-    # driver row, then (c) a rotation of r1-only families — so after r3
-    # every oracle-backed query has a green driver row in some round.
-    # The approximate originals (q42/q43/q44/q47/q61) stay registered and
-    # recall-tested but sit past the cap: a rows-only driver row proves
-    # nothing their tests don't.
+    # queries, r2 the flagship+pipeline families, r3 the verify twins +
+    # every then-never-gated oracle query. This round the front of the
+    # line is (a) the seven round-3 registrations that landed past the cap
+    # and so have never had a driver row (q142-q148, judge-verified
+    # locally in r3), (b) rows-only q61 (same situation), and (c) the
+    # round-4 queries (q149-q151). Everything behind them already has a
+    # green driver row from r3 — the tail that slides past the cap loses
+    # nothing. After r4 every registered query has a driver row in some
+    # round.
+    "q142_mixture_materialized",
+    "q143_hard_negative_mining",
+    "q144_bpe_pair_counts",
+    "q145_zorder_values",
+    "q146_media_phash_verified",
+    "q147_curriculum_order",
+    "q148_token_budget_selection",
+    "q61_media_phash_near_dup",
+    "q149_knn_edges_approx_verified",
+    "q150_pagerank_approx_knn_graph",
+    "q151_bpe_trainer",
+    # ---- r3 gate prefix, kept in order (all have green r3 rows) ----
     "q131_minhash_jaccard_verified",
     "q132_simhash_verified",
     "q133_ivf_exhaustive_topk",
@@ -154,16 +165,6 @@ _PRIORITY = [
     "q105_supplier_return_isolation",
     "q106_idle_high_balance_segments",
     "q107_dominant_part_suppliers",
-    # ---- positions 51+: just past the ~50 cap ----
-    # newest operators, first in line if the driver gates more than 50
-    # (judge-verified locally either way; round-4 rotation candidates)
-    "q142_mixture_materialized",
-    "q143_hard_negative_mining",
-    "q144_bpe_pair_counts",
-    "q145_zorder_values",
-    "q146_media_phash_verified",
-    "q147_curriculum_order",
-    "q148_token_budget_selection",
     # ---- past the gate cap: r2's green prefix, kept for ordering ----
     # (the r1-only families q04-q29/q35-q39/q55-q64/q81-q89 keep their
     # round-1 green rows; round-3 slots went to queries with NO row yet)
