@@ -32,14 +32,19 @@ Scale shape, per operator:
 Storage note: ``tfidf_top_terms``, ``vocab_zipf_stats``,
 ``unigram_surprise``, and ``bm25_search`` ``persist()`` a compacted
 intermediate that two downstream branches consume (Catalyst does not reuse
-the exchange across the branches — measured, not assumed). Because the
-returned DataFrame is lazy, the cache cannot be released inside the
-function the way ``graph.pagerank`` does (pagerank materializes every
-iteration internally, so it can unpersist before returning). The cached
-relation lives until the consumer is done with the result; long-lived
-sessions calling these repeatedly should release it with
-``spark.catalog.clearCache()`` (or ``unpersist()`` on the input lineage)
-between calls. It is MEMORY_AND_DISK, so at worst it spills, never OOMs.
+the exchange across the branches — measured, not assumed). Two contracts,
+caller's choice via ``materialize``:
+
+- ``materialize=False`` (default, the LIBRARY form): the result stays
+  lazy and composable; the cached relation lives until the consumer is
+  done with it (MEMORY_AND_DISK — at worst it spills, never OOMs).
+  Long-lived sessions calling these repeatedly should release it with
+  ``spark.catalog.clearCache()`` between calls.
+- ``materialize=True`` (the QUERY form — every q1xx gate wrapper uses
+  it): the result is eagerly ``localCheckpoint``-ed and every internal
+  cache is unpersisted before returning — the pagerank contract; nothing
+  stays cached after the call (test-pinned: the q112/q113/q114/q117
+  wrappers leave ``spark.catalog`` cache empty).
 """
 
 from __future__ import annotations
@@ -70,6 +75,18 @@ def token_stream(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def _finish(out: DataFrame, cached: list[DataFrame], materialize: bool) -> DataFrame:
+    """Apply the ``materialize`` contract (module storage note): eagerly
+    localCheckpoint the result, then unpersist every internal cache —
+    nothing stays in the session's storage after the call."""
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF keyword extraction
 # ---------------------------------------------------------------------------
@@ -78,6 +95,7 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_k: int = 3,
+    materialize: bool = False,
 ) -> DataFrame:
     """Top-``top_k`` TF-IDF terms per document: (doc_id, term, rnk, tfidf).
 
@@ -85,6 +103,7 @@ def tfidf_top_terms(
     smoothed sklearn form — never divides by zero, unseen-term safe).
     Ranking happens on the ROUNDED score with the term as tiebreak, so the
     selected rows are reproducible across engines and float-sum orders.
+    ``materialize``: see the module storage note.
     """
     toks = token_stream(docs, id_col, text_col)
     # Persisted: dfreq and the final join both consume the (doc, term)
@@ -118,11 +137,12 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
-    return (
+    out = (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= top_k)
         .select("doc_id", "term", "rnk", "tfidf")
     )
+    return _finish(out, [tf], materialize)
 
 
 @register(
@@ -162,13 +182,15 @@ def tfidf_top_terms(
 )
 def q112_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return tfidf_top_terms(docs).orderBy("doc_id", "rnk")
+    return tfidf_top_terms(docs, materialize=True).orderBy("doc_id", "rnk")
 
 
 # ---------------------------------------------------------------------------
 # Vocabulary / Zipf profile
 # ---------------------------------------------------------------------------
-def vocab_zipf_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def vocab_zipf_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", materialize: bool = False
+) -> DataFrame:
     """One-row corpus profile: vocab size, token count, hapax fraction, and
     the Zipf slope (regression of ln(freq) on ln(rank)).
 
@@ -193,7 +215,7 @@ def vocab_zipf_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     ranked = with_row_index(
         freq.withColumn("_negc", -F.col("c")), order_by=["_negc", "term"], col="_idx"
     ).select("c", (F.col("_idx") + 1).alias("rnk"))
-    return ranked.agg(
+    out = ranked.agg(
         F.count(F.lit(1)).alias("vocab_size"),
         F.sum("c").alias("total_tokens"),
         F.round(
@@ -203,6 +225,7 @@ def vocab_zipf_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
             F.regr_slope(F.log(F.col("c").cast("double")), F.log(F.col("rnk").cast("double"))), 6
         ).alias("zipf_slope"),
     )
+    return _finish(out, [freq], materialize)
 
 
 @register(
@@ -229,13 +252,15 @@ def vocab_zipf_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 )
 def q113_vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return vocab_zipf_stats(docs)
+    return vocab_zipf_stats(docs, materialize=True)
 
 
 # ---------------------------------------------------------------------------
 # Unigram-LM surprise (bits per token)
 # ---------------------------------------------------------------------------
-def unigram_surprise(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def unigram_surprise(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", materialize: bool = False
+) -> DataFrame:
     """Per-doc mean surprise under the corpus unigram LM:
     (doc_id, n_tokens, bits_per_token).
 
@@ -252,7 +277,7 @@ def unigram_surprise(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     # exploded form).
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
     total = freq.select(F.sum("c").cast("double").alias("t"))
-    return (
+    out = (
         toks.join(freq, "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
@@ -261,6 +286,7 @@ def unigram_surprise(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
             F.round(F.avg(-F.log2(F.col("c") / F.col("t"))), 6).alias("bits_per_token"),
         )
     )
+    return _finish(out, [freq], materialize)
 
 
 @register(
@@ -282,7 +308,7 @@ def unigram_surprise(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 )
 def q114_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return unigram_surprise(docs).orderBy("doc_id")
+    return unigram_surprise(docs, materialize=True).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -497,6 +523,7 @@ def bm25_search(
     top_k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = False,
 ) -> DataFrame:
     """Okapi-BM25 top-``top_k`` documents for a bag of query terms:
     (doc_id, score, rnk).
@@ -545,9 +572,10 @@ def bm25_search(
     # rank column is then a window over the ALREADY-capped k rows.
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+    out = top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
         "doc_id", "score", "rnk"
     )
+    return _finish(out, [tf], materialize)
 
 
 _BM25_QUERY = ["data", "model", "training"]
@@ -597,7 +625,7 @@ _BM25_QUERY = ["data", "model", "training"]
 )
 def q117_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return bm25_search(docs, _BM25_QUERY, top_k=10).orderBy("rnk")
+    return bm25_search(docs, _BM25_QUERY, top_k=10, materialize=True).orderBy("rnk")
 
 
 

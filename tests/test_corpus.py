@@ -171,3 +171,39 @@ def test_bloom_incremental_dedup_matches_plain_and_prunes(spark, sf_dir):
     n_fresh = flagged.count()
     n_fp = flagged.filter(F.col("_maybe")).count()
     assert n_fp <= max(1, n_fresh // 100)  # fp rate ~0 at this load factor
+
+
+def test_query_wrappers_leave_no_cached_relations(spark, sf_dir):
+    """The q1xx gate wrappers use materialize=True: result eagerly
+    localCheckpoint-ed, every internal persist released — a gate sweep
+    must not accumulate cached relations across 148+ queries."""
+    from ai_batch_processing_spark.operators.corpus import (
+        q112_tfidf_top_terms,
+        q113_vocab_zipf_stats,
+        q114_unigram_surprise,
+        q117_bm25_search,
+    )
+
+    spark.catalog.clearCache()
+    # CacheManager holds STRONG references: a persist() left behind lives
+    # until clearCache and accumulates across a gate sweep. (The result's
+    # own localCheckpoint RDD is NOT in the CacheManager — it becomes
+    # collectable garbage as soon as the caller drops the result.)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    for fn in (q112_tfidf_top_terms, q113_vocab_zipf_stats, q114_unigram_surprise, q117_bm25_search):
+        out = fn(spark, sf_dir)
+        assert out.count() > 0
+        assert cm.isEmpty(), f"{fn.__name__} left a cached relation in the CacheManager"
+
+
+def test_library_forms_stay_lazy_and_composable(spark, sf_dir):
+    """materialize=False (default) keeps the documented lazy contract —
+    same rows, cache released only by the caller."""
+    from ai_batch_processing_spark.operators.corpus import tfidf_top_terms
+    from ai_batch_processing_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    lazy = tfidf_top_terms(docs).orderBy("doc_id", "rnk").collect()
+    mat = tfidf_top_terms(docs, materialize=True).orderBy("doc_id", "rnk").collect()
+    assert [tuple(r) for r in lazy] == [tuple(r) for r in mat]
+    spark.catalog.clearCache()
