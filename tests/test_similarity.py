@@ -338,3 +338,45 @@ def test_hard_negative_topk_anchor_cardinality_guard(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in guarded] == [tuple(r) for r in unhinted]
+
+
+# ---------------------------------------------------------------------------
+# recall_config: one API over the approximate operators' tuning knobs
+# ---------------------------------------------------------------------------
+def test_recall_config_ivf_maps_targets_to_published_nprobe():
+    from ai_batch_processing_spark.operators.tuning import recall_config
+
+    assert recall_config("ivf", 0.5) == {"nlist": 16, "nprobe": 4}
+    assert recall_config("ivf", 0.9) == {"nlist": 16, "nprobe": 12}
+    assert recall_config("ivf", 0.95) == {"nlist": 16, "nprobe": 16}
+    assert recall_config("ivf", 1.0) == {"nlist": 16, "nprobe": 16}  # exhaustive = q133
+
+
+def test_recall_config_lsh_and_bounds():
+    import pytest as _pytest
+
+    from ai_batch_processing_spark.operators.tuning import recall_config
+
+    assert recall_config("lsh", 0.9)["probe_hamming"] == 0
+    assert recall_config("lsh", 0.99)["probe_hamming"] == 4  # exhaustive = q134
+    with _pytest.raises(ValueError, match="recall_target"):
+        recall_config("ivf", 0.0)
+    with _pytest.raises(ValueError, match="unknown kind"):
+        recall_config("simhash", 0.9)
+
+
+def test_recall_config_minhash_analytic_band_choice():
+    from ai_batch_processing_spark.operators.tuning import (
+        minhash_banding_recall,
+        recall_config,
+    )
+
+    # fewest/widest bands whose analytic recall at J=0.5 meets the target
+    cfg = recall_config("minhash", 0.999, threshold=0.5, num_perm=64)
+    assert cfg == {"num_perm": 64, "bands": 32}  # r=2: 1-(0.75)^32 ≈ 0.9999
+    got = minhash_banding_recall(0.5, 64, cfg["bands"])
+    assert got >= 0.999
+    # wider bands (smaller b) must NOT meet it — the choice is minimal
+    assert minhash_banding_recall(0.5, 64, 16) < 0.999
+    # a recall-1 demand lands on the q131 oracle configuration
+    assert recall_config("minhash", 1.0, threshold=0.5)["bands"] == 64
