@@ -653,7 +653,8 @@ def q41_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact-Jaccard oracle is asserted in tests/test_dedup.py.
     doc="MinHash+LSH near-dup pairs, Jaccard-verified (scale path). Runs on"
     " the FULL documents table + perturbed copies — corpus grows with sf,"
-    " unlike the capped exact-pairwise q41.",
+    " unlike the capped exact-pairwise q41. Config: bands=8 (r=8), the"
+    " measured band-width frontier — see the A/B in the function body.",
     bench=True,
     tags=("dedup", "minhash", "lsh"),
 )
@@ -671,7 +672,17 @@ def q42_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly the stage a 100 TB plan must not have — it cost a measured
     # ~0.5 s of the sf0.1 wall for nothing. The oracle-backed twin (q131)
     # keeps its ORDER BY for the hash gate's determinism convention.
-    return minhash_dedup_pairs(corpus, "id", "text", threshold=0.5)
+    #
+    # bands=8: the round-2 "fewer, wider bands" idea, finally A/B'd at
+    # sf0.1 (min of 3 warm, same session): bands=16 → 2.32 s / 3077 pairs
+    # (recall 1.0); bands=8 → 1.92 s / 2971 pairs (recall 0.966, above the
+    # 0.90 test pin); bands=4 → 1.92 s / 1403 pairs (recall 0.46,
+    # rejected). Wider bands shrink the banding explode AND the candidate
+    # stream (r=8 collisions are rarer), buying −17% wall for −3.4%
+    # recall at exactly J=threshold pairs — the library DEFAULT stays
+    # bands=16 (recall-first); this bench query documents the frontier
+    # config. recall_config('minhash', target) picks analytically.
+    return minhash_dedup_pairs(corpus, "id", "text", threshold=0.5, bands=8)
 
 
 @register(
