@@ -1131,3 +1131,229 @@ def q141_idle_wealthy_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --- q152: TPC-H Q4 shape — order priority with a late-shipment EXISTS ------
+@register(
+    "q152_order_priority_check",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (late shipment stands in for commit<receipt): "
+    "quarter-filtered orders with a CORRELATED-comparison EXISTS — the semi "
+    "join carries an inequality on columns from BOTH sides (l_shipdate > "
+    "o_orderdate + 90 days), which Catalyst plans as a semi hash join on "
+    "the equi-key with the inequality as a residual, never a cartesian. "
+    "One 5-key grouped count after.",
+    tags=("relational", "semi", "tpch"),
+)
+def q152_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = t["lineitem"]
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- q153: TPC-H Q6 shape — forecast revenue (pure scan-aggregate) ----------
+@register(
+    "q153_forecast_revenue",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: the purest scan query — every predicate (date "
+    "range, discount band, quantity cap) reaches the parquet scan as a "
+    "pushed filter, ReadSchema is 4 columns, and the single global SUM is "
+    "map-side partial + a 1-row final. The query that measures scan + "
+    "pushdown and nothing else.",
+    tags=("relational", "scan", "tpch"),
+)
+def q153_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# --- q154: TPC-H Q2 shape — minimum-cost supplier per part ------------------
+@register(
+    "q154_min_cost_supplier",
+    oracle="""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   ROUND(AVG(l_extendedprice / l_quantity), 4) AS ucost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        eligible AS (
+            SELECT c.l_partkey, c.l_suppkey, c.ucost, s.s_name, s.s_acctbal, n.n_name
+            FROM cost c
+            JOIN supplier s ON s.s_suppkey = c.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            JOIN region r   ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+        ),
+        best AS (SELECT l_partkey, MIN(ucost) AS min_cost FROM eligible GROUP BY l_partkey)
+        SELECT e.s_acctbal, e.s_name, e.n_name, e.l_partkey AS p_partkey, e.ucost
+        FROM eligible e
+        JOIN best b ON b.l_partkey = e.l_partkey AND e.ucost = b.min_cost
+        JOIN part p ON p.p_partkey = e.l_partkey
+        WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 10 AND 20
+        ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p_partkey
+        LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (lineitem avg unit price stands in for the missing "
+    "partsupp.supplycost): region-filtered supplier costs, the correlated "
+    "per-part MIN subquery DECORRELATED into a grouped-min + equi-join "
+    "back (the q128/Q17 pattern on a join tree), part filter broadcast, "
+    "top-100 via TakeOrderedAndProject.",
+    tags=("relational", "join", "decorrelated", "tpch"),
+)
+def q154_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation", "region", "part"])
+    cost = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("ucost"))
+    )
+    dims = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = cost.join(F.broadcast(dims), cost.l_suppkey == dims.s_suppkey)
+    best = eligible.groupBy(F.col("l_partkey").alias("_pk")).agg(F.min("ucost").alias("min_cost"))
+    parts = t["part"].filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") >= 10) & (F.col("p_size") <= 20)
+    )
+    return (
+        eligible.join(best, (F.col("l_partkey") == F.col("_pk")) & (F.col("ucost") == F.col("min_cost")))
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .select("s_acctbal", "s_name", "n_name", F.col("l_partkey").alias("p_partkey"), "ucost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- q155: TPC-H Q11 shape — important part values vs a global fraction -----
+@register(
+    "q155_important_part_values",
+    oracle="""
+        WITH val AS (
+            SELECT l.l_partkey, ROUND(SUM(l.l_extendedprice), 2) AS value
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_7'
+            GROUP BY l.l_partkey
+        ),
+        tot AS (SELECT SUM(value) AS t FROM val)
+        SELECT l_partkey, value
+        FROM val CROSS JOIN tot
+        WHERE value > 0.002 * t
+        ORDER BY value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 shape: nation-filtered per-part value rollup HAVING a "
+    "share of the GLOBAL total — the scalar total rides the plan as a "
+    "broadcast 1-row cross join (the q141/Q22 pattern), never a driver "
+    "collect; nation/supplier dims broadcast; one fact shuffle on "
+    "l_partkey.",
+    tags=("relational", "scalar-subquery", "tpch"),
+)
+def q155_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    dims = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_7")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        t["lineitem"]
+        .join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("value"))
+    )
+    tot = val.agg(F.sum("value").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > 0.002 * F.col("t"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+# --- q156: TPC-H Q12 shape — shipping classes × order priority counts -------
+@register(
+    "q156_shipping_priority_classes",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS high_line_count,
+               COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_returnflag IN ('A', 'R')
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape (returnflag stands in for the missing shipmode): "
+    "filtered fact join + CASE-bucketed conditional counts per class — the "
+    "in-list and date filters reach the lineitem scan, orders joins on the "
+    "equi-key, and the 2-key grouped CASE sums partial-aggregate map-side.",
+    tags=("relational", "join", "conditional-agg", "tpch"),
+)
+def q156_shipping_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    li = t["lineitem"].filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -111,6 +111,13 @@ _PRIORITY = [
     "q149_knn_edges_approx_verified",
     "q150_pagerank_approx_knn_graph",
     "q151_bpe_trainer",
+    # round-4 TPC-H completion: with Q2/Q4/Q6/Q11/Q12 shapes the named
+    # TPC-H coverage is all 22 queries (adapted to the TESTDATA schema)
+    "q152_order_priority_check",
+    "q153_forecast_revenue",
+    "q154_min_cost_supplier",
+    "q155_important_part_values",
+    "q156_shipping_priority_classes",
     # ---- r3 gate prefix, kept in order (all have green r3 rows) ----
     "q131_minhash_jaccard_verified",
     "q132_simhash_verified",

@@ -255,3 +255,57 @@ def test_q139_semi_chain_prunes_before_wide_joins(spark, sf_dir):
     plan = _explain(SPECS["q139_heavy_part_suppliers"].fn(spark, sf_dir))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q153_pure_scan_all_predicates_pushed(spark, sf_dir):
+    """TPC-H Q6: every predicate must reach the parquet scan and the read
+    schema must be the 4 referenced columns — the query IS the scan."""
+    plan = _explain(SPECS["q153_forecast_revenue"].fn(spark, sf_dir))
+    scan = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "l_shipdate" in scan and "l_discount" in scan and "l_quantity" in scan
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read
+    assert "l_orderkey" not in read  # pruned
+    assert "partial_sum" in plan
+
+
+def test_q152_exists_with_residual_inequality_is_semi_join(spark, sf_dir):
+    """TPC-H Q4: the correlated-comparison EXISTS must plan as a LeftSemi
+    hash join on the equi-key with the date inequality as a residual —
+    never a cartesian or per-row subquery."""
+    plan = _explain(SPECS["q152_order_priority_check"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q154_decorrelated_min_broadcasts_dims_topk(spark, sf_dir):
+    plan = _explain(SPECS["q154_min_cost_supplier"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q155_global_total_rides_as_broadcast(spark, sf_dir):
+    """TPC-H Q11: the global-total scalar must be a broadcast nested-loop
+    over ONE row (the documented q141 pattern), not a driver collect —
+    and the nation-filtered supplier dim must broadcast."""
+    plan = _explain(SPECS["q155_important_part_values"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the formatted plan prints each node twice (tree + detail); exactly one
+    # BNLJ node may exist — the 1-row global-total scalar
+    import re
+
+    bnlj_nodes = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(bnlj_nodes) == 1
+
+
+def test_q156_filters_pushed_and_partial_agg(spark, sf_dir):
+    plan = _explain(SPECS["q156_shipping_priority_classes"].fn(spark, sf_dir))
+    # two scans (orders, lineitem) → find the lineitem one among all
+    # PushedFilters sections; its in-list and date filters must be pushed
+    scans = [p.splitlines()[0] for p in plan.split("PushedFilters")[1:]]
+    li_scan = [s for s in scans if "l_returnflag" in s]
+    assert li_scan and "l_shipdate" in li_scan[0]
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
