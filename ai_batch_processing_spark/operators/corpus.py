@@ -421,11 +421,19 @@ def incremental_dedup_bloom(
     route extra rows into the exact check, never change the answer, so
     the output is hash-identical to ``incremental_dedup`` (test- and
     oracle-pinned).
+
+    The fingerprint tables and the flagged batch are each consumed by TWO
+    downstream branches (bitmap build + anti-join; definite/maybe split),
+    so both are lazily ``localCheckpoint``-ed: the regex-normalize+md5
+    pass — the dominant cost — runs once per side instead of once per
+    branch, and only the 32-byte fingerprints are retained.
     """
-    bfp = batch.select(F.col(id_col).alias("doc_id"), fingerprint_expr(text_col).alias("fp"))
-    cfp = corpus.select(fingerprint_expr(text_col).alias("fp"))
+    bfp = batch.select(
+        F.col(id_col).alias("doc_id"), fingerprint_expr(text_col).alias("fp")
+    ).localCheckpoint(eager=False)  # probed twice inside bloom_maybe_contains
+    cfp = corpus.select(fingerprint_expr(text_col).alias("fp")).localCheckpoint(eager=False)
     words = bloom_bitmap_words(cfp, "fp", num_bits, k)
-    flagged = bloom_maybe_contains(bfp, words, "fp", num_bits, k)
+    flagged = bloom_maybe_contains(bfp, words, "fp", num_bits, k).localCheckpoint(eager=False)
     definite_new = flagged.filter(~F.col("_maybe")).select("doc_id", "fp")
     maybe = flagged.filter(F.col("_maybe")).select("doc_id", "fp")
     # the equi-join moves fp to the front — re-project before the
