@@ -118,6 +118,8 @@ _PRIORITY = [
     "q154_min_cost_supplier",
     "q155_important_part_values",
     "q156_shipping_priority_classes",
+    # train-then-encode completes the tokenizer story (q144 → q151 → q157)
+    "q157_bpe_encode_counts",
     # ---- r3 gate prefix, kept in order (all have green r3 rows) ----
     "q131_minhash_jaccard_verified",
     "q132_simhash_verified",

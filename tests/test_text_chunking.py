@@ -114,3 +114,65 @@ def test_bpe_train_deterministic_and_max_count_nonincreasing(spark, sf_dir):
     # merging the argmax pair can never create a more frequent pair:
     # count(new pair (x, ab)) <= count(old pair (x, a)) <= old max
     assert counts == sorted(counts, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# BPE encode
+# ---------------------------------------------------------------------------
+def test_bpe_encode_hand_computed(spark):
+    """Merges [(a,a), (a,b)] over 'aaab ab c': 'aaab' wraps to a|a|a|b,
+    merge1 (leftmost-nonoverlap) → aa|a|b, merge2 → aa|ab; 'ab' → ab;
+    'c' → c (single-char tokens encode even though training skips them)."""
+    from ai_batch_processing_spark.operators.text import (
+        bpe_encode_counts,
+        bpe_encode_symbols,
+        bpe_encode_tokens,
+    )
+
+    df = spark.createDataFrame([(1, "aaab ab c")], "doc_id long, text string")
+    merges = [("a", "a"), ("a", "b")]
+    syms = bpe_encode_symbols(df, merges).collect()[0]
+    assert syms.tokens == ["aa", "a", "b", "ab", "c"] or syms.tokens == ["aa", "ab", "ab", "c"]
+    # leftmost-nonoverlapping: 'aaab' after (a,a) is [aa, a, b]; then (a,b)
+    # fuses the tail → [aa, ab]
+    assert syms.tokens == ["aa", "ab", "ab", "c"]
+    counts = bpe_encode_counts(df, merges).collect()[0]
+    assert (counts.n_tokens_base, counts.n_tokens_bpe) == (7, 4)
+    udf_syms = bpe_encode_tokens(df, merges).collect()[0]
+    assert udf_syms.tokens == syms.tokens
+
+
+def test_bpe_encode_udf_parity_with_catalyst(spark, sf_dir):
+    """The rank-loop encoder must produce the exact symbol sequences of the
+    sequential chained-replace form on a real corpus with trained merges."""
+    from ai_batch_processing_spark.operators.text import (
+        bpe_encode_symbols,
+        bpe_encode_tokens,
+        bpe_train,
+    )
+    from ai_batch_processing_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].limit(200)
+    merges = [
+        (r.left, r.right) for r in bpe_train(docs, n_merges=8).orderBy("step").collect()
+    ]
+    assert len(merges) == 8
+    a = {r.doc_id: r.tokens for r in bpe_encode_symbols(docs, merges).collect()}
+    b = {r.doc_id: r.tokens for r in bpe_encode_tokens(docs, merges).collect()}
+    assert a == b
+
+
+def test_bpe_encode_compression_monotone(spark, sf_dir):
+    """Every merge can only shrink the symbol count: n_bpe <= n_base
+    everywhere, with strict shrinkage somewhere on a real corpus."""
+    from ai_batch_processing_spark.operators.text import bpe_encode_counts, bpe_train
+    from ai_batch_processing_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].limit(200)
+    merges = [
+        (r.left, r.right) for r in bpe_train(docs, n_merges=8).orderBy("step").collect()
+    ]
+    out = bpe_encode_counts(docs, merges)
+    assert out.filter(F.col("n_tokens_bpe") > F.col("n_tokens_base")).count() == 0
+    assert out.filter(F.col("n_tokens_bpe") < F.col("n_tokens_base")).count() > 0
