@@ -456,8 +456,7 @@ _REINGEST_FILTER = "doc_id % 10 = 1 AND doc_id % 3 = 0"
 _INCREMENTAL_DEDUP_ORACLE = rf"""
         WITH fp AS (
             SELECT doc_id,
-                   md5(trim(regexp_replace(regexp_replace(lower(text),
-                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
             FROM documents
         ),
         corpus AS (SELECT fp FROM fp WHERE NOT ({_BATCH_FILTER})),
@@ -705,7 +704,7 @@ def corpus_health(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
                     t -> list_contains(['the','and','of','to','a','in','is','that','for','with'], t)
                 )) AS stop_hits,
-                md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+                md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
             FROM documents
         ),
         scored AS (

@@ -776,8 +776,7 @@ def q120_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         surv AS (
             SELECT MIN(doc_id) AS doc_id,
-                   md5(trim(regexp_replace(regexp_replace(lower(text),
-                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
             FROM kept GROUP BY fp
         ),
         toks AS (

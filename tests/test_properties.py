@@ -111,7 +111,7 @@ def _py_tokens(text: str) -> list[str]:
 def _py_fingerprint(text: str) -> str:
     import hashlib as _h
 
-    norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", "", text.lower())).strip()
+    norm = re.sub("[^a-z0-9]+", " ", text.lower()).strip()
     return _h.md5(norm.encode()).hexdigest()
 
 

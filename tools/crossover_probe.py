@@ -16,6 +16,7 @@ Writes CROSSOVER.md; synthesized data lives under /tmp/spark_graft_xsf.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
@@ -182,16 +183,20 @@ def _xq_pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
 def _xq_knn_edges(spark, d: str):
     # The round-4 ANN-backed edge build (graph pipelines' former quadratic
     # entry point): Spark runs the IVF-bucketed knn_edges_approx on the
-    # FULL grown embeddings table (nlist follows the √n-ish scale rule);
-    # the DuckDB twin is the exact all-pairs k-NN edge SQL — quadratic BY
-    # DESIGN, budgeted, where DNF is the point.
+    # FULL grown embeddings table; the DuckDB twin is the exact all-pairs
+    # k-NN edge SQL — quadratic BY DESIGN, budgeted, where DNF is the point.
+    #
+    # nlist MUST follow the √n rule: per-node candidate work is
+    # n·nprobe/nlist, so a flat nlist degrades the kernel toward quadratic
+    # as the corpus grows (measured: nlist=64 at x100/200k vecs → 784 s;
+    # √n-scaled nlist=512 keeps per-cell blocks constant-sized).
     from pyspark.sql import functions as F
 
     from ai_batch_processing_spark.operators.graph import knn_edges_approx
 
     emb = spark.read.parquet(f"{d}/embeddings.parquet").select("vec_id", "embedding")
     n = emb.count()
-    nlist = 32 if n <= 20_000 else 64
+    nlist = max(32, 2 ** round(math.log2(max(1.0, math.sqrt(n)))))
     return knn_edges_approx(emb, k=5, nlist=nlist, nprobe=8)
 
 
