@@ -54,17 +54,48 @@ def pagerank(
     round-3 verdict's cadence hypothesis — REJECTED, the deeper eager
     plans re-plan more under AQE), lazy-every-round 3.1 s. Lazy wins
     because truncation is a lineage property, not a materialization one.
+
+    The explicit-N co-partitioning of ``e`` and ``base`` (below) is
+    plan-verified (tests/test_graph.py: the cached scan feeds the join
+    with no Exchange above it) but wall-NEUTRAL at bench scale, where AQE
+    broadcasts the node-sized rank table and the loop rides the
+    scheduling floor — it exists for the regime where ranks is too big to
+    broadcast and the per-round edge shuffle would dominate.
     """
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    try:
+        n_part = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = nodes.rdd.getNumPartitions()
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     odeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
-    # out-degree attached to each edge once, reused every iteration
-    e = edges.join(odeg, "src").select("src", "dst", "odeg").persist()
-    # (id, n) materialized ONCE — every iteration joins onto this
-    # checkpointed frame instead of re-running the node scan and the
-    # count aggregate 10 times over
-    base = nodes.crossJoin(F.broadcast(n_row)).select("id", "n").localCheckpoint(eager=True)
+    # out-degree attached to each edge once, reused every iteration; the
+    # hash-repartition on src with an EXPLICIT partition count is
+    # load-bearing: only REPARTITION_BY_NUM partitioning survives into the
+    # cached layout's outputPartitioning and satisfies the per-round
+    # join's requirement (plan-verified: the InMemoryTableScan feeds the
+    # join with no Exchange above it; the AQE-coalescible bare
+    # .repartition("src") does NOT) — so the EDGE side, the big side at
+    # scale, never re-shuffles inside the loop
+    e = (
+        edges.join(odeg, "src")
+        .select("src", "dst", "odeg")
+        .repartition(n_part, "src")
+        .persist()
+    )
+    # (id, n) materialized ONCE, hash-partitioned on id for the same
+    # reason — every iteration joins onto this checkpointed frame (and
+    # the rank table it produces inherits the layout) instead of
+    # re-running the node scan + count and re-exchanging both sides 10
+    # times over. Net per-round data shuffled: the contribs aggregate
+    # plus the node-sized rank table only.
+    base = (
+        nodes.crossJoin(F.broadcast(n_row))
+        .select("id", "n")
+        .repartition(n_part, "id")
+        .localCheckpoint(eager=True)
+    )
     ranks = base.select("id", (F.lit(1.0) / F.col("n")).alias("rank"))
     for i in range(iterations):
         contribs = (

@@ -151,3 +151,50 @@ def test_pagerank_checkpoint_cadence_parity(spark):
     every = {r.id: r.rank for r in pagerank(nodes, edges, iterations=7, checkpoint_every=1).collect()}
     cad2 = {r.id: r.rank for r in pagerank(nodes, edges, iterations=7, checkpoint_every=2).collect()}
     assert every == cad2
+
+
+def test_pagerank_edge_cache_partitioning_feeds_join_without_exchange(spark):
+    """The loop contract pagerank's docstring claims (graph.py): a cached
+    edge table repartition(N, src)-ed BEFORE persist feeds the per-round
+    join with NO Exchange above its InMemoryTableScan — the explicit-N
+    (REPARTITION_BY_NUM) form is load-bearing; broadcasts disabled so the
+    join actually tests the shuffle requirement, as at real scale."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    e = None
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        e = (
+            spark.range(10000)
+            .select((F.col("id") % 997).alias("src"), (F.col("id") % 991).alias("dst"),
+                    F.lit(3).alias("odeg"))
+            .repartition(n_part, "src")
+            .persist()
+        )
+        e.count()
+        ranks = spark.range(997).select(F.col("id"), F.lit(1.0).alias("rank"))
+        j = (
+            e.join(ranks, e.src == ranks.id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("inflow"))
+        )
+        j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        scan_idx = next(i for i, ln in enumerate(lines) if "InMemoryTableScan" in ln)
+        # nothing between the join and the cache scan may be an Exchange
+        # (a Sort for SMJ is fine) — the cached REPARTITION_BY_NUM layout
+        # satisfies the join's distribution requirement
+        above = "\n".join(lines[max(0, scan_idx - 3):scan_idx])
+        assert "Join" in above or "Sort" in above
+        assert "Exchange" not in above
+    finally:
+        if e is not None:
+            e.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
