@@ -137,6 +137,147 @@ def q101_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy decontamination: MinHash-LSH corpus-vs-benchmark near-dup match
+# ---------------------------------------------------------------------------
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 64,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, bench_id, jaccard): corpus documents whose character-k-gram
+    Jaccard with ANY benchmark document is ≥ ``threshold``.
+
+    The exact n-gram overlap (:func:`decontaminate`) catches verbatim
+    leakage; this catches PARAPHRASED contamination — a benchmark item
+    lightly rewritten into the training set still collides on most
+    minhash positions.
+
+    Scale shape: eval sets are small by definition, so the benchmark side
+    (signatures, band hashes, verify sets) is broadcast everywhere; the
+    corpus pays exactly one shingle+signature pass (the fused
+    ``sig_and_sets`` aggregate, lazily checkpointed — banding and verify
+    both read it without recomputing) and the band join prunes it to
+    candidate rows before any verify work. At ``bands == num_perm``
+    (one-row bands, the default) a pair is a candidate iff any of the
+    ``num_perm`` positions agree — miss probability ``(1−J)^num_perm``,
+    the q131 recall-1 argument — and every candidate is exactly verified
+    with ``array_intersect``, so the output IS the Jaccard ≥ threshold
+    cross pair set (oracle-gated as q158). Fewer/wider bands trade
+    recall for candidate volume exactly as in ``minhash_dedup_pairs``.
+
+    No bucket cap: the fan-out of the band join is bounded by the
+    benchmark's size, not the corpus's — a degenerate all-same-shingle
+    corpus costs candidates linear in the corpus, which the exact verify
+    then filters; it cannot go quadratic.
+    """
+    from ai_batch_processing_spark.operators.dedup import (
+        banded_signature_hashes,
+        shingle_hash_stream,
+        sig_and_sets,
+    )
+
+    c = sig_and_sets(
+        shingle_hash_stream(corpus, id_col, text_col, k), num_perm, seed
+    ).localCheckpoint(eager=False)
+    b = sig_and_sets(
+        shingle_hash_stream(benchmark, id_col, text_col, k), num_perm, seed
+    ).localCheckpoint(eager=False)
+    cands = (
+        banded_signature_hashes(c, num_perm, bands)
+        .join(
+            F.broadcast(
+                banded_signature_hashes(b, num_perm, bands).withColumnRenamed(
+                    "id", "bench_id"
+                )
+            ),
+            ["band", "bh"],
+        )
+        .select(F.col("id").alias("doc_id"), "bench_id")
+        .distinct()
+    )
+    cs = c.select(F.col("id").alias("doc_id"), F.col("hs").alias("hs_c"))
+    bs = b.select(F.col("id").alias("bench_id"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_c", "hs_b"))
+    jac = inter / (F.size("hs_c") + F.size("hs_b") - inter)
+    return (
+        cands.join(cs, "doc_id")
+        .join(F.broadcast(bs), "bench_id")
+        .filter(jac >= threshold)
+        .select("doc_id", "bench_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# The q158 scenario: the benchmark is a perturbed copy of every 97th corpus
+# doc (suffix appended, ids shifted out of the corpus domain) — each bench
+# item's source doc is planted paraphrased contamination the fuzzy matcher
+# must find; the exact matcher (q101's n-gram containment at n=8) would see
+# depressed overlap on short docs whose every 8-gram crosses the edit.
+_FUZZY_BENCH_SHIFT = 500_000
+
+
+@register(
+    "q158_decontaminate_fuzzy",
+    oracle=f"""
+        WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+        bench AS (
+            SELECT doc_id + {_FUZZY_BENCH_SHIFT} AS id, text || ' eval item' AS text
+            FROM documents WHERE doc_id % 97 = 0
+        ),
+        cd AS (SELECT id, text FROM corpus WHERE length(text) >= 5),
+        bd AS (SELECT id, text FROM bench WHERE length(text) >= 5),
+        csh AS (
+            SELECT DISTINCT id, substring(text, CAST(i AS INT), 5) AS s
+            FROM cd, unnest(generate_series(1, length(text) - 4)) AS t(i)
+        ),
+        bsh AS (
+            SELECT DISTINCT id, substring(text, CAST(i AS INT), 5) AS s
+            FROM bd, unnest(generate_series(1, length(text) - 4)) AS t(i)
+        ),
+        cn AS (SELECT id, COUNT(*) AS n FROM csh GROUP BY id),
+        bn AS (SELECT id, COUNT(*) AS n FROM bsh GROUP BY id),
+        inter AS (
+            SELECT c.id AS doc_id, b.id AS bench_id, COUNT(*) AS i
+            FROM csh c JOIN bsh b ON c.s = b.s
+            GROUP BY 1, 2
+        )
+        SELECT doc_id, bench_id,
+               ROUND(CAST(i AS DOUBLE) / (cn.n + bn.n - i), 6) AS jaccard
+        FROM inter
+        JOIN cn ON cn.id = doc_id
+        JOIN bn ON bn.id = bench_id
+        WHERE CAST(i AS DOUBLE) / (cn.n + bn.n - i) >= 0.5
+        ORDER BY doc_id, bench_id
+    """,
+    doc=(
+        "fuzzy test-set decontamination in the recall-1 configuration "
+        "(bands = num_perm: candidate iff ANY minhash position agrees, miss "
+        "probability (1-J)^64, every candidate exactly verified) against a "
+        "planted-paraphrase benchmark — hash-matched with the independent "
+        "DuckDB exact cross-table Jaccard oracle. The benchmark side "
+        "(signatures, band hashes, verify sets) broadcasts; the corpus pays "
+        "one fused shingle+signature pass."
+    ),
+    tags=("curation", "decontamination", "minhash", "verify"),
+)
+def q158_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    corpus = docs.select("doc_id", "text")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + _FUZZY_BENCH_SHIFT).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" eval item")).alias("text"),
+    )
+    return decontaminate_fuzzy(corpus, benchmark, threshold=0.5).orderBy(
+        "doc_id", "bench_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII detection / redaction (pure Catalyst regex chain)
 # ---------------------------------------------------------------------------
 

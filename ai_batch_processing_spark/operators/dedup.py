@@ -196,6 +196,42 @@ def _signatures_from_stream(stream: DataFrame, num_perm: int, seed: int) -> Data
     return agg.select("id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig"))
 
 
+def sig_and_sets(stream: DataFrame, num_perm: int, seed: int) -> DataFrame:
+    """(id, sig, hs): the fused signature + verify-set aggregate — ONE pass
+    over the shingle stream yields both the MinHash signature and the
+    ``collect_set(h)`` array the exact-Jaccard verify stage needs (the
+    same fusion ``minhash_dedup_pairs`` does inline for its corpus
+    scope)."""
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31)) for _ in range(num_perm)]
+    h31 = F.pmod(F.col("h"), F.lit(_MERSENNE31))
+    mins = [
+        F.min(F.pmod(F.lit(a) * h31 + F.lit(b), F.lit(_MERSENNE31))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    agg = stream.groupBy("id").agg(*mins, F.collect_set("h").alias("hs"))
+    return agg.select(
+        "id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig"), "hs"
+    )
+
+
+def banded_signature_hashes(sig_df: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, bh): one band-hash row per (document, band) — the
+    exploded form both the self-join candidate generator and cross-table
+    consumers (fuzzy decontamination) band with, so two tables banded
+    with the same (num_perm, bands, seed) collide exactly when a band's
+    signature slice agrees."""
+    r = max(1, num_perm // bands)
+    return sig_df.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), j -> xxhash64(slice(sig, j * {r} + 1, {r}), j))"
+            )
+        ).alias("band", "bh"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, num_perm: int = 64, seed: int = 42
 ) -> DataFrame:
@@ -272,13 +308,7 @@ def lsh_candidate_pairs(
     candidate stream.
     """
     # slice() is 1-indexed; band j covers [j*r+1, r].
-    r = max(1, num_perm // bands)
-    banded = sig_df.select(
-        "id",
-        F.posexplode(
-            F.expr(f"transform(sequence(0, {bands - 1}), j -> xxhash64(slice(sig, j * {r} + 1, {r}), j))")
-        ).alias("band", "bh"),
-    )
+    banded = banded_signature_hashes(sig_df, num_perm, bands)
     counts = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("m"))
     ok = banded.join(
         F.broadcast(counts.filter(F.col("m") > max_bucket)), ["band", "bh"], "left_anti"

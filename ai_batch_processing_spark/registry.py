@@ -120,6 +120,8 @@ _PRIORITY = [
     "q156_shipping_priority_classes",
     # train-then-encode completes the tokenizer story (q144 → q151 → q157)
     "q157_bpe_encode_counts",
+    # fuzzy (MinHash) test-set decontamination, recall-1 oracle config
+    "q158_decontaminate_fuzzy",
     # ---- r3 gate prefix, kept in order (all have green r3 rows) ----
     "q131_minhash_jaccard_verified",
     "q132_simhash_verified",

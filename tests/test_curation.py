@@ -291,3 +291,49 @@ def test_token_budget_selection_greedy_contract(spark):
     )
     # 0 < 1000 keep; 400 < 1000 keep; 800 < 1000 keep (overshoot); 1200 drop
     assert kept == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy decontamination
+# ---------------------------------------------------------------------------
+def test_decontaminate_fuzzy_finds_every_planted_paraphrase(spark, sf_dir):
+    """Each benchmark item is a perturbed copy of a corpus doc — the
+    recall-1 configuration must pair every bench doc with its source (and
+    the pair's Jaccard must clear the threshold)."""
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.operators.curation import decontaminate_fuzzy
+    from ai_batch_processing_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].limit(300)
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" suffix")).alias("text"),
+    )
+    out = decontaminate_fuzzy(docs, bench, threshold=0.5)
+    found = {(r.doc_id, r.bench_id) for r in out.collect()}
+    planted = {
+        (r.doc_id, r.doc_id + 900_000)
+        for r in docs.filter(F.col("doc_id") % 7 == 0).select("doc_id").collect()
+    }
+    assert planted <= found  # every planted pair recovered
+
+
+def test_decontaminate_fuzzy_production_bands_recall(spark, sf_dir):
+    """bands=16 (the production config) must keep >= 0.9 recall of the
+    recall-1 pair set on the planted corpus, with no false pairs (every
+    output is exact-verified, so precision is 1 by construction)."""
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.operators.curation import decontaminate_fuzzy
+    from ai_batch_processing_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].limit(300)
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" suffix")).alias("text"),
+    )
+    exact = {tuple(r) for r in decontaminate_fuzzy(docs, bench, bands=64).collect()}
+    prod = {tuple(r) for r in decontaminate_fuzzy(docs, bench, bands=16).collect()}
+    assert prod <= exact  # verify stage → no false positives
+    assert len(prod) >= 0.9 * len(exact)
