@@ -365,7 +365,7 @@ _PR2_NPROBE = 8
         "replicated 3× with Catalyst-side perturbations, edges are built "
         "with knn_edges_approx (nprobe/nlist = 1/4 of the corpus scanned "
         "per node instead of all-pairs), then 10 synchronous PageRank "
-        "rounds with cadence-2 lineage truncation. The bench's iterative "
+        "rounds with lazy per-round lineage truncation. The bench's iterative "
         "representative doing real data work — the edge build is the "
         "dominant, corpus-linear-per-probe stage, exactly the 100 TB shape "
         "(q122's exact all-pairs build caps at 300 vectors)."
