@@ -1151,3 +1151,132 @@ def q118_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("vec_id") + 100000).alias("id"), "embedding")
     )
     return semantic_dedup_clusters(base.unionAll(dups)).orderBy("keep_id")
+
+
+# --------------------------------------------------------------------------
+# SQ8: int8 scalar-quantized embedding search
+# --------------------------------------------------------------------------
+def sq8_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, qv): symmetric per-vector int8 scalar quantization —
+    ``q_i = round(v_i / (max|v|/127))``, values in [-127, 127].
+
+    The FAISS-IVF-SQ8 memory story: a float32 embedding column shrinks 4×
+    (byte per component + one scale — and for COSINE ranking the scale
+    cancels entirely, so it isn't even stored). At 100 TB the ANN scan is
+    memory-bandwidth-bound, so 4× smaller vectors ≈ 4× faster brute-force
+    and 4× more of the IVF index resident per executor. Quantization is a
+    pure deterministic Catalyst expression — no training, no Python — so
+    quantized rankings are exactly reproducible across engines
+    (q159's oracle hash-matches on integer-exact arithmetic: every
+    partial sum in the quantized cosine is an integer-valued double).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    qv = F.transform(v, lambda x: F.round(x / scale).cast("long"))
+    return df.select(F.col(id_col).alias("id"), qv.alias("qv"))
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def cosine_topk_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine over int8-quantized vectors: ``cosine_topk``'s shape
+    (queries broadcast, corpus scanned once, per-query top-k window) with
+    the 4×-smaller quantized representation. Cosine of quantized vectors
+    needs no scales (they cancel), so the per-pair work is one integer dot
+    product; recall vs the exact float ranking is measured in tests
+    (quantization recall, not search recall — every vector is still
+    scanned). Zero-quantized vectors (all-zero inputs) are excluded from
+    both sides: their cosine is undefined.
+    """
+    q = sq8_quantize(queries, query_id, vec_col).select(
+        F.col("id").alias("query_id"), F.col("qv").alias("_qq")
+    )
+    c = sq8_quantize(corpus, corpus_id, vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("qv").alias("_cq")
+    )
+    q = q.withColumn("_qn", _int_dot("_qq", "_qq")).filter(F.col("_qn") > 0)
+    c = c.withColumn("_cn", _int_dot("_cq", "_cq")).filter(F.col("_cn") > 0)
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    score = F.round(
+        _int_dot("_qq", "_cq").cast("double")
+        / (F.sqrt(F.col("_qn").cast("double")) * F.sqrt(F.col("_cn").cast("double"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _sq8_topk_oracle(lo: int, hi: int, k: int = 5) -> str:
+    """DuckDB twin of :func:`cosine_topk_sq8`: the identical deterministic
+    quantization, then integer dot products — every partial sum is an
+    integer-valued double, so the pre-round score is bit-identical across
+    engines."""
+    quant = """
+            SELECT vec_id,
+                   list_transform(v, x -> CAST(round(
+                       x / (CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END)
+                   ) AS BIGINT)) AS qv
+            FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m
+                  FROM vd)
+    """
+    return f"""
+        WITH vd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        quant AS ({quant}),
+        q AS (SELECT vec_id AS query_id, qv AS qq,
+                     CAST(list_inner_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE) AS qn
+              FROM quant WHERE vec_id >= {lo} AND vec_id < {hi}),
+        c AS (SELECT vec_id AS neighbor_id, qv AS cq,
+                     CAST(list_inner_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE) AS cn
+              FROM quant),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   ROUND(list_inner_product(CAST(qq AS DOUBLE[]), CAST(cq AS DOUBLE[]))
+                         / (sqrt(qn) * sqrt(cn)), 6) AS score
+            FROM q JOIN c ON query_id <> neighbor_id
+            WHERE qn > 0 AND cn > 0
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, score, rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+@register(
+    "q159_ann_sq8_topk",
+    oracle=_sq8_topk_oracle(24, 32),
+    doc=(
+        "int8 scalar-quantized cosine top-k (the FAISS-SQ8 memory config: "
+        "4× smaller vectors, scale-free quantized cosine) — deterministic "
+        "quantization makes the approximate ranking itself hash-checkable "
+        "against an independent DuckDB twin on integer-exact arithmetic; "
+        "recall vs the exact float ranking is pinned separately in tests."
+    ),
+    tags=("similarity", "ann", "quantization"),
+)
+def q159_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter((F.col("vec_id") >= 24) & (F.col("vec_id") < 32))
+    return cosine_topk_sq8(emb, queries, k=5).orderBy("query_id", "rank")

@@ -122,6 +122,8 @@ _PRIORITY = [
     "q157_bpe_encode_counts",
     # fuzzy (MinHash) test-set decontamination, recall-1 oracle config
     "q158_decontaminate_fuzzy",
+    # int8 scalar-quantized ANN (deterministic quantization → hash-gateable)
+    "q159_ann_sq8_topk",
     # ---- r3 gate prefix, kept in order (all have green r3 rows) ----
     "q131_minhash_jaccard_verified",
     "q132_simhash_verified",

@@ -380,3 +380,46 @@ def test_recall_config_minhash_analytic_band_choice():
     assert minhash_banding_recall(0.5, 64, 16) < 0.999
     # a recall-1 demand lands on the q131 oracle configuration
     assert recall_config("minhash", 1.0, threshold=0.5)["bands"] == 64
+
+
+# ---------------------------------------------------------------------------
+# SQ8 quantized search
+# ---------------------------------------------------------------------------
+def test_sq8_quantization_recall_vs_exact_float(spark, sf_dir):
+    """Quantization recall: the int8 ranking must recover >= 0.9 of the
+    exact float top-5 sets over a real query batch (the only information
+    loss is the 8-bit rounding — every vector is still scanned)."""
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.operators.similarity import cosine_topk, cosine_topk_sq8
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 64)
+    exact = cosine_topk(emb, queries, k=5)
+    quant = cosine_topk_sq8(emb, queries, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    s = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+    recall = len(e & s) / len(e)
+    assert recall >= 0.9, f"sq8 recall {recall:.3f}"
+
+
+def test_sq8_quantize_bounds_and_zero_vector(spark):
+    """Quantized components stay in [-127, 127]; the max-|v| component maps
+    to exactly ±127; an all-zero vector quantizes to all zeros (and is
+    excluded from search, where its cosine would be undefined)."""
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.operators.similarity import cosine_topk_sq8, sq8_quantize
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [2.0, 1.0, -0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.id: r.qv for r in sq8_quantize(df).collect()}
+    assert rows[1] == [64, -127, 32]   # round(0.5/(1/127)) = 63.5 -> 64
+    assert rows[2] == [0, 0, 0]
+    assert rows[3] == [127, 64, -32]
+    out = cosine_topk_sq8(df, df, k=2)
+    ids = {r.query_id for r in out.collect()} | {r.neighbor_id for r in out.collect()}
+    assert 2 not in ids  # zero vector excluded from both sides
