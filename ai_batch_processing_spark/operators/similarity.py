@@ -153,6 +153,59 @@ def _table_bucket_expr(vec_col: str, tables: list[list[list[float]]]) -> Column:
     )
 
 
+def _table_buckets_vec(vec_col: str | Column, tables: list[list[list[float]]]) -> Column:
+    """array<long>: bucket id per table — the numpy-vectorized twin of
+    :func:`_table_bucket_expr` (index in the array = table id).
+
+    The Catalyst form evaluates tables × planes interpreted ``aggregate``
+    folds per vector (~12k lambda steps at 16×12×64) — measured >80% of
+    the semantic-dedup wall at the x10 crossover point. This pandas UDF
+    does one numpy column sweep per (table, plane), row-vectorized but
+    DIM-SEQUENTIAL (``acc = acc + X[:,j]·p[j]``), so every plane dot is
+    bit-identical in IEEE double to the HOF fold and the sign bits — and
+    therefore the buckets, candidates, and hash-gated outputs — cannot
+    differ (the `_pair_dot` argument applied to bucketing).
+    """
+    dim = len(tables[0][0])
+
+    @F.pandas_udf("array<long>")
+    def bk(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        # vectors shorter than the planes (toy/test dims): project onto the
+        # shared prefix — any fixed projection is a valid sign-LSH
+        d = min(dim, x.shape[1])
+        res = np.zeros((len(x), len(tables)), dtype=np.int64)
+        for t, planes in enumerate(tables):
+            for i, p in enumerate(planes):
+                acc = np.zeros(len(x), dtype=np.float64)
+                for j in range(d):
+                    acc = acc + x[:, j] * p[j]
+                res[:, t] |= (acc >= 0).astype(np.int64) << i
+        return pd.Series(list(res))
+
+    return bk(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+def recommended_lsh_planes(n: int) -> int:
+    """Log-scale plane count for DEDUP-grade thresholds (cosine ≥ ~0.95):
+    ``max(8, ceil(log2 n) + 2)``.
+
+    Random-pair collisions per table go as 2^-planes, so planes must grow
+    with log(corpus) to keep the candidate stream O(n) — a flat count
+    degrades toward the all-pairs join (measured at the x10 crossover
+    point, 24k vectors: 12 planes → 1.7M candidates / 11.5 s; 16 planes →
+    ~0.2M / 3.0 s; identical verified pair set). Recall stays dedup-safe:
+    at cosine 0.99 (θ ≈ 8.1°) a 17-plane table collides w.p.
+    (1−θ/π)¹⁷ ≈ 0.46, so missing all 16 tables ≈ 6·10⁻⁵ — and every
+    surviving candidate is exactly rescored, so precision is 1 always.
+    Lower thresholds need fewer planes (or more tables); this rule is for
+    the near-duplicate regime.
+    """
+    return max(8, math.ceil(math.log2(max(2, n))) + 2)
+
+
 def _lsh_tables(dim: int, n_planes: int, n_tables: int, seed: int) -> list[list[list[float]]]:
     """``n_tables`` independent sets of ``n_planes`` seeded unit hyperplanes."""
     rng = random.Random(seed)
@@ -698,7 +751,14 @@ def embedding_near_dup_pairs_lsh(
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_n")
     ).persist()
-    sig = base.select("id", F.explode(_table_bucket_expr("_v", tables)).alias("tb"))
+    # vectorized bucketing (see _table_buckets_vec: bit-identical signs),
+    # lazily checkpointed — the signature pass feeds THREE consumers
+    # (bucket counts + both sides of the self-join) and must run once
+    sig = (
+        base.select("id", F.posexplode(_table_buckets_vec("_v", tables)).alias("t", "bucket"))
+        .select("id", F.struct("t", "bucket").alias("tb"))
+        .localCheckpoint(eager=False)
+    )
     counts = sig.groupBy("tb").agg(F.count(F.lit(1)).alias("m"))
     ok = sig.join(F.broadcast(counts.filter(F.col("m") > max_bucket)), ["tb"], "left_anti")
     x, y = ok.alias("x"), ok.alias("y")
@@ -709,7 +769,11 @@ def embedding_near_dup_pairs_lsh(
     )
     a = base.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     b = base.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    score = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    # vectorized rescore: the candidate stream is the corpus-dominant cost
+    # on duplicate-heavy corpora (x10 crossover: 148k pairs, >80% of the
+    # wall in the interpreted HOF fold); _pair_dot keeps the sequential
+    # accumulation order, so hash-gated consumers (q46/q118) are unchanged
+    score = _pair_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")

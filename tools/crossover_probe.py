@@ -91,9 +91,11 @@ def _xq_semantic_dedup(spark, d: str):
     dups = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 2_000_000_000).alias("id"), "embedding"
     )
-    n = emb.count()
-    # log-scale plane count: keep expected bucket size ~O(100)
-    planes = 8 if n <= 20_000 else 12
+    from ai_batch_processing_spark.operators.similarity import recommended_lsh_planes
+
+    # log-scale plane count (see recommended_lsh_planes: candidates stay
+    # O(n) only if planes grow with log2 of the corpus)
+    planes = recommended_lsh_planes(emb.count())
     return semantic_dedup_clusters(base.unionAll(dups), n_planes=planes)
 
 
