@@ -194,8 +194,15 @@ def test_q107_correlated_agg_decorrelates(spark, sf_dir):
 def test_q112_tfidf_caches_tf_and_skips_totals_aggregate(spark, sf_dir):
     """The (doc, term) aggregate must be computed once (InMemoryRelation)
     and per-doc totals must come from a scan-level size() — not a second
-    corpus-wide aggregate over the cached tf."""
-    plan = _explain(SPECS["q112_tfidf_top_terms"].fn(spark, sf_dir), "simple")
+    corpus-wide aggregate over the cached tf. Pinned on the LIBRARY form
+    (materialize=False): the q112 wrapper eagerly checkpoints
+    (materialize=True), so its returned plan is an opaque RDD scan and
+    the internal shape is only visible here."""
+    from ai_batch_processing_spark.operators.corpus import tfidf_top_terms
+    from ai_batch_processing_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    plan = _explain(tfidf_top_terms(docs).orderBy("doc_id", "rnk"), "simple")
     assert "InMemoryRelation" in plan  # tf persisted, consumers share it
     # totals branch: size(filter(split(...))) evaluated on the base scan
     assert "size(filter(split(" in plan

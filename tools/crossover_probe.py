@@ -63,6 +63,9 @@ QUERIES = [
     "q147_curriculum_order",
     "q148_token_budget_selection",
     "q151_bpe_trainer",
+    # SQ8 quantized ANN: 8 queries against the full grown corpus, the
+    # memory-bandwidth-bound scan both engines pay linearly
+    "q159_ann_sq8_topk",
 ]
 
 # LLM-pipeline heavies (round-2 verdict item 8) need crossover-SPECIFIC
@@ -216,11 +219,38 @@ _XQ_KNN_ORACLE = """
 """
 
 
+def _registered(name: str):
+    # lazy spec resolution so EXTRA can reference registered queries whose
+    # DuckDB twin needs a budget (QUERIES entries run unbudgeted)
+    def fn(spark, d):
+        from ai_batch_processing_spark.registry import load_all
+
+        return load_all()[name].fn(spark, d)
+
+    def sql():
+        from ai_batch_processing_spark.registry import load_all
+
+        return load_all()[name].oracle
+
+    return fn, sql
+
+
+_xq157_fn, _xq157_sql = _registered("q157_bpe_encode_counts")
+_xq158_fn, _xq158_sql = _registered("q158_decontaminate_fuzzy")
+
+
 # name -> (spark_fn(spark, dir) -> DataFrame, duckdb sql, duck budget or None)
+# sql may be a zero-arg callable (resolved at run time).
 EXTRA = {
     "xq118_semantic_dedup_full": (_xq_semantic_dedup, _XQ_SEMANTIC_ORACLE, DUCK_BUDGET_S),
     "xq122_pagerank_linear_graph": (_xq_pagerank, _xq_pagerank_oracle(), None),
     "xq149_knn_edges_build": (_xq_knn_edges, _XQ_KNN_ORACLE, DUCK_BUDGET_S),
+    # round-4 registered forms whose oracles are budget-worthy at x100:
+    # q157's twin re-trains BPE with 8 corpus passes (~95 s at x100, the
+    # q151 measurement) before encoding; q158's is a corpus×bench shingle
+    # equi-join that goes quadratic-ish in DuckDB's memory at scale.
+    "xq157_bpe_encode": (_xq157_fn, _xq157_sql, DUCK_BUDGET_S),
+    "xq158_fuzzy_decon": (_xq158_fn, _xq158_sql, DUCK_BUDGET_S),
 }
 
 
@@ -316,6 +346,8 @@ def main() -> None:
             # 11.7s → 5.6s steady on an identical q03 plan); DuckDB gets
             # the same treatment for symmetry
             duck_wall = spark_wall = float("inf")
+            if callable(oracle):
+                oracle = oracle()
             for _ in range(2):
                 duck_wall = min(duck_wall, duck_timed(con, oracle, budget))
                 if duck_wall == float("inf"):
@@ -358,9 +390,14 @@ def main() -> None:
         "both engines. Spark's semantic-dedup plane count follows the",
         "documented log-scale rule (8 planes ≤20k vecs, 12 above).",
         "`xq149_knn_edges_build` is the round-4 ANN-backed k-NN edge build:",
-        "Spark runs IVF-bucketed knn_edges_approx (nlist 32 ≤20k vecs, 64",
-        "above; nprobe 8) on the full grown embeddings table against the",
-        "exact all-pairs edge SQL — quadratic by design, budgeted.",
+        "Spark runs IVF-bucketed knn_edges_approx (nlist on the √n rule —",
+        "per-node candidate work is n·nprobe/nlist, so nlist MUST grow with",
+        "the corpus; nprobe 8) on the full grown embeddings table against",
+        "the exact all-pairs edge SQL — quadratic by design, budgeted.",
+        "`xq157_bpe_encode`/`xq158_fuzzy_decon` are the registered round-4",
+        "forms run under a DuckDB budget: q157's twin re-trains BPE with 8",
+        "full corpus passes before encoding, and q158's corpus×bench",
+        "shingle join has no sublinear path in straight SQL.",
         "",
         "| query | engine | " + " | ".join(f"x{m} (s)" for m in mults) + " |",
         "|---|---|" + "---|" * len(mults),
