@@ -1236,17 +1236,41 @@ def sq8_quantize(
     (q159's oracle hash-matches on integer-exact arithmetic: every
     partial sum in the quantized cosine is an integer-valued double).
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.select(F.col(id_col).alias("id"), _sq8_expr(vec_col).alias("qv"))
+
+
+def _sq8_expr(vec_col: str | Column) -> Column:
+    """The quantization expression behind :func:`sq8_quantize` — usable
+    inline on any frame that still carries the float vector."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = F.transform(c, lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
-    qv = F.transform(v, lambda x: F.round(x / scale).cast("long"))
-    return df.select(F.col(id_col).alias("id"), qv.alias("qv"))
+    return F.transform(v, lambda x: F.round(x / scale).cast("long"))
 
 
 def _int_dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
     )
+
+
+def _pair_dot_int(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ over int arrays, numpy-vectorized — value-IDENTICAL to
+    :func:`_int_dot` (integer sums have no order sensitivity), used on the
+    candidate-pair stream where the interpreted fold's ~dim steps/pair
+    dominate (the `_pair_dot` argument; per-row norms stay on the fold —
+    one per vector, no win)."""
+
+    @F.pandas_udf("long")
+    def dot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.array([np.asarray(v, dtype=np.int64) for v in xs])
+        y = np.array([np.asarray(v, dtype=np.int64) for v in ys])
+        return pd.Series((x * y).sum(axis=1))
+
+    return dot(a, b)
 
 
 def cosine_topk_sq8(
@@ -1265,27 +1289,73 @@ def cosine_topk_sq8(
     (quantization recall, not search recall — every vector is still
     scanned). Zero-quantized vectors (all-zero inputs) are excluded from
     both sides: their cosine is undefined.
+
+    Scoring is ONE integer matmul per Arrow batch (corpus block × all
+    queries) — int64 arithmetic has no summation-order sensitivity, so
+    the exact dot products (and therefore the IEEE division that follows,
+    multiplication being bitwise-commutative) are identical to a per-pair
+    fold, and the hash gate cannot move. That order-freedom is the
+    under-appreciated payoff of integer quantization: the float path must
+    keep sequential accumulation for oracle parity (`_pair_dot`), the int
+    path gets fearless BLAS-shaped kernels. Rounding and the top-k window
+    stay Spark-side on the emitted (query, neighbor, score) stream, so
+    tie semantics are byte-for-byte those of the join formulation.
     """
-    q = sq8_quantize(queries, query_id, vec_col).select(
-        F.col("id").alias("query_id"), F.col("qv").alias("_qq")
-    )
-    c = sq8_quantize(corpus, corpus_id, vec_col).select(
-        F.col("id").alias("neighbor_id"), F.col("qv").alias("_cq")
-    )
-    q = q.withColumn("_qn", _int_dot("_qq", "_qq")).filter(F.col("_qn") > 0)
-    c = c.withColumn("_cn", _int_dot("_cq", "_cq")).filter(F.col("_cn") > 0)
-    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    score = F.round(
-        _int_dot("_qq", "_cq").cast("double")
-        / (F.sqrt(F.col("_qn").cast("double")) * F.sqrt(F.col("_cn").cast("double"))),
-        6,
-    )
+    q = sq8_quantize(queries, query_id, vec_col).withColumn(
+        "qn", _int_dot("qv", "qv")
+    ).filter(F.col("qn") > 0)
+    qrows = q.collect()  # queries are broadcast-bounded by contract
+    if not qrows:
+        schema = "query_id long, neighbor_id long, score double, rank int"
+        return corpus.sparkSession.createDataFrame([], schema)
+    qm = np.array([list(r.qv) for r in qrows], dtype=np.int64)
+    qn_sqrt = np.sqrt(np.array([r.qn for r in qrows], dtype=np.float64))
+    qids = np.array([r.id for r in qrows], dtype=np.int64)
+
+    c = sq8_quantize(corpus, corpus_id, vec_col).withColumn(
+        "cn", _int_dot("qv", "qv")
+    ).filter(F.col("cn") > 0)
+
+    def score_blocks(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            cn_sqrt = np.sqrt(pdf["cn"].to_numpy(dtype=np.float64))
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            s = x @ qm.T  # exact int64 dot products, block at a time
+            sc = s / (qn_sqrt[None, :] * cn_sqrt[:, None])
+            # per-batch top-k per query: ranking is on the RAW score (a
+            # total order with the id tiebreak — global top-k of per-batch
+            # top-k's is exact; rounding happens display-side only, and
+            # the oracle ranks on the same raw, bit-identical doubles)
+            frames = []
+            for j, qid in enumerate(qids):
+                col = sc[:, j]
+                keep = ids != qid
+                idx = np.nonzero(keep)[0]
+                if len(idx) == 0:
+                    continue
+                order = np.lexsort((ids[idx], -col[idx]))[:k]
+                sel = idx[order]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(sel), qid, dtype=np.int64),
+                            "neighbor_id": ids[sel],
+                            "score": col[sel],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = c.mapInPandas(score_blocks, "query_id long, neighbor_id long, score double")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        pairs.select("query_id", "neighbor_id", score.alias("score"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
     )
 
 
@@ -1312,17 +1382,20 @@ def _sq8_topk_oracle(lo: int, hi: int, k: int = 5) -> str:
                      CAST(list_inner_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE) AS cn
               FROM quant),
         scored AS (
+            -- rank on the RAW score: the integer-exact inputs make it
+            -- bit-identical across engines, so it is a total order both
+            -- sides agree on; ROUND is display-only
             SELECT query_id, neighbor_id,
-                   ROUND(list_inner_product(CAST(qq AS DOUBLE[]), CAST(cq AS DOUBLE[]))
-                         / (sqrt(qn) * sqrt(cn)), 6) AS score
+                   list_inner_product(CAST(qq AS DOUBLE[]), CAST(cq AS DOUBLE[]))
+                       / (sqrt(qn) * sqrt(cn)) AS score_raw
             FROM q JOIN c ON query_id <> neighbor_id
             WHERE qn > 0 AND cn > 0
         ),
         ranked AS (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_raw DESC, neighbor_id) AS rank
             FROM scored
         )
-        SELECT query_id, neighbor_id, score, rank
+        SELECT query_id, neighbor_id, ROUND(score_raw, 6) AS score, rank
         FROM ranked WHERE rank <= {k}
         ORDER BY query_id, rank
     """
@@ -1344,3 +1417,80 @@ def q159_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     queries = emb.filter((F.col("vec_id") >= 24) & (F.col("vec_id") < 32))
     return cosine_topk_sq8(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def ann_ivf_topk_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int | None = 100_000,
+) -> DataFrame:
+    """IVF-SQ8: IVF candidate generation + int8-quantized rescore — the
+    composed production ANN config (FAISS's IVF,SQ8).
+
+    Candidates come from the float k-means cells exactly as in
+    :func:`ann_ivf_topk` (centroids are nlist-sized — quantizing them
+    buys nothing); the RESCORE, which touches ~nprobe/nlist of the corpus
+    per query batch, reads the 4×-smaller quantized vectors and pays one
+    integer dot per candidate. Two approximations compose: cell pruning
+    (recall vs nprobe, measured on the float path) and 8-bit rounding
+    (recall ≥0.9 pinned for :func:`cosine_topk_sq8`). At nprobe = nlist
+    every cell is probed, so the output equals :func:`cosine_topk_sq8`
+    exactly — the q161 oracle configuration. Zero-quantized vectors are
+    excluded from both sides (cosine undefined), as in the brute-force
+    form.
+    """
+    centroids = kmeans_centroids(corpus, nlist=nlist, id_col=corpus_id, vec_col=vec_col)
+    c = (
+        assign_cells(corpus, centroids, id_col=corpus_id, vec_col=vec_col)
+        .select(F.col(corpus_id).alias("neighbor_id"), _sq8_expr(vec_col).alias("_cq"), "cell")
+        .withColumn("_cn", _int_dot("_cq", "_cq"))
+        .filter(F.col("_cn") > 0)
+    )
+    q = (
+        assign_cells(queries, centroids, id_col=query_id, vec_col=vec_col, nprobe=nprobe)
+        .select(F.col(query_id).alias("query_id"), _sq8_expr(vec_col).alias("_qq"), "cell")
+        .withColumn("_qn", _int_dot("_qq", "_qq"))
+        .filter(F.col("_qn") > 0)
+    )
+    cands = _probe_join(c, q, queries, max_query_rows).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # raw-score ranking, display-side rounding — see cosine_topk_sq8
+    score = _pair_dot_int(F.col("_qq"), F.col("_cq")).cast("double") / (
+        F.sqrt(F.col("_qn").cast("double")) * F.sqrt(F.col("_cn").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cands.select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+@register(
+    "q161_ivf_sq8_exhaustive_topk",
+    oracle=_sq8_topk_oracle(32, 40),
+    doc=(
+        "IVF-SQ8 run with nprobe = nlist (every cell probed → the candidate "
+        "set is all pairs, so cell pruning contributes nothing and the "
+        "output provably equals the exhaustive quantized ranking) — "
+        "hash-matched against the same independent DuckDB SQ8 twin family "
+        "as q159. Pins the composed machinery end to end: float k-means "
+        "cells, partition-pruned probe, inline quantization, integer-exact "
+        "rescore."
+    ),
+    tags=("similarity", "ann", "quantization", "verify"),
+)
+def q161_ivf_sq8_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter((F.col("vec_id") >= 32) & (F.col("vec_id") < 40))
+    return ann_ivf_topk_sq8(emb, queries, k=5, nlist=16, nprobe=16).orderBy(
+        "query_id", "rank"
+    )

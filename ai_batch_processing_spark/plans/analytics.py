@@ -1659,3 +1659,52 @@ def q107_dominant_part_suppliers(spark, sf_dir: str):
         ORDER BY s_suppkey
         """
     )
+
+
+# --- q160: retention cohort matrix ------------------------------------------
+@register(
+    "q160_retention_cohorts",
+    oracle="""
+        WITH wk AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+            FROM events
+        ),
+        first AS (SELECT user_id, MIN(w) AS cohort_week FROM wk GROUP BY user_id)
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, wk.w) / 7 AS BIGINT) AS week_offset,
+               COUNT(DISTINCT wk.user_id) AS n_users
+        FROM wk JOIN first f USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY cohort_week, week_offset
+    """,
+    doc=(
+        "retention cohort matrix: users cohorted by first-activity week, "
+        "counted at each subsequent weekly offset — the classic "
+        "product/corpus-freshness analysis. Scale shape: one distinct on "
+        "(user, week), one user-keyed min-aggregate for the cohort, one "
+        "user-keyed join (AQE-sized), one cohort-keyed count-distinct — "
+        "all corpus-linear, no window over the event stream. Week "
+        "truncation is Monday-based in both engines; the offset is an "
+        "exact day-difference / 7 on truncated dates."
+    ),
+    tags=("analytics", "events", "cohort"),
+)
+def q160_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    wk = (
+        t["events"]
+        .select("user_id", F.date_trunc("week", F.col("ts")).alias("w"))
+        .distinct()
+    )
+    first = wk.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    return (
+        wk.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

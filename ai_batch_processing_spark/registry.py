@@ -124,6 +124,10 @@ _PRIORITY = [
     "q158_decontaminate_fuzzy",
     # int8 scalar-quantized ANN (deterministic quantization → hash-gateable)
     "q159_ann_sq8_topk",
+    # retention cohort matrix over events
+    "q160_retention_cohorts",
+    # composed IVF + SQ8 rescore, exhaustive-probe oracle config
+    "q161_ivf_sq8_exhaustive_topk",
     # ---- r3 gate prefix, kept in order (all have green r3 rows) ----
     "q131_minhash_jaccard_verified",
     "q132_simhash_verified",

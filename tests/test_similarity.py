@@ -423,3 +423,46 @@ def test_sq8_quantize_bounds_and_zero_vector(spark):
     out = cosine_topk_sq8(df, df, k=2)
     ids = {r.query_id for r in out.collect()} | {r.neighbor_id for r in out.collect()}
     assert 2 not in ids  # zero vector excluded from both sides
+
+
+def test_ivf_sq8_exhaustive_equals_bruteforce_sq8(spark, sf_dir):
+    """nprobe = nlist → cell pruning contributes nothing: the composed
+    IVF-SQ8 ranking must equal the brute-force quantized ranking exactly
+    (the q161 oracle argument, pinned engine-side)."""
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.operators.similarity import (
+        ann_ivf_topk_sq8,
+        cosine_topk_sq8,
+    )
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 16)
+    a = {tuple(r) for r in ann_ivf_topk_sq8(emb, queries, k=5, nlist=8, nprobe=8).collect()}
+    b = {tuple(r) for r in cosine_topk_sq8(emb, queries, k=5).collect()}
+    assert a == b
+
+
+def test_ivf_sq8_partial_probe_recall(spark, sf_dir):
+    """At nprobe < nlist the composed form loses only what cell pruning
+    loses — recall vs the exhaustive quantized ranking must match the
+    float IVF's published behavior (>= 0.5 at nprobe=nlist/4 on random
+    embeddings, the documented IVF worst case)."""
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.operators.similarity import (
+        ann_ivf_topk_sq8,
+        cosine_topk_sq8,
+    )
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 32)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk_sq8(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk_sq8(emb, queries, k=5, nlist=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ivf-sq8 recall {recall:.3f}"

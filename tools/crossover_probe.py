@@ -298,6 +298,11 @@ def main() -> None:
         # like testing.duck_con, but Spark-written tables are DIRECTORIES
         # of part files — glob those for DuckDB
         con = duckdb.connect()
+        # bound spill: the quadratic twins at x100 can otherwise fill the
+        # disk with temp storage before the wall-clock budget interrupts
+        # (observed: xq149's all-pairs join wrote ~80 GB of .tmp) — a
+        # bounded-resource failure is a DNF-grade outcome, not a crash
+        con.execute("SET max_temp_directory_size='20GB'")
         for t in TABLES:
             p = f"{d}/{t}.parquet"
             src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) and not os.path.islink(p) else f"'{p}'"
@@ -321,8 +326,15 @@ def main() -> None:
             return time.time() - t0
         except duckdb.InterruptException:
             return float("inf")  # interrupted past budget → DNF (the result)
-        # any other exception (oracle typo, missing view, OOM) must
-        # surface, not masquerade as a DNF row
+        except (duckdb.OutOfMemoryException, duckdb.IOException, duckdb.OutOfRangeException):
+            # resource exhaustion (memory / bounded temp dir) on a BUDGETED
+            # quadratic twin is the DNF outcome by another name; without a
+            # budget it must still surface
+            if budget is not None:
+                return float("inf")
+            raise
+        # any other exception (oracle typo, missing view) must surface,
+        # not masquerade as a DNF row
         finally:
             if timer:
                 timer.cancel()
