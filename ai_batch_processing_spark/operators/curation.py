@@ -158,12 +158,14 @@ def decontaminate_fuzzy(
     lightly rewritten into the training set still collides on most
     minhash positions.
 
-    Scale shape: eval sets are small by definition, so the benchmark side
-    (signatures, band hashes, verify sets) is broadcast everywhere; the
-    corpus pays exactly one shingle+signature pass (the fused
-    ``sig_and_sets`` aggregate, lazily checkpointed — banding and verify
-    both read it without recomputing) and the band join prunes it to
-    candidate rows before any verify work. At ``bands == num_perm``
+    Scale shape: the benchmark side (signatures, band hashes, verify
+    sets) is AQE-sized — broadcast when the eval set is genuinely small,
+    shuffled when it isn't (a forced broadcast measured an OOM at a
+    51.5k-doc bench whose shingle sets are ~300 MB); the corpus pays
+    exactly one shingle+signature pass (the fused ``sig_and_sets``
+    aggregate, lazily checkpointed — banding and verify both read it
+    without recomputing) and the band join prunes it to candidate rows
+    before any verify work. At ``bands == num_perm``
     (one-row bands, the default) a pair is a candidate iff any of the
     ``num_perm`` positions agree — miss probability ``(1−J)^num_perm``,
     the q131 recall-1 argument — and every candidate is exactly verified
@@ -175,6 +177,15 @@ def decontaminate_fuzzy(
     benchmark's size, not the corpus's — a degenerate all-same-shingle
     corpus costs candidates linear in the corpus, which the exact verify
     then filters; it cannot go quadratic.
+
+    Config contract (measured, x10 crossover corpus): the ``bands ==
+    num_perm`` default is the GATE/PROOF configuration — on a corpus with
+    baseline Jaccard ~0.1 "any position agrees" admits 1−(1−J)⁶⁴ ≈ all
+    corpus×bench pairs into the exact verify (81.5 s at 50k×5k; the
+    |bench| factor is the constant, but eval sets aren't always small
+    enough to pay it). At scale run PRODUCTION banding (``bands=16``,
+    r=4: candidate rate ∝ J⁴) — recall ≥0.9 on the planted corpus is
+    test-pinned, and every reported pair is still exactly verified.
     """
     from ai_batch_processing_spark.operators.dedup import (
         banded_signature_hashes,
@@ -188,13 +199,17 @@ def decontaminate_fuzzy(
     b = sig_and_sets(
         shingle_hash_stream(benchmark, id_col, text_col, k), num_perm, seed
     ).localCheckpoint(eager=False)
+    # NO broadcast hints: "eval sets are small" is the common case, not a
+    # contract — at the x100 crossover point a 51.5k-doc benchmark's
+    # shingle-set side is ~300 MB and a forced broadcast OOMs the driver
+    # (measured). AQE broadcasts when the side is genuinely small and
+    # falls back to a shuffled join when it isn't; the banded join keys
+    # on (band, bh), the verify joins on the ids.
     cands = (
         banded_signature_hashes(c, num_perm, bands)
         .join(
-            F.broadcast(
-                banded_signature_hashes(b, num_perm, bands).withColumnRenamed(
-                    "id", "bench_id"
-                )
+            banded_signature_hashes(b, num_perm, bands).withColumnRenamed(
+                "id", "bench_id"
             ),
             ["band", "bh"],
         )
@@ -207,7 +222,7 @@ def decontaminate_fuzzy(
     jac = inter / (F.size("hs_c") + F.size("hs_b") - inter)
     return (
         cands.join(cs, "doc_id")
-        .join(F.broadcast(bs), "bench_id")
+        .join(bs, "bench_id")
         .filter(jac >= threshold)
         .select("doc_id", "bench_id", F.round(jac, 6).alias("jaccard"))
     )

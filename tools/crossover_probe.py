@@ -236,7 +236,32 @@ def _registered(name: str):
 
 
 _xq157_fn, _xq157_sql = _registered("q157_bpe_encode_counts")
-_xq158_fn, _xq158_sql = _registered("q158_decontaminate_fuzzy")
+_, _xq158_sql = _registered("q158_decontaminate_fuzzy")
+
+
+def _xq158_fn(spark, d: str):
+    # PRODUCTION banding (bands=16), not the registered recall-1 form:
+    # at bands=num_perm a pair is a candidate iff ANY of 64 minhash
+    # positions agree, and on a corpus with baseline Jaccard ~0.1 that is
+    # 1-(1-J)^64 ≈ ALL corpus×bench pairs — measured 81.5 s at x10 and
+    # intractable at x100. The recall-1 form exists to make the sf0.01
+    # hash gate provable; the scale config is banded (r=4, candidates
+    # ∝ J⁴) with recall pinned ≥0.9 in tests. The DuckDB twin stays the
+    # exact cross-table Jaccard — the quadratic formulation, budgeted.
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.operators.curation import (
+        _FUZZY_BENCH_SHIFT,
+        decontaminate_fuzzy,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    corpus = docs.select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + _FUZZY_BENCH_SHIFT).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" eval item")).alias("text"),
+    )
+    return decontaminate_fuzzy(corpus, bench, bands=16, threshold=0.5)
 
 
 # name -> (spark_fn(spark, dir) -> DataFrame, duckdb sql, duck budget or None)
@@ -284,6 +309,90 @@ def synthesize(spark, mult: int) -> str:
         # '{dir}/{t}.parquet' glob working (DuckDB reads dirs of parquet)
         u.repartition(max(4, mult)).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     return out
+
+
+def write_markdown(results: dict, mults: list[int], plan_order: list[str]) -> None:
+    """Emit CROSSOVER.md from a results dict — callable standalone so a
+    crashed or partial probe run can be assembled from measured rows
+    without re-running everything (results[q][mult] = (duck, spark))."""
+    import sys
+
+    lines = [
+        "# CROSSOVER — Spark vs single-node DuckDB on growing data",
+        "",
+        "Generated by `tools/crossover_probe.py`. xN = N key-shifted replicas",
+        "of sf0.1 (fact tables replicated, dimensions shared), both engines",
+        "running the SAME registered query / oracle pair end-to-end",
+        "(collect/fetchall), warmed, caches cleared between runs, local[32].",
+        "",
+        "The claim under test (BASELINE.md): sf0.1 walls are dominated by",
+        "Spark's fixed ~0.4-0.5 s scheduling floor, so the ≤2× bar must be",
+        "read at the scale where queries do real data work. The table shows",
+        "where DuckDB's linear growth crosses Spark's near-flat line.",
+        "",
+        "`xq118_semantic_dedup_full` / `xq122_pagerank_linear_graph` are",
+        "crossover-specific variants of the LLM-pipeline heavies (the",
+        "registered q118/q122 cap their corpora, so replicas would never",
+        "reach them): semantic dedup runs the corpus-linear LSH+connected-",
+        "components path on Spark against the quadratic all-pairs recursive-",
+        f"CTE SQL twin (DuckDB budget {DUCK_BUDGET_S:.0f}s — `DNF` means the",
+        "quadratic formulation blew the budget, which is the point), and",
+        "pagerank isolates the 10-iteration distributed loop on a synthetic",
+        "3-regular graph growing linearly with the corpus, identical math in",
+        "both engines. Spark's semantic-dedup plane count follows",
+        "`recommended_lsh_planes` (max(8, ceil(log2 n)+2): candidates stay",
+        "O(n) only if planes grow with log2 of the corpus — the flat",
+        "12-plane setting measured 1.7M candidates/11.5 s at x10 vs",
+        "0.2M/3.0 s log-scaled, identical verified pair set).",
+        "`xq149_knn_edges_build` is the round-4 ANN-backed k-NN edge build:",
+        "Spark runs IVF-bucketed knn_edges_approx (nlist on the √n rule —",
+        "per-node candidate work is n·nprobe/nlist, so nlist MUST grow with",
+        "the corpus; nprobe 8) on the full grown embeddings table against",
+        "the exact all-pairs edge SQL — quadratic by design, budgeted.",
+        "`xq157_bpe_encode` is the registered train-then-encode form under",
+        "a DuckDB budget (the twin re-trains BPE with 8 full corpus passes",
+        "before encoding). `xq158_fuzzy_decon` runs fuzzy decontamination",
+        "in its PRODUCTION banding (bands=16, recall ≥0.9 test-pinned) —",
+        "the registered recall-1 form (bands=num_perm) admits ~all",
+        "corpus×bench pairs on a high-baseline-similarity corpus by design",
+        "(measured 81.5 s at x10) and exists for the sf0.01 hash proof,",
+        "not for scale; the DuckDB twin stays the exact cross-table",
+        "Jaccard. `DNF` also covers bounded-resource aborts (DuckDB temp",
+        "spill is capped at 20 GB; the xq149 all-pairs twin filled 80 GB",
+        "of disk before the cap existed).",
+        "",
+        "| query | engine | " + " | ".join(f"x{m} (s)" for m in mults) + " |",
+        "|---|---|" + "---|" * len(mults),
+    ]
+    def fmt(x: float) -> str:
+        return f"DNF>{DUCK_BUDGET_S:.0f}" if x == float("inf") else f"{x:.2f}"
+
+    for q in plan_order:
+        duck = [fmt(results[q][m][0]) for m in mults]
+        spk = [fmt(results[q][m][1]) for m in mults]
+        lines.append(f"| {q} | duckdb | " + " | ".join(duck) + " |")
+        lines.append(f"| {q} | spark | " + " | ".join(spk) + " |")
+        ratios = [results[q][m][1] / max(results[q][m][0], 1e-9) for m in mults]
+        # a DNF duck wall yields ratio 0.0 — that's "DuckDB lost", not a
+        # Spark-crosses-under-2x data point; exclude it from the marker
+        cross = next(
+            (m for m, r in zip(mults, ratios) if r <= 2.0 and results[q][m][0] != float("inf")),
+            None,
+        )
+        lines.append(
+            f"| {q} | spark/duck ratio | "
+            + " | ".join("—" if r == 0.0 and results[q][m][0] == float("inf") else f"{r:.1f}×" for r, m in zip(ratios, mults))
+            + " |"
+        )
+        print(
+            f"# {q}: crossover (≤2×) at x{cross}" if cross else f"# {q}: no crossover in range",
+            file=sys.stderr,
+        )
+    lines.append("")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CROSSOVER.md")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {path}")
 
 
 def main() -> None:
@@ -377,72 +486,8 @@ def main() -> None:
         con.close()
         spark.stop()
 
-    lines = [
-        "# CROSSOVER — Spark vs single-node DuckDB on growing data",
-        "",
-        "Generated by `tools/crossover_probe.py`. xN = N key-shifted replicas",
-        "of sf0.1 (fact tables replicated, dimensions shared), both engines",
-        "running the SAME registered query / oracle pair end-to-end",
-        "(collect/fetchall), warmed, caches cleared between runs, local[32].",
-        "",
-        "The claim under test (BASELINE.md): sf0.1 walls are dominated by",
-        "Spark's fixed ~0.4-0.5 s scheduling floor, so the ≤2× bar must be",
-        "read at the scale where queries do real data work. The table shows",
-        "where DuckDB's linear growth crosses Spark's near-flat line.",
-        "",
-        "`xq118_semantic_dedup_full` / `xq122_pagerank_linear_graph` are",
-        "crossover-specific variants of the LLM-pipeline heavies (the",
-        "registered q118/q122 cap their corpora, so replicas would never",
-        "reach them): semantic dedup runs the corpus-linear LSH+connected-",
-        "components path on Spark against the quadratic all-pairs recursive-",
-        f"CTE SQL twin (DuckDB budget {DUCK_BUDGET_S:.0f}s — `DNF` means the",
-        "quadratic formulation blew the budget, which is the point), and",
-        "pagerank isolates the 10-iteration distributed loop on a synthetic",
-        "3-regular graph growing linearly with the corpus, identical math in",
-        "both engines. Spark's semantic-dedup plane count follows the",
-        "documented log-scale rule (8 planes ≤20k vecs, 12 above).",
-        "`xq149_knn_edges_build` is the round-4 ANN-backed k-NN edge build:",
-        "Spark runs IVF-bucketed knn_edges_approx (nlist on the √n rule —",
-        "per-node candidate work is n·nprobe/nlist, so nlist MUST grow with",
-        "the corpus; nprobe 8) on the full grown embeddings table against",
-        "the exact all-pairs edge SQL — quadratic by design, budgeted.",
-        "`xq157_bpe_encode`/`xq158_fuzzy_decon` are the registered round-4",
-        "forms run under a DuckDB budget: q157's twin re-trains BPE with 8",
-        "full corpus passes before encoding, and q158's corpus×bench",
-        "shingle join has no sublinear path in straight SQL.",
-        "",
-        "| query | engine | " + " | ".join(f"x{m} (s)" for m in mults) + " |",
-        "|---|---|" + "---|" * len(mults),
-    ]
-    def fmt(x: float) -> str:
-        return f"DNF>{DUCK_BUDGET_S:.0f}" if x == float("inf") else f"{x:.2f}"
+    write_markdown(results, mults, list(plan))
 
-    for q in plan:
-        duck = [fmt(results[q][m][0]) for m in mults]
-        spk = [fmt(results[q][m][1]) for m in mults]
-        lines.append(f"| {q} | duckdb | " + " | ".join(duck) + " |")
-        lines.append(f"| {q} | spark | " + " | ".join(spk) + " |")
-        ratios = [results[q][m][1] / max(results[q][m][0], 1e-9) for m in mults]
-        # a DNF duck wall yields ratio 0.0 — that's "DuckDB lost", not a
-        # Spark-crosses-under-2x data point; exclude it from the marker
-        cross = next(
-            (m for m, r in zip(mults, ratios) if r <= 2.0 and results[q][m][0] != float("inf")),
-            None,
-        )
-        lines.append(
-            f"| {q} | spark/duck ratio | "
-            + " | ".join("—" if r == 0.0 and results[q][m][0] == float("inf") else f"{r:.1f}×" for r, m in zip(ratios, mults))
-            + " |"
-        )
-        print(
-            f"# {q}: crossover (≤2×) at x{cross}" if cross else f"# {q}: no crossover in range",
-            file=sys.stderr,
-        )
-    lines.append("")
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CROSSOVER.md")
-    with open(path, "w", encoding="utf-8") as fh:
-        fh.write("\n".join(lines))
-    print(f"wrote {path}")
     spark.stop()
 
 
