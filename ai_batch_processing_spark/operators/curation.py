@@ -199,12 +199,9 @@ def decontaminate_fuzzy(
     b = sig_and_sets(
         shingle_hash_stream(benchmark, id_col, text_col, k), num_perm, seed
     ).localCheckpoint(eager=False)
-    # NO broadcast hints: "eval sets are small" is the common case, not a
-    # contract — at the x100 crossover point a 51.5k-doc benchmark's
-    # shingle-set side is ~300 MB and a forced broadcast OOMs the driver
-    # (measured). AQE broadcasts when the side is genuinely small and
-    # falls back to a shuffled join when it isn't; the banded join keys
-    # on (band, bh), the verify joins on the ids.
+    # The banded join carries only (band, bh, id) rows — AQE sizes it
+    # correctly and may broadcast the bench side when the eval set is
+    # genuinely small.
     cands = (
         banded_signature_hashes(c, num_perm, bands)
         .join(
@@ -216,8 +213,15 @@ def decontaminate_fuzzy(
         .select(F.col("id").alias("doc_id"), "bench_id")
         .distinct()
     )
-    cs = c.select(F.col("id").alias("doc_id"), F.col("hs").alias("hs_c"))
-    bs = b.select(F.col("id").alias("bench_id"), F.col("hs").alias("hs_b"))
+    # The VERIFY joins carry the collect_set shingle arrays, whose true
+    # size Catalyst cannot see (its estimate comes from the pre-explode
+    # base-table stats) — both a forced broadcast AND the
+    # estimate-trusting default measured driver OOMs at a 51.5k-doc
+    # benchmark (~300 MB of sets). SHUFFLE_HASH pins the safe strategy:
+    # per-partition hash build, no driver-side materialization, correct
+    # at any benchmark size.
+    cs = c.select(F.col("id").alias("doc_id"), F.col("hs").alias("hs_c")).hint("shuffle_hash")
+    bs = b.select(F.col("id").alias("bench_id"), F.col("hs").alias("hs_b")).hint("shuffle_hash")
     inter = F.size(F.array_intersect("hs_c", "hs_b"))
     jac = inter / (F.size("hs_c") + F.size("hs_b") - inter)
     return (
