@@ -316,3 +316,17 @@ def test_q156_filters_pushed_and_partial_agg(spark, sf_dir):
     assert li_scan and "l_shipdate" in li_scan[0]
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q158_verify_joins_never_broadcast_the_set_sides(spark, sf_dir):
+    """The fuzzy-decontamination verify joins carry collect_set shingle
+    arrays whose size Catalyst cannot estimate (measured driver OOM when
+    it guessed broadcast at a 51.5k-doc benchmark) — they must compile to
+    ShuffledHashJoin, never a BroadcastHashJoin over an array side."""
+    plan = _explain(SPECS["q158_decontaminate_fuzzy"].fn(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    # the array-carrying joins key on doc_id / bench_id; no broadcast may
+    # appear on those keys (the banded (band, bh) join may broadcast)
+    for ln in plan.splitlines():
+        if "BroadcastHashJoin" in ln and ("doc_id" in ln or "bench_id" in ln):
+            raise AssertionError(f"broadcast over a set side: {ln.strip()[:120]}")
