@@ -161,10 +161,17 @@ def _table_buckets_vec(vec_col: str | Column, tables: list[list[list[float]]]) -
     folds per vector (~12k lambda steps at 16×12×64) — measured >80% of
     the semantic-dedup wall at the x10 crossover point. This pandas UDF
     does one numpy column sweep per (table, plane), row-vectorized but
-    DIM-SEQUENTIAL (``acc = acc + X[:,j]·p[j]``), so every plane dot is
-    bit-identical in IEEE double to the HOF fold and the sign bits — and
-    therefore the buckets, candidates, and hash-gated outputs — cannot
-    differ (the `_pair_dot` argument applied to bucketing).
+    DIM-SEQUENTIAL (``acc = acc + X[:,j]·p[j]``), so for DIM-MATCHED
+    vectors every plane dot is bit-identical in IEEE double to the HOF
+    fold and the sign bits — and therefore the buckets, candidates, and
+    hash-gated outputs — cannot differ (the `_pair_dot` argument applied
+    to bucketing). Vectors SHORTER than the planes (toy/test dims) are
+    projected onto the shared prefix here, while the Catalyst form's
+    ``zip_with`` pads with null (null dot → bit 0 for every plane):
+    buckets may then diverge between the twins — a recall-only effect
+    (both are valid sign-LSH families; precision is unaffected because
+    every candidate is exactly rescored). The parity claim is scoped to
+    dim-matched inputs, which is what every registered query uses.
     """
     dim = len(tables[0][0])
 
@@ -685,15 +692,32 @@ def search_ivf_index(
         for r in spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     ]
     c = spark.read.parquet(f"{path}/corpus")
+    # Replays of one batch are idempotent (_append_ivf_batch), but the SAME
+    # vec_id legitimately re-ingested in a DIFFERENT batch (an update or
+    # re-send) lands under two batch partitions — without a dedup it would
+    # occupy two ranks of the top-k and crowd out genuine neighbors. The
+    # contract is latest-batch-wins: when the index holds >1 batch, keep
+    # each neighbor_id's max-batch row. The window shuffles the index by
+    # id once per search — at scale, compact the index offline instead
+    # (rewrite base partitions, drop superseded rows) and the single-batch
+    # fast path below skips the shuffle entirely.
+    n_batches = c.select("batch").distinct().limit(2).count()
+    if n_batches > 1:
+        wb = Window.partitionBy("neighbor_id").orderBy(F.desc("batch"))
+        c = (
+            c.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     q = assign_cells(queries, centroids, id_col=query_id, vec_col=vec_col, nprobe=nprobe).select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         _norm(F.col(vec_col)).alias("_qn"),
         "cell",
     )
-    # Same path contract as ann_ivf_topk (_ivf_scored); pairs are unique by
-    # construction — one cell per committed corpus vector (streaming
-    # replays are idempotent per _append_ivf_batch) × distinct probed cells.
+    # Same path contract as ann_ivf_topk (_ivf_scored); after the
+    # latest-batch dedup, pairs are unique by construction — one surviving
+    # cell per corpus vector × distinct probed cells.
     scored = _ivf_scored(c, q, queries, max_query_rows, k=k)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -1255,6 +1279,57 @@ def _int_dot(a: Column, b: Column) -> Column:
     )
 
 
+def _sq8_np(x: np.ndarray) -> np.ndarray:
+    """Row-wise int8 scalar quantization of a (rows, dim) float64 matrix —
+    the in-kernel numpy twin of :func:`_sq8_expr`, value-identical by
+    construction so hash-gated consumers (q159/q161) cannot move.
+
+    Rounding replicates Spark/DuckDB ``round`` (HALF_UP, away from zero),
+    NOT numpy's banker's rounding — and NOT the classic ``floor(|t|+0.5)``
+    trick, whose float sum mis-rounds boundary values (e.g.
+    t = 0.49999999999999994 → |t|+0.5 rounds to 1.0). Instead the
+    fractional part is compared to 0.5 EXACTLY: for |t| ≤ 127 the
+    subtraction ``|t| − floor(|t|)`` is exact by Sterbenz's lemma
+    (operands within a factor of 2; the floor ≤ 127 is itself exact), so
+    ``floor + (frac ≥ 0.5)`` is bit-for-bit HALF_UP on the binary value —
+    which is also what Spark's BigDecimal path and DuckDB agree on
+    (shortest-decimal vs binary comparisons against .5 coincide because
+    0.5 is representable). Equality against the Catalyst expression is
+    pinned in tests over the full embeddings table plus adversarial
+    boundary vectors.
+
+    Why this exists: quantizing via the Catalyst ``transform`` + norm via
+    the interpreted ``aggregate`` fold costs ~2·dim interpreted lambda
+    steps per corpus row per run — the measured super-linear wall in
+    CROSSOVER.md's q159 row (16.5 s at x100). One numpy pass per Arrow
+    batch removes it.
+    """
+    amax = np.abs(x).max(axis=1, keepdims=True)
+    scale = np.where(amax > 0, amax / 127.0, 1.0)
+    t = x / scale
+    at = np.abs(t)
+    fl = np.floor(at)
+    r = fl + (at - fl >= 0.5)
+    return (np.sign(t) * r).astype(np.int64)
+
+
+def _sq8_with_norm(col: Column) -> Column:
+    """struct<qv: array<long>, qn: long>: quantized vector + its integer
+    self-dot, computed in ONE Arrow-batched numpy pass (:func:`_sq8_np`) —
+    the hot-path replacement for ``_sq8_expr`` + ``_int_dot`` where both
+    are needed per row (the IVF-SQ8 bounded probe path)."""
+
+    @F.pandas_udf("struct<qv: array<long>, qn: long>")
+    def qz(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"qv": pd.Series([], dtype=object), "qn": pd.Series([], dtype="int64")})
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        qv = _sq8_np(x)
+        return pd.DataFrame({"qv": list(qv), "qn": (qv * qv).sum(axis=1)})
+
+    return qz(col)
+
+
 def _pair_dot_int(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ over int arrays, numpy-vectorized — value-IDENTICAL to
     :func:`_int_dot` (integer sums have no order sensitivity), used on the
@@ -1280,6 +1355,7 @@ def cosine_topk_sq8(
     corpus_id: str = "vec_id",
     query_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int | None = 100_000,
 ) -> DataFrame:
     """Top-k by cosine over int8-quantized vectors: ``cosine_topk``'s shape
     (queries broadcast, corpus scanned once, per-query top-k window) with
@@ -1290,39 +1366,65 @@ def cosine_topk_sq8(
     scanned). Zero-quantized vectors (all-zero inputs) are excluded from
     both sides: their cosine is undefined.
 
-    Scoring is ONE integer matmul per Arrow batch (corpus block × all
-    queries) — int64 arithmetic has no summation-order sensitivity, so
-    the exact dot products (and therefore the IEEE division that follows,
-    multiplication being bitwise-commutative) are identical to a per-pair
-    fold, and the hash gate cannot move. That order-freedom is the
-    under-appreciated payoff of integer quantization: the float path must
-    keep sequential accumulation for oracle parity (`_pair_dot`), the int
-    path gets fearless BLAS-shaped kernels. Rounding and the top-k window
-    stay Spark-side on the emitted (query, neighbor, score) stream, so
-    tie semantics are byte-for-byte those of the join formulation.
+    The corpus path is ONE fused numpy kernel per Arrow batch: quantize
+    (:func:`_sq8_np` — value-identical to the Catalyst expression),
+    integer self-dot, then a block integer matmul against all queries —
+    the raw float column goes straight from parquet into the kernel, no
+    interpreted per-row HOF work (the pre-fix form re-quantized the
+    corpus through Catalyst ``transform`` + a dim-step ``aggregate`` fold
+    per row, the super-linear wall CROSSOVER.md measured at x100).
+    int64 arithmetic has no summation-order sensitivity, so the dot
+    products (and the IEEE division that follows) are identical to a
+    per-pair fold, and the hash gate cannot move. Rounding and the top-k
+    window stay Spark-side on the emitted (query, neighbor, score)
+    stream, so tie semantics are byte-for-byte those of the join
+    formulation.
+
+    Query-cardinality contract (mirrors ``_probe_join``): the query set
+    is collected to the driver and broadcast inside the kernel closure,
+    so it must be a bounded batch — ``max_query_rows`` fails fast past
+    the cap via a limit-pushdown count; ``None`` opts out (caller
+    accepts driver-memory responsibility for a known-small frame).
     """
-    q = sq8_quantize(queries, query_id, vec_col).withColumn(
-        "qn", _int_dot("qv", "qv")
-    ).filter(F.col("qn") > 0)
-    qrows = q.collect()  # queries are broadcast-bounded by contract
+    if max_query_rows is not None:
+        n_q = queries.limit(max_query_rows + 1).count()
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"cosine_topk_sq8: query set exceeds max_query_rows={max_query_rows}. "
+                "The exhaustive quantized scan collects the query side to the "
+                "driver; corpus-sized query sets need the IVF candidate path "
+                "(ann_ivf_topk_sq8 with max_query_rows=None)."
+            )
+    qrows = queries.select(F.col(query_id).alias("id"), F.col(vec_col).alias("v")).collect()
+    if qrows:
+        qraw = np.array([np.asarray(list(r.v), dtype=np.float64) for r in qrows])
+        qall = _sq8_np(qraw)
+        qn_all = (qall * qall).sum(axis=1)
+        nz = qn_all > 0
+        qrows = [r for r, keep in zip(qrows, nz) if keep]
+        qm = qall[nz]
+        qn_sqrt = np.sqrt(qn_all[nz].astype(np.float64))
     if not qrows:
         schema = "query_id long, neighbor_id long, score double, rank int"
         return corpus.sparkSession.createDataFrame([], schema)
-    qm = np.array([list(r.qv) for r in qrows], dtype=np.int64)
-    qn_sqrt = np.sqrt(np.array([r.qn for r in qrows], dtype=np.float64))
     qids = np.array([r.id for r in qrows], dtype=np.int64)
 
-    c = sq8_quantize(corpus, corpus_id, vec_col).withColumn(
-        "cn", _int_dot("qv", "qv")
-    ).filter(F.col("cn") > 0)
+    c = corpus.select(F.col(corpus_id).alias("id"), F.col(vec_col).alias("v"))
 
     def score_blocks(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.array(pdf["qv"].tolist(), dtype=np.int64)
-            cn_sqrt = np.sqrt(pdf["cn"].to_numpy(dtype=np.float64))
+            raw = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            x = _sq8_np(raw)
+            cn = (x * x).sum(axis=1)
             ids = pdf["id"].to_numpy(dtype=np.int64)
+            nzc = cn > 0
+            if not nzc.all():
+                x, cn, ids = x[nzc], cn[nzc], ids[nzc]
+            if len(ids) == 0:
+                continue
+            cn_sqrt = np.sqrt(cn.astype(np.float64))
             s = x @ qm.T  # exact int64 dot products, block at a time
             sc = s / (qn_sqrt[None, :] * cn_sqrt[:, None])
             # per-batch top-k per query: ranking is on the RAW score (a
@@ -1444,33 +1546,108 @@ def ann_ivf_topk_sq8(
     exactly — the q161 oracle configuration. Zero-quantized vectors are
     excluded from both sides (cosine undefined), as in the brute-force
     form.
+
+    Query-cardinality contract (same as :func:`ann_ivf_topk`): bounded
+    batches take the guarded broadcast cell join (``max_query_rows`` set);
+    ``max_query_rows=None`` routes to a cell-cogrouped block kernel
+    (:func:`_ivf_block_scores_sq8`) that quantizes both sides in-kernel
+    and shuffles each vector once on cell — correct at any query
+    cardinality (corpus-sized/all-vs-all query sets included).
     """
     centroids = kmeans_centroids(corpus, nlist=nlist, id_col=corpus_id, vec_col=vec_col)
-    c = (
-        assign_cells(corpus, centroids, id_col=corpus_id, vec_col=vec_col)
-        .select(F.col(corpus_id).alias("neighbor_id"), _sq8_expr(vec_col).alias("_cq"), "cell")
-        .withColumn("_cn", _int_dot("_cq", "_cq"))
-        .filter(F.col("_cn") > 0)
-    )
-    q = (
-        assign_cells(queries, centroids, id_col=query_id, vec_col=vec_col, nprobe=nprobe)
-        .select(F.col(query_id).alias("query_id"), _sq8_expr(vec_col).alias("_qq"), "cell")
-        .withColumn("_qn", _int_dot("_qq", "_qq"))
-        .filter(F.col("_qn") > 0)
-    )
-    cands = _probe_join(c, q, queries, max_query_rows).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    # raw-score ranking, display-side rounding — see cosine_topk_sq8
-    score = _pair_dot_int(F.col("_qq"), F.col("_cq")).cast("double") / (
-        F.sqrt(F.col("_qn").cast("double")) * F.sqrt(F.col("_cn").cast("double"))
-    )
+    if max_query_rows is None:
+        c_raw = assign_cells(corpus, centroids, id_col=corpus_id, vec_col=vec_col).select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell"
+        )
+        q_raw = assign_cells(queries, centroids, id_col=query_id, vec_col=vec_col, nprobe=nprobe).select(
+            F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"), "cell"
+        )
+        scored = _ivf_block_scores_sq8(c_raw, q_raw, k=k)
+    else:
+        c = (
+            assign_cells(corpus, centroids, id_col=corpus_id, vec_col=vec_col)
+            .select(F.col(corpus_id).alias("neighbor_id"), _sq8_with_norm(F.col(vec_col)).alias("_z"), "cell")
+            .select("neighbor_id", F.col("_z.qv").alias("_cq"), F.col("_z.qn").alias("_cn"), "cell")
+            .filter(F.col("_cn") > 0)
+        )
+        q = (
+            assign_cells(queries, centroids, id_col=query_id, vec_col=vec_col, nprobe=nprobe)
+            .select(F.col(query_id).alias("query_id"), _sq8_with_norm(F.col(vec_col)).alias("_z"), "cell")
+            .select("query_id", F.col("_z.qv").alias("_qq"), F.col("_z.qn").alias("_qn"), "cell")
+            .filter(F.col("_qn") > 0)
+        )
+        cands = _probe_join(c, q, queries, max_query_rows).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        # raw-score ranking, display-side rounding — see cosine_topk_sq8
+        score = _pair_dot_int(F.col("_qq"), F.col("_cq")).cast("double") / (
+            F.sqrt(F.col("_qn").cast("double")) * F.sqrt(F.col("_cn").cast("double"))
+        )
+        scored = cands.select("query_id", "neighbor_id", score.alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        cands.select("query_id", "neighbor_id", score.alias("score"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def _ivf_block_scores_sq8(c: DataFrame, q: DataFrame, k: int | None = None) -> DataFrame:
+    """SQ8 twin of :func:`_ivf_block_scores`: all (query, corpus) quantized
+    cosine scores within shared cells, for corpus-sized query sets.
+
+    Both sides arrive with RAW float vectors and shuffle once on ``cell``;
+    the kernel quantizes each side with :func:`_sq8_np` (value-identical
+    to the Catalyst expression), drops zero-quantized vectors, and does
+    one int64 block matmul per cell. Because quantized scores are ranked
+    on the RAW value (integer-exact inputs → a total order every engine
+    agrees on, id tiebreak), the per-(query, cell) emission can keep
+    exactly the top-``k`` rows with no rounding-margin slack — the global
+    top-k of per-cell top-k's is exact.
+    """
+    schema = "query_id long, neighbor_id long, score double"
+
+    def score_cell(key, cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cdf) == 0 or len(qdf) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+        cm = _sq8_np(np.array([np.asarray(v, dtype=np.float64) for v in cdf["_cv"]]))
+        qm = _sq8_np(np.array([np.asarray(v, dtype=np.float64) for v in qdf["_qv"]]))
+        cn = (cm * cm).sum(axis=1)
+        qn = (qm * qm).sum(axis=1)
+        nids = cdf["neighbor_id"].to_numpy(dtype=np.int64)[cn > 0]
+        qids = qdf["query_id"].to_numpy(dtype=np.int64)[qn > 0]
+        cm, qm = cm[cn > 0], qm[qn > 0]
+        if len(nids) == 0 or len(qids) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+        cn_sqrt = np.sqrt(cn[cn > 0].astype(np.float64))
+        qn_sqrt = np.sqrt(qn[qn > 0].astype(np.float64))
+        sc = (qm @ cm.T) / (qn_sqrt[:, None] * cn_sqrt[None, :])
+        frames = []
+        for i, qid in enumerate(qids):
+            col = sc[i]
+            idx = np.nonzero(nids != qid)[0]
+            if len(idx) == 0:
+                continue
+            order = np.lexsort((nids[idx], -col[idx]))
+            sel = idx[order if k is None else order[:k]]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(sel), qid, dtype=np.int64),
+                        "neighbor_id": nids[sel],
+                        "score": col[sel],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        c.select("cell", "neighbor_id", "_cv")
+        .groupBy("cell")
+        .cogroup(q.select("cell", "query_id", "_qv").groupBy("cell"))
+        .applyInPandas(score_cell, schema)
     )
 
 
@@ -1494,3 +1671,25 @@ def q161_ivf_sq8_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk_sq8(emb, queries, k=5, nlist=16, nprobe=16).orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "q163_ivf_sq8_cogrouped_topk",
+    oracle=_sq8_topk_oracle(40, 48),
+    doc=(
+        "IVF-SQ8 on the corpus-sized query path (max_query_rows=None): the "
+        "cell-cogrouped block kernel that quantizes both sides in-kernel "
+        "and shuffles each vector once on cell — run with nprobe = nlist "
+        "so the output provably equals the exhaustive quantized ranking "
+        "and hash-matches the independent DuckDB SQ8 twin. Pins the "
+        "round-5 kernel (the path ann_ivf_topk_sq8 previously lacked — "
+        "r4 ADVICE item 1) end to end."
+    ),
+    tags=("similarity", "ann", "quantization", "verify"),
+)
+def q163_ivf_sq8_cogrouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 48))
+    return ann_ivf_topk_sq8(
+        emb, queries, k=5, nlist=16, nprobe=16, max_query_rows=None
+    ).orderBy("query_id", "rank")

@@ -466,3 +466,117 @@ def test_ivf_sq8_partial_probe_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"ivf-sq8 recall {recall:.3f}"
+
+
+def test_sq8_np_matches_catalyst_quantization(spark, sf_dir):
+    """The in-kernel numpy quantizer (_sq8_np, HALF_UP with the boundary
+    correction) must be value-identical to the Catalyst _sq8_expr it
+    replaced on the hot path — over the FULL embeddings table, plus
+    adversarial rounding-boundary vectors (.5 ties, negatives, the
+    largest-double-below-.5 pathological case, zero vectors)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.operators.similarity import _sq8_np, sq8_quantize
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    cat = {r.id: list(r.qv) for r in sq8_quantize(emb).collect()}
+    raw = np.array([np.asarray(list(r.embedding), dtype=np.float64) for r in rows])
+    got = _sq8_np(raw)
+    for i, r in enumerate(rows):
+        assert list(got[i]) == cat[r.vec_id], f"vec_id {r.vec_id} diverges"
+
+    adversarial = [
+        [2.5, -2.5, 127.0, 0.49999999999999994 * 127.0 / 127.0],
+        [1.5, -1.5, -127.0, 63.5],
+        [0.0, 0.0, 0.0, 0.0],
+        [1e-12, -1e-12, 5e-13, 1.0],
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(adversarial)],
+        "vec_id long, embedding array<double>",
+    )
+    cat2 = {r.id: list(r.qv) for r in sq8_quantize(df).collect()}
+    got2 = _sq8_np(np.array(adversarial, dtype=np.float64))
+    for i in range(len(adversarial)):
+        assert list(got2[i]) == cat2[i], f"adversarial row {i} diverges"
+
+
+def test_ivf_sq8_cogrouped_none_path_equals_bruteforce(spark, sf_dir):
+    """ADVICE r4: max_query_rows=None must route to a corpus-sized
+    (cell-cogrouped) kernel, not TypeError. At nprobe=nlist the None path
+    must equal the exhaustive quantized ranking exactly."""
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.operators.similarity import (
+        ann_ivf_topk_sq8,
+        cosine_topk_sq8,
+    )
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 16)
+    a = {
+        tuple(r)
+        for r in ann_ivf_topk_sq8(
+            emb, queries, k=5, nlist=8, nprobe=8, max_query_rows=None
+        ).collect()
+    }
+    b = {tuple(r) for r in cosine_topk_sq8(emb, queries, k=5).collect()}
+    assert a == b
+
+
+def test_cosine_topk_sq8_query_cardinality_guard(spark, sf_dir):
+    """The exhaustive quantized scan collects queries to the driver; a
+    corpus-sized query frame must fail fast (same contract as
+    _probe_join / hard_negative_topk), and None opts out."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.operators.similarity import cosine_topk_sq8
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk_sq8(emb, emb, k=2, max_query_rows=10)
+    small = emb.filter(F.col("vec_id") < 4)
+    assert cosine_topk_sq8(emb, small, k=2, max_query_rows=None).count() == 8
+
+
+def test_search_ivf_index_reingest_latest_batch_wins(spark, sf_dir, tmp_path):
+    """ADVICE r4: the same vec_id re-ingested in a LATER batch (an update,
+    not a replay) must appear at most once in search results, scored by
+    its latest vector — not occupy two ranks."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.operators.similarity import (
+        _append_ivf_batch,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    base = emb.filter(F.col("vec_id") < 400)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(base, idx, nlist=8)
+    centroids = [
+        list(r.centroid)
+        for r in spark.read.parquet(f"{idx}/centroids").orderBy("cell").collect()
+    ]
+    # update vec_id 7 to be an exact clone of vec_id 3's vector
+    target = emb.filter(F.col("vec_id") == 3).first().embedding
+    upd = spark.createDataFrame(
+        [(7, "upd", [float(x) for x in target])],
+        "vec_id long, label string, embedding array<float>",
+    )
+    _append_ivf_batch(idx, centroids, upd, batch_id=1)
+
+    queries = emb.filter(F.col("vec_id") == 3)
+    hits = search_ivf_index(spark, idx, queries, k=5, nprobe=8).collect()
+    sevens = [r for r in hits if r.neighbor_id == 7]
+    assert len(sevens) == 1, f"vec_id 7 at {len(sevens)} ranks: {hits}"
+    assert sevens[0].score == 1.0  # scored by the updated (cloned) vector
