@@ -278,9 +278,11 @@ _FUZZY_BENCH_SHIFT = 500_000
         "(bands = num_perm: candidate iff ANY minhash position agrees, miss "
         "probability (1-J)^64, every candidate exactly verified) against a "
         "planted-paraphrase benchmark — hash-matched with the independent "
-        "DuckDB exact cross-table Jaccard oracle. The benchmark side "
-        "(signatures, band hashes, verify sets) broadcasts; the corpus pays "
-        "one fused shingle+signature pass."
+        "DuckDB exact cross-table Jaccard oracle. The corpus pays one fused "
+        "shingle+signature pass; the band join is AQE-sized and the verify "
+        "joins are pinned SHUFFLE_HASH (a broadcast benchmark side measured "
+        "a driver OOM at 51.5k docs — shingle sets are corpus-scale data, "
+        "not dimension-scale)."
     ),
     tags=("curation", "decontamination", "minhash", "verify"),
 )
