@@ -287,6 +287,167 @@ def q51_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (no shuffle at all until a downstream op asks for one).
 
 
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 40,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style rule-based document quality filter (Rae et al. 2021,
+    the published curation recipe every large text pipeline reuses):
+    per-document metrics + one boolean per rule + the overall verdict,
+    entirely in Catalyst (one pass, no Python, no shuffle — a pure
+    projection that composes with any downstream filter pushdown).
+
+    Rules (pass condition):
+    - ``r_word_count``: word count in [min_words, max_words]
+    - ``r_mean_word_len``: mean word length in [3, 10]
+    - ``r_symbol_ratio``: (# + ellipsis occurrences) / words ≤ 0.1
+    - ``r_bullet_lines``: ≤ 90% of lines start with a bullet
+    - ``r_ellipsis_lines``: ≤ 30% of lines end with an ellipsis
+    - ``r_alpha_words``: ≥ 80% of words contain an alphabetic char
+    - ``r_stop_words``: ≥ 2 DISTINCT common stop words present
+
+    ``passes`` is the conjunction. Ratios are rounded to 6dp for
+    cross-engine hash stability (q164's DuckDB oracle mirrors every
+    expression)."""
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    words_l = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    lines = F.split(text, "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    word_chars = F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    mean_word_len = F.round(
+        F.when(n_words > 0, word_chars.cast("double") / n_words).otherwise(F.lit(0.0)), 6
+    )
+    symbols = F.regexp_count(text, F.lit(r"#|\.\.\.|…"))
+    symbol_ratio = F.round(
+        F.when(n_words > 0, symbols.cast("double") / n_words).otherwise(F.lit(0.0)), 6
+    )
+    bullet_lines = F.size(F.filter(lines, lambda ln: ln.rlike(r"^\s*[•*-]")))
+    bullet_line_ratio = F.round(
+        F.when(n_lines > 0, bullet_lines.cast("double") / n_lines).otherwise(F.lit(0.0)), 6
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
+    ellipsis_line_ratio = F.round(
+        F.when(n_lines > 0, ellipsis_lines.cast("double") / n_lines).otherwise(F.lit(0.0)), 6
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_word_ratio = F.round(
+        F.when(n_words > 0, alpha_words.cast("double") / n_words).otherwise(F.lit(0.0)), 6
+    )
+    # distinct-stopword presence counted over the FIXED stop list (not the
+    # word array) so both engines agree on distinctness for free
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    n_stop_hits = F.size(F.filter(stops, lambda s: F.array_contains(words_l, s)))
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_line_ratio.alias("bullet_line_ratio"),
+        ellipsis_line_ratio.alias("ellipsis_line_ratio"),
+        alpha_word_ratio.alias("alpha_word_ratio"),
+        n_stop_hits.alias("n_stop_hits"),
+    )
+    return out.select(
+        "*",
+        F.col("n_words").between(min_words, max_words).alias("r_word_count"),
+        F.col("mean_word_len").between(3.0, 10.0).alias("r_mean_word_len"),
+        (F.col("symbol_ratio") <= 0.1).alias("r_symbol_ratio"),
+        (F.col("bullet_line_ratio") <= 0.9).alias("r_bullet_lines"),
+        (F.col("ellipsis_line_ratio") <= 0.3).alias("r_ellipsis_lines"),
+        (F.col("alpha_word_ratio") >= 0.8).alias("r_alpha_words"),
+        (F.col("n_stop_hits") >= 2).alias("r_stop_words"),
+    ).withColumn(
+        "passes",
+        F.col("r_word_count")
+        & F.col("r_mean_word_len")
+        & F.col("r_symbol_ratio")
+        & F.col("r_bullet_lines")
+        & F.col("r_ellipsis_lines")
+        & F.col("r_alpha_words")
+        & F.col("r_stop_words"),
+    )
+
+
+@register(
+    "q164_gopher_quality_rules",
+    oracle=r"""
+        WITH feats AS (
+            SELECT
+                doc_id,
+                list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS words,
+                list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS words_l,
+                string_split(text, chr(10)) AS lines,
+                len(regexp_extract_all(text, '#|\.\.\.|…')) AS symbols
+            FROM documents
+        ),
+        m AS (
+            SELECT
+                doc_id,
+                len(words) AS n_words,
+                len(lines) AS n_lines,
+                COALESCE(list_sum(list_transform(words, w -> length(w))), 0) AS word_chars,
+                symbols,
+                len(list_filter(lines, ln -> regexp_matches(ln, '^\s*[•*-]'))) AS bullet_lines,
+                len(list_filter(lines, ln -> regexp_matches(ln, '(\.\.\.|…)\s*$'))) AS ellipsis_lines,
+                len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+                len(list_filter(['the','be','to','of','and','that','have','with'],
+                                s -> list_contains(words_l, s))) AS n_stop_hits
+            FROM feats
+        ),
+        r AS (
+            SELECT
+                doc_id,
+                n_words,
+                ROUND(CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words ELSE 0.0 END, 6) AS mean_word_len,
+                ROUND(CASE WHEN n_words > 0 THEN CAST(symbols AS DOUBLE) / n_words ELSE 0.0 END, 6) AS symbol_ratio,
+                ROUND(CASE WHEN n_lines > 0 THEN CAST(bullet_lines AS DOUBLE) / n_lines ELSE 0.0 END, 6) AS bullet_line_ratio,
+                ROUND(CASE WHEN n_lines > 0 THEN CAST(ellipsis_lines AS DOUBLE) / n_lines ELSE 0.0 END, 6) AS ellipsis_line_ratio,
+                ROUND(CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words ELSE 0.0 END, 6) AS alpha_word_ratio,
+                n_stop_hits
+            FROM m
+        )
+        SELECT
+            doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
+            ellipsis_line_ratio, alpha_word_ratio, n_stop_hits,
+            n_words BETWEEN 40 AND 100000 AS r_word_count,
+            mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+            symbol_ratio <= 0.1 AS r_symbol_ratio,
+            bullet_line_ratio <= 0.9 AS r_bullet_lines,
+            ellipsis_line_ratio <= 0.3 AS r_ellipsis_lines,
+            alpha_word_ratio >= 0.8 AS r_alpha_words,
+            n_stop_hits >= 2 AS r_stop_words,
+            (n_words BETWEEN 40 AND 100000)
+                AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                AND symbol_ratio <= 0.1
+                AND bullet_line_ratio <= 0.9
+                AND ellipsis_line_ratio <= 0.3
+                AND alpha_word_ratio >= 0.8
+                AND n_stop_hits >= 2 AS passes
+        FROM r
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Gopher-style rule-based quality filter (published curation recipe): "
+        "word-count / mean-word-length / symbol-ratio / bullet-line / "
+        "ellipsis-line / alpha-word / stop-word rules as one Catalyst "
+        "projection — per-rule booleans + verdict, hash-matched per rule."
+    ),
+    tags=("text", "quality", "curation"),
+)
+def q164_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return gopher_rules(t["documents"]).orderBy("doc_id")
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
@@ -678,43 +839,83 @@ def _bpe_pair_totals(words: DataFrame) -> DataFrame:
 
 
 def bpe_train(
-    df: DataFrame, text_col: str = "text", n_merges: int = 8
+    df: DataFrame, text_col: str = "text", n_merges: int = 8, merge_batch: int = 64
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges on the corpus; returns the merge table
     (step, left, right, merged, pair_n) in learned order — the artifact a
     tokenizer ships.
 
-    Each iteration: one vocab-sized pair aggregate, a 1-row driver collect
-    of the argmax pair (total order: count DESC, pair ASC — deterministic
-    across engines), then a pure-string re-segmentation of the type table
-    (see the sentinel encoding above) with lazy ``localCheckpoint``
-    lineage truncation, the q122/pagerank iteration pattern. The corpus
-    is touched ONCE (word-type extraction); every merge step is
-    O(|vocab|). Stops early if no pair remains (all words fused).
+    Each PASS: one vocab-sized pair aggregate, a top-``merge_batch+1``
+    driver collect, then up to ``merge_batch`` merges applied as a single
+    chained ``replace`` projection over the type table with lazy
+    ``localCheckpoint`` lineage truncation. The corpus is touched ONCE
+    (word-type extraction); every pass is O(|vocab|), and a real
+    30k-merge vocabulary needs ~vocab/merge_batch Spark jobs instead of
+    one per merge (the round-4 driver-cadence defect). Stops early if no
+    pair remains (all words fused).
 
-    Oracle: :func:`_bpe_oracle_sql` unrolls the same ``n_merges``
-    iterations as a straight-line DuckDB CTE chain — the distributed loop
-    is hash-checked end to end (q151).
+    The batch is PROVABLY equal to the sequential trainer — each pass
+    accepts a clean top-ranked prefix of pairs (rank order: count DESC,
+    pair ASC, the cross-engine-deterministic total order) such that:
+
+    - accepted pairs are pairwise SYMBOL-DISJOINT — merging one cannot
+      change another's count (an (a,b) merge only touches counts of pairs
+      containing a or b; disjoint adjacencies survive verbatim);
+    - each accepted pair's count STRICTLY exceeds the next rank's count.
+      Any pair sequential could prefer instead at that step is either (i)
+      an untouched pair ranked below — count ≤ next rank < accepted, (ii)
+      a pair whose count an earlier accepted merge decreased — bounded by
+      its snapshot count, ranked below the prefix (it interacts with an
+      accepted pair, so disjointness bars it from the prefix), or (iii) a
+      NEW pair (x, ab) / (ab, y) / (ab, ab) — bounded by the snapshot
+      count of the interacting (x, a) / (b, y) / (b, a), again below the
+      prefix. The strict inequality also kills every tie-break ambiguity.
+    - a SELF-pair (a == b) ends the pass after its own merge: its
+      descendants ((aa, aa) from even runs, (aa, a) from odd runs) are
+      bounded by the self-pair's OWN count — the one case where a new
+      pair's bound sits inside the accepted prefix instead of below it,
+      so no later same-pass acceptance can be proven (the ``"aaaa xy"``
+      counter-example: sequential's step 2 is (aa, aa), not (x, y)).
+
+    The first interacting or non-strictly-dominating pair ends the pass
+    (worst case one merge per pass = exactly the sequential trainer;
+    ``merge_batch=1`` forces that mode). Equality with sequential is
+    pinned in tests; the unrolled DuckDB CTE oracle (q151/q157) is
+    sequential by construction, so the hash gates prove it per-round.
     """
     words = _bpe_word_types(df, text_col).localCheckpoint(eager=True)
     spark = df.sparkSession
-    merges = []
-    for step in range(1, n_merges + 1):
-        top = (
+    merges: list[tuple] = []
+    while len(merges) < n_merges:
+        want = min(merge_batch, n_merges - len(merges))
+        rows = (
             _bpe_pair_totals(words)
             .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(want + 1)
             .collect()
         )
-        if not top:
+        if not rows:
             break
-        a, b, total = top[0].a, top[0].b, top[0].total
-        merges.append((step, a, b, a + b, total))
-        pat = f"{_BPE_O}{a}{_BPE_C}{_BPE_O}{b}{_BPE_C}"
-        words = words.select(
-            F.replace(F.col("w"), F.lit(pat), F.lit(f"{_BPE_O}{a + b}{_BPE_C}")).alias("w"),
-            "cnt",
-        ).localCheckpoint(eager=False)
+        accepted = []
+        used: set[str] = set()
+        for i, r in enumerate(rows[:want]):
+            if accepted:
+                if {r.a, r.b} & used:
+                    break  # interacting: sequential must recount first
+                nxt = rows[i + 1].total if i + 1 < len(rows) else None
+                if nxt is not None and r.total <= nxt:
+                    break  # can't prove strict dominance over ranks below
+            accepted.append(r)
+            used |= {r.a, r.b}
+            if r.a == r.b:
+                break  # self-pair: descendants bounded by its own count
+        step0 = len(merges)
+        col = F.col("w")
+        for j, r in enumerate(accepted):
+            merges.append((step0 + j + 1, r.a, r.b, r.a + r.b, r.total))
+            pat = f"{_BPE_O}{r.a}{_BPE_C}{_BPE_O}{r.b}{_BPE_C}"
+            col = F.replace(col, F.lit(pat), F.lit(f"{_BPE_O}{r.a + r.b}{_BPE_C}"))
+        words = words.select(col.alias("w"), "cnt").localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "step long, left string, right string, merged string, pair_n long"
     )

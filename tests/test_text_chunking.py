@@ -176,3 +176,52 @@ def test_bpe_encode_compression_monotone(spark, sf_dir):
     out = bpe_encode_counts(docs, merges)
     assert out.filter(F.col("n_tokens_bpe") > F.col("n_tokens_base")).count() == 0
     assert out.filter(F.col("n_tokens_bpe") < F.col("n_tokens_base")).count() > 0
+
+
+def test_bpe_train_batched_equals_sequential(spark, sf_dir):
+    """The batched merge selection (merge_batch > 1: disjoint strict-
+    dominance prefix per pass) must produce EXACTLY the sequential
+    trainer's merge table — same pairs, same order, same counts — on the
+    real corpus and on an adversarial tie-heavy corpus."""
+    from ai_batch_processing_spark.operators.text import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seq = [tuple(r) for r in bpe_train(docs, n_merges=24, merge_batch=1).orderBy("step").collect()]
+    bat = [tuple(r) for r in bpe_train(docs, n_merges=24, merge_batch=64).orderBy("step").collect()]
+    assert bat == seq
+
+    # adversarial: interacting top pairs + exact count ties force the
+    # batch to degrade toward sequential without diverging from it
+    ties = spark.createDataFrame(
+        [("ab ab ab bc bc bc cd cd cd abc abc",), ("aaaa aaaa baba dada",)],
+        "text string",
+    )
+    seq2 = [tuple(r) for r in bpe_train(ties, n_merges=10, merge_batch=1).orderBy("step").collect()]
+    bat2 = [tuple(r) for r in bpe_train(ties, n_merges=10, merge_batch=8).orderBy("step").collect()]
+    assert bat2 == seq2
+
+
+def test_gopher_rules_line_and_symbol_rules(spark):
+    """The line-based and symbol rules need adversarial inputs (the
+    synthetic corpus has no newlines/bullets/ellipses): bullet-dominated
+    and ellipsis-dominated docs must fail their rules, a clean long doc
+    passes everything, and ratios are exact."""
+    from ai_batch_processing_spark.operators.text import gopher_rules
+
+    good = "the cat sat with the dog and that was fine " * 5  # 45 words, stops
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    ellipses = "\n".join(f"line {i} trails off..." for i in range(10))
+    symbols = "tag " + "# " * 30
+    short = "too few words here"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, ellipses), (4, symbols), (5, short)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_rules(df, min_words=20).collect()}
+
+    assert rows[1].passes and rows[1].n_stop_hits >= 2
+    assert rows[2].bullet_line_ratio == 1.0 and not rows[2].r_bullet_lines
+    assert rows[3].ellipsis_line_ratio == 1.0 and not rows[3].r_ellipsis_lines
+    assert rows[4].symbol_ratio > 0.1 and not rows[4].r_symbol_ratio
+    assert not rows[4].r_alpha_words  # '#' tokens carry no alphabetic char
+    assert not rows[5].r_word_count and not rows[5].passes
