@@ -18,7 +18,7 @@ computation beyond ``dedup.connected_components``:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_batch_processing_spark.registry import register
@@ -319,37 +319,167 @@ def replicate_perturbed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: float = 0.02,
+    perturb: str = "sin",
 ) -> DataFrame:
     """Deterministically expand a vector corpus ``replicas``× for scale
     tests: replica r of vector v gets id ``v + r·1e6`` and each component
-    perturbed by ``scale·sin(id·31 + r·7 + i)`` — pure Catalyst
+    perturbed by a deterministic function of (id, r, i) — pure Catalyst
     (``transform`` with index), no Python, no RNG state, so the expanded
     corpus is identical across runs and partitionings. Replica 0 keeps the
     original values (perturbation only for r > 0); clones stay each
-    other's nearest neighbors, which is what the knn recall tests need."""
+    other's nearest neighbors, which is what the knn recall tests need.
+
+    ``perturb`` picks the noise family:
+
+    - ``"sin"`` (default): ``scale·sin(id·31 + r·7 + i)`` — smooth and
+      well-spread, but transcendental: Java's and DuckDB's ``sin`` may
+      differ in the last ulp, so sin-perturbed corpora are NOT
+      cross-engine hash-gateable (q150 is rows-only for exactly this
+      reason).
+    - ``"rational"``: ``scale·((id·31 + r·7 + i) mod 97 / 97 − 0.5)`` —
+      every step is exact integer arithmetic followed by one IEEE
+      division of integer-valued doubles, bit-identical across engines,
+      which makes the replicated-corpus pipeline end-to-end hash-gateable
+      (the q162 verify twin).
+    """
+    if perturb not in ("sin", "rational"):
+        raise ValueError(f"perturb must be 'sin' or 'rational', got {perturb!r}")
     reps = emb.sparkSession.range(replicas).select(F.col("id").cast("int").alias("_rep"))
     base = F.col(id_col).cast("double")
-    return (
-        emb.crossJoin(F.broadcast(reps))
-        .select(
-            (F.col(id_col) + F.col("_rep").cast("long") * 1_000_000).alias(id_col),
-            F.when(F.col("_rep") == 0, F.transform(F.col(vec_col), lambda x: x.cast("double")))
-            .otherwise(
-                F.transform(
-                    F.col(vec_col),
-                    lambda x, i: x.cast("double")
-                    + F.lit(scale)
-                    * F.sin(base * F.lit(31.0) + F.col("_rep") * F.lit(7.0) + i.cast("double")),
-                )
+
+    def delta(i: Column) -> Column:
+        if perturb == "sin":
+            return F.lit(scale) * F.sin(
+                base * F.lit(31.0) + F.col("_rep") * F.lit(7.0) + i.cast("double")
             )
-            .alias(vec_col),
-        )
+        mod = (
+            F.col(id_col).cast("long") * F.lit(31)
+            + F.col("_rep").cast("long") * F.lit(7)
+            + i.cast("long")
+        ) % F.lit(97)
+        return F.lit(scale) * (mod.cast("double") / F.lit(97.0) - F.lit(0.5))
+
+    # Two selects, not one: computing the perturbed vector and the shifted
+    # id in a single projection lets Spark's lateral-column-alias
+    # resolution bind the delta's id reference to the freshly ALIASED
+    # (shifted) id instead of the input column — measured: replica 1 of
+    # vec 0 perturbed with mod(31e6+7) rather than mod(7). The vector is
+    # built first against the unambiguous input id, the shift happens after.
+    pert = emb.crossJoin(F.broadcast(reps)).select(
+        F.col(id_col).alias("_id0"),
+        F.col("_rep"),
+        F.when(F.col("_rep") == 0, F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .otherwise(F.transform(F.col(vec_col), lambda x, i: x.cast("double") + delta(i)))
+        .alias(vec_col),
+    )
+    return pert.select(
+        (F.col("_id0") + F.col("_rep").cast("long") * 1_000_000).alias(id_col),
+        vec_col,
     )
 
 
 _PR2_REPLICAS = 3
 _PR2_NLIST = 32
 _PR2_NPROBE = 8
+
+
+def _pagerank_replicated_oracle_sql(
+    cap: int, replicas: int, k: int, iterations: int, damping: float, scale: float
+) -> str:
+    """DuckDB twin of the q162 pipeline: the rational-perturbation corpus
+    replication reproduced in SQL (exact integer arithmetic + one IEEE
+    division — bit-identical to the Catalyst form, see
+    :func:`replicate_perturbed`), the exact all-pairs k-NN edge set (the
+    recall-1 IVF build provably equals it), and ``iterations`` unrolled
+    PageRank steps (the q122 CTE machinery over the grown corpus)."""
+    reps = ", ".join(str(r) for r in range(replicas))
+    head = f"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {cap}
+        ),
+        corpus AS (
+            SELECT vec_id + rep * 1000000 AS id,
+                   CASE WHEN rep = 0 THEN v
+                        ELSE list_transform(range(len(v)),
+                             i -> v[CAST(i + 1 AS INT)]
+                                  + {scale} * (CAST((vec_id * 31 + rep * 7 + i) % 97 AS DOUBLE) / 97.0 - 0.5))
+                   END AS v
+            FROM emb, unnest([{reps}]) t(rep)
+        ),
+        cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM corpus),
+        scored AS (
+            SELECT a.id AS src, b.id AS dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC, b.id
+                   ) AS rnk
+            FROM corpus a JOIN corpus b ON a.id <> b.id
+        ),
+        edges AS (SELECT src, dst FROM scored WHERE rnk <= {k}),
+        odeg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+        e AS (SELECT edges.src, edges.dst, odeg.odeg FROM edges JOIN odeg USING (src)),
+        r0 AS (SELECT id, 1.0 / cnt.n AS rank FROM corpus CROSS JOIN cnt)
+    """
+    steps = []
+    for i in range(iterations):
+        steps.append(
+            f"""
+        , c{i} AS (
+            SELECT e.dst, SUM(r{i}.rank / e.odeg) AS inflow
+            FROM e JOIN r{i} ON e.src = r{i}.id GROUP BY e.dst
+        ),
+        r{i + 1} AS (
+            SELECT corpus.id,
+                   (1 - {damping}) / cnt.n
+                   + {damping} * COALESCE(c{i}.inflow, 0) AS rank
+            FROM corpus CROSS JOIN cnt LEFT JOIN c{i} ON corpus.id = c{i}.dst
+        )"""
+        )
+    tail = f"""
+        SELECT id AS vec_id, ROUND(rank, 6) AS rank
+        FROM r{iterations}
+        ORDER BY vec_id
+    """
+    return head + "".join(steps) + tail
+
+
+_PR3_CAP = 150
+_PR3_NLIST = 8
+
+
+@register(
+    "q162_pagerank_replicated_verified",
+    oracle=_pagerank_replicated_oracle_sql(
+        _PR3_CAP, _PR2_REPLICAS, _PR_K, _PR_ITERS, DAMPING, 0.02
+    ),
+    doc=(
+        "q150's full pipeline — deterministic corpus replication, "
+        "IVF-approximate k-NN edge build, 10 PageRank rounds — in its "
+        "hash-gateable configuration: rational perturbation (exact integer "
+        "arithmetic + one IEEE division, bit-identical across engines, "
+        "unlike the default transcendental sin noise) and nprobe = nlist "
+        "(every cell probed → the edge set provably equals the exact "
+        "all-pairs k-NN edges). Hash-matched against a generated DuckDB "
+        "oracle that replicates the corpus in SQL and unrolls the same 10 "
+        "iterations — closing q150's rows-only gap with an in-gate twin "
+        "(round-4 verdict item 3)."
+    ),
+    tags=("graph", "similarity", "iterative", "verify"),
+)
+def q162_pagerank_replicated_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        .filter(F.col("vec_id") < _PR3_CAP)
+        .select("vec_id", "embedding")
+    )
+    corpus = replicate_perturbed(emb, replicas=_PR2_REPLICAS, perturb="rational")
+    nodes = corpus.select(F.col("vec_id").alias("id"))
+    edges = knn_edges_approx(corpus, k=_PR_K, nlist=_PR3_NLIST, nprobe=_PR3_NLIST)
+    ranks = pagerank(nodes, edges, iterations=_PR_ITERS)
+    return ranks.select(
+        F.col("id").alias("vec_id"), F.round("rank", 6).alias("rank")
+    ).orderBy("vec_id")
 
 
 @register(
