@@ -80,6 +80,17 @@ class LLMConfig:
     # with rate_limit set, total in-flight = n_lanes × concurrency — keep 1
     # to mirror the reference's min(rate_limit, 10) semaphore exactly
     # (main.py:332-334; lanes already equal that clamp).
+    rate_limit_scope: str = "lanes"  # "lanes": split the rpm budget evenly
+    # across n_lanes partitions (no coordination; mild under-utilization,
+    # worker churn resets windows — SURVEY §7.4-1). "global": one shared
+    # fixed-window token bucket coordinated through rate_limit_dir — every
+    # worker PROCESS leases from the same budget, so aggregate rpm ≤ limit
+    # exactly, with full utilization (round-4 verdict item 6).
+    rate_limit_dir: str | None = None  # "global" scope: shared directory the
+    # token bucket leases through (atomic O_CREAT|O_EXCL slot files). Must
+    # be visible to every executor — a shared POSIX mount on a cluster; to
+    # swap in a token SERVICE instead, replace GlobalTokenBucketLimiter's
+    # try_acquire with one RPC (same interface, one method).
 
 
 # --------------------------------------------------------------------------
@@ -169,8 +180,91 @@ class SlidingWindowRateLimiter:
             self._sleep(max(delay, 0.0))
 
 
-_LIMITER_REGISTRY: dict[tuple, SlidingWindowRateLimiter] = {}
+class GlobalTokenBucketLimiter:
+    """Cross-PROCESS fixed-window token bucket: one shared rpm budget for
+    every worker on every executor, coordinated through a directory.
+
+    The lane-split limiter (the default) needs no coordination but
+    under-utilizes (each lane gets rpm//n_lanes even when others are
+    idle) and worker churn resets its windows. This form enforces the
+    aggregate exactly: each 60 s wall-clock window has ``rpm`` lease
+    slots, and a worker takes one by atomically creating
+    ``<window>.<slot>`` (``O_CREAT|O_EXCL`` — the classic lock-file
+    primitive: exactly one creator wins per slot, on any POSIX
+    filesystem including NFS mounts). All slots taken → sleep to the
+    next window. Fixed-window (not sliding) is the standard
+    distributed-limiter trade: worst-case burst is 2×rpm across a window
+    boundary, steady-state ≤ rpm/min — and the ledger IS the audit log.
+
+    The coordination dir must be visible to all executors (shared mount;
+    local FS under local[*]). To use a token service instead, swap
+    :meth:`try_acquire` for one RPC — nothing else changes. Stale
+    windows are garbage-collected opportunistically on acquisition.
+    """
+
+    def __init__(
+        self,
+        rpm: int,
+        lease_dir: str,
+        now: Callable[[], float] = time.time,
+        sleep: Callable[[float], None] = time.sleep,
+    ):
+        import os
+
+        self.rpm = max(1, min(60, rpm))  # main.py:608 clamp
+        self._dir = lease_dir
+        self._now = now
+        self._sleep = sleep
+        os.makedirs(lease_dir, exist_ok=True)
+
+    def try_acquire(self) -> bool:
+        """Take one lease from the CURRENT window; False if exhausted."""
+        import os
+
+        w = int(self._now() // 60)
+        for slot in range(self.rpm):
+            path = os.path.join(self._dir, f"{w:020d}.{slot:05d}.lease")
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                continue
+            os.close(fd)
+            self._gc(w)
+            return True
+        return False
+
+    def wait(self) -> None:
+        while not self.try_acquire():
+            self._sleep(max(60.0 - (self._now() % 60.0), 0.05))
+
+    def _gc(self, current_window: int) -> None:
+        """Best-effort removal of leases ≥ 2 windows old (dead weight)."""
+        import os
+
+        try:
+            for name in os.listdir(self._dir):
+                if name.endswith(".lease") and int(name.split(".", 1)[0]) < current_window - 1:
+                    try:
+                        os.unlink(os.path.join(self._dir, name))
+                    except OSError:
+                        pass
+        except (OSError, ValueError):
+            pass
+
+
+_LIMITER_REGISTRY: dict[tuple, object] = {}
 _LIMITER_LOCK = threading.Lock()
+
+
+def _shared_global_limiter(key: tuple, rpm: int, lease_dir: str) -> GlobalTokenBucketLimiter:
+    """One token-bucket CLIENT per (config, process) — the budget itself
+    lives in the shared lease directory, so instance reuse is an
+    optimization (skip mkdir churn), not a correctness requirement."""
+    with _LIMITER_LOCK:
+        lim = _LIMITER_REGISTRY.get(key)
+        if lim is None:
+            lim = _LIMITER_REGISTRY[key] = GlobalTokenBucketLimiter(rpm, lease_dir)
+        return lim
 
 
 def _shared_limiter(key: tuple, rpm: int) -> SlidingWindowRateLimiter:
@@ -250,6 +344,7 @@ def llm_map(
     df: DataFrame,
     cfg: LLMConfig,
     client_factory: Callable[[LLMConfig], object] | None = None,
+    initial_histories: dict[str, list[Message]] | None = None,
 ) -> DataFrame:
     """Map every row through an LLM; returns the reference's result relation.
 
@@ -257,8 +352,20 @@ def llm_map(
     ``prompt``, ``response``, ``error``, ``row_index`` (main.py:450-462).
     ``error`` is null on success; a failed row carries the message instead
     of failing the task (main.py:487-502).
+
+    ``initial_histories`` (grouped mode only) seeds each group's
+    conversation with a prior message log keyed by the group value — the
+    continuation hook the streaming grouped map uses to carry
+    conversations ACROSS micro-batches (streaming/llm_stream.py): a group
+    present in the dict resumes mid-conversation (its system message is
+    already inside the carried log); an absent group starts fresh. The
+    dict is batch-scoped driver state riding the task closure — the same
+    object the reference keeps in ``conversations`` (main.py:402-431),
+    bounded by groups-per-batch, not corpus size.
     """
     validate_config(cfg, df.columns)
+    if initial_histories is not None and cfg.group_by is None:
+        raise ConfigError("initial_histories requires grouped mode (group_by set)")
     factory = client_factory or _make_client
 
     # --- JVM-side prep: row index, group key, prompt, main_content ---------
@@ -278,14 +385,26 @@ def llm_map(
     rpm_share = None
     n_lanes = None
     if cfg.rate_limit is not None:
-        # main.py:332-334 semaphore clamp → partition count; each lane gets
-        # an even share of the (clamped) global budget.
+        # main.py:332-334 semaphore clamp → partition count. "lanes" scope:
+        # each lane gets an even share of the (clamped) budget, no
+        # coordination. "global" scope: every worker leases from ONE shared
+        # token bucket (full budget; the lease dir is the coordinator), so
+        # lanes bound concurrency but not each other's rpm.
         rpm = max(1, min(60, cfg.rate_limit))
         n_lanes = min(rpm, 10)
-        rpm_share = max(1, rpm // n_lanes)
+        rpm_share = rpm if cfg.rate_limit_scope == "global" else max(1, rpm // n_lanes)
     # Keyed per logical llm_map config: one 60 s window per worker process,
     # shared across groups/batches/tasks that land on it.
-    limiter_key = (cfg.provider, cfg.model, cfg.group_by, rpm_share)
+    limiter_key = (cfg.provider, cfg.model, cfg.group_by, cfg.rate_limit_scope, rpm_share)
+    lease_dir = cfg.rate_limit_dir
+    global_scope = cfg.rate_limit_scope == "global"
+
+    def _get_limiter():
+        if rpm_share is None:
+            return None
+        if global_scope:
+            return _shared_global_limiter(limiter_key + (lease_dir,), rpm_share, lease_dir)
+        return _shared_limiter(limiter_key, rpm_share)
 
     def _complete_row(client, limiter, history: list[Message] | None, prompt: str) -> tuple[str | None, str | None]:
         if limiter is not None:
@@ -312,7 +431,7 @@ def llm_map(
         # Ungrouped: stateless per row, partition-parallel (main.py:513-522).
         def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             client = factory(cfg)
-            limiter = _shared_limiter(limiter_key, rpm_share) if rpm_share else None
+            limiter = _get_limiter()
             for pdf in batches:
                 if cfg.concurrency > 1:
                     # I/O-bound calls overlap inside the partition (the
@@ -346,11 +465,18 @@ def llm_map(
                     "stage — split the group or raise the cap"
                 )
             client = factory(cfg)
-            limiter = _shared_limiter(limiter_key, rpm_share) if rpm_share else None
+            limiter = _get_limiter()
             pdf = pdf.sort_values(ROW_INDEX_COL).reset_index(drop=True)
-            history: list[Message] = []
-            if cfg.system_prompt:
-                history.append({"role": "system", "content": cfg.system_prompt})
+            key = str(pdf[GROUP_COL].iloc[0]) if len(pdf) else ""
+            carried = (initial_histories or {}).get(key)
+            if carried is not None:
+                # resume mid-conversation: the carried log already holds
+                # the system message and every prior committed turn
+                history: list[Message] = [dict(m) for m in carried]
+            else:
+                history = []
+                if cfg.system_prompt:
+                    history.append({"role": "system", "content": cfg.system_prompt})
             responses, errors = [], []
             for prompt in pdf[PROMPT_COL]:
                 r, e = _complete_row(client, limiter, history, prompt)
@@ -461,6 +587,10 @@ def validate_config(cfg: LLMConfig, columns: list[str]) -> None:
         problems.append(f"max_tokens {cfg.max_tokens} outside [1, 4000]")
     if cfg.rate_limit is not None and not (1 <= cfg.rate_limit <= 60):  # main.py:20,26
         problems.append(f"rate_limit {cfg.rate_limit} outside [1, 60]")
+    if cfg.rate_limit_scope not in ("lanes", "global"):
+        problems.append(f"rate_limit_scope {cfg.rate_limit_scope!r} not in ('lanes', 'global')")
+    if cfg.rate_limit_scope == "global" and cfg.rate_limit is not None and not cfg.rate_limit_dir:
+        problems.append("rate_limit_scope='global' requires rate_limit_dir (shared lease directory)")
     if not (1 <= cfg.retry_attempts <= 10):  # main.py:23
         problems.append(f"retry_attempts {cfg.retry_attempts} outside [1, 10]")
     known = set(columns)

@@ -491,3 +491,101 @@ def test_llm_map_cached_preserves_preindexed_column_order(spark):
     ).select("_row_index", "doc_id", "lang", "text")  # index mid/front of schema
     cfg = LLMConfig(prompt_template="lang: {lang}", main_content="text")
     assert llm_map_cached(df, cfg).columns == llm_map(df, cfg).columns
+
+
+def _acquire_worker(args):
+    """Module-level so multiprocessing can pickle it: each WORKER PROCESS
+    builds its OWN limiter instance over the shared lease dir and grabs
+    as many tokens as it can from the current window."""
+    lease_dir, rpm, attempts = args
+    from ai_batch_processing_spark.operators.llm_map import GlobalTokenBucketLimiter
+
+    lim = GlobalTokenBucketLimiter(rpm, lease_dir)
+    got = 0
+    for _ in range(attempts):
+        if lim.try_acquire():
+            got += 1
+    return got
+
+
+def test_global_token_bucket_aggregate_rpm_across_processes(tmp_path):
+    """Round-4 verdict item 6: with the global scope, aggregate
+    acquisitions across SEPARATE worker processes (independent limiter
+    instances, shared lease dir) never exceed the rpm budget per window —
+    and the budget is fully utilizable (exactly rpm granted, not
+    rpm // n_workers)."""
+    import multiprocessing as mp
+
+    import os
+    from collections import Counter
+
+    lease = str(tmp_path / "leases")
+    rpm = 12
+    with mp.get_context("spawn").Pool(4) as pool:
+        grants = pool.map(_acquire_worker, [(lease, rpm, 50)] * 4)
+    # budget accounting is per 60 s window: tolerate a wall-clock window
+    # rollover mid-test by asserting the PER-WINDOW ledger, which is the
+    # actual guarantee (≤ rpm leases can ever exist per window)
+    per_window = Counter(n.split(".", 1)[0] for n in os.listdir(lease))
+    assert all(c <= rpm for c in per_window.values())
+    assert sum(grants) == sum(per_window.values())  # every grant is ledgered
+    assert sum(grants) >= rpm  # full budget utilizable (≥ in case of rollover)
+    # a follow-up wave drains at most whatever a fresh window offers; its
+    # window's ledger still never exceeds rpm
+    _acquire_worker((lease, rpm, 20))
+    per_window = Counter(n.split(".", 1)[0] for n in os.listdir(lease))
+    assert all(c <= rpm for c in per_window.values())
+
+
+def test_global_token_bucket_window_rollover_and_gc(tmp_path):
+    """Tokens replenish at the window boundary; stale windows are GC'd."""
+    import os
+
+    from ai_batch_processing_spark.operators.llm_map import GlobalTokenBucketLimiter
+
+    lease = str(tmp_path / "leases")
+    t = {"now": 0.0}
+    slept = []
+    lim = GlobalTokenBucketLimiter(
+        3, lease, now=lambda: t["now"], sleep=lambda s: (slept.append(s), t.__setitem__("now", t["now"] + s))
+    )
+    for _ in range(3):
+        lim.wait()
+    assert not slept
+    lim.wait()  # budget spent → sleeps into the next window
+    assert slept and t["now"] >= 60.0
+    # windows ≥ 2 behind are removed on later acquisitions
+    t["now"] = 200.0
+    lim.wait()
+    names = os.listdir(lease)
+    assert all(int(n.split(".", 1)[0]) >= 2 for n in names)
+
+
+def test_llm_map_global_rate_scope_end_to_end(spark, tmp_path):
+    """llm_map with rate_limit_scope='global': every row's call leases
+    from the shared budget (lease ledger size == successful calls when
+    under budget), and validation demands the lease dir."""
+    import os
+
+    import pytest
+
+    from ai_batch_processing_spark.operators.llm_map import ConfigError, LLMConfig, llm_map
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 2) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    lease = str(tmp_path / "leases")
+    cfg = LLMConfig(
+        prompt_template="say: {text}",
+        rate_limit=60,
+        rate_limit_scope="global",
+        rate_limit_dir=lease,
+        order_by=["doc_id"],
+    )
+    out = llm_map(df, cfg).collect()
+    assert len(out) == 8 and all(r.error is None for r in out)
+    assert len([n for n in os.listdir(lease) if n.endswith(".lease")]) == 8
+
+    with pytest.raises(ConfigError, match="rate_limit_dir"):
+        llm_map(df, LLMConfig(prompt_template="say: {text}", rate_limit=10, rate_limit_scope="global"))

@@ -475,3 +475,84 @@ def test_stream_dedup_within_watermark_catches_restamped_duplicates(spark, tmp_p
     # contrast: (event_id, ts)-keyed dedup treats the re-stamp as new
     out2 = _run(spark, stream_dedup_events(spark, str(d)), "dedup_plain_stream", mode="append")
     assert sorted(r.event_id for r in out2.collect()) == [1, 1, 2]
+
+
+def test_stream_llm_map_grouped_resume_continues_conversations(spark, tmp_path):
+    """Grouped streaming LLM map (round-4 verdict item 5): conversations
+    span micro-batches AND a pause/resume boundary via the versioned
+    state table, and the final transcript is IDENTICAL to one
+    uninterrupted batch-mode grouped run over the same rows — the mock
+    response encodes the history length, so any lost or doubled turn
+    would change the hash."""
+    import json as _json
+
+    from ai_batch_processing_spark.operators.llm_map import LLMConfig, llm_map
+    from ai_batch_processing_spark.streaming.llm_stream import stream_llm_map_grouped
+
+    src = tmp_path / "gsrc"
+    src.mkdir()
+    out = str(tmp_path / "gout")
+    state = str(tmp_path / "gstate")
+    ckpt = str(tmp_path / "gckpt")
+
+    def write_file(i):
+        rows = [
+            {"doc_id": i * 10 + j, "text": f"doc {i}-{j}", "lang": lang, "source": "s", "n_chars": 7}
+            for j, lang in enumerate(["en", "fr", "en"])
+        ]
+        (src / f"f{i}.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    cfg = LLMConfig(
+        prompt_template="say: {text}",
+        group_by="lang",
+        order_by=["doc_id"],
+        system_prompt="You are terse.",
+    )
+
+    # phase 1: two files drained one per micro-batch, then the trigger stops
+    for i in range(2):
+        write_file(i)
+    q = stream_llm_map_grouped(spark, str(src), out, state, ckpt, cfg, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 6
+
+    # "pause" happened (availableNow stopped); two more files arrive, resume
+    for i in range(2, 4):
+        write_file(i)
+    q2 = stream_llm_map_grouped(spark, str(src), out, state, ckpt, cfg, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    streamed = {
+        r.doc_id: (r.prompt, r.response, r.error)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(streamed) == 12
+
+    # oracle: ONE batch grouped run over the union (doc_id order == file
+    # order here, so the conversations evolve identically)
+    all_rows = [
+        (i * 10 + j, f"doc {i}-{j}", lang, "s", 7)
+        for i in range(4)
+        for j, lang in enumerate(["en", "fr", "en"])
+    ]
+    batch_df = spark.createDataFrame(
+        all_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    oneshot = {
+        r.doc_id: (r.prompt, r.response, r.error)
+        for r in llm_map(batch_df, cfg).collect()
+    }
+    assert streamed == oneshot
+
+    # the carried state holds one full transcript per group: system msg +
+    # 2 turns per successful row
+    latest = sorted(
+        p for p in __import__("os").listdir(state) if p.startswith("batch_id=")
+    )[-1]
+    hist = {
+        r.group: _json.loads(r.history)
+        for r in spark.read.parquet(f"{state}/{latest}").collect()
+    }
+    assert set(hist) == {"en", "fr"}
+    assert len(hist["en"]) == 1 + 2 * 8  # 8 en rows across 4 files
+    assert len(hist["fr"]) == 1 + 2 * 4
+    assert hist["en"][0] == {"role": "system", "content": "You are terse."}
