@@ -89,7 +89,17 @@ def register(
 # order after the listed ones. All queries stay registered either way —
 # this only biases WHICH subset a capped driver proves.
 _PRIORITY = [
-    # ---- round-4 gate prefix (the driver caps at ~50 rows) ----
+    # ---- round-5 gate prefix (the driver caps at ~50 rows) ----
+    # New this round, never driver-gated: the hash-gateable twin of q150
+    # (rational perturbation + recall-1 edge build + unrolled-oracle
+    # pagerank — closes the last rows-only gap without an in-gate twin).
+    "q162_pagerank_replicated_verified",
+    # The corpus-sized (cogrouped) IVF-SQ8 kernel at recall-1 — gates the
+    # round-5 max_query_rows=None path against the DuckDB SQ8 twin.
+    "q163_ivf_sq8_cogrouped_topk",
+    # Gopher-style rule-based quality filter (published curation recipe)
+    "q164_gopher_quality_rules",
+    # ---- round-4 gate prefix, kept in order (green r4 rows) ----
     # Coverage plan across rounds: r1 gated the first 50 registration-order
     # queries, r2 the flagship+pipeline families, r3 the verify twins +
     # every then-never-gated oracle query. This round the front of the

@@ -51,6 +51,13 @@ def get_spark(
         # extreme per-key skew Spark falls back per AQE plan.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 256 MB scan partitions (2× default): fewer, fuller scan tasks.
+        # Clean A/B at 100× sf0.1 (fresh session per variant, min-of-3):
+        # q148 3.53→2.96 s, q103 4.69→3.90, q136 2.32→2.23, q03 3.97→3.82,
+        # q40 1.17→1.24 (noise) — the scan/agg family's task-overhead shave
+        # (round-4 verdict item 4). The rejected alternative, shuffle
+        # partitions 8, won q40 but regressed the star join 1.6×.
+        .config("spark.sql.files.maxPartitionBytes", str(256 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

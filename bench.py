@@ -60,12 +60,19 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # the 2×-vs-BASELINE tracking compares oracle-backed queries only
+    # (rows-only approximates have no DuckDB wall to compare against) —
+    # report that subtotal so the per-round number needs no hand-arithmetic
+    oracle_backed = round(
+        sum(t for n, t in timings.items() if bench_specs[n].oracle is not None), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "bench_headline_queries_total_wall",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                "value_oracle_backed": oracle_backed,
                 "queries": timings,
                 "sf": float(sf) if sf else None,
                 "protocol": "min_of_2_warm_runs",

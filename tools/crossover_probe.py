@@ -66,6 +66,9 @@ QUERIES = [
     # SQ8 quantized ANN: 8 queries against the full grown corpus, the
     # memory-bandwidth-bound scan both engines pay linearly
     "q159_ann_sq8_topk",
+    # round-5: Gopher rule-based quality filter — one Catalyst projection
+    # over the whole documents table, the pure scan-regex regime
+    "q164_gopher_quality_rules",
 ]
 
 # LLM-pipeline heavies (round-2 verdict item 8) need crossover-SPECIFIC
