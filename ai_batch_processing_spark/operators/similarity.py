@@ -1673,6 +1673,95 @@ def q161_ivf_sq8_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Random-projection dimensionality reduction (Johnson–Lindenstrauss)
+# --------------------------------------------------------------------------
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 97,
+) -> DataFrame:
+    """(id, embedding): project each vector onto ``out_dim`` seeded Gaussian
+    directions — the Johnson–Lindenstrauss preprocessing that shrinks an
+    embedding column 4× (64→16 dims) while approximately preserving
+    pairwise distances, so every downstream ANN/dedup operator runs on a
+    4×-smaller column (composable with SQ8 for a combined 16×).
+
+    One Arrow-batched kernel per partition: the out_dim×dim plane matrix
+    rides the task closure; accumulation is DIM-SEQUENTIAL
+    (``acc += X[:,j]·P[:,j]ᵀ``), bit-identical in IEEE double to both the
+    Catalyst ``aggregate`` fold and DuckDB's sequential sum — so the
+    projected vectors hash-match the q165 oracle exactly (the `_pair_dot`
+    argument; a BLAS matmul would be last-ulp different). Components are
+    rounded to 6dp display-side in the gate query only; the operator
+    itself returns full doubles.
+    """
+    planes = hyperplanes(dim, out_dim, seed=seed)
+    pm = np.array(planes, dtype=np.float64)  # (out_dim, dim)
+
+    @F.pandas_udf("array<double>")
+    def project(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        d = min(pm.shape[1], x.shape[1])
+        acc = np.zeros((len(x), pm.shape[0]), dtype=np.float64)
+        for j in range(d):
+            acc = acc + np.outer(x[:, j], pm[:, j])
+        return pd.Series(list(acc))
+
+    return df.select(F.col(id_col).alias("id"), project(F.col(vec_col)).alias(vec_col))
+
+
+def _rp_oracle_sql(out_dim: int, dim: int, seed: int, cap: int) -> str:
+    """DuckDB twin of :func:`random_projection`: the same seeded plane
+    constants inlined as list literals, the same sequential dot products
+    (list_inner_product sums dim-sequentially), rounded to 6dp on both
+    sides for the hash gate."""
+    planes = hyperplanes(dim, out_dim, seed=seed)
+    rows = ",\n            ".join(
+        f"({j}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])" for j, p in enumerate(planes)
+    )
+    return f"""
+        WITH planes(pos, p) AS (VALUES
+            {rows}
+        ),
+        emb AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {cap}
+        )
+        SELECT id, pos, ROUND(list_inner_product(v, p), 6) AS comp
+        FROM emb CROSS JOIN planes
+        ORDER BY id, pos
+    """
+
+
+@register(
+    "q165_random_projection",
+    oracle=_rp_oracle_sql(16, 64, 97, 400),
+    doc=(
+        "Johnson-Lindenstrauss random projection (64 -> 16 dims, seeded "
+        "Gaussian planes): the ANN/dedup preprocessing that shrinks the "
+        "embedding column 4x while approximately preserving distances. "
+        "Arrow-batched dim-sequential kernel, hash-matched component-wise "
+        "(exploded to scalar rows — engines stringify arrays differently) "
+        "against a DuckDB twin with the identical inlined plane constants."
+    ),
+    tags=("similarity", "ann", "projection"),
+)
+def q165_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].filter(
+        F.col("vec_id") < 400
+    )
+    out = random_projection(emb, out_dim=16, dim=64, seed=97)
+    return out.select(
+        "id", F.posexplode(F.col("embedding")).alias("pos", "_c")
+    ).select("id", "pos", F.round("_c", 6).alias("comp")).orderBy("id", "pos")
+
+
 @register(
     "q163_ivf_sq8_cogrouped_topk",
     oracle=_sq8_topk_oracle(40, 48),

@@ -99,6 +99,8 @@ _PRIORITY = [
     "q163_ivf_sq8_cogrouped_topk",
     # Gopher-style rule-based quality filter (published curation recipe)
     "q164_gopher_quality_rules",
+    # Johnson-Lindenstrauss random projection (ANN preprocessing)
+    "q165_random_projection",
     # ---- round-4 gate prefix, kept in order (green r4 rows) ----
     # Coverage plan across rounds: r1 gated the first 50 registration-order
     # queries, r2 the flagship+pipeline families, r3 the verify twins +
