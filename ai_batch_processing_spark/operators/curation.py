@@ -389,6 +389,131 @@ def q102_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Line-level cleanup: intra-doc dedup + corpus-wide boilerplate removal
+# ---------------------------------------------------------------------------
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """C4/RefinedWeb-style line cleanup, the web-corpus curation staple:
+
+    - INTRA-DOC dedup: within each document, keep only the FIRST
+      occurrence of every line (repeated paragraphs, duplicated blocks);
+    - BOILERPLATE removal (``max_doc_freq`` set): drop every occurrence
+      of a line that appears in more than ``max_doc_freq`` distinct
+      documents — the corpus-wide header/footer/cookie-banner rule.
+
+    Output: (id, n_lines, n_kept, cleaned_text) with surviving lines
+    rejoined in original order. Empty lines are dropped up front.
+
+    Scale shape: one explode, one (id, line) window for first-occurrence
+    ranking, one line-keyed aggregate for document frequency (the
+    rn = 1 stream, so each (doc, line) counts once) joined back on line,
+    then a per-doc aggregate that reassembles via an ordered
+    ``array_sort(collect_list(struct(pos, line)))`` — no driver state,
+    no quadratic term; the heavy key (the line text) could be swapped
+    for its xxhash128 exactly as in ``exact_dedup_hashed`` when lines
+    are megabyte-scale.
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .filter(F.col("line") != "")
+    )
+    first = Window.partitionBy("id", "line").orderBy("pos")
+    ranked = lines.withColumn("_rn", F.row_number().over(first))
+    freq = (
+        ranked.filter(F.col("_rn") == 1)
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    flagged = ranked.join(freq, "line").withColumn(
+        "_keep",
+        (F.col("_rn") == 1)
+        & (F.lit(True) if max_doc_freq is None else F.col("doc_freq") <= max_doc_freq),
+    )
+    kept_struct = F.when(F.col("_keep"), F.struct("pos", "line"))
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+                ),
+                "\n",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+@register(
+    "q167_line_dedup_boilerplate",
+    oracle=r"""
+        WITH corpus AS (
+            SELECT doc_id AS id,
+                   concat_ws(chr(10),
+                             text,
+                             'subscribe to our newsletter',
+                             'tag group ' || CAST(doc_id % 7 AS VARCHAR),
+                             CASE WHEN doc_id % 3 = 0 THEN text END) AS text
+            FROM documents
+        ),
+        split AS (SELECT id, string_split(text, chr(10)) AS ls FROM corpus),
+        lines AS (
+            SELECT id, ls[CAST(i AS INT)] AS line, CAST(i AS BIGINT) AS pos
+            FROM split, unnest(generate_series(1, len(ls))) u(i)
+            WHERE ls[CAST(i AS INT)] <> ''
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id, line ORDER BY pos) AS rn
+            FROM lines
+        ),
+        freq AS (
+            SELECT line, COUNT(*) AS doc_freq FROM ranked WHERE rn = 1 GROUP BY line
+        ),
+        flagged AS (
+            SELECT r.id, r.pos, r.line,
+                   (r.rn = 1 AND f.doc_freq <= 100) AS keep
+            FROM ranked r JOIN freq f USING (line)
+        )
+        SELECT id,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS cleaned_text
+        FROM flagged GROUP BY id ORDER BY id
+    """,
+    doc=(
+        "C4-style line-level cleanup on a planted corpus (universal "
+        "boilerplate line in every doc, a moderate-frequency tag line, an "
+        "intra-doc duplicate for every 3rd doc): first-occurrence dedup "
+        "within documents + corpus-frequency boilerplate removal "
+        "(doc_freq > 100), cleaned text reassembled in line order — "
+        "hash-matched including the reassembled text."
+    ),
+    tags=("curation", "dedup", "text"),
+)
+def q167_line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    corpus = docs.select(
+        F.col("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("subscribe to our newsletter"),
+            F.concat(F.lit("tag group "), (F.col("doc_id") % 7).cast("string")),
+            F.when(F.col("doc_id") % 3 == 0, F.col("text")),
+        ).alias("text"),
+    )
+    return line_dedup(corpus, max_doc_freq=100).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (concat-and-chunk) via distributed prefix sum
 # ---------------------------------------------------------------------------
 
@@ -665,6 +790,91 @@ def q104_mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     sized = docs.select("source", token_count_ws(F.col("text")).cast("long").alias("n_tokens"))
     return mixture_weights(sized, "source", "n_tokens").orderBy("source")
+
+
+def temperature_mixture(
+    df: DataFrame, group_col: str, token_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the mC4/XLM-R multilingual
+    recipe): sampling share qᵍ ∝ pᵍ^α where pᵍ is the group's natural
+    token share — α < 1 flattens the distribution toward uniform
+    (upsampling tail languages/sources without drowning the head), α = 1
+    keeps the natural mix. Output per group: natural share, tempered
+    share, and the repeat factor q/p that :func:`materialize_mixture`
+    turns into an epoch-expanded dataset.
+
+    One tiny per-group aggregate; the share windows run over #groups
+    rows, never the data. α = 0.5 (temperature 2, the common default) is
+    computed via ``sqrt`` — IEEE-exact and bit-identical across engines,
+    which is what lets q166 hash-gate the math (a general ``pow(p, α)``
+    is correctly-rounded-ish but not guaranteed identical between Java
+    and C libm; other α values use it and are test-covered, not
+    hash-gated).
+    """
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(token_col).alias("n_tokens")
+    )
+    w = Window.partitionBy(F.lit(0))
+    # layered projections: window functions cannot nest, so p's window
+    # materializes before the tempered share's window consumes it
+    shared = agg.withColumn("_p", F.col("n_tokens") / F.sum("n_tokens").over(w))
+    powed = F.sqrt(F.col("_p")) if alpha == 0.5 else F.pow(F.col("_p"), F.lit(alpha))
+    tempered = shared.withColumn("_pw", powed).withColumn(
+        "_q", F.col("_pw") / F.sum("_pw").over(w)
+    )
+    return tempered.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round("_p", 6).alias("p_natural"),
+        F.round("_q", 6).alias("q_temperature"),
+        F.round(F.col("_q") / F.col("_p"), 6).alias("repeat_factor"),
+    )
+
+
+@register(
+    "q166_temperature_mixture",
+    oracle=r"""
+        WITH toks AS (
+            SELECT source,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        agg AS (
+            SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY source
+        ),
+        shares AS (
+            SELECT source, n_docs, n_tokens,
+                   CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS p
+            FROM agg
+        ),
+        tempered AS (
+            SELECT source, n_docs, n_tokens, p,
+                   sqrt(p) / SUM(sqrt(p)) OVER () AS q
+            FROM shares
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(p, 6) AS p_natural,
+               ROUND(q, 6) AS q_temperature,
+               ROUND(q / p, 6) AS repeat_factor
+        FROM tempered
+        ORDER BY source
+    """,
+    doc=(
+        "temperature-based mixture reweighting (the mC4/XLM-R alpha-"
+        "sampling recipe, alpha=0.5 via IEEE-exact sqrt): tempered "
+        "sampling shares q ∝ p^alpha flatten the source mix toward "
+        "uniform; repeat factors feed materialize_mixture."
+    ),
+    tags=("curation", "mixture"),
+)
+def q166_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import token_count_ws
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = docs.select("source", token_count_ws("text").cast("long").alias("n_tokens"))
+    return temperature_mixture(toks, "source", "n_tokens", alpha=0.5).orderBy("source")
 
 
 def materialize_mixture(

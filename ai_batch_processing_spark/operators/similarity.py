@@ -1269,7 +1269,9 @@ def _sq8_expr(vec_col: str | Column) -> Column:
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     v = F.transform(c, lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    # guard on the computed scale: amax/127 underflows to 0 for
+    # denormal-only vectors (see _sq8_np); identical in all three twins
+    scale = F.when(amax / F.lit(127.0) > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
     return F.transform(v, lambda x: F.round(x / scale).cast("long"))
 
 
@@ -1305,7 +1307,12 @@ def _sq8_np(x: np.ndarray) -> np.ndarray:
     batch removes it.
     """
     amax = np.abs(x).max(axis=1, keepdims=True)
-    scale = np.where(amax > 0, amax / 127.0, 1.0)
+    # condition on the COMPUTED scale, not amax: for denormal-only vectors
+    # amax/127 underflows to exactly 0 and the quantization would divide
+    # by zero (found by hypothesis; same guard in _sq8_expr and the
+    # DuckDB oracle so the three twins stay value-identical)
+    s0 = amax / 127.0
+    scale = np.where(s0 > 0, s0, 1.0)
     t = x / scale
     at = np.abs(t)
     fl = np.floor(at)
@@ -1469,7 +1476,7 @@ def _sq8_topk_oracle(lo: int, hi: int, k: int = 5) -> str:
     quant = """
             SELECT vec_id,
                    list_transform(v, x -> CAST(round(
-                       x / (CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END)
+                       x / (CASE WHEN m / 127.0 > 0 THEN m / 127.0 ELSE 1.0 END)
                    ) AS BIGINT)) AS qv
             FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m
                   FROM vd)

@@ -101,6 +101,10 @@ _PRIORITY = [
     "q164_gopher_quality_rules",
     # Johnson-Lindenstrauss random projection (ANN preprocessing)
     "q165_random_projection",
+    # temperature (alpha-sampling) mixture reweighting — the mC4 recipe
+    "q166_temperature_mixture",
+    # C4-style line-level dedup + corpus-frequency boilerplate removal
+    "q167_line_dedup_boilerplate",
     # ---- round-4 gate prefix, kept in order (green r4 rows) ----
     # Coverage plan across rounds: r1 gated the first 50 registration-order
     # queries, r2 the flagship+pipeline families, r3 the verify twins +

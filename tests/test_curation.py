@@ -337,3 +337,51 @@ def test_decontaminate_fuzzy_production_bands_recall(spark, sf_dir):
     prod = {tuple(r) for r in decontaminate_fuzzy(docs, bench, bands=16).collect()}
     assert prod <= exact  # verify stage → no false positives
     assert len(prod) >= 0.9 * len(exact)
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark):
+    """alpha=0.5 must raise tail-source shares and shrink head-source
+    shares (strict flattening), tempered shares must sum to 1, and
+    alpha=1 must reproduce the natural mix (repeat_factor 1)."""
+    from ai_batch_processing_spark.operators.curation import temperature_mixture
+
+    df = spark.createDataFrame(
+        [("head", 900), ("mid", 90), ("tail", 10)], "source string, n_tokens long"
+    )
+    rows = {r.source: r for r in temperature_mixture(df, "source", "n_tokens", alpha=0.5).collect()}
+    assert abs(sum(r.q_temperature for r in rows.values()) - 1.0) < 1e-5
+    assert rows["head"].q_temperature < rows["head"].p_natural
+    assert rows["tail"].q_temperature > rows["tail"].p_natural
+    assert rows["tail"].repeat_factor > 1.0 > rows["head"].repeat_factor
+
+    nat = {r.source: r for r in temperature_mixture(df, "source", "n_tokens", alpha=1.0).collect()}
+    for r in nat.values():
+        assert abs(r.repeat_factor - 1.0) < 1e-6
+
+
+def test_line_dedup_order_threshold_and_reassembly(spark):
+    """Adversarial line cleanup: intra-doc repeats keep only their FIRST
+    occurrence (original order preserved), the doc-frequency threshold is
+    inclusive (== max_doc_freq survives, > is dropped), and cleaned_text
+    reassembles the survivors exactly."""
+    from ai_batch_processing_spark.operators.curation import line_dedup
+
+    docs = [
+        (1, "alpha\nboiler\nbeta\nalpha\ngamma"),
+        (2, "boiler\ndelta\nshared\ndelta"),
+        (3, "shared\nboiler\nepsilon"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # boiler appears in 3 docs; shared in 2 — with max_doc_freq=2 boiler
+    # drops everywhere, shared survives exactly at the threshold
+    rows = {r.id: r for r in line_dedup(df, max_doc_freq=2).collect()}
+    assert rows[1].cleaned_text == "alpha\nbeta\ngamma"
+    assert (rows[1].n_lines, rows[1].n_kept) == (5, 3)
+    assert rows[2].cleaned_text == "delta\nshared"
+    assert (rows[2].n_lines, rows[2].n_kept) == (4, 2)
+    assert rows[3].cleaned_text == "shared\nepsilon"
+
+    # no threshold: only intra-doc dedup
+    rows2 = {r.id: r for r in line_dedup(df).collect()}
+    assert rows2[1].cleaned_text == "alpha\nboiler\nbeta\ngamma"
+    assert rows2[2].cleaned_text == "boiler\ndelta\nshared"

@@ -219,3 +219,49 @@ def test_zorder_matches_python_interleave(spark, points):
 
     for (a, b), zv in got.items():
         assert zv == interleave(bucket(a, amin, amax), bucket(b, bmin, bmax))
+
+
+# --------------------------------------------------------------------------
+# SQ8 quantization: numpy HALF_UP twin vs a pure-Python BigDecimal-style
+# oracle (the semantics Spark's round and DuckDB's round agree on)
+# --------------------------------------------------------------------------
+def _half_up_py(t: float) -> int:
+    """Exact HALF_UP on the binary value via the fractions module — the
+    reference semantics (Spark BigDecimal / DuckDB round agree with it
+    for every double that round-trips its shortest decimal repr)."""
+    from fractions import Fraction
+
+    f = Fraction(t)
+    a = abs(f)
+    fl = a.numerator // a.denominator
+    frac = a - fl
+    r = fl + (1 if frac >= Fraction(1, 2) else 0)
+    return int(r if f >= 0 else -r)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=300)
+def test_sq8_np_half_up_matches_exact_rational_rounding(vec):
+    """_sq8_np's floor+exact-fraction comparison must agree with exact
+    rational HALF_UP on t = v/scale for arbitrary float vectors —
+    including denormals-adjacent, .5-boundary, and zero vectors."""
+    import numpy as np
+
+    from ai_batch_processing_spark.operators.similarity import _sq8_np
+
+    x = np.array([vec], dtype=np.float64)
+    got = _sq8_np(x)[0]
+    amax = max(abs(v) for v in vec)
+    s0 = amax / 127.0  # may underflow to 0 for denormal-only vectors
+    scale = s0 if s0 > 0 else 1.0
+    for v, g in zip(vec, got):
+        t = v / scale  # the same IEEE division the kernel performs
+        assert g == _half_up_py(t), (v, scale, t, g)

@@ -493,6 +493,10 @@ def test_sq8_np_matches_catalyst_quantization(spark, sf_dir):
         [1.5, -1.5, -127.0, 63.5],
         [0.0, 0.0, 0.0, 0.0],
         [1e-12, -1e-12, 5e-13, 1.0],
+        # denormal-only: amax/127 underflows to exactly 0 (the guard case)
+        [5e-324, -5e-324, 0.0, 5e-324],
+        # denormal scale that is still > 0
+        [1e-320, -1e-320, 5e-321, 0.0],
     ]
     df = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(adversarial)],
