@@ -312,6 +312,105 @@ def q114_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bigram-LM surprise (CCNet-style statistical perplexity filter)
+# ---------------------------------------------------------------------------
+def bigram_surprise(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    materialize: bool = False,
+) -> DataFrame:
+    """Per-doc mean surprise under an add-k-smoothed corpus BIGRAM LM:
+    (doc_id, n_bigrams, bits_per_bigram), docs with ≥ 2 tokens.
+
+    bits_per_bigram = avg(-log2 P(w₂|w₁)) with
+    P(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁·) + k·V) — the CCNet recipe's
+    statistical core (there a KenLM 5-gram; the order is a knob, the
+    pipeline shape is identical): low = templated/repetitive text, high =
+    rare-transition soup, both tails pruned. A strictly stronger signal
+    than :func:`unigram_surprise` — word-ORDER scrambles leave unigram
+    bits unchanged but spike bigram bits (test-pinned).
+
+    Scale shape: the bigram count table is O(distinct bigrams) ≪ token
+    stream and is persisted for its two consumers (scoring join + the
+    context-count aggregate reuses the stream); the vocab size rides in
+    as a broadcast 1-row aggregate; everything else is one shuffle on the
+    bigram key. ``materialize``: see the module storage note.
+    """
+    toks_arr = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("ts")
+    )
+    bigr = (
+        toks_arr.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).persist()
+    cc = bc.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    vocab = (
+        toks_arr.select(F.explode("ts").alias("term"))
+        .agg(F.count_distinct("term").cast("double").alias("v"))
+    )
+    p = (F.col("cb") + F.lit(k)) / (F.col("cw") + F.lit(k) * F.col("v"))
+    out = (
+        bigr.join(bc, ["w1", "w2"])
+        .join(cc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log2(p)), 6).alias("bits_per_bigram"),
+        )
+    )
+    return _finish(out, [bc], materialize)
+
+
+@register(
+    "q168_bigram_surprise",
+    oracle=r"""
+        WITH toks_arr AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+            FROM documents
+        ),
+        bigr AS (
+            SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+            FROM toks_arr, unnest(generate_series(1, len(ts) - 1)) u(i)
+            WHERE len(ts) >= 2
+        ),
+        bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bigr GROUP BY w1, w2),
+        cc AS (SELECT w1, SUM(cb) AS cw FROM bc GROUP BY w1),
+        vv AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+            FROM (SELECT unnest(ts) AS tok FROM toks_arr)
+        )
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(-log2((bc.cb + 0.5) / (cc.cw + 0.5 * vv.v))), 6) AS bits_per_bigram
+        FROM bigr b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN vv
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id
+    """,
+    doc=(
+        "per-doc surprise under an add-k corpus bigram LM (the CCNet "
+        "statistical-perplexity filter shape): bits/bigram with "
+        "P(w2|w1) = (c12+k)/(c1+kV) — order-sensitive quality signal, "
+        "corpus-linear, vocab broadcast."
+    ),
+    tags=("text", "corpus", "quality"),
+)
+def q168_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return bigram_surprise(docs, materialize=True).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup: new batch vs existing corpus
 # ---------------------------------------------------------------------------
 def incremental_dedup(

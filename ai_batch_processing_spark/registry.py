@@ -105,6 +105,8 @@ _PRIORITY = [
     "q166_temperature_mixture",
     # C4-style line-level dedup + corpus-frequency boilerplate removal
     "q167_line_dedup_boilerplate",
+    # add-k bigram-LM surprise (CCNet statistical perplexity filter)
+    "q168_bigram_surprise",
     # ---- round-4 gate prefix, kept in order (green r4 rows) ----
     # Coverage plan across rounds: r1 gated the first 50 registration-order
     # queries, r2 the flagship+pipeline families, r3 the verify twins +

@@ -207,3 +207,24 @@ def test_library_forms_stay_lazy_and_composable(spark, sf_dir):
     mat = tfidf_top_terms(docs, materialize=True).orderBy("doc_id", "rnk").collect()
     assert [tuple(r) for r in lazy] == [tuple(r) for r in mat]
     spark.catalog.clearCache()
+
+
+def test_bigram_surprise_is_order_sensitive(spark):
+    """Bigram bits must rise when a doc's word order is scrambled while
+    unigram bits stay identical — the signal unigram surprise cannot
+    see. Also: docs with < 2 tokens are excluded; smoothing keeps unseen
+    transitions finite."""
+    from ai_batch_processing_spark.operators.corpus import bigram_surprise, unigram_surprise
+
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    scrambled = "rug the on sat dog the and mat cat on the sat the"  # same bag
+    docs = spark.createDataFrame(
+        [(1, natural), (2, natural), (3, natural), (4, scrambled), (5, "single")],
+        "doc_id long, text string",
+    )
+    bi = {r.doc_id: r for r in bigram_surprise(docs).collect()}
+    uni = {r.doc_id: r for r in unigram_surprise(docs).collect()}
+    assert 5 not in bi  # one token -> no bigrams
+    assert uni[1].bits_per_token == uni[4].bits_per_token  # same bag of words
+    assert bi[4].bits_per_bigram > bi[1].bits_per_bigram  # order broken
+    assert bi[1].n_bigrams == 12  # 13 tokens -> 12 adjacent pairs
