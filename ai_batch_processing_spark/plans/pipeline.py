@@ -138,3 +138,180 @@ def q73_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "quality_score", F.round(F.sqrt(norm_sq), 4).alias("emb_norm"))
         .orderBy("doc_id")
     )
+
+
+# --- q169: round-5 curation pipeline v3 --------------------------------------
+# The composition the round-5 operators exist for, in the order a modern
+# web-corpus pipeline runs them (C4 / Gopher / CCNet / mC4 lineage):
+#   line-level cleanup (intra-doc dedup + corpus-frequency boilerplate
+#   removal) → Gopher rule gate on the CLEANED text → bigram-LM surprise
+#   trained on the cleaned corpus, keep the at-or-below-mean half
+#   (low-perplexity selection) → temperature (alpha=0.5) mixture repeat
+#   factors per source over the survivors. Every stage is hash-gated
+#   individually (q167 / q164 / q168 / q166); this query proves they
+#   compose in one lazy plan — the line stats, rule booleans, LM bits and
+#   repeat factor all emerge from a single optimized DAG.
+@register(
+    "q169_curation_pipeline_v3",
+    oracle=r"""
+        WITH corpus AS (
+            SELECT doc_id AS id,
+                   concat_ws(chr(10),
+                             text,
+                             'subscribe to our newsletter',
+                             'tag group ' || CAST(doc_id % 7 AS VARCHAR),
+                             CASE WHEN doc_id % 3 = 0 THEN text END) AS text
+            FROM documents
+        ),
+        split AS (SELECT id, string_split(text, chr(10)) AS ls FROM corpus),
+        lines AS (
+            SELECT id, ls[CAST(i AS INT)] AS line, CAST(i AS BIGINT) AS pos
+            FROM split, unnest(generate_series(1, len(ls))) u(i)
+            WHERE ls[CAST(i AS INT)] <> ''
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id, line ORDER BY pos) AS rn
+            FROM lines
+        ),
+        lfreq AS (
+            SELECT line, COUNT(*) AS doc_freq FROM ranked WHERE rn = 1 GROUP BY line
+        ),
+        flagged AS (
+            SELECT r.id, r.pos, r.line, (r.rn = 1 AND f.doc_freq <= 100) AS keep
+            FROM ranked r JOIN lfreq f USING (line)
+        ),
+        cleaned AS (
+            SELECT id AS doc_id,
+                   CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text
+            FROM flagged GROUP BY id
+        ),
+        gwords AS (
+            SELECT doc_id, n_kept,
+                   list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS words,
+                   text
+            FROM cleaned
+        ),
+        gop AS (
+            SELECT doc_id, n_kept,
+                   len(words) AS n_words,
+                   COALESCE(list_sum(list_transform(words, w -> length(w))), 0) AS word_chars,
+                   len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words
+            FROM gwords
+        ),
+        grules AS (
+            SELECT doc_id, n_kept, n_words,
+                   (n_words BETWEEN 40 AND 100000) AS r_word_count,
+                   (ROUND(CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words ELSE 0.0 END, 6)
+                        BETWEEN 3.0 AND 10.0) AS r_mean_word_len,
+                   (ROUND(CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words ELSE 0.0 END, 6)
+                        >= 0.8) AS r_alpha_words
+            FROM gop
+        ),
+        toks_arr AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+            FROM cleaned
+        ),
+        bigr AS (
+            SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+            FROM toks_arr, unnest(generate_series(1, len(ts) - 1)) u(i)
+            WHERE len(ts) >= 2
+        ),
+        bcnt AS (SELECT w1, w2, COUNT(*) AS cb FROM bigr GROUP BY w1, w2),
+        ccnt AS (SELECT w1, SUM(cb) AS cw FROM bcnt GROUP BY w1),
+        vv AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+            FROM (SELECT unnest(ts) AS tok FROM toks_arr)
+        ),
+        bits AS (
+            SELECT b.doc_id,
+                   ROUND(AVG(-log2((bcnt.cb + 0.5) / (ccnt.cw + 0.5 * vv.v))), 6) AS bits_per_bigram
+            FROM bigr b JOIN bcnt USING (w1, w2) JOIN ccnt USING (w1) CROSS JOIN vv
+            GROUP BY b.doc_id
+        ),
+        mu AS (SELECT ROUND(AVG(bits_per_bigram), 6) AS mu FROM bits),
+        kept AS (
+            SELECT g.doc_id, g.n_kept, g.n_words, b.bits_per_bigram, d.source
+            FROM grules g
+            JOIN bits b USING (doc_id)
+            JOIN documents d USING (doc_id)
+            CROSS JOIN mu
+            WHERE g.r_word_count AND g.r_mean_word_len AND g.r_alpha_words
+              AND b.bits_per_bigram <= mu.mu
+        ),
+        agg AS (
+            SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_tokens
+            FROM kept GROUP BY source
+        ),
+        shares AS (
+            SELECT source, CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS p
+            FROM agg
+        ),
+        tempered AS (
+            SELECT source, p, sqrt(p) / SUM(sqrt(p)) OVER () AS q
+            FROM shares
+        ),
+        factors AS (
+            SELECT source, ROUND(q / p, 6) AS repeat_factor FROM tempered
+        )
+        SELECT k.doc_id, k.source, k.n_kept, k.n_words, k.bits_per_bigram,
+               f.repeat_factor
+        FROM kept k JOIN factors f USING (source)
+        ORDER BY k.doc_id
+    """,
+    doc=(
+        "round-5 capstone: line cleanup -> Gopher rule gate -> bigram-LM "
+        "low-perplexity selection -> temperature mixture factors, composed "
+        "in one plan and hash-matched end to end (each stage also gated "
+        "individually as q167/q164/q168/q166)."
+    ),
+    tags=("pipeline", "curation", "quality", "mixture"),
+)
+def q169_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.curation import line_dedup, temperature_mixture
+    from ai_batch_processing_spark.operators.corpus import bigram_surprise
+    from ai_batch_processing_spark.operators.text import gopher_rules
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("subscribe to our newsletter"),
+            F.concat(F.lit("tag group "), (F.col("doc_id") % 7).cast("string")),
+            F.when(F.col("doc_id") % 3 == 0, F.col("text")),
+        ).alias("text"),
+    )
+    cleaned = line_dedup(corpus, max_doc_freq=100).select(
+        F.col("id").alias("doc_id"), "n_kept", F.col("cleaned_text").alias("text")
+    )
+    gop = gopher_rules(cleaned, min_words=40).select(
+        "doc_id", "n_words", "r_word_count", "r_mean_word_len", "r_alpha_words"
+    )
+    bits = bigram_surprise(cleaned).select("doc_id", "bits_per_bigram")
+    feats = (
+        cleaned.select("doc_id", "n_kept")
+        .join(gop, "doc_id")
+        .join(bits, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    mu = bits.agg(F.round(F.avg("bits_per_bigram"), 6).alias("mu"))
+    kept = feats.crossJoin(F.broadcast(mu)).filter(
+        F.col("r_word_count")
+        & F.col("r_mean_word_len")
+        & F.col("r_alpha_words")
+        & (F.col("bits_per_bigram") <= F.col("mu"))
+    )
+    factors = temperature_mixture(
+        kept.select("source", F.col("n_words").cast("long").alias("n_tokens")),
+        "source",
+        "n_tokens",
+        alpha=0.5,
+    ).select("source", "repeat_factor")
+    return (
+        kept.join(F.broadcast(factors), "source")
+        .select("doc_id", "source", "n_kept", "n_words", "bits_per_bigram", "repeat_factor")
+        .orderBy("doc_id")
+    )

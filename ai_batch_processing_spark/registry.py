@@ -107,6 +107,9 @@ _PRIORITY = [
     "q167_line_dedup_boilerplate",
     # add-k bigram-LM surprise (CCNet statistical perplexity filter)
     "q168_bigram_surprise",
+    # round-5 capstone: line cleanup -> gopher gate -> bigram selection
+    # -> temperature mixture, composed in one plan
+    "q169_curation_pipeline_v3",
     # ---- round-4 gate prefix, kept in order (green r4 rows) ----
     # Coverage plan across rounds: r1 gated the first 50 registration-order
     # queries, r2 the flagship+pipeline families, r3 the verify twins +
