@@ -284,13 +284,19 @@ def q169_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 3 == 0, F.col("text")),
         ).alias("text"),
     )
-    cleaned = line_dedup(corpus, max_doc_freq=100).select(
-        F.col("id").alias("doc_id"), "n_kept", F.col("cleaned_text").alias("text")
+    # the cleaned corpus feeds THREE consumers (rule gate, LM bits, final
+    # stats) — materialize it once or the explode+window+join DAG re-runs
+    # per consumer (measured 6.7 s -> with checkpoint the shared stage
+    # runs once)
+    cleaned = (
+        line_dedup(corpus, max_doc_freq=100)
+        .select(F.col("id").alias("doc_id"), "n_kept", F.col("cleaned_text").alias("text"))
+        .localCheckpoint(eager=True)
     )
     gop = gopher_rules(cleaned, min_words=40).select(
         "doc_id", "n_words", "r_word_count", "r_mean_word_len", "r_alpha_words"
     )
-    bits = bigram_surprise(cleaned).select("doc_id", "bits_per_bigram")
+    bits = bigram_surprise(cleaned, materialize=True).select("doc_id", "bits_per_bigram")
     feats = (
         cleaned.select("doc_id", "n_kept")
         .join(gop, "doc_id")
