@@ -1408,3 +1408,158 @@ def q148_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_tokens", "score",
         F.col("_tokens_before").cast("long").alias("tokens_before"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram features)
+# ---------------------------------------------------------------------------
+def _feature_bucket(col: Column, n_buckets: int) -> Column:
+    """SQL-portable string→bucket hash: first 8 md5 hex digits as an int,
+    mod ``n_buckets``. DuckDB twin:
+    ``CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % n_buckets``.
+
+    md5 is the one string hash both engines expose with identical output;
+    8 hex digits = 32 bits, plenty of avalanche for ≤2^16 buckets. The
+    production swap is ``pmod(xxhash64(f), n_buckets)`` (cheaper, JVM
+    intrinsic) — same pattern as :func:`_hash_key`.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % F.lit(n_buckets)
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+    smoothing: float = 1.0,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Per-doc DSIR importance weight: (doc_id, n_feats, log_weight).
+
+    Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+    fit two bag-of-hashed-n-gram unigram models — ``p`` over the TARGET
+    slice (``target_pred`` rows) and ``q`` over the full raw corpus — and
+    weight every document by ``log w(x) = Σ_b n_b(x)·(ln p_b − ln q_b)``
+    with add-``smoothing`` estimates over ``n_buckets`` hashed buckets
+    (unigrams + bigrams, the paper's feature set). Selection = rank by
+    ``log_weight`` (optionally + Gumbel noise for sampled-softmax; the
+    deterministic top-k form composes with :func:`sample_k_per_group` /
+    :func:`select_within_token_budget`).
+
+    Scale shape: ONE explode pass over the token stream; the per-(doc,
+    bucket) count is a map-side-combinable groupBy; both bucket marginals
+    re-aggregate THAT table (≤ docs×min(feats, n_buckets) rows), never the
+    raw stream; the log-ratio table is ≤ ``n_buckets`` rows and broadcast
+    into the scoring join. Nothing corpus-sized crosses the driver.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("is_target"),
+        tokens_expr(text_col).alias("ts"),
+    )
+    ts = F.col("ts")
+    feats = ts
+    if include_bigrams:
+        bigrams = F.when(
+            F.size(ts) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - 1),
+                lambda i: F.concat(
+                    F.element_at(ts, i), F.lit(" "), F.element_at(ts, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(ts, bigrams)
+    stream = base.select(
+        "doc_id", "is_target", F.explode(feats).alias("f")
+    ).select("doc_id", "is_target", _feature_bucket(F.col("f"), n_buckets).alias("b"))
+
+    nb = stream.groupBy("doc_id", "is_target", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
+    nb.count()  # materialize once for its three consumers
+
+    raw = nb.groupBy("b").agg(F.sum("c").alias("rq"))
+    tgt = nb.filter("is_target").groupBy("b").agg(F.sum("c").alias("tp"))
+    totals = raw.agg(
+        F.sum("rq").cast("double").alias("r_tot"),
+    ).crossJoin(tgt.agg(F.sum("tp").cast("double").alias("t_tot")))
+
+    s = float(smoothing)
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("tp"), F.lit(0)) + s) / (F.col("t_tot") + s * n_buckets))
+                - F.log((F.col("rq") + s) / (F.col("r_tot") + s * n_buckets))
+            ).alias("lam"),
+        )
+    )
+    out = (
+        nb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("lam")), 6).alias("log_weight"),
+        )
+    )
+    nb.unpersist()
+    return out
+
+
+@register(
+    "q170_dsir_importance_weights",
+    oracle=r"""
+        WITH base AS (
+            SELECT doc_id, (source = 'src1') AS is_target,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+            FROM documents
+        ),
+        uni AS (SELECT doc_id, is_target, unnest(ts) AS f FROM base),
+        bi AS (
+            SELECT doc_id, is_target,
+                   ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS f
+            FROM base, unnest(generate_series(1, len(ts) - 1)) u(i)
+            WHERE len(ts) >= 2
+        ),
+        feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        stream AS (
+            SELECT doc_id, is_target,
+                   CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 512 AS b
+            FROM feats
+        ),
+        nb AS (SELECT doc_id, is_target, b, COUNT(*) AS c FROM stream GROUP BY 1, 2, 3),
+        raw AS (SELECT b, SUM(c) AS rq FROM nb GROUP BY b),
+        tgt AS (SELECT b, SUM(c) AS tp FROM nb WHERE is_target GROUP BY b),
+        tots AS (SELECT (SELECT CAST(SUM(rq) AS DOUBLE) FROM raw) AS r_tot,
+                        (SELECT CAST(SUM(tp) AS DOUBLE) FROM tgt) AS t_tot),
+        ratio AS (
+            SELECT raw.b,
+                   ln((COALESCE(tgt.tp, 0) + 1.0) / (tots.t_tot + 1.0 * 512))
+                 - ln((raw.rq + 1.0) / (tots.r_tot + 1.0 * 512)) AS lam
+            FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots
+        )
+        SELECT nb.doc_id,
+               CAST(SUM(nb.c) AS BIGINT) AS n_feats,
+               ROUND(SUM(nb.c * ratio.lam), 6) AS log_weight
+        FROM nb JOIN ratio ON nb.b = ratio.b
+        GROUP BY nb.doc_id
+        ORDER BY nb.doc_id
+    """,
+    doc=(
+        "DSIR data selection (Xie et al. 2023): per-doc importance weight "
+        "log p_target(x)/p_raw(x) under add-1-smoothed hashed unigram+bigram "
+        "bag models (512 md5-hashed buckets, source='src1' as the target "
+        "domain). One token-stream pass, map-combinable (doc,bucket) counts, "
+        "bucket-sized broadcast log-ratio table."
+    ),
+    tags=("curation", "selection", "dsir"),
+)
+def q170_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return dsir_importance_weights(
+        docs, target_pred=F.col("source") == "src1", n_buckets=512
+    ).orderBy("doc_id")

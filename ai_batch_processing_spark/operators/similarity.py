@@ -1821,3 +1821,99 @@ def q163_ivf_sq8_cogrouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk_sq8(
         emb, queries, k=5, nlist=16, nprobe=16, max_query_rows=None
     ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Bucket-balanced sampling (cluster-balanced data selection)
+# --------------------------------------------------------------------------
+def bucket_balanced_sample(
+    emb: DataFrame,
+    k: int,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """(bucket, id, rnk): up to ``k`` vectors per LSH sign-bucket — the
+    cluster-balanced selection pattern (DataComp/SemDeDup-style diversity
+    sampling): partition the embedding space into 2^``n_planes`` regions
+    and take an equal-sized deterministic sample from each, so dense
+    regions stop dominating the training mix.
+
+    LSH sign-buckets stand in for k-means cells deliberately: the region
+    assignment is a PURE ROW EXPRESSION (no iterative fit, no centroid
+    state), so the whole operator is one window over (bucket) — engine-
+    reproducible and oracle-checkable, where a k-means assignment gates
+    rows-only (float AVG order differs across engines; q44's precedent).
+    Swap :func:`assign_cells` in for the bucket column when trained cells
+    matter more than reproducibility.
+
+    Scale shape: bucket is computed at scan, the per-bucket window is
+    partition-parallel (2^n_planes partitions ≫ skew only if the space is
+    degenerate — raise n_planes with log2(corpus) via
+    :func:`recommended_lsh_planes`), and the hash-rank pick is
+    :func:`~ai_batch_processing_spark.operators.curation.sample_k_per_group`'s
+    rerun/repartition-stable contract on (bucket, id).
+    """
+    from ai_batch_processing_spark.operators.curation import _hash_key
+
+    planes = hyperplanes(dim, n_planes, seed=seed)
+    keyed = emb.select(
+        F.col(id_col).alias("id"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    hk = _hash_key("id", seed, method)
+    w = Window.partitionBy("bucket").orderBy(hk.asc(), F.col("id").asc())
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("bucket", "id", "rnk")
+    )
+
+
+def _bucket_sample_oracle(k: int, n_planes: int, dim: int, seed: int) -> str:
+    """DuckDB twin of :func:`bucket_balanced_sample` (knuth rank): the same
+    seeded planes inlined, sign bits via sequential list_inner_product
+    (bit-identical to the Catalyst fold — q165's argument)."""
+    planes = hyperplanes(dim, n_planes, seed=seed)
+    bits = " + ".join(
+        f"CASE WHEN list_inner_product(v, [{', '.join(repr(x) for x in p)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH keyed AS (
+            SELECT vec_id AS id,
+                   CAST({bits} AS BIGINT) AS bucket,
+                   (vec_id * 2654435761 + {seed}) % 4294967296 AS hk
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        ),
+        ranked AS (
+            SELECT bucket, id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY hk, id) AS BIGINT) AS rnk
+            FROM keyed
+        )
+        SELECT bucket, id, rnk FROM ranked WHERE rnk <= {k}
+        ORDER BY bucket, rnk
+    """
+
+
+@register(
+    "q172_bucket_balanced_sample",
+    oracle=_bucket_sample_oracle(25, 6, 64, 23),
+    doc=(
+        "cluster-balanced data selection: equal-k deterministic sample per "
+        "LSH sign-region of the embedding space (64 regions), hash-rank "
+        "pick — the diversity-sampling step that stops dense regions "
+        "dominating a training mix. Pure row-expression region assignment, "
+        "partition-parallel window, engine-reproducible."
+    ),
+    tags=("similarity", "curation", "sample"),
+)
+def q172_bucket_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return bucket_balanced_sample(emb, k=25, n_planes=6, seed=23, method="knuth").orderBy(
+        "bucket", "rnk"
+    )

@@ -1263,3 +1263,141 @@ def q157_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained = bpe_train(docs, n_merges=_BPE_MERGES).orderBy("step").collect()
     merges = [(r.left, r.right) for r in trained]
     return bpe_encode_counts(docs, merges)
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span detection (cross-doc repeated n-gram islands)
+# ---------------------------------------------------------------------------
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal token spans duplicated across documents:
+    (doc_id, span_start, span_end, span_tokens) — token positions 0-based,
+    span_end inclusive.
+
+    The exact-substring dedup shape of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), approximated at a fixed
+    granule: a position is covered when the ``n``-token gram starting
+    there also appears in ≥ ``min_docs`` distinct documents; overlapping /
+    adjacent covered granules merge into one maximal span (the
+    gaps-and-islands rollup). Downstream, spans are what you cut or use to
+    discount loss — this emits them rather than rewriting text so the
+    operator composes with any cut policy.
+
+    Scale shape: the gram stream is corpus-linear (size-n+1 grams per
+    doc); grams shuffle as 32-char md5 keys, never the raw token windows
+    (the 100 TB form — same trick as exact_dedup_hashed); the distinct-doc
+    count is map-combinable; the island rollup is a per-doc window —
+    partition-parallel, no global sort. The suffix-array construction of
+    the paper finds arbitrary-length matches; fixed-``n`` granules trade
+    that generality for one shuffle and no per-node suffix index, and
+    catch every duplicated run ≥ n tokens exactly (runs < n are below the
+    granule and invisible — the standard knob).
+    """
+    toks = tokens_expr(text_col)
+    grams = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("ts"))
+        .filter(F.size("ts") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("ts"), i, n))),
+                )
+            ).alias("pos", "g"),
+        )
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+@register(
+    "q171_duplicate_spans",
+    oracle=r"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CAST(i AS BIGINT) - 1 AS pos,
+                   md5(array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 7], ' ')) AS g
+            FROM base, unnest(generate_series(1, len(ts) - 7)) u(i)
+            WHERE len(ts) >= 8
+        ),
+        dup AS (
+            SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN MAX(pos + 7) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) IS NULL
+                        OR pos > MAX(pos + 7) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) + 1
+                   THEN 1 ELSE 0 END AS new_island
+            FROM hits
+        ),
+        islands AS (
+            SELECT doc_id, pos,
+                   SUM(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM flagged
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+               CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+        FROM islands
+        GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
+    """,
+    doc=(
+        "exact duplicate-span detection (Lee et al. 2022 exact-substring "
+        "dedup at fixed 8-token granules): positions whose 8-gram repeats "
+        "in >=2 docs, merged into maximal spans via a per-doc "
+        "gaps-and-islands window. Grams shuffle as md5 keys."
+    ),
+    tags=("text", "dedup", "spans"),
+)
+def q171_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return duplicate_spans(docs, n=8, min_docs=2).orderBy("doc_id", "span_start")

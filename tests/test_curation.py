@@ -385,3 +385,43 @@ def test_line_dedup_order_threshold_and_reassembly(spark):
     rows2 = {r.id: r for r in line_dedup(df).collect()}
     assert rows2[1].cleaned_text == "alpha\nboiler\nbeta\ngamma"
     assert rows2[2].cleaned_text == "boiler\ndelta\nshared"
+
+
+# --- DSIR importance weights -------------------------------------------------
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    from ai_batch_processing_spark.operators.curation import dsir_importance_weights
+
+    rows = [
+        (1, "alpha beta alpha beta", "tgt"),
+        (2, "alpha beta gamma beta", "raw"),  # target-like
+        (3, "zeta eta theta iota", "raw"),  # target-unlike
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: r
+        for r in dsir_importance_weights(df, F.col("source") == "tgt").collect()
+    }
+    assert out[2].log_weight > out[3].log_weight
+    # n_feats = unigrams + bigrams = 2t - 1
+    assert out[1].n_feats == 7 and out[3].n_feats == 7
+
+
+def test_dsir_bigrams_make_weights_order_sensitive(spark):
+    from ai_batch_processing_spark.operators.curation import dsir_importance_weights
+
+    rows = [
+        (1, "the cat sat on the mat", "tgt"),
+        (2, "the cat sat on the mat", "raw"),
+        (3, "mat the on sat cat the", "raw"),  # same bag, scrambled order
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    tgt = F.col("source") == "tgt"
+    with_bi = {r.doc_id: r.log_weight for r in dsir_importance_weights(df, tgt).collect()}
+    no_bi = {
+        r.doc_id: r.log_weight
+        for r in dsir_importance_weights(df, tgt, include_bigrams=False).collect()
+    }
+    assert no_bi[2] == no_bi[3]  # unigram model is order-blind
+    assert with_bi[2] > with_bi[3]  # bigram features see the scramble

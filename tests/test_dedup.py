@@ -241,3 +241,52 @@ def test_minhash_bands8_frontier_recall(spark, sf_dir):
     }
     assert lsh <= exact
     assert len(lsh) >= 0.9 * len(exact)
+
+
+# --- duplicate-span detection ------------------------------------------------
+
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_planted_run(spark):
+    from ai_batch_processing_spark.operators.text import duplicate_spans
+
+    shared = "one two three four five six seven eight nine ten"  # 10 tokens
+    rows = [
+        (1, f"u1a u1b u1c u1d u1e {shared} t1x t1y"),
+        (2, f"v2a v2b {shared} v2c v2d v2e v2f"),
+        (3, "w3a w3b w3c w3d w3e w3f w3g w3h w3i w3j w3k"),  # unique
+    ]
+    out = duplicate_spans(_span_docs(spark, rows), n=8, min_docs=2).collect()
+    spans = {r.doc_id: (r.span_start, r.span_end, r.span_tokens) for r in out}
+    assert spans[1] == (5, 14, 10)
+    assert spans[2] == (2, 11, 10)
+    assert 3 not in spans
+
+
+def test_duplicate_spans_separate_runs_stay_separate(spark):
+    from ai_batch_processing_spark.operators.text import duplicate_spans
+
+    run_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    run_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [
+        (1, f"{run_a} x1 x2 x3 {run_b}"),
+        (2, f"{run_a} y1 y2 y3 y4 {run_b}"),
+    ]
+    out = duplicate_spans(_span_docs(spark, rows), n=8, min_docs=2).collect()
+    d1 = sorted((r.span_start, r.span_end) for r in out if r.doc_id == 1)
+    assert d1 == [(0, 7), (11, 18)]  # two islands, not one merged span
+
+
+def test_duplicate_spans_intra_doc_repeat_not_flagged(spark):
+    from ai_batch_processing_spark.operators.text import duplicate_spans
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    rows = [
+        (1, f"{run} q1 q2 {run}"),  # repeats only within one doc
+        (2, "s1 s2 s3 s4 s5 s6 s7 s8 s9"),
+    ]
+    out = duplicate_spans(_span_docs(spark, rows), n=8, min_docs=2).collect()
+    assert out == []

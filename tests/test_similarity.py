@@ -624,3 +624,44 @@ def test_random_projection_preserves_neighbors(spark, sf_dir):
     top1 = cosine_topk(pcorpus, clones, k=1).collect()
     hits = sum(1 for r in top1 if r.neighbor_id == r.query_id - 1_000_000)
     assert hits / len(top1) >= 0.9, f"clone top-1 recall {hits}/{len(top1)}"
+
+
+# --- bucket-balanced sampling ------------------------------------------------
+
+
+def test_bucket_balanced_sample_caps_every_bucket(spark):
+    from ai_batch_processing_spark.operators.similarity import bucket_balanced_sample
+
+    rows = [(i, [float(i % 7) + 0.1, -1.0 + 0.01 * i, 0.5, -0.25]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = bucket_balanced_sample(df, k=5, n_planes=4, dim=4, seed=23)
+    per_bucket = out.groupBy("bucket").count().collect()
+    assert all(r["count"] <= 5 for r in per_bucket)
+    assert out.count() == sum(min(5, r["count"]) for r in per_bucket)
+    assert out.filter(F.col("rnk") > 5).count() == 0
+
+
+def test_bucket_balanced_sample_repartition_stable(spark):
+    from ai_batch_processing_spark.operators.similarity import bucket_balanced_sample
+
+    rows = [(i, [float((i * 13) % 11) - 5.0, 1.0, -2.0, 0.125]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, bucket_balanced_sample(df, k=3, n_planes=4, dim=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            bucket_balanced_sample(df.repartition(13), k=3, n_planes=4, dim=4).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_bucket_balanced_sample_separates_opposite_vectors(spark):
+    from ai_batch_processing_spark.operators.similarity import bucket_balanced_sample
+
+    v = [1.0, 2.0, -0.5, 3.0]
+    rows = [(1, v), (2, v), (3, [-x for x in v])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.id: r.bucket for r in bucket_balanced_sample(df, k=10, n_planes=4, dim=4).collect()}
+    assert out[1] == out[2]  # identical vectors share a region
+    assert out[1] != out[3]  # antipodal vectors cannot share all sign bits
