@@ -1917,3 +1917,338 @@ def q172_bucket_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_balanced_sample(emb, k=25, n_planes=6, seed=23, method="knuth").orderBy(
         "bucket", "rnk"
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): trained codebooks, asymmetric-distance top-k
+# --------------------------------------------------------------------------
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks (Jégou et al. 2011): split ``dim`` into ``m``
+    subspaces of ``dim//m`` and run Lloyd's per subspace → ``(m, n_codes,
+    dim//m)`` nested lists. The memory math at 100 TB: a 64-dim float
+    vector is 256 B; its PQ code is m bytes (8 here) — 32× smaller, so a
+    billion-vector index fits a handful of executors.
+
+    ALL subspaces train in the SAME fused Arrow pass per iteration (the
+    :func:`kmeans_centroids` shape with a ``sub`` key): per round the
+    corpus is read once, each batch emits (sub, cell, pos) partial
+    sums/counts, and the shuffle is m×n_codes×(dim/m)×batches partial
+    rows. m sequential per-subspace trainings would scan the corpus
+    m×n_iter times for identical output. Init picks the first ``n_codes``
+    rows by xxhash64(id) order (deterministic, layout-independent) and
+    slices them per subspace; empty cells keep their previous centroid.
+    """
+    ds = dim // m
+    if ds * m != dim:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    init = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(n_codes)
+        .collect()
+    )
+    # (m, K, ds): subspace s of codeword j = init row j sliced at s
+    cb = np.array(
+        [[list(r.v)[s * ds : (s + 1) * ds] for r in init] for s in range(m)],
+        dtype=np.float64,
+    )
+    vecs = corpus.select(F.col(vec_col).alias("v"))
+    for _ in range(n_iter):
+        def partials(batches, _cb=cb):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                frames = []
+                for s in range(m):
+                    xs = x[:, s * ds : (s + 1) * ds]
+                    cn = (_cb[s] * _cb[s]).sum(axis=1)
+                    cells = np.argmin(cn[None, :] - 2.0 * (xs @ _cb[s].T), axis=1)
+                    for c in np.unique(cells):
+                        sel = xs[cells == c]
+                        sums = sel.sum(axis=0)
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "sub": np.full(ds, s, dtype=np.int32),
+                                    "cell": np.full(ds, c, dtype=np.int32),
+                                    "pos": np.arange(ds, dtype=np.int32),
+                                    "s": sums,
+                                    "n": np.full(ds, len(sel), dtype=np.int64),
+                                }
+                            )
+                        )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        new = (
+            vecs.mapInPandas(partials, "sub int, cell int, pos int, s double, n long")
+            .groupBy("sub", "cell", "pos")
+            .agg((F.sum("s") / F.sum("n")).alias("mean"))
+            .collect()
+        )
+        for r in new:
+            cb[r.sub][r.cell][r.pos] = r.mean
+    return cb.tolist()
+
+
+def _pq_assign_np(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(rows, dim) × (m, K, ds) → (rows, m) int codes: per-subspace L2
+    argmin via the expanded form ``argmin_j ||c_j||² − 2⟨x, c_j⟩`` (the
+    ||x||² term is constant per row). ``np.argmin`` takes the FIRST
+    minimum — the lowest-j tiebreak the SQL twin pins with
+    ``ORDER BY dist, j``."""
+    m, _, ds = cb.shape
+    codes = np.empty((len(x), m), dtype=np.int32)
+    for s in range(m):
+        xs = x[:, s * ds : (s + 1) * ds]
+        cn = (cb[s] * cb[s]).sum(axis=1)
+        codes[:, s] = np.argmin(cn[None, :] - 2.0 * (xs @ cb[s].T), axis=1)
+    return codes
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each vector reduced to its ``m`` codebook indices —
+    the persisted form of a PQ index (32× smaller than the float column
+    at m=8/dim=64). One numpy pass per Arrow batch."""
+    cb = np.array(codebooks, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series(list(_pq_assign_np(x, cb)))
+
+    return df.select(F.col(id_col).alias("id"), enc(F.col(vec_col)).alias("codes"))
+
+
+def seeded_int_codebooks(
+    dim: int, m: int, n_codes: int, seed: int = 131, lo: int = -127, hi: int = 127
+) -> list[list[list[float]]]:
+    """Seeded INTEGER codebooks: the oracle-gated PQ configuration.
+
+    Trained float codebooks cannot be hash-gated (Lloyd means are
+    float-summation-order sensitive across engines — q44's precedent), so
+    the gate fixes the codebook to seeded integers and quantizes vectors
+    with SQ8 first: every distance, LUT entry, and ADC score is then an
+    integer-valued double, bit-identical in any summation order — the
+    same integer-exactness argument as :func:`cosine_topk_sq8`."""
+    rng = random.Random(seed)
+    return [
+        [[float(rng.randint(lo, hi)) for _ in range(dim // m)] for _ in range(n_codes)]
+        for _ in range(m)
+    ]
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    quantize: str = "none",
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int | None = 100_000,
+) -> DataFrame:
+    """Top-k by PQ asymmetric distance computation: rank corpus vectors by
+    ``score(q, x) = Σ_sub ⟨q_sub, codeword(x, sub)⟩`` — the inner product
+    of the query with x's PQ RECONSTRUCTION, evaluated as m lookup-table
+    gathers per pair (never touching x's floats). (query_id, neighbor_id,
+    score, rank), self-matches excluded.
+
+    The scan is ONE fused numpy kernel per Arrow batch (the
+    :func:`cosine_topk_sq8` shape): encode the batch against the codebook
+    (:func:`_pq_assign_np`), gather per-subspace LUT columns, per-batch
+    top-k, then the global top-k window. The LUT (m×n_codes×queries) is
+    built once on the driver from the collected bounded query batch
+    (``max_query_rows`` fail-fast; the corpus side streams — at scale
+    this is the in-memory-index pattern where codes fit RAM and ADC is
+    memory-bandwidth-bound, the point of PQ).
+
+    ``quantize="sq8"`` runs the integer-exact gated configuration: both
+    sides SQ8-quantized and the codebook integer-valued (see
+    :func:`seeded_int_codebooks`), making the ranking hash-checkable
+    against the independent DuckDB twin (q173). ``"none"`` is the float
+    production path for TRAINED codebooks (:func:`pq_train`), whose
+    ranking quality is pinned by recall tests instead.
+    """
+    if quantize not in ("none", "sq8"):
+        raise ValueError(f"quantize must be none|sq8, got {quantize!r}")
+    if max_query_rows is not None:
+        n_q = queries.limit(max_query_rows + 1).count()
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"pq_adc_topk: query set exceeds max_query_rows={max_query_rows}. "
+                "ADC builds the query LUT on the driver; corpus-sized query "
+                "sets need a bounded batching loop."
+            )
+    cb = np.array(codebooks, dtype=np.float64)
+    m, _, ds = cb.shape
+    qrows = queries.select(F.col(query_id).alias("id"), F.col(vec_col).alias("v")).collect()
+    if not qrows:
+        schema = "query_id long, neighbor_id long, score double, rank int"
+        return corpus.sparkSession.createDataFrame([], schema)
+    qm = np.array([np.asarray(list(r.v), dtype=np.float64) for r in qrows])
+    if quantize == "sq8":
+        qm = _sq8_np(qm).astype(np.float64)
+    qids = np.array([r.id for r in qrows], dtype=np.int64)
+    # LUT[s]: (K, n_queries) — codeword · query-subvector inner products
+    lut = np.stack([cb[s] @ qm[:, s * ds : (s + 1) * ds].T for s in range(m)])
+
+    c = corpus.select(F.col(corpus_id).alias("id"), F.col(vec_col).alias("v"))
+    sq8 = quantize == "sq8"
+
+    def score_blocks(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            if sq8:
+                x = _sq8_np(x).astype(np.float64)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            codes = _pq_assign_np(x, cb)  # (rows, m)
+            sc = np.zeros((len(x), lut.shape[2]), dtype=np.float64)
+            for s in range(m):
+                sc += lut[s][codes[:, s]]  # gather (rows, n_queries)
+            frames = []
+            for j, qid in enumerate(qids):
+                col = sc[:, j]
+                idx = np.nonzero(ids != qid)[0]
+                if len(idx) == 0:
+                    continue
+                order = np.lexsort((ids[idx], -col[idx]))[:k]
+                sel = idx[order]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(sel), qid, dtype=np.int64),
+                            "neighbor_id": ids[sel],
+                            "score": col[sel],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = c.mapInPandas(score_blocks, "query_id long, neighbor_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def _pq_int_oracle(
+    lo: int, hi: int, k: int = 5, dim: int = 64, m: int = 8, n_codes: int = 16, seed: int = 131
+) -> str:
+    """DuckDB twin of the gated PQ configuration: the same seeded integer
+    codebooks inlined as literals, SQ8 quantization (the q159 CTE), L2
+    assignment via ``cn − 2⟨x,c⟩`` with the lowest-j tiebreak, and an ADC
+    score that is a sum of integer-valued doubles — order-free, so the
+    hash gate pins the encode+ADC machinery exactly."""
+    ds = dim // m
+    cb = seeded_int_codebooks(dim, m, n_codes, seed=seed)
+    rows = ",\n            ".join(
+        f"({s}, {j}, [{', '.join(str(int(x)) for x in cw)}]::BIGINT[])"
+        for s in range(m)
+        for j, cw in enumerate(cb[s])
+    )
+    quant = """
+            SELECT vec_id,
+                   list_transform(v, x -> CAST(round(
+                       x / (CASE WHEN mx / 127.0 > 0 THEN mx / 127.0 ELSE 1.0 END)
+                   ) AS BIGINT)) AS qv
+            FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+                  FROM vd)
+    """
+    return f"""
+        WITH vd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        quant AS ({quant}),
+        cb(sub, j, cw) AS (VALUES
+            {rows}
+        ),
+        cbn AS (
+            SELECT sub, j, cw,
+                   list_inner_product(CAST(cw AS DOUBLE[]), CAST(cw AS DOUBLE[])) AS cn
+            FROM cb
+        ),
+        subs AS (
+            SELECT vec_id, s.sub,
+                   qv[(s.sub * {ds} + 1):(s.sub * {ds} + {ds})] AS sv
+            FROM quant, (SELECT DISTINCT sub FROM cb) s
+        ),
+        dists AS (
+            SELECT subs.vec_id, subs.sub, cbn.j,
+                   cbn.cn - 2 * list_inner_product(CAST(subs.sv AS DOUBLE[]),
+                                                   CAST(cbn.cw AS DOUBLE[])) AS dist
+            FROM subs JOIN cbn ON subs.sub = cbn.sub
+        ),
+        codes AS (
+            SELECT vec_id, sub, j FROM (
+                SELECT vec_id, sub, j,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, j) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        qsubs AS (
+            SELECT vec_id AS query_id, s.sub,
+                   qv[(s.sub * {ds} + 1):(s.sub * {ds} + {ds})] AS sv
+            FROM quant, (SELECT DISTINCT sub FROM cb) s
+            WHERE vec_id >= {lo} AND vec_id < {hi}
+        ),
+        scored AS (
+            SELECT qs.query_id, codes.vec_id AS neighbor_id,
+                   SUM(list_inner_product(CAST(qs.sv AS DOUBLE[]),
+                                          CAST(cbn.cw AS DOUBLE[]))) AS score
+            FROM codes
+            JOIN cbn ON codes.sub = cbn.sub AND codes.j = cbn.j
+            JOIN qsubs qs ON qs.sub = codes.sub
+            WHERE codes.vec_id <> qs.query_id
+            GROUP BY qs.query_id, codes.vec_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id
+            ) AS rank FROM scored
+        )
+        SELECT query_id, neighbor_id, ROUND(score, 6) AS score, rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+@register(
+    "q173_pq_adc_int_topk",
+    oracle=_pq_int_oracle(48, 56),
+    doc=(
+        "product-quantization ADC top-k (Jégou et al. 2011, the 32×-"
+        "memory-compression ANN config) in its integer-exact gated form: "
+        "SQ8-quantized vectors, seeded integer codebooks, per-subspace L2 "
+        "assignment, score = sum of m LUT gathers — every distance and "
+        "score an integer-valued double, so the approximate ranking "
+        "itself hash-matches an independent DuckDB twin. Trained-codebook "
+        "recall is pinned separately in tests (q44's precedent)."
+    ),
+    tags=("similarity", "ann", "quantization", "verify"),
+)
+def q173_pq_adc_int_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter((F.col("vec_id") >= 48) & (F.col("vec_id") < 56))
+    cb = seeded_int_codebooks(64, 8, 16, seed=131)
+    return pq_adc_topk(emb, queries, cb, k=5, quantize="sq8").orderBy("query_id", "rank")

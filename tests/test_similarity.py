@@ -665,3 +665,104 @@ def test_bucket_balanced_sample_separates_opposite_vectors(spark):
     out = {r.id: r.bucket for r in bucket_balanced_sample(df, k=10, n_planes=4, dim=4).collect()}
     assert out[1] == out[2]  # identical vectors share a region
     assert out[1] != out[3]  # antipodal vectors cannot share all sign bits
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def _normed_emb(spark, sf="/root/testdata/sf0.001"):
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf, ["embeddings"])["embeddings"]
+    return emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> x / sqrt(aggregate(embedding, 0.0d,"
+            " (a, v) -> a + double(v) * double(v))))"
+        ).alias("embedding"),
+    )
+
+
+def test_pq_encode_matches_numpy_reference(spark):
+    import numpy as np
+
+    from ai_batch_processing_spark.operators.similarity import (
+        _pq_assign_np,
+        pq_encode,
+        seeded_int_codebooks,
+    )
+
+    df = _normed_emb(spark).limit(100).persist()
+    cb = np.array(seeded_int_codebooks(64, 8, 16, seed=5))
+    got = {r.id: list(r.codes) for r in pq_encode(df, cb.tolist()).collect()}
+    rows = df.collect()
+    X = np.array([list(r.embedding) for r in rows])
+    want = _pq_assign_np(X, cb)
+    for i, r in enumerate(rows):
+        assert got[r.vec_id] == list(want[i])
+    assert all(0 <= c < 16 for codes in got.values() for c in codes)
+    df.unpersist()
+
+
+def test_pq_train_reduces_quantization_error(spark):
+    import numpy as np
+
+    from ai_batch_processing_spark.operators.similarity import _pq_assign_np, pq_train
+
+    df = _normed_emb(spark).persist()
+    rows = df.collect()
+    X = np.array([list(r.embedding) for r in rows])
+    m, K, ds = 8, 16, 8
+    # init = what pq_train starts from: first-K rows by xxhash64 order;
+    # easier equivalent floor: ANY fixed slice-based codebook
+    init = np.array([[X[j][s * ds : (s + 1) * ds] for j in range(K)] for s in range(m)])
+    trained = np.array(pq_train(df, m=m, n_codes=K, n_iter=3))
+
+    def err(cbm):
+        codes = _pq_assign_np(X, cbm)
+        return sum(
+            float(((X[:, s * ds : (s + 1) * ds] - cbm[s][codes[:, s]]) ** 2).sum())
+            for s in range(m)
+        )
+
+    assert err(trained) < err(init)
+    df.unpersist()
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    import numpy as np
+
+    from ai_batch_processing_spark.operators.similarity import pq_adc_topk, pq_train
+
+    df = _normed_emb(spark).persist()
+    rows = df.collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(r.embedding) for r in rows])
+    cb = pq_train(df, m=16, n_codes=64, n_iter=3)
+    qs = df.filter("vec_id < 20")
+    pq = pq_adc_topk(df, qs, cb, k=10).collect()
+    rec = []
+    for qid in range(20):
+        q = X[ids == qid][0]
+        s = X @ q
+        s[ids == qid] = -9e9
+        exact = set(ids[np.lexsort((ids, -s))[:10]])
+        got = {r.neighbor_id for r in pq if r.query_id == qid}
+        rec.append(len(exact & got) / 10)
+    # measured 0.61 at this config on the sf0.001 corpus; generous margin
+    assert np.mean(rec) >= 0.45
+    df.unpersist()
+
+
+def test_pq_adc_topk_query_guard(spark):
+    import pytest
+
+    from ai_batch_processing_spark.operators.similarity import (
+        pq_adc_topk,
+        seeded_int_codebooks,
+    )
+
+    df = _normed_emb(spark)
+    cb = seeded_int_codebooks(64, 8, 16)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        pq_adc_topk(df, df, cb, k=3, max_query_rows=10)
