@@ -2252,3 +2252,124 @@ def q173_pq_adc_int_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter((F.col("vec_id") >= 48) & (F.col("vec_id") < 56))
     cb = seeded_int_codebooks(64, 8, 16, seed=131)
     return pq_adc_topk(emb, queries, cb, k=5, quantize="sq8").orderBy("query_id", "rank")
+
+
+def ann_ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    quantize: str = "none",
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int | None = 100_000,
+) -> DataFrame:
+    """IVF-PQ: IVF candidate generation + PQ-ADC scoring — FAISS's
+    ``IVF,PQ`` composed config, the standard billion-scale layout (cells
+    prune the scan to ~nprobe/nlist of the corpus; inside a cell each
+    candidate costs m LUT gathers against codes 32× smaller than floats).
+
+    Cells come from float k-means exactly as :func:`ann_ivf_topk`; the
+    rescore never touches candidate floats — the corpus side carries only
+    (cell, codes) after one encode pass. At nprobe = nlist every cell is
+    probed and the output equals :func:`pq_adc_topk` exactly; with
+    ``quantize="sq8"`` + integer codebooks that configuration is the
+    hash-gated q174 (the q161-vs-q159 pattern).
+
+    Bounded query batches only: the ADC LUT is built from the collected
+    query side (``max_query_rows`` fail-fast; ``None`` is rejected — a
+    corpus-sized ADC path would need a cell-cogrouped LUT kernel like
+    :func:`_ivf_block_scores_sq8`, which the SQ8 family covers; use that
+    for all-vs-all jobs).
+    """
+    if quantize not in ("none", "sq8"):
+        raise ValueError(f"quantize must be none|sq8, got {quantize!r}")
+    if max_query_rows is None:
+        raise ValueError(
+            "ann_ivf_pq_topk supports bounded query batches only (the ADC "
+            "LUT is driver-built). For corpus-sized query sets use "
+            "ann_ivf_topk_sq8(max_query_rows=None) or batch the queries."
+        )
+    n_q = queries.limit(max_query_rows + 1).count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"ann_ivf_pq_topk: query set exceeds max_query_rows={max_query_rows}."
+        )
+    cb = np.array(codebooks, dtype=np.float64)
+    m, _, ds = cb.shape
+    qrows = queries.select(F.col(query_id).alias("id"), F.col(vec_col).alias("v")).collect()
+    if not qrows:
+        schema = "query_id long, neighbor_id long, score double, rank int"
+        return corpus.sparkSession.createDataFrame([], schema)
+    qm = np.array([np.asarray(list(r.v), dtype=np.float64) for r in qrows])
+    if quantize == "sq8":
+        qm = _sq8_np(qm).astype(np.float64)
+    qid_to_col = {int(r.id): j for j, r in enumerate(qrows)}
+    lut = np.stack([cb[s] @ qm[:, s * ds : (s + 1) * ds].T for s in range(m)])
+    sq8 = quantize == "sq8"
+
+    centroids = kmeans_centroids(corpus, nlist=nlist, id_col=corpus_id, vec_col=vec_col)
+
+    @F.pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        if sq8:
+            x = _sq8_np(x).astype(np.float64)
+        return pd.Series(list(_pq_assign_np(x, cb)))
+
+    c = assign_cells(corpus, centroids, id_col=corpus_id, vec_col=vec_col).select(
+        F.col(corpus_id).alias("neighbor_id"), enc(F.col(vec_col)).alias("_codes"), "cell"
+    )
+    q = assign_cells(queries, centroids, id_col=query_id, vec_col=vec_col, nprobe=nprobe).select(
+        F.col(query_id).alias("query_id"), "cell"
+    )
+    cands = _probe_join(c, q, queries, max_query_rows).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    @F.pandas_udf("double")
+    def adc(codes: pd.Series, qids: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=float)
+        cm = np.array([np.asarray(cs, dtype=np.int64) for cs in codes])
+        cols = qids.map(qid_to_col).to_numpy(dtype=np.int64)
+        sc = np.zeros(len(cm), dtype=np.float64)
+        for s in range(m):
+            sc += lut[s][cm[:, s], cols]
+        return pd.Series(sc)
+
+    scored = cands.select(
+        "query_id", "neighbor_id", adc(F.col("_codes"), F.col("query_id")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+@register(
+    "q174_ivf_pq_exhaustive_topk",
+    oracle=_pq_int_oracle(48, 56),
+    doc=(
+        "IVF-PQ (FAISS IVF,PQ: cell pruning + 32×-compressed ADC rescore) "
+        "run at nprobe = nlist so the output provably equals the "
+        "exhaustive PQ ranking and hash-matches the q173 DuckDB twin — "
+        "pins the composed candidate-join + encode + LUT-scoring path end "
+        "to end (the q161-vs-q159 pattern)."
+    ),
+    tags=("similarity", "ann", "quantization", "verify"),
+)
+def q174_ivf_pq_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter((F.col("vec_id") >= 48) & (F.col("vec_id") < 56))
+    cb = seeded_int_codebooks(64, 8, 16, seed=131)
+    return ann_ivf_pq_topk(
+        emb, queries, cb, k=5, nlist=16, nprobe=16, quantize="sq8"
+    ).orderBy("query_id", "rank")

@@ -766,3 +766,43 @@ def test_pq_adc_topk_query_guard(spark):
     cb = seeded_int_codebooks(64, 8, 16)
     with pytest.raises(ValueError, match="max_query_rows"):
         pq_adc_topk(df, df, cb, k=3, max_query_rows=10)
+
+
+def test_ivf_pq_pruned_recall_vs_exhaustive(spark):
+    import numpy as np
+
+    from ai_batch_processing_spark.operators.similarity import (
+        ann_ivf_pq_topk,
+        pq_adc_topk,
+        pq_train,
+    )
+
+    df = _normed_emb(spark).persist()
+    cb = pq_train(df, m=16, n_codes=16, n_iter=2)
+    qs = df.filter("vec_id < 10")
+    exact = pq_adc_topk(df, qs, cb, k=5).collect()
+    pruned = ann_ivf_pq_topk(df, qs, cb, k=5, nlist=8, nprobe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    pruned_set = {(r.query_id, r.neighbor_id) for r in pruned}
+    # cell pruning at nprobe=nlist/2 must retain most of the PQ ranking
+    assert len(exact_set & pruned_set) / len(exact_set) >= 0.5
+    # and full probing must reproduce it exactly
+    full = ann_ivf_pq_topk(df, qs, cb, k=5, nlist=8, nprobe=8).collect()
+    assert {(r.query_id, r.neighbor_id, r.score, r.rank) for r in full} == {
+        (r.query_id, r.neighbor_id, r.score, r.rank) for r in exact
+    }
+    df.unpersist()
+
+
+def test_ivf_pq_rejects_unbounded_queries(spark):
+    import pytest
+
+    from ai_batch_processing_spark.operators.similarity import (
+        ann_ivf_pq_topk,
+        seeded_int_codebooks,
+    )
+
+    df = _normed_emb(spark)
+    cb = seeded_int_codebooks(64, 8, 16)
+    with pytest.raises(ValueError, match="bounded query batches"):
+        ann_ivf_pq_topk(df, df, cb, max_query_rows=None)
