@@ -1860,9 +1860,15 @@ def bucket_balanced_sample(
     from ai_batch_processing_spark.operators.curation import _hash_key
 
     planes = hyperplanes(dim, n_planes, seed=seed)
+    # vectorized sign-bit kernel, not the interpreted lsh_bucket_expr HOF
+    # fold (n_planes×dim interpreted lambda steps per row): bit-identical
+    # for dim-matched vectors (_table_buckets_vec's dim-sequential
+    # accumulation). Measured 1.04 s → 0.72 s warm on the sf0.1 table;
+    # the residual wall is the per-bucket rank window, which is the
+    # operator's real work.
     keyed = emb.select(
         F.col(id_col).alias("id"),
-        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+        F.element_at(_table_buckets_vec(vec_col, [planes]), 1).alias("bucket"),
     )
     hk = _hash_key("id", seed, method)
     w = Window.partitionBy("bucket").orderBy(hk.asc(), F.col("id").asc())

@@ -1294,6 +1294,7 @@ def duplicate_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Maximal token spans duplicated across documents:
     (doc_id, span_start, span_end, span_tokens) — token positions 0-based,
@@ -1317,7 +1318,17 @@ def duplicate_spans(
     that generality for one shuffle and no per-node suffix index, and
     catch every duplicated run ≥ n tokens exactly (runs < n are below the
     granule and invisible — the standard knob).
+
+    ``method``: gram-key hash — ``xxhash64`` (8-byte shuffle key, JVM
+    intrinsic) is the production default; ``md5`` is the SQL-portable
+    twin the q171 oracle gate runs (the :func:`_feature_bucket` pattern).
     """
+    if method == "xxhash64":
+        key = lambda g: F.xxhash64(g)  # noqa: E731
+    elif method == "md5":
+        key = F.md5
+    else:
+        raise ValueError(f"method must be xxhash64|md5, got {method!r}")
     toks = tokens_expr(text_col)
     grams = (
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("ts"))
@@ -1327,7 +1338,7 @@ def duplicate_spans(
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(1), F.size("ts") - (n - 1)),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("ts"), i, n))),
+                    lambda i: key(F.concat_ws(" ", F.slice(F.col("ts"), i, n))),
                 )
             ).alias("pos", "g"),
         )
@@ -1420,4 +1431,6 @@ def duplicate_spans(
 )
 def q171_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return duplicate_spans(docs, n=8, min_docs=2).orderBy("doc_id", "span_start")
+    return duplicate_spans(docs, n=8, min_docs=2, method="md5").orderBy(
+        "doc_id", "span_start"
+    )
