@@ -90,6 +90,14 @@ def register(
 # this only biases WHICH subset a capped driver proves.
 _PRIORITY = [
     # ---- round-5 gate prefix (the driver caps at ~50 rows) ----
+    # Second round-5 batch first (newest-never-gated leads the line):
+    # DSIR importance weights, duplicate-span detection, bucket-balanced
+    # sampling, PQ-ADC (integer-exact config), IVF-PQ at recall-1.
+    "q170_dsir_importance_weights",
+    "q171_duplicate_spans",
+    "q172_bucket_balanced_sample",
+    "q173_pq_adc_int_topk",
+    "q174_ivf_pq_exhaustive_topk",
     # New this round, never driver-gated: the hash-gateable twin of q150
     # (rational perturbation + recall-1 edge build + unrolled-oracle
     # pagerank — closes the last rows-only gap without an in-gate twin).

@@ -69,6 +69,15 @@ QUERIES = [
     # round-5: Gopher rule-based quality filter — one Catalyst projection
     # over the whole documents table, the pure scan-regex regime
     "q164_gopher_quality_rules",
+    # round-5 additions, all unbounded over documents/embeddings:
+    # q98 is q40's 100 TB form (128-bit hashed group key instead of the
+    # raw-text shuffle) — the pair shows what the key choice costs as the
+    # corpus grows; q170/q171 are token-stream explode+hash aggregations;
+    # q173 is the PQ-ADC scan (encode + LUT gathers per corpus vector)
+    "q98_dedup_exact_hashed",
+    "q170_dsir_importance_weights",
+    "q171_duplicate_spans",
+    "q173_pq_adc_int_topk",
 ]
 
 # LLM-pipeline heavies (round-2 verdict item 8) need crossover-SPECIFIC
