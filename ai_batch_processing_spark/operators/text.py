@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import functools
 
+import pandas as pd  # noqa: F401 — pandas-UDF type hints resolve against it
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1434,3 +1436,164 @@ def q171_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, n=8, min_docs=2, method="md5").orderBy(
         "doc_id", "span_start"
     )
+
+
+@register(
+    "q175_ngram_novelty",
+    oracle=r"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   md5(array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 7], ' ')) AS g
+            FROM base, unnest(generate_series(1, len(ts) - 7)) u(i)
+            WHERE len(ts) >= 8
+        ),
+        df AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+        SELECT grams.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               ROUND(AVG(CASE WHEN df.nd = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
+        FROM grams JOIN df USING (g)
+        GROUP BY grams.doc_id
+        ORDER BY grams.doc_id
+    """,
+    doc=(
+        "per-doc n-gram novelty: fraction of a document's 8-token grams "
+        "that occur in NO other document — the RAVEN-style novelty / "
+        "memorization measure (complement of q171's duplicated spans, as "
+        "a scalar curation signal). Same corpus-linear gram machinery: "
+        "hashed gram keys, map-combinable doc-frequency aggregate."
+    ),
+    tags=("text", "dedup", "quality"),
+)
+def q175_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return ngram_novelty(docs, n=8, method="md5").orderBy("doc_id")
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, n_grams, novelty): fraction of the doc's ``n``-token grams
+    that appear in no OTHER document (repeats within the same doc still
+    count as novel — doc-frequency, not raw frequency, is the signal).
+
+    High novelty = content unique to this document; low novelty =
+    assembled from text shared across the corpus. The scalar companion to
+    :func:`duplicate_spans` (which localizes the shared regions), used as
+    a ranking/filter feature where spans are the cut instruction.
+
+    Scale shape identical to :func:`duplicate_spans`: one corpus-linear
+    gram explode, grams shuffle as hashed keys (``method`` as there), the
+    doc-frequency aggregate is map-combinable, and the per-doc rollup
+    joins gram→df on the hashed key only.
+    """
+    if method == "xxhash64":
+        key = lambda g: F.xxhash64(g)  # noqa: E731
+    elif method == "md5":
+        key = F.md5
+    else:
+        raise ValueError(f"method must be xxhash64|md5, got {method!r}")
+    toks = tokens_expr(text_col)
+    grams = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("ts"))
+        .filter(F.size("ts") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+                    lambda i: key(F.concat_ws(" ", F.slice(F.col("ts"), i, n))),
+                )
+            ).alias("g"),
+        )
+    )
+    df_counts = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        grams.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(F.avg(F.when(F.col("nd") == 1, 1.0).otherwise(0.0)), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (Dolma / RedPajama-2 feature)
+# ---------------------------------------------------------------------------
+def compression_ratio(
+    docs: DataFrame,
+    level: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, ratio): per-doc DEFLATE ratio — the
+    compressibility quality signal published pipelines compute per
+    document (Dolma's and RedPajama-v2's quality-signal sets): highly
+    compressible text (ratio « typical prose ~0.4–0.6) is boilerplate /
+    repetition; near-incompressible text (ratio ≈ 1) is encoded blobs or
+    noise. Both tails are cut or down-weighted.
+
+    One Arrow-batched pandas UDF (zlib is CPython-bundled — no optional
+    dependency); the work is embarrassingly row-parallel and
+    corpus-linear, the right shape for a scan-time signal. Rows-only by
+    necessity: the oracle engine has no compressor, so this signal is
+    pinned by unit tests (repetition → lower ratio than novel prose;
+    byte-exact determinism) instead of a SQL twin.
+    """
+    lvl = int(level)
+
+    @F.pandas_udf("long")
+    def comp(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return pd.Series(
+            [
+                len(zlib.compress(t.encode("utf-8") if t is not None else b"", lvl))
+                for t in texts
+            ],
+            dtype="int64",
+        )
+
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),  # JVM-side
+        comp(F.col(text_col)).alias("n_compressed"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        F.round(
+            F.when(F.col("n_bytes") > 0, F.col("n_compressed") / F.col("n_bytes"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("ratio"),
+    )
+
+
+@register(
+    "q176_compression_ratio",
+    oracle=None,  # no compressor in the oracle engine — unit-test pinned
+    doc=(
+        "per-doc DEFLATE compression ratio (Dolma / RedPajama-v2 quality "
+        "signal): boilerplate compresses far below prose, encoded noise "
+        "barely compresses; both tails are filter targets. Arrow-batched "
+        "zlib, corpus-linear. Rows-only: no SQL-side compressor exists; "
+        "repetition-ordering and determinism are test-pinned."
+    ),
+    tags=("text", "quality"),
+)
+def q176_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return compression_ratio(docs).orderBy("doc_id")

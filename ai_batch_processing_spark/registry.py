@@ -98,6 +98,8 @@ _PRIORITY = [
     "q172_bucket_balanced_sample",
     "q173_pq_adc_int_topk",
     "q174_ivf_pq_exhaustive_topk",
+    "q175_ngram_novelty",
+    "q176_compression_ratio",
     # New this round, never driver-gated: the hash-gateable twin of q150
     # (rational perturbation + recall-1 edge build + unrolled-oracle
     # pagerank — closes the last rows-only gap without an in-gate twin).

@@ -290,3 +290,54 @@ def test_duplicate_spans_intra_doc_repeat_not_flagged(spark):
     ]
     out = duplicate_spans(_span_docs(spark, rows), n=8, min_docs=2).collect()
     assert out == []
+
+
+def test_ngram_novelty_planted(spark):
+    from ai_batch_processing_spark.operators.text import ngram_novelty
+
+    shared = "c1 c2 c3 c4 c5 c6 c7 c8"  # 8 tokens -> exactly one gram
+    rows = [
+        (1, "a1 a2 a3 a4 a5 a6 a7 a8 a9"),  # 2 grams, all unique to doc 1
+        (2, shared),  # its single gram also appears in doc 3
+        (3, f"{shared} b1"),  # grams: shared one + one unique
+    ]
+    out = {
+        r.doc_id: r
+        for r in ngram_novelty(_span_docs(spark, rows), n=8).collect()
+    }
+    assert (out[1].n_grams, out[1].novelty) == (2, 1.0)
+    assert (out[2].n_grams, out[2].novelty) == (1, 0.0)
+    assert (out[3].n_grams, out[3].novelty) == (2, 0.5)
+
+
+def test_ngram_novelty_intra_doc_repeat_still_novel(spark):
+    from ai_batch_processing_spark.operators.text import ngram_novelty
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    rows = [(1, f"{run} x {run}"), (2, "s1 s2 s3 s4 s5 s6 s7 s8 s9")]
+    out = {r.doc_id: r for r in ngram_novelty(_span_docs(spark, rows), n=8).collect()}
+    # doc 1 repeats its own run; no OTHER doc shares it -> fully novel
+    assert out[1].novelty == 1.0
+
+
+def test_compression_ratio_orders_repetition_below_prose(spark):
+    from ai_batch_processing_spark.operators.text import compression_ratio
+
+    rows = [
+        (1, "spam " * 400),  # pure repetition
+        (2, " ".join(f"w{i}x{i * 7 % 13}" for i in range(400))),  # novel-ish tokens
+    ]
+    out = {r.doc_id: r for r in compression_ratio(_span_docs(spark, rows)).collect()}
+    assert out[1].ratio < out[2].ratio
+    assert 0 < out[1].ratio < 0.2  # repetition compresses drastically
+    assert out[1].n_bytes == 2000
+
+
+def test_compression_ratio_deterministic_and_repartition_stable(spark):
+    from ai_batch_processing_spark.operators.text import compression_ratio
+
+    rows = [(i, f"doc {i} body " + "tail " * (i % 7)) for i in range(50)]
+    df = _span_docs(spark, rows)
+    a = sorted(map(tuple, compression_ratio(df).collect()))
+    b = sorted(map(tuple, compression_ratio(df.repartition(7)).collect()))
+    assert a == b
