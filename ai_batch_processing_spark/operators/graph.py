@@ -65,11 +65,23 @@ def pagerank(
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     try:
-        n_part = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        conf_part = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
-        n_part = nodes.rdd.getNumPartitions()
+        conf_part = nodes.rdd.getNumPartitions()
+    # SIZE the loop's fixed layout from the edge count (one cheap count on
+    # the cached raw edges, which the odeg aggregate reuses): every round
+    # schedules 2-3 stages over this layout, so a 1.5k-edge bench graph on
+    # 32-partition stages pays 10×~90 near-empty tasks of pure scheduling
+    # floor — ~100k edges per partition collapses that to 1-task stages
+    # (measured: q122 3.99 s → see commit) while a 100 TB edge set still
+    # fans out to the conf value. AQE cannot do this for us: the cached
+    # layout must be an explicit REPARTITION_BY_NUM (below), which is
+    # exactly the form AQE leaves alone.
+    e_raw = edges.persist()
+    n_edges = e_raw.count()
+    n_part = max(1, min(conf_part, -(-n_edges // 100_000)))
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    odeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    odeg = e_raw.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
     # out-degree attached to each edge once, reused every iteration; the
     # hash-repartition on src with an EXPLICIT partition count is
     # load-bearing: only REPARTITION_BY_NUM partitioning survives into the
@@ -79,7 +91,7 @@ def pagerank(
     # .repartition("src") does NOT) — so the EDGE side, the big side at
     # scale, never re-shuffles inside the loop
     e = (
-        edges.join(odeg, "src")
+        e_raw.join(odeg, "src")
         .select("src", "dst", "odeg")
         .repartition(n_part, "src")
         .persist()
@@ -119,6 +131,7 @@ def pagerank(
     # ranks is eagerly checkpointed — nothing downstream depends on e's
     # cache, and a library function must not leak storage across calls
     e.unpersist()
+    e_raw.unpersist()
     return ranks
 
 

@@ -2379,3 +2379,117 @@ def q174_ivf_pq_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_pq_topk(
         emb, queries, cb, k=5, nlist=16, nprobe=16, quantize="sq8"
     ).orderBy("query_id", "rank")
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a PQ index: the codes table + the codebook.
+
+    The serving layout of :func:`pq_adc_topk`: codebooks train once
+    (:func:`pq_train`), the corpus is encoded once, and what lands on
+    disk is ``{path}/codes`` — (id, codes), m small ints per vector, 32×
+    smaller than the float column at m=8/dim=64 — plus
+    ``{path}/codebook`` (m×n_codes×(dim/m) floats). A billion-vector
+    index is ~m GB of codes: small enough to cache in executor memory,
+    which is what makes ADC memory-bandwidth-bound rather than IO-bound.
+    Searches never read the float column at all.
+    """
+    cb = pq_train(
+        corpus, m=m, n_codes=n_codes, n_iter=n_iter, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    spark = corpus.sparkSession
+    cb_rows = [
+        (s, j, [float(x) for x in cw]) for s, book in enumerate(cb) for j, cw in enumerate(book)
+    ]
+    spark.createDataFrame(cb_rows, "sub int, code int, codeword array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+    pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+
+
+def search_pq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int | None = 100_000,
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index — the query-time half of
+    :func:`build_pq_index`: load the codebook (m×n_codes rows), build the
+    per-query LUTs on the driver from the collected bounded query batch,
+    and stream the CODES table through the gather kernel. The float
+    column never enters the plan; the scan is the m-byte codes only.
+    """
+    cb_rows = spark.read.parquet(f"{path}/codebook").collect()
+    m = 1 + max(r.sub for r in cb_rows)
+    n_codes = 1 + max(r.code for r in cb_rows)
+    ds = len(cb_rows[0].codeword)
+    cb = np.zeros((m, n_codes, ds), dtype=np.float64)
+    for r in cb_rows:
+        cb[r.sub][r.code] = r.codeword
+    if max_query_rows is not None:
+        n_q = queries.limit(max_query_rows + 1).count()
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"search_pq_index: query set exceeds max_query_rows={max_query_rows}."
+            )
+    qrows = queries.select(F.col(query_id).alias("id"), F.col(vec_col).alias("v")).collect()
+    if not qrows:
+        schema = "query_id long, neighbor_id long, score double, rank int"
+        return spark.createDataFrame([], schema)
+    qm = np.array([np.asarray(list(r.v), dtype=np.float64) for r in qrows])
+    qids = np.array([r.id for r in qrows], dtype=np.int64)
+    lut = np.stack([cb[s] @ qm[:, s * ds : (s + 1) * ds].T for s in range(m)])
+
+    codes_df = spark.read.parquet(f"{path}/codes")
+
+    def score_blocks(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array([np.asarray(cs, dtype=np.int64) for cs in pdf["codes"]])
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            sc = np.zeros((len(cm), lut.shape[2]), dtype=np.float64)
+            for s in range(m):
+                sc += lut[s][cm[:, s]]
+            frames = []
+            for j, qid in enumerate(qids):
+                col = sc[:, j]
+                idx = np.nonzero(ids != qid)[0]
+                if len(idx) == 0:
+                    continue
+                order = np.lexsort((ids[idx], -col[idx]))[:k]
+                sel = idx[order]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(sel), qid, dtype=np.int64),
+                            "neighbor_id": ids[sel],
+                            "score": col[sel],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = codes_df.mapInPandas(
+        score_blocks, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )

@@ -806,3 +806,32 @@ def test_ivf_pq_rejects_unbounded_queries(spark):
     cb = seeded_int_codebooks(64, 8, 16)
     with pytest.raises(ValueError, match="bounded query batches"):
         ann_ivf_pq_topk(df, df, cb, max_query_rows=None)
+
+
+def test_pq_index_roundtrip_matches_inline_adc(tmp_path, spark):
+    from ai_batch_processing_spark.operators.similarity import (
+        build_pq_index,
+        pq_adc_topk,
+        search_pq_index,
+    )
+
+    df = _normed_emb(spark).persist()
+    path = str(tmp_path / "pq_index")
+    build_pq_index(df, path, m=8, n_codes=16, n_iter=2)
+    qs = df.filter("vec_id < 10")
+    got = search_pq_index(spark, path, qs, k=5).collect()
+    # the persisted index must reproduce the inline path under the SAME
+    # codebook — read it back from disk (retraining could drift in the
+    # last ulp through partial-sum aggregation order)
+    rows = spark.read.parquet(f"{path}/codebook").collect()
+    cb = [[None] * 16 for _ in range(8)]
+    for r in rows:
+        cb[r.sub][r.code] = list(r.codeword)
+    want = pq_adc_topk(df, qs, cb, k=5).collect()
+    assert {(r.query_id, r.neighbor_id, r.score, r.rank) for r in got} == {
+        (r.query_id, r.neighbor_id, r.score, r.rank) for r in want
+    }
+    # and the index directory must not contain the float column
+    codes = spark.read.parquet(f"{path}/codes")
+    assert set(codes.columns) == {"id", "codes"}
+    df.unpersist()
