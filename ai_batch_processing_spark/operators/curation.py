@@ -1458,7 +1458,15 @@ def dsir_importance_weights(
     re-aggregate THAT table (≤ docs×min(feats, n_buckets) rows), never the
     raw stream; the log-ratio table is ≤ ``n_buckets`` rows and broadcast
     into the scoring join. Nothing corpus-sized crosses the driver.
+
+    Fails fast when ``target_pred`` matches nothing (the weights would
+    otherwise be silently NULL — there is no target distribution to
+    estimate).
     """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not smoothing > 0:
+        raise ValueError(f"smoothing must be > 0 (log of zero otherwise), got {smoothing}")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         target_pred.alias("is_target"),
@@ -1485,6 +1493,12 @@ def dsir_importance_weights(
         F.count(F.lit(1)).alias("c")
     ).persist()
     nb.count()  # materialize once for its three consumers
+    if nb.filter("is_target").limit(1).count() == 0:  # cached-scan probe
+        nb.unpersist()
+        raise ValueError(
+            "dsir_importance_weights: target_pred matches no documents — "
+            "no target distribution to estimate"
+        )
 
     raw = nb.groupBy("b").agg(F.sum("c").alias("rq"))
     tgt = nb.filter("is_target").groupBy("b").agg(F.sum("c").alias("tp"))

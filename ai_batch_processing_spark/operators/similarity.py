@@ -1857,6 +1857,12 @@ def bucket_balanced_sample(
     :func:`~ai_batch_processing_spark.operators.curation.sample_k_per_group`'s
     rerun/repartition-stable contract on (bucket, id).
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 1 <= n_planes <= 62:
+        raise ValueError(
+            f"n_planes must be in [1, 62] (long sign-bit budget), got {n_planes}"
+        )
     from ai_batch_processing_spark.operators.curation import _hash_key
 
     planes = hyperplanes(dim, n_planes, seed=seed)
@@ -2092,6 +2098,9 @@ def pq_adc_topk(
     against the independent DuckDB twin (q173). ``"none"`` is the float
     production path for TRAINED codebooks (:func:`pq_train`), whose
     ranking quality is pinned by recall tests instead.
+
+    Query ids must be unique — the ANN family contract (a repeated id
+    would emit its top-k twice under one ``query_id``, inflating ranks).
     """
     if quantize not in ("none", "sq8"):
         raise ValueError(f"quantize must be none|sq8, got {quantize!r}")

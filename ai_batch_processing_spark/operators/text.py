@@ -1325,6 +1325,10 @@ def duplicate_spans(
     intrinsic) is the production default; ``md5`` is the SQL-portable
     twin the q171 oracle gate runs (the :func:`_feature_bucket` pattern).
     """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
     if method == "xxhash64":
         key = lambda g: F.xxhash64(g)  # noqa: E731
     elif method == "md5":

@@ -425,3 +425,15 @@ def test_dsir_bigrams_make_weights_order_sensitive(spark):
     }
     assert no_bi[2] == no_bi[3]  # unigram model is order-blind
     assert with_bi[2] > with_bi[3]  # bigram features see the scramble
+
+
+def test_dsir_empty_target_fails_fast(spark):
+    import pytest
+
+    from ai_batch_processing_spark.operators.curation import dsir_importance_weights
+
+    df = spark.createDataFrame(
+        [(1, "some text here", "raw")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="target_pred matches no documents"):
+        dsir_importance_weights(df, F.col("source") == "nope").collect()
