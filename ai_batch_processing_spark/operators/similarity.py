@@ -1967,6 +1967,11 @@ def pq_train(
         .limit(n_codes)
         .collect()
     )
+    if len(init) < n_codes:
+        raise ValueError(
+            f"pq_train: corpus has only {len(init)} rows but n_codes={n_codes} "
+            "codewords per subspace were requested"
+        )
     # (m, K, ds): subspace s of codeword j = init row j sliced at s
     cb = np.array(
         [[list(r.v)[s * ds : (s + 1) * ds] for r in init] for s in range(m)],
