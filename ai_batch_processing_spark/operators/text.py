@@ -1437,9 +1437,11 @@ def duplicate_spans(
 )
 def q171_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return duplicate_spans(docs, n=8, min_docs=2, method="md5").orderBy(
-        "doc_id", "span_start"
-    )
+    # PRODUCTION hash (xxhash64): unlike q170, the gram hash is only a
+    # join/aggregate key here — spans never expose it, so the registered
+    # form runs the production path and still hash-matches the md5-keyed
+    # oracle (outputs are hash-agnostic; only gram EQUALITY matters)
+    return duplicate_spans(docs, n=8, min_docs=2).orderBy("doc_id", "span_start")
 
 
 @register(
@@ -1475,7 +1477,8 @@ def q171_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q175_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return ngram_novelty(docs, n=8, method="md5").orderBy("doc_id")
+    # xxhash64: hash-agnostic output (see q171's note)
+    return ngram_novelty(docs, n=8).orderBy("doc_id")
 
 
 def ngram_novelty(
