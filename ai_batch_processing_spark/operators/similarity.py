@@ -2426,8 +2426,79 @@ def build_pq_index(
     spark.createDataFrame(cb_rows, "sub int, code int, codeword array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/codebook")
-    pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col).write.mode("overwrite").parquet(
-        f"{path}/codes"
+    # batch=-1 marks the base build; streaming appends land under their own
+    # batch partitions (_append_pq_batch) so replays are idempotent — the
+    # IVF index layout contract
+    pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col).withColumn(
+        "batch", F.lit(-1)
+    ).write.mode("overwrite").partitionBy("batch").parquet(f"{path}/codes")
+
+
+def _append_pq_batch(
+    index_path: str,
+    codebooks: list[list[list[float]]],
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write one streaming micro-batch of codes, idempotently — the PQ
+    twin of :func:`_append_ivf_batch`: rows land under ``batch=<id>`` in
+    DYNAMIC overwrite mode, so an at-least-once foreachBatch replay
+    rewrites exactly its own partition instead of appending duplicates."""
+    (
+        pq_encode(batch_df, codebooks, id_col=id_col, vec_col=vec_col)
+        .withColumn("batch", F.lit(batch_id).cast("int"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(f"{index_path}/codes")
+    )
+
+
+def _load_pq_codebook(spark: SparkSession, path: str) -> list[list[list[float]]]:
+    rows = spark.read.parquet(f"{path}/codebook").collect()
+    m = 1 + max(r.sub for r in rows)
+    n_codes = 1 + max(r.code for r in rows)
+    cb: list[list[list[float]]] = [[None] * n_codes for _ in range(m)]  # type: ignore[list-item]
+    for r in rows:
+        cb[r.sub][r.code] = list(r.codeword)
+    return cb
+
+
+def stream_update_pq_index(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint: str,
+    schema: str = "vec_id long, label string, embedding array<float>",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental PQ index maintenance — the
+    :func:`stream_update_ivf_index` contract for the codes table: the
+    codebook stays FROZEN (re-training would re-map every committed
+    code; it's the periodic offline job, exactly like IVF centroids),
+    each micro-batch encodes its vectors with the same kernel as the
+    build and lands under its own ``batch=<id>`` partition. At-least-once
+    delivery + idempotent per-batch write = exactly-once index contents.
+    Returns the StreamingQuery (availableNow: drain pending files, stop).
+    """
+    cb = _load_pq_codebook(spark, index_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _append_pq_batch(index_path, cb, batch_df, batch_id, id_col=id_col, vec_col=vec_col)
+
+    return (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
 
 
@@ -2445,6 +2516,10 @@ def search_pq_index(
     per-query LUTs on the driver from the collected bounded query batch,
     and stream the CODES table through the gather kernel. The float
     column never enters the plan; the scan is the m-byte codes only.
+
+    Latest-batch-wins on re-ingested ids (the :func:`search_ivf_index`
+    contract): with >1 batch in the index, each id's max-batch row
+    survives; the single-batch fast path skips the dedup shuffle.
     """
     cb_rows = spark.read.parquet(f"{path}/codebook").collect()
     m = 1 + max(r.sub for r in cb_rows)
@@ -2468,6 +2543,15 @@ def search_pq_index(
     lut = np.stack([cb[s] @ qm[:, s * ds : (s + 1) * ds].T for s in range(m)])
 
     codes_df = spark.read.parquet(f"{path}/codes")
+    n_batches = codes_df.select("batch").distinct().limit(2).count()
+    if n_batches > 1:
+        wb = Window.partitionBy("id").orderBy(F.desc("batch"))
+        codes_df = (
+            codes_df.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    codes_df = codes_df.select("id", "codes")  # prune: the scan is codes-only
 
     def score_blocks(batches):
         for pdf in batches:

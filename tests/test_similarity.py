@@ -833,5 +833,63 @@ def test_pq_index_roundtrip_matches_inline_adc(tmp_path, spark):
     }
     # and the index directory must not contain the float column
     codes = spark.read.parquet(f"{path}/codes")
-    assert set(codes.columns) == {"id", "codes"}
+    assert set(codes.columns) == {"id", "codes", "batch"}  # batch = index layout key
+    df.unpersist()
+
+
+def test_stream_update_pq_index_and_reingest_dedup(spark, tmp_path):
+    """PQ streaming maintenance: new vectors land under their batch
+    partitions (frozen codebook), replays are idempotent, and a vec_id
+    re-ingested in a LATER batch appears at most once in search results
+    (latest-batch-wins — the search_ivf_index contract)."""
+    import json as _json
+
+    from ai_batch_processing_spark.operators.similarity import (
+        _append_pq_batch,
+        _load_pq_codebook,
+        build_pq_index,
+        search_pq_index,
+        stream_update_pq_index,
+    )
+
+    df = _normed_emb(spark).persist()
+    base = df.filter("vec_id < 400").withColumnRenamed("vec_id", "vec_id")
+    idx = str(tmp_path / "pq")
+    build_pq_index(base, idx, m=8, n_codes=16, n_iter=2)
+    n0 = spark.read.parquet(f"{idx}/codes").count()
+
+    probe = df.filter("vec_id = 3").select("embedding").first().embedding
+    newbies = [
+        {"vec_id": int(r.vec_id), "label": "x", "embedding": [float(x) for x in r.embedding]}
+        for r in df.filter("vec_id >= 400 AND vec_id < 420").collect()
+    ]
+    clone = {"vec_id": 999_999, "label": "x", "embedding": [float(x) for x in probe]}
+    src = tmp_path / "pq_in"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in newbies[:10]))
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in newbies[10:] + [clone]))
+    ckpt = str(tmp_path / "ckpt_pq")
+    q = stream_update_pq_index(spark, str(src), idx, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{idx}/codes").count() == n0 + 21
+
+    queries = df.filter("vec_id = 3")
+    hits = search_pq_index(spark, idx, queries, k=3).collect()
+    # the clone shares vec 3's codes exactly -> ties vec 3's own ADC score
+    assert 999_999 in {r.neighbor_id for r in hits}
+
+    # restart with the same checkpoint: nothing pending, nothing appended
+    q2 = stream_update_pq_index(spark, str(src), idx, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{idx}/codes").count() == n0 + 21
+
+    # re-ingest vec_id 5 in a later batch: search must return it ONCE
+    cb = _load_pq_codebook(spark, idx)
+    _append_pq_batch(idx, cb, df.filter("vec_id = 5"), batch_id=99)
+    out = search_pq_index(spark, idx, df.filter("vec_id = 7"), k=400).collect()
+    assert sum(1 for r in out if r.neighbor_id == 5) == 1
+    # and replaying that batch is a no-op
+    n1 = spark.read.parquet(f"{idx}/codes").count()
+    _append_pq_batch(idx, cb, df.filter("vec_id = 5"), batch_id=99)
+    assert spark.read.parquet(f"{idx}/codes").count() == n1
     df.unpersist()
