@@ -321,3 +321,165 @@ def q169_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_kept", "n_words", "bits_per_bigram", "repeat_factor")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q177_curation_pipeline_v4",
+    oracle=r"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CAST(i AS BIGINT) - 1 AS pos,
+                   md5(array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 7], ' ')) AS g
+            FROM base, unnest(generate_series(1, len(ts) - 7)) u(i)
+            WHERE len(ts) >= 8
+        ),
+        gdf AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+        novelty AS (
+            SELECT grams.doc_id,
+                   ROUND(AVG(CASE WHEN gdf.nd = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
+            FROM grams JOIN gdf USING (g)
+            GROUP BY grams.doc_id
+        ),
+        hits AS (
+            SELECT doc_id, pos FROM grams JOIN (SELECT g FROM gdf WHERE nd >= 2) d USING (g)
+        ),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN MAX(pos + 7) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) IS NULL
+                        OR pos > MAX(pos + 7) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) + 1
+                   THEN 1 ELSE 0 END AS new_island
+            FROM hits
+        ),
+        islands AS (
+            SELECT doc_id, pos,
+                   SUM(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM flagged
+        ),
+        cover AS (
+            SELECT doc_id, SUM(span_tokens) AS covered
+            FROM (
+                SELECT doc_id, MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens
+                FROM islands GROUP BY doc_id, island
+            )
+            GROUP BY doc_id
+        ),
+        uni AS (SELECT doc_id, (source = 'src1') AS is_target, unnest(ts) AS f FROM base),
+        bi AS (
+            SELECT doc_id, (source = 'src1') AS is_target,
+                   ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS f
+            FROM base, unnest(generate_series(1, len(ts) - 1)) u(i)
+            WHERE len(ts) >= 2
+        ),
+        stream AS (
+            SELECT doc_id, is_target,
+                   CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 512 AS b
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        ),
+        nb AS (SELECT doc_id, is_target, b, COUNT(*) AS c FROM stream GROUP BY 1, 2, 3),
+        raw AS (SELECT b, SUM(c) AS rq FROM nb GROUP BY b),
+        tgt AS (SELECT b, SUM(c) AS tp FROM nb WHERE is_target GROUP BY b),
+        tots AS (SELECT (SELECT CAST(SUM(rq) AS DOUBLE) FROM raw) AS r_tot,
+                        (SELECT CAST(SUM(tp) AS DOUBLE) FROM tgt) AS t_tot),
+        ratio AS (
+            SELECT raw.b,
+                   ln((COALESCE(tgt.tp, 0) + 1.0) / (tots.t_tot + 1.0 * 512))
+                 - ln((raw.rq + 1.0) / (tots.r_tot + 1.0 * 512)) AS lam
+            FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots
+        ),
+        dsir AS (
+            SELECT nb.doc_id, ROUND(SUM(nb.c * ratio.lam), 6) AS log_weight
+            FROM nb JOIN ratio ON nb.b = ratio.b
+            GROUP BY nb.doc_id
+        ),
+        feats AS (
+            SELECT b.doc_id, b.source,
+                   CAST(len(b.ts) AS BIGINT) AS n_tokens,
+                   n.novelty,
+                   ROUND(CAST(COALESCE(c.covered, 0) AS DOUBLE) / len(b.ts), 6) AS span_frac,
+                   d.log_weight
+            FROM base b
+            JOIN novelty n USING (doc_id)
+            LEFT JOIN cover c USING (doc_id)
+            JOIN dsir d USING (doc_id)
+            WHERE len(b.ts) > 0
+        ),
+        kept AS (SELECT * FROM feats WHERE novelty >= 0.5 AND span_frac <= 0.5),
+        ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY log_weight DESC, doc_id
+            ) AS BIGINT) AS rk
+            FROM kept
+        )
+        SELECT doc_id, source, n_tokens, novelty, span_frac, log_weight, rk
+        FROM ranked WHERE rk <= 10
+        ORDER BY source, rk
+    """,
+    doc=(
+        "round-5 capstone v4: n-gram novelty gate + duplicate-span "
+        "coverage cap + DSIR target-likeness ranking -> top-10 per "
+        "source, composed in one plan from the q175/q171/q170 machinery "
+        "(each stage also gated individually) and hash-matched end to "
+        "end. Ranking is on the ROUNDED log-weight (both engines agree "
+        "on it by q170's gate) with the doc_id tiebreak."
+    ),
+    tags=("pipeline", "curation", "selection", "dsir"),
+)
+def q177_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.curation import dsir_importance_weights
+    from ai_batch_processing_spark.operators.text import (
+        duplicate_spans,
+        ngram_novelty,
+        token_count_ws,
+    )
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    nov = ngram_novelty(docs, n=8).select("doc_id", "novelty")
+    cover = (
+        duplicate_spans(docs, n=8, min_docs=2)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("covered"))
+    )
+    dsir = dsir_importance_weights(
+        docs, target_pred=F.col("source") == "src1", n_buckets=512, method="md5"
+    ).select("doc_id", "log_weight")
+    feats = (
+        docs.select(
+            "doc_id", "source", token_count_ws(F.col("text")).cast("long").alias("n_tokens")
+        )
+        .filter(F.col("n_tokens") > 0)
+        .join(nov, "doc_id")
+        .join(cover, "doc_id", "left")
+        .join(dsir, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "novelty",
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double") / F.col("n_tokens"), 6
+            ).alias("span_frac"),
+            "log_weight",
+        )
+    )
+    kept = feats.filter((F.col("novelty") >= 0.5) & (F.col("span_frac") <= 0.5))
+    w = Window.partitionBy("source").orderBy(F.desc("log_weight"), F.asc("doc_id"))
+    return (
+        kept.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .orderBy("source", "rk")
+    )

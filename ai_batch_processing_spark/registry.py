@@ -100,6 +100,7 @@ _PRIORITY = [
     "q174_ivf_pq_exhaustive_topk",
     "q175_ngram_novelty",
     "q176_compression_ratio",
+    "q177_curation_pipeline_v4",
     # New this round, never driver-gated: the hash-gateable twin of q150
     # (rational perturbation + recall-1 edge build + unrolled-oracle
     # pagerank — closes the last rows-only gap without an in-gate twin).
