@@ -1583,3 +1583,97 @@ def q170_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(
         docs, target_pred=F.col("source") == "src1", n_buckets=512, method="md5"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling (Efraimidis–Spirakis reservoir analog)
+# ---------------------------------------------------------------------------
+def weighted_sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Exactly ``min(k, group size)`` rows per group, drawn with
+    probability proportional to ``weight_col`` — Efraimidis–Spirakis
+    (2006) priority sampling: key = −ln(u)/w with u hash-uniform in
+    (0, 1], keep the k SMALLEST keys. The weighted twin of
+    :func:`sample_k_per_group` (uniform = all weights equal), and the
+    standard way to take a token-weighted corpus sample without a
+    global sort or draw-with-replacement loop.
+
+    Deterministic and distributed by construction: the key is a pure
+    row expression (hash → uniform → transform), so reruns,
+    repartitions, and engines agree; per-group selection is one window
+    over the group partition. Rows with non-positive weight are
+    excluded (their inclusion probability is 0). Keys are ROUNDED to
+    6dp for the oracle gate with the id tiebreak breaking rounding
+    collisions deterministically — ln parity across engines is the
+    q170 precedent.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    hk = _hash_key(id_col, seed, method)
+    # u in (0, 1]: (h + 1) / (2^32 + 1) for the knuth hash's [0, 2^32) range;
+    # xxhash64 spans the full signed long — shift into [0, 2^64) first
+    if method == "knuth":
+        u = (hk + 1).cast("double") / F.lit(4294967297.0)
+    else:
+        u = (hk.cast("double") + F.lit(2.0**63) + 1.0) / F.lit(2.0**64 + 1.0)
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 6)
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("skey", key)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(group_col, id_col, "skey", "rnk")
+    )
+
+
+@register(
+    "q178_weighted_sample",
+    oracle=r"""
+        WITH weighted AS (
+            SELECT source, doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> t <> '')) AS DOUBLE) AS w,
+                   ((doc_id * 2654435761 + 7) % 4294967296 + 1) / 4294967297.0 AS u
+            FROM documents
+        ),
+        keyed AS (
+            SELECT source, doc_id, ROUND(-ln(u) / w, 6) AS skey
+            FROM weighted WHERE w > 0
+        ),
+        ranked AS (
+            SELECT source, doc_id, skey,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY skey, doc_id
+                   ) AS BIGINT) AS rnk
+            FROM keyed
+        )
+        SELECT source, doc_id, skey, rnk FROM ranked WHERE rnk <= 5
+        ORDER BY source, rnk
+    """,
+    doc=(
+        "Efraimidis-Spirakis weighted priority sampling: 5 docs per "
+        "source with probability proportional to token count — "
+        "key = -ln(hash-uniform)/weight, k smallest per group. The "
+        "token-weighted corpus sample as a pure row expression + one "
+        "group window; knuth-hash uniform for the oracle gate."
+    ),
+    tags=("curation", "sample"),
+)
+def q178_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import token_count_ws
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sized = docs.select(
+        "source", "doc_id", token_count_ws(F.col("text")).cast("double").alias("w")
+    )
+    return weighted_sample_k_per_group(
+        sized, "source", k=5, weight_col="w", method="knuth"
+    ).orderBy("source", "rnk")

@@ -437,3 +437,49 @@ def test_dsir_empty_target_fails_fast(spark):
     )
     with pytest.raises(ValueError, match="target_pred matches no documents"):
         dsir_importance_weights(df, F.col("source") == "nope").collect()
+
+
+# --- weighted priority sampling ----------------------------------------------
+
+
+def test_weighted_sample_exact_k_and_stability(spark):
+    from ai_batch_processing_spark.operators.curation import weighted_sample_k_per_group
+
+    rows = [(f"s{i % 3}", i, float(1 + i % 11)) for i in range(120)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w double")
+    out = weighted_sample_k_per_group(df, "source", k=4, weight_col="w")
+    per = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert per == {"s0": 4, "s1": 4, "s2": 4}
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            weighted_sample_k_per_group(
+                df.repartition(11), "source", k=4, weight_col="w"
+            ).collect(),
+        )
+    )
+    assert a == b  # repartition-stable
+
+
+def test_weighted_sample_weight_monotonicity(spark):
+    from ai_batch_processing_spark.operators.curation import weighted_sample_k_per_group
+
+    rows = [("g", i, 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w double")
+    base = {r.doc_id for r in weighted_sample_k_per_group(df, "source", 3, "w").collect()}
+    loser = sorted(set(range(50)) - base)[0]  # a row the uniform sample skipped
+    boosted = df.withColumn(
+        "w", F.when(F.col("doc_id") == loser, 1e9).otherwise(F.col("w"))
+    )
+    got = {r.doc_id for r in weighted_sample_k_per_group(boosted, "source", 3, "w").collect()}
+    assert loser in got  # a 10^9 weight boost pulls it into the sample
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from ai_batch_processing_spark.operators.curation import weighted_sample_k_per_group
+
+    rows = [("g", 1, 5.0), ("g", 2, 0.0), ("g", 3, -1.0), ("g", 4, 2.0)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w double")
+    got = {r.doc_id for r in weighted_sample_k_per_group(df, "source", 10, "w").collect()}
+    assert got == {1, 4}
