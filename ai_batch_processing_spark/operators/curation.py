@@ -1677,3 +1677,88 @@ def q178_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_k_per_group(
         sized, "source", k=5, weight_col="w", method="knuth"
     ).orderBy("source", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Quantile-thresholded selection (relative quality cuts)
+# ---------------------------------------------------------------------------
+def select_top_fraction(
+    df: DataFrame,
+    frac: float,
+    score_col: str,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the best ``frac`` of rows by ``score_col`` within each group —
+    the RELATIVE form of quality filtering (absolute thresholds drift as
+    the corpus mix shifts; "top 30% per source" is the knob production
+    pipelines actually turn). Ties at the cut resolve deterministically
+    by ``id_col``.
+
+    One window per group partition (percent_rank over (score desc, id)),
+    no global sort, no two-pass quantile estimation: at 100 TB the
+    per-group rank IS the selection, where a computed threshold would
+    need a second full pass to apply. percent_rank is (rank−1)/(n−1), so
+    ``frac`` of a large group survives to within one row; single-row
+    groups always survive (their percent_rank is 0).
+    """
+    if not 0 < frac <= 1:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    parts = [F.col(c) for c in (group_cols or [])]
+    w = (
+        Window.partitionBy(*parts).orderBy(F.desc(score_col), F.asc(id_col))
+        if parts
+        else Window.partitionBy(F.lit(1)).orderBy(F.desc(score_col), F.asc(id_col))
+    )
+    return (
+        df.withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("pr") <= frac)
+        .drop("pr")
+    )
+
+
+@register(
+    "q179_top_fraction_by_source",
+    oracle=r"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   ROUND(CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                              / length(text)
+                         ELSE 0.0 END, 6) AS score
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, source, score,
+                   ROUND(PERCENT_RANK() OVER (
+                       PARTITION BY source ORDER BY score DESC, doc_id
+                   ), 6) AS pr
+            FROM scored
+        )
+        SELECT doc_id, source, score FROM ranked WHERE pr <= 0.3
+        ORDER BY doc_id
+    """,
+    doc=(
+        "relative quality cut: keep the top 30% of docs per source by "
+        "alpha-ratio score — percent_rank per group partition, ties "
+        "broken by doc_id, no global sort and no two-pass threshold "
+        "computation. The production knob absolute thresholds can't be."
+    ),
+    tags=("curation", "selection"),
+)
+def q179_top_fraction_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.when(F.length("text") > 0, alpha.cast("double") / F.length("text")).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("score"),
+    )
+    return select_top_fraction(scored, 0.3, "score", group_cols=["source"]).orderBy(
+        "doc_id"
+    )

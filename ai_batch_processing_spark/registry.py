@@ -102,6 +102,7 @@ _PRIORITY = [
     "q176_compression_ratio",
     "q177_curation_pipeline_v4",
     "q178_weighted_sample",
+    "q179_top_fraction_by_source",
     # New this round, never driver-gated: the hash-gateable twin of q150
     # (rational perturbation + recall-1 edge build + unrolled-oracle
     # pagerank — closes the last rows-only gap without an in-gate twin).

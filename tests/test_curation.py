@@ -483,3 +483,32 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     df = spark.createDataFrame(rows, "source string, doc_id long, w double")
     got = {r.doc_id for r in weighted_sample_k_per_group(df, "source", 10, "w").collect()}
     assert got == {1, 4}
+
+
+def test_select_top_fraction_sizes_and_ties(spark):
+    from ai_batch_processing_spark.operators.curation import select_top_fraction
+
+    # 100 rows per group, distinct scores -> exactly 30 + the boundary row
+    rows = [(f"g{i % 2}", i, float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, score double")
+    out = select_top_fraction(df, 0.3, "score", group_cols=["source"])
+    per = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    # percent_rank = (rank-1)/(n-1): rank 1..30 have pr <= 29/99 < 0.3,
+    # rank 31 has pr = 30/99 > 0.3 -> exactly 30 per group
+    assert per == {"g0": 30, "g1": 30}
+    # the kept rows are the TOP scores
+    top = {r.doc_id for r in out.filter("source = 'g0'").collect()}
+    assert top == set(range(140, 200, 2))
+
+
+def test_select_top_fraction_singleton_and_validation(spark):
+    import pytest
+
+    from ai_batch_processing_spark.operators.curation import select_top_fraction
+
+    df = spark.createDataFrame(
+        [("g", 1, 0.5)], "source string, doc_id long, score double"
+    )
+    assert select_top_fraction(df, 0.01, "score", group_cols=["source"]).count() == 1
+    with pytest.raises(ValueError, match="frac"):
+        select_top_fraction(df, 0.0, "score")
