@@ -85,7 +85,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def lang_id_expr(text: Column | str) -> Column:
     """Stopword-voting language ID: most stopword hits wins; ties and
     zero-hit rows → 'und' (undetermined)."""
-    toks = tokens_expr(text)
+    return lang_vote_expr(tokens_expr(text))
+
+
+def lang_vote_expr(toks: Column) -> Column:
+    """The stopword vote over an ALREADY-TOKENIZED array — shared by the
+    whole-doc form (:func:`lang_id_expr`) and the windowed
+    code-switching detector (:func:`lang_mixing`), so the two can never
+    disagree on vote semantics."""
     arrays = {lang: F.array(*[F.lit(w) for w in ws]) for lang, ws in STOPWORDS.items()}
     hits = {
         lang: F.size(F.filter(toks, (lambda arr: lambda t: F.array_contains(arr, t))(arr)))
@@ -1604,3 +1611,130 @@ def compression_ratio(
 def q176_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return compression_ratio(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Window-level language consistency (code-switching / mixed-language signal)
+# ---------------------------------------------------------------------------
+def lang_mixing(
+    docs: DataFrame,
+    window: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, doc_lang, n_windows, n_foreign, mix_ratio): split each doc
+    into non-overlapping ``window``-token spans, language-vote each span,
+    and measure how many disagree with the whole-doc vote — the
+    code-switching / mixed-language signal (CCNet and mC4 drop or reroute
+    documents whose language is locally inconsistent; a single document
+    vote can't see a pasted foreign block that this catches).
+
+    'und' windows (no stopword hits / tied votes) are indeterminate, not
+    foreign — only a window CONFIDENTLY voting another language counts.
+    Zero-shuffle: windows are a per-row sequence+slice fan-out and the
+    rollup folds over the array in the same projection; nothing leaves
+    the row until the final (doc-sized) result.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = tokens_expr(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("ts"),
+        lang_vote_expr(toks).alias("doc_lang"),
+    ).filter(F.size("ts") > 0)
+    wins = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size("ts") / window).cast("int") - 1),
+        lambda i: lang_vote_expr(F.slice(F.col("ts"), i * window + 1, window)),
+    )
+    out = base.select(
+        "doc_id",
+        "doc_lang",
+        wins.alias("_wl"),
+    ).select(
+        "doc_id",
+        "doc_lang",
+        F.size("_wl").cast("long").alias("n_windows"),
+        F.size(
+            F.filter(
+                F.col("_wl"), lambda wl: (wl != F.col("doc_lang")) & (wl != F.lit("und"))
+            )
+        )
+        .cast("long")
+        .alias("n_foreign"),
+    )
+    return out.withColumn(
+        "mix_ratio", F.round(F.col("n_foreign") / F.col("n_windows"), 6)
+    )
+
+
+def _vote_case_sql(tk: str) -> str:
+    """The q50 stopword-vote CASE over token-array expression ``tk`` —
+    generated once and interpolated for both the doc and window votes so
+    the oracle can never drift from itself."""
+    stops = {
+        "en": "['the','and','of','to','a','in','is','that','for','with']",
+        "es": "['el','la','de','que','y','en','un','es','por','con']",
+        "de": "['der','die','das','und','ist','von','mit','den','ein','zu']",
+        "fr": "['le','la','de','et','un','est','que','pour','dans','avec']",
+    }
+    hits = {
+        lang: f"len(list_filter({tk}, t -> list_contains({lst}, t)))"
+        for lang, lst in stops.items()
+    }
+    best = f"GREATEST({hits['en']}, {hits['es']}, {hits['de']}, {hits['fr']})"
+    n_best = " + ".join(
+        f"CASE WHEN {h} = {best} THEN 1 ELSE 0 END" for h in hits.values()
+    )
+    branches = "\n                ".join(
+        f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in ("en", "es", "de", "fr")
+    )
+    return f"""CASE
+                WHEN {best} <= 0 OR ({n_best}) > 1 THEN 'und'
+                {branches}
+                ELSE 'und'
+            END"""
+
+
+@register(
+    "q180_lang_mixing",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, ts, {_vote_case_sql('ts')} AS doc_lang
+            FROM toks WHERE len(ts) > 0
+        ),
+        wins AS (
+            SELECT doc_id, doc_lang,
+                   ts[CAST(i * 20 + 1 AS INT):CAST(i * 20 + 20 AS INT)] AS wts
+            FROM base,
+                 unnest(generate_series(0, CAST(ceil(len(ts) / 20.0) AS BIGINT) - 1)) u(i)
+        ),
+        voted AS (
+            SELECT doc_id, doc_lang, {_vote_case_sql('wts')} AS wl FROM wins
+        )
+        SELECT doc_id, doc_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN wl <> doc_lang AND wl <> 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_foreign,
+               ROUND(SUM(CASE WHEN wl <> doc_lang AND wl <> 'und' THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS mix_ratio
+        FROM voted
+        GROUP BY doc_id, doc_lang
+        ORDER BY doc_id
+    """,
+    doc=(
+        "window-level language consistency (code-switching signal, the "
+        "CCNet/mC4 mixed-language filter shape): 20-token spans "
+        "language-voted independently, mix_ratio = confidently-foreign "
+        "windows / windows. Zero-shuffle per-row fan-out; the window vote "
+        "shares lang_vote_expr with q50 so the two cannot drift."
+    ),
+    tags=("text", "langid", "quality"),
+)
+def q180_lang_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return lang_mixing(docs, window=20).orderBy("doc_id")

@@ -103,6 +103,7 @@ _PRIORITY = [
     "q177_curation_pipeline_v4",
     "q178_weighted_sample",
     "q179_top_fraction_by_source",
+    "q180_lang_mixing",
     # New this round, never driver-gated: the hash-gateable twin of q150
     # (rational perturbation + recall-1 edge build + unrolled-oracle
     # pagerank — closes the last rows-only gap without an in-gate twin).

@@ -341,3 +341,32 @@ def test_compression_ratio_deterministic_and_repartition_stable(spark):
     a = sorted(map(tuple, compression_ratio(df).collect()))
     b = sorted(map(tuple, compression_ratio(df.repartition(7)).collect()))
     assert a == b
+
+
+def test_lang_mixing_detects_pasted_foreign_block(spark):
+    from ai_batch_processing_spark.operators.text import lang_mixing
+
+    en = "the cat and the dog went to the house with a friend " * 8  # ~96 toks
+    es = "el perro y el gato es un animal que vive en la casa con la familia "
+    rows = [
+        (1, en + es * 2),  # english doc with a pasted spanish block
+        (2, en),  # pure english
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in lang_mixing(df, window=20).collect()}
+    assert out[1].doc_lang == "en" and out[2].doc_lang == "en"
+    assert out[1].n_foreign >= 1  # the spanish windows vote es
+    assert out[2].n_foreign == 0
+    assert out[1].mix_ratio > out[2].mix_ratio
+
+
+def test_lang_mixing_und_windows_not_foreign(spark):
+    from ai_batch_processing_spark.operators.text import lang_mixing
+
+    # stopword-free gibberish windows vote 'und' -> indeterminate, not foreign
+    en = "the cat and the dog went to the house with a friend " * 2
+    gib = "zzq wxk vbn mlp qrs tuv " * 10
+    df = spark.createDataFrame([(1, en + gib)], "doc_id long, text string")
+    r = lang_mixing(df, window=20).collect()[0]
+    assert r.doc_lang == "en"
+    assert r.n_foreign == 0
