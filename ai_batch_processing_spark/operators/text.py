@@ -1738,3 +1738,141 @@ def _vote_case_sql(tk: str) -> str:
 def q180_lang_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return lang_mixing(docs, window=20).orderBy("doc_id")
+
+
+def cut_duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, cleaned_text, n_tokens, n_removed): the CUT action on
+    :func:`duplicate_spans` — rebuild each document's token stream with
+    every cross-doc duplicated span removed (Lee et al. 2022's dedup
+    applied, not just reported). Text is the whitespace-token stream
+    lowercased and single-space rejoined (the :func:`tokens_expr`
+    normalization, same contract as line_dedup's reassembly).
+
+    The span list per doc is tiny (merged maximal islands), so the cut
+    is a doc-sized join of spans onto documents followed by ONE pure
+    row expression: tokens → (pos, token) structs → drop positions any
+    span covers → rejoin. Nothing token-sized shuffles beyond what
+    :func:`duplicate_spans` already does.
+    """
+    spans = (
+        duplicate_spans(
+            docs, n=n, min_docs=min_docs, id_col=id_col, text_col=text_col, method=method
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("span_start").alias("lo"), F.col("span_end").alias("hi"))
+            ).alias("spans")
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("ts"))
+    joined = base.join(spans, "doc_id", "left").select(
+        "doc_id",
+        "ts",
+        F.coalesce(F.col("spans"), F.array().cast("array<struct<lo:long,hi:long>>")).alias(
+            "spans"
+        ),
+    )
+    indexed = F.transform(
+        F.col("ts"), lambda t, i: F.struct(i.cast("long").alias("p"), t.alias("t"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            F.col("spans"), lambda s: (x["p"] >= s["lo"]) & (x["p"] <= s["hi"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(kept, lambda x: x["t"])).alias("cleaned_text"),
+        F.size("ts").cast("long").alias("n_tokens"),
+        (F.size("ts") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+@register(
+    "q181_cut_duplicate_spans",
+    oracle=r"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CAST(i AS BIGINT) - 1 AS pos,
+                   md5(array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 7], ' ')) AS g
+            FROM base, unnest(generate_series(1, len(ts) - 7)) u(i)
+            WHERE len(ts) >= 8
+        ),
+        dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN MAX(pos + 7) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) IS NULL
+                        OR pos > MAX(pos + 7) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) + 1
+                   THEN 1 ELSE 0 END AS new_island
+            FROM hits
+        ),
+        islands AS (
+            SELECT doc_id, pos,
+                   SUM(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM flagged
+        ),
+        spans AS (
+            SELECT doc_id, list({'lo': lo, 'hi': hi}) AS spans
+            FROM (
+                SELECT doc_id, MIN(pos) AS lo, MAX(pos) + 7 AS hi
+                FROM islands GROUP BY doc_id, island
+            )
+            GROUP BY doc_id
+        ),
+        joined AS (
+            SELECT b.doc_id, b.ts, COALESCE(s.spans, []) AS spans
+            FROM base b LEFT JOIN spans s USING (doc_id)
+        ),
+        cut AS (
+            SELECT doc_id, ts, spans,
+                   list_filter(
+                       list_transform(generate_series(1, len(ts)),
+                                      i -> {'p': CAST(i AS BIGINT) - 1, 't': ts[CAST(i AS INT)]}),
+                       x -> len(list_filter(spans, s -> x.p BETWEEN s.lo AND s.hi)) = 0
+                   ) AS kept
+            FROM joined
+        )
+        SELECT doc_id,
+               -- a fully-cut doc: DuckDB's array_to_string on the empty
+               -- list yields NULL where Spark's concat_ws yields ''
+               COALESCE(array_to_string(list_transform(kept, x -> x.t), ' '), '') AS cleaned_text,
+               CAST(len(ts) AS BIGINT) AS n_tokens,
+               CAST(len(ts) - len(kept) AS BIGINT) AS n_removed
+        FROM cut
+        ORDER BY doc_id
+    """,
+    doc=(
+        "duplicate-span CUT (Lee et al. 2022 applied): rebuild every "
+        "document with its cross-doc duplicated 8-gram islands removed — "
+        "doc-sized span join + one pure row expression over the token "
+        "array, gated INCLUDING the reassembled text."
+    ),
+    tags=("text", "dedup", "spans"),
+)
+def q181_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return cut_duplicate_spans(docs, n=8, min_docs=2).orderBy("doc_id")

@@ -370,3 +370,30 @@ def test_lang_mixing_und_windows_not_foreign(spark):
     r = lang_mixing(df, window=20).collect()[0]
     assert r.doc_lang == "en"
     assert r.n_foreign == 0
+
+
+def test_cut_duplicate_spans_removes_only_shared_runs(spark):
+    from ai_batch_processing_spark.operators.text import cut_duplicate_spans
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"u1a u1b u1c {shared} t1x"),
+        (2, f"v2a {shared} v2b"),
+        (3, "w3a w3b w3c w3d w3e w3f w3g w3h w3i"),
+    ]
+    out = {r.doc_id: r for r in cut_duplicate_spans(_span_docs(spark, rows), n=8).collect()}
+    assert out[1].cleaned_text == "u1a u1b u1c t1x"
+    assert (out[1].n_tokens, out[1].n_removed) == (14, 10)
+    assert out[2].cleaned_text == "v2a v2b"
+    assert out[3].cleaned_text == "w3a w3b w3c w3d w3e w3f w3g w3h w3i"
+    assert out[3].n_removed == 0
+
+
+def test_cut_duplicate_spans_fully_cut_doc_is_empty_string(spark):
+    from ai_batch_processing_spark.operators.text import cut_duplicate_spans
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    rows = [(1, run), (2, run)]
+    out = {r.doc_id: r for r in cut_duplicate_spans(_span_docs(spark, rows), n=8).collect()}
+    assert out[1].cleaned_text == "" and out[1].n_removed == 8
+    assert out[2].cleaned_text == ""
