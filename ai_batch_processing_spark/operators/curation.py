@@ -1762,3 +1762,77 @@ def q179_top_fraction_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_top_fraction(scored, 0.3, "score", group_cols=["source"]).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard-manifest planning (balanced training-shard assignment)
+# ---------------------------------------------------------------------------
+def shard_manifest(
+    df: DataFrame,
+    shard_tokens: int,
+    group_cols: list[str],
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every doc to a fixed-token-budget shard: input columns +
+    (shard_id, offset_tokens) — shard_id = ⌊running-token-offset /
+    shard_tokens⌋ in ``id_col`` order within each group, offset_tokens
+    the doc's start offset inside its shard. The write-side plan for a
+    training corpus: shards of ~shard_tokens tokens each, assignment
+    reproducible from the manifest alone (greedy by starting offset —
+    a doc may straddle its shard's end, the standard manifest
+    convention, cf. sequence packing for the hard-boundary form).
+
+    The running offset is :func:`grouped_prefix_sum` — range-partition,
+    per-partition cumsum, broadcast offsets — NOT a whole-group window,
+    so one source never lands on one task.
+    """
+    if shard_tokens < 1:
+        raise ValueError(f"shard_tokens must be >= 1, got {shard_tokens}")
+    cum = grouped_prefix_sum(df, group_cols, [id_col], size_col, "_cum")
+    return cum.select(
+        *df.columns,
+        F.floor(F.col("_cum") / shard_tokens).cast("long").alias("shard_id"),
+        (F.col("_cum") % shard_tokens).cast("long").alias("offset_tokens"),
+    )
+
+
+@register(
+    "q182_shard_manifest",
+    oracle=r"""
+        WITH sized AS (
+            SELECT source, doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> t <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT source, doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS c
+            FROM sized
+        )
+        SELECT source, doc_id, n_tokens,
+               CAST(FLOOR(c / 2000) AS BIGINT) AS shard_id,
+               CAST(c % 2000 AS BIGINT) AS offset_tokens
+        FROM cum
+        ORDER BY source, doc_id
+    """,
+    doc=(
+        "training-shard manifest: per-source ~2000-token shards assigned "
+        "by the distributed prefix sum (range-partition + per-partition "
+        "cumsum + broadcast offsets — never a whole-source window); the "
+        "manifest alone reproduces the shard layout."
+    ),
+    tags=("curation", "packing", "prefix-sum"),
+)
+def q182_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import token_count_ws
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sized = docs.select(
+        "source", "doc_id", token_count_ws(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return shard_manifest(sized, 2000, ["source"]).orderBy("source", "doc_id")

@@ -105,6 +105,7 @@ _PRIORITY = [
     "q179_top_fraction_by_source",
     "q180_lang_mixing",
     "q181_cut_duplicate_spans",
+    "q182_shard_manifest",
     # New this round, never driver-gated: the hash-gateable twin of q150
     # (rational perturbation + recall-1 edge build + unrolled-oracle
     # pagerank — closes the last rows-only gap without an in-gate twin).

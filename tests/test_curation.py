@@ -512,3 +512,28 @@ def test_select_top_fraction_singleton_and_validation(spark):
     assert select_top_fraction(df, 0.01, "score", group_cols=["source"]).count() == 1
     with pytest.raises(ValueError, match="frac"):
         select_top_fraction(df, 0.0, "score")
+
+
+def test_shard_manifest_budget_and_continuity(spark):
+    from ai_batch_processing_spark.operators.curation import shard_manifest
+
+    rows = [("s", i, 30) for i in range(10)]  # 300 tokens, shard budget 100
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = sorted(shard_manifest(df, 100, ["source"]).collect(), key=lambda r: r.doc_id)
+    # docs 0-3 start in shard 0 (offsets 0,30,60,90), 4-6 shard 1, ...
+    assert [r.shard_id for r in out] == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+    assert [r.offset_tokens for r in out] == [0, 30, 60, 90, 20, 50, 80, 10, 40, 70]
+
+
+def test_shard_manifest_repartition_stable_and_validated(spark):
+    import pytest
+
+    from ai_batch_processing_spark.operators.curation import shard_manifest
+
+    rows = [(f"s{i % 2}", i, 10 + i % 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    a = sorted(map(tuple, shard_manifest(df, 50, ["source"]).collect()))
+    b = sorted(map(tuple, shard_manifest(df.repartition(13), 50, ["source"]).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="shard_tokens"):
+        shard_manifest(df, 0, ["source"])
