@@ -851,3 +851,100 @@ def corpus_health(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def q130_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return corpus_health(docs).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Per-source distribution divergence (domain-shift profile)
+# ---------------------------------------------------------------------------
+def source_divergence(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 512,
+    smoothing: float = 1.0,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """(source, n_tokens, kl_bits): KL(source ‖ corpus) in bits over
+    add-``smoothing`` hashed-unigram bucket distributions — the
+    domain-shift profile data-mixing work ranks sources by (a source
+    whose token distribution sits far from the corpus mean is a
+    candidate for up-/down-weighting or a mixture of its own; near-zero
+    means redundant with the mix).
+
+    One token-stream pass into map-combinable (source, bucket) counts;
+    everything after is source×bucket-sized: per-source totals broadcast
+    back, the corpus marginal re-aggregated from the SAME table. The
+    bucket hash is :func:`~ai_batch_processing_spark.operators.curation._feature_bucket`
+    (xxhash64 production / md5 for the gate).
+    """
+    from ai_batch_processing_spark.operators.curation import _feature_bucket
+    from ai_batch_processing_spark.operators.text import tokens_expr
+
+    s = float(smoothing)
+    if not s > 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    stream = docs.select(
+        F.col(group_col).alias("source"), F.explode(tokens_expr(text_col)).alias("t")
+    ).select("source", _feature_bucket(F.col("t"), n_buckets, method).alias("b"))
+    sb = stream.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c")).persist()
+    sb.count()
+    stot = sb.groupBy("source").agg(F.sum("c").cast("double").alias("n_src"))
+    corpus = sb.groupBy("b").agg(F.sum("c").alias("cc"))
+    ctot = corpus.agg(F.sum("cc").cast("double").alias("n_all"))
+    # dense per-(source, bucket) grid so zero-count buckets still carry
+    # their smoothed mass: source-list × corpus-bucket-list cross join is
+    # sources×n_buckets rows — tiny by construction
+    grid = stot.crossJoin(corpus).crossJoin(F.broadcast(ctot))
+    joined = grid.join(sb, ["source", "b"], "left").select(
+        "source",
+        "n_src",
+        ((F.coalesce(F.col("c"), F.lit(0)) + s) / (F.col("n_src") + s * n_buckets)).alias("p"),
+        ((F.col("cc") + s) / (F.col("n_all") + s * n_buckets)).alias("q"),
+    )
+    out = joined.groupBy("source").agg(
+        F.max("n_src").cast("long").alias("n_tokens"),
+        F.round(F.sum(F.col("p") * F.log2(F.col("p") / F.col("q"))), 6).alias("kl_bits"),
+    )
+    sb.unpersist()
+    return out
+
+
+@register(
+    "q183_source_divergence",
+    oracle=r"""
+        WITH stream AS (
+            SELECT source,
+                   CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 512 AS b
+            FROM (SELECT source, unnest(list_filter(
+                      string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+                  FROM documents)
+        ),
+        sb AS (SELECT source, b, COUNT(*) AS c FROM stream GROUP BY 1, 2),
+        stot AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS n_src FROM sb GROUP BY source),
+        corpus AS (SELECT b, SUM(c) AS cc FROM sb GROUP BY b),
+        ctot AS (SELECT CAST(SUM(cc) AS DOUBLE) AS n_all FROM corpus),
+        grid AS (SELECT * FROM stot CROSS JOIN corpus CROSS JOIN ctot),
+        joined AS (
+            SELECT g.source, g.n_src,
+                   (COALESCE(sb.c, 0) + 1.0) / (g.n_src + 1.0 * 512) AS p,
+                   (g.cc + 1.0) / (g.n_all + 1.0 * 512) AS q
+            FROM grid g LEFT JOIN sb ON g.source = sb.source AND g.b = sb.b
+        )
+        SELECT source,
+               CAST(MAX(n_src) AS BIGINT) AS n_tokens,
+               ROUND(SUM(p * log2(p / q)), 6) AS kl_bits
+        FROM joined
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "per-source KL(source || corpus) in bits over add-1 hashed-"
+        "unigram bucket distributions — the domain-shift profile that "
+        "ranks sources for mixture (re)weighting. One stream pass, "
+        "source x bucket-sized everything after."
+    ),
+    tags=("corpus", "mixture", "stats"),
+)
+def q183_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return source_divergence(docs, method="md5").orderBy("source")

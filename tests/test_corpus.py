@@ -228,3 +228,37 @@ def test_bigram_surprise_is_order_sensitive(spark):
     assert uni[1].bits_per_token == uni[4].bits_per_token  # same bag of words
     assert bi[4].bits_per_bigram > bi[1].bits_per_bigram  # order broken
     assert bi[1].n_bigrams == 12  # 13 tokens -> 12 adjacent pairs
+
+
+def test_source_divergence_ranks_outlier_source_highest(spark):
+    from ai_batch_processing_spark.operators.corpus import source_divergence
+
+    common = "the quick brown fox jumps over the lazy dog again and again "
+    rows = (
+        [("a", i, common) for i in range(20)]
+        + [("b", 100 + i, common + "with one extra word") for i in range(20)]
+        + [("c", 200 + i, "zzq wxk vbn qrs completely alien tokens here") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {r.source: r.kl_bits for r in source_divergence(df).collect()}
+    # the alien source diverges most; the two near-identical ones least
+    assert out["c"] > out["a"] and out["c"] > out["b"]
+    assert out["c"] > 2 * max(out["a"], out["b"])
+
+
+def test_source_divergence_identical_sources_symmetric(spark):
+    from ai_batch_processing_spark.operators.corpus import source_divergence
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(f"s{i % 4}", i, text) for i in range(40)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = [r.kl_bits for r in source_divergence(df).collect()]
+    # identical data -> identical divergence for every source (the
+    # add-1 smoothing keeps the absolute value above zero at tiny
+    # counts — p smooths against n_src, q against n_all — so the pin
+    # is symmetry, and less smoothing must shrink the artifact)
+    assert len(set(out)) == 1
+    tighter = [
+        r.kl_bits for r in source_divergence(df, smoothing=0.01).collect()
+    ]
+    assert all(abs(t) < abs(out[0]) for t in tighter)
