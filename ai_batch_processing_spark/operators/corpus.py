@@ -948,3 +948,80 @@ def source_divergence(
 def q183_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return source_divergence(docs, method="md5").orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate overlap (contamination / lineage matrix)
+# ---------------------------------------------------------------------------
+def source_overlap_matrix(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source_a, source_b, n_shared): for every source pair, how many
+    distinct normalized-content fingerprints appear in BOTH — the
+    cross-source contamination/lineage matrix (a crawl re-packaged under
+    two names, a benchmark leaking into a training slice, mirrored
+    sites). Within-source duplication is :func:`corpus_health`'s
+    dup-rate; this is the BETWEEN-sources view.
+
+    Corpus-linear: one fingerprint projection (:func:`fingerprint_expr`,
+    the scan-speed md5 of normalized text), ONE distinct (fp, source)
+    aggregate, then a self-equi-join on fp whose per-key fan-out is
+    bounded by the source count — never an all-pairs document join.
+    """
+    from ai_batch_processing_spark.operators.text import fingerprint_expr
+
+    d = docs.select(
+        fingerprint_expr(F.col(text_col)).alias("fp"), F.col(group_col).alias("s")
+    ).distinct()
+    a = d.select("fp", F.col("s").alias("source_a"))
+    b = d.select("fp", F.col("s").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+@register(
+    "q184_source_overlap_matrix",
+    oracle=r"""
+        WITH salted AS (
+            SELECT source, text FROM documents
+            UNION ALL
+            SELECT 'mirror_of_' || source AS source, text
+            FROM documents WHERE doc_id % 7 = 0
+        ),
+        d AS (
+            SELECT DISTINCT
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+                   source AS s
+            FROM salted
+        )
+        SELECT a.s AS source_a, b.s AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM d a JOIN d b ON a.fp = b.fp AND a.s < b.s
+        GROUP BY 1, 2
+        ORDER BY source_a, source_b
+    """,
+    doc=(
+        "cross-source duplicate overlap matrix: distinct normalized-"
+        "content fingerprints shared by each source pair — the "
+        "contamination/lineage view between slices (within-source "
+        "duplication is corpus_health's dup-rate). One distinct "
+        "(fp, source) aggregate + a fp self-join bounded by the source "
+        "count per key."
+    ),
+    tags=("corpus", "dedup", "stats"),
+)
+def q184_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # salt the corpus with KNOWN cross-source duplicates (the synthetic
+    # table has none): every 7th doc re-appears under the next source id
+    salted = docs.select("source", "text").unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.concat(F.lit("mirror_of_"), F.col("source")).alias("source"), "text"
+        )
+    )
+    return source_overlap_matrix(salted).orderBy("source_a", "source_b")

@@ -262,3 +262,27 @@ def test_source_divergence_identical_sources_symmetric(spark):
         r.kl_bits for r in source_divergence(df, smoothing=0.01).collect()
     ]
     assert all(abs(t) < abs(out[0]) for t in tighter)
+
+
+def test_source_overlap_matrix_counts_planted_mirrors(spark):
+    from ai_batch_processing_spark.operators.corpus import source_overlap_matrix
+
+    rows = [
+        ("a", "shared one"),
+        ("a", "only in a"),
+        ("b", "shared one"),
+        ("b", "shared two"),
+        ("c", "shared two"),
+        ("c", "Shared ONE!"),  # normalizes to 'shared one' -> matches a and b
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r.source_a, r.source_b): r.n_shared for r in source_overlap_matrix(df).collect()}
+    assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 2}
+
+
+def test_source_overlap_matrix_no_overlap_empty(spark):
+    from ai_batch_processing_spark.operators.corpus import source_overlap_matrix
+
+    rows = [("a", "alpha"), ("b", "beta"), ("c", "gamma")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    assert source_overlap_matrix(df).count() == 0
