@@ -1836,3 +1836,78 @@ def q182_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", token_count_ws(F.col("text")).cast("long").alias("n_tokens")
     )
     return shard_manifest(sized, 2000, ["source"]).orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splits: duplicates can never straddle train/test
+# ---------------------------------------------------------------------------
+def assign_splits_leakage_safe(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: tuple[tuple[str, float], ...] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    seed: int = 7,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """:func:`assign_splits` with the leakage fix: hash the duplicate
+    GROUP's representative id (min ``id_col`` per content fingerprint),
+    not the row's own id, so exact/normalized duplicates always land in
+    the SAME split. Per-row hashing leaks evaluation data — a test doc's
+    duplicate in train is memorization measured as generalization (the
+    published reason train/test dedup exists at all; this closes the
+    assignment-side hole even when upstream dedup keeps copies on
+    purpose, e.g. mixture upsampling).
+
+    Adds one fingerprint aggregate + a fp-keyed join to
+    :func:`assign_splits`'s zero-shuffle expression — the min-id
+    representative is the same survivor rule as exact_dedup, so the
+    split of a kept doc never changes when its duplicates are added or
+    removed.
+    """
+    from ai_batch_processing_spark.operators.text import fingerprint_expr
+
+    fp = df.select(
+        F.col(id_col).alias("_id"), fingerprint_expr(F.col(text_col)).alias("_fp")
+    )
+    rep = fp.groupBy("_fp").agg(F.min("_id").alias("rep_id"))
+    keyed = (
+        df.join(fp.withColumnRenamed("_id", id_col), id_col)
+        .join(rep, "_fp")
+        .drop("_fp")
+    )
+    out = assign_splits(keyed, id_col="rep_id", weights=weights, seed=seed, method=method)
+    return out.select(*df.columns, "rep_id", "split")
+
+
+@register(
+    "q185_leakage_safe_splits",
+    oracle=r"""
+        WITH fp AS (
+            SELECT doc_id, source,
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
+            FROM documents
+        ),
+        rep AS (SELECT f, MIN(doc_id) AS rep_id FROM fp GROUP BY f)
+        SELECT fp.doc_id, fp.source, rep.rep_id,
+               CASE
+                   WHEN ((rep.rep_id * 2654435761 + 7) % 4294967296) % 1000000 < 900000 THEN 'train'
+                   WHEN ((rep.rep_id * 2654435761 + 7) % 4294967296) % 1000000 < 950000 THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM fp JOIN rep USING (f)
+        ORDER BY fp.doc_id
+    """,
+    doc=(
+        "leakage-safe train/val/test assignment: split by the duplicate "
+        "group's min-id representative (content fingerprint), so "
+        "duplicates can never straddle train and test — the assignment-"
+        "side half of train/test decontamination, robust even when "
+        "copies are kept on purpose (mixture upsampling)."
+    ),
+    tags=("curation", "split", "dedup"),
+)
+def q185_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return assign_splits_leakage_safe(
+        docs.select("doc_id", "source", "text"), method="knuth"
+    ).select("doc_id", "source", "rep_id", "split").orderBy("doc_id")

@@ -537,3 +537,49 @@ def test_shard_manifest_repartition_stable_and_validated(spark):
     assert a == b
     with pytest.raises(ValueError, match="shard_tokens"):
         shard_manifest(df, 0, ["source"])
+
+
+def test_leakage_safe_splits_keep_duplicates_together(spark):
+    from ai_batch_processing_spark.operators.curation import (
+        assign_splits,
+        assign_splits_leakage_safe,
+    )
+
+    # many duplicate pairs with far-apart ids: per-row hashing (q109)
+    # scatters some pairs across splits; the leakage-safe form never does
+    rows = []
+    for i in range(200):
+        rows.append((i, f"unique doc body number {i}"))
+        rows.append((10_000 + i * 37, f"unique doc body number {i}"))  # duplicate
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    safe = assign_splits_leakage_safe(df).collect()
+    by_text = {}
+    for r in safe:
+        by_text.setdefault(r.text, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_text.values())  # never straddles
+
+    naive = assign_splits(df).collect()
+    naive_by_text = {}
+    for r in naive:
+        naive_by_text.setdefault(r.text, set()).add(r.split)
+    # the hole is real: per-row hashing DOES split at least one pair here
+    assert any(len(s) > 1 for s in naive_by_text.values())
+
+
+def test_leakage_safe_split_stable_under_duplicate_insertion(spark):
+    from ai_batch_processing_spark.operators.curation import assign_splits_leakage_safe
+
+    base = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(50)], "doc_id long, text string"
+    )
+    with_dups = base.unionAll(
+        spark.createDataFrame(
+            [(1000 + i, f"doc body {i}") for i in range(0, 50, 5)],
+            "doc_id long, text string",
+        )
+    )
+    a = {r.doc_id: r.split for r in assign_splits_leakage_safe(base).collect()}
+    b = {r.doc_id: r.split for r in assign_splits_leakage_safe(with_dups).collect()}
+    # adding duplicates (higher ids) never moves an original doc's split
+    assert all(b[i] == a[i] for i in range(50))
