@@ -2591,3 +2591,87 @@ def search_pq_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
     )
+
+
+def source_region_coverage(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 23,
+    group_col: str = "source",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(source, n_vecs, n_regions, coverage): how much of the embedding
+    space each source occupies — vectors assigned to LSH sign-regions
+    (:func:`bucket_balanced_sample`'s partitioning), coverage = distinct
+    regions / 2^n_planes. A slice that maps to 3 of 64 regions is
+    semantically narrow no matter how many tokens it contributes;
+    mixture decisions read this next to token counts (the
+    embedding-space complement of :func:`~ai_batch_processing_spark.operators.corpus.source_divergence`'s
+    token-distribution view).
+
+    One vectorized bucket pass over the embeddings, a doc-keyed join to
+    carry the source label, and a source-sized distinct aggregate.
+    """
+    planes = hyperplanes(dim, n_planes, seed=seed)
+    keyed = emb.select(
+        F.col(vec_id_col).alias("_vid"),
+        F.element_at(_table_buckets_vec(vec_col, [planes]), 1).alias("bucket"),
+    )
+    labeled = keyed.join(
+        docs.select(F.col(doc_id_col).alias("_vid"), F.col(group_col).alias("source")),
+        "_vid",
+    )
+    return labeled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.count_distinct("bucket").cast("long").alias("n_regions"),
+        F.round(F.count_distinct("bucket") / F.lit(float(2**n_planes)), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+def _region_coverage_oracle(n_planes: int, dim: int, seed: int) -> str:
+    planes = hyperplanes(dim, n_planes, seed=seed)
+    bits = " + ".join(
+        f"CASE WHEN list_inner_product(v, [{', '.join(repr(x) for x in p)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH keyed AS (
+            SELECT vec_id, CAST({bits} AS BIGINT) AS bucket
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        ),
+        labeled AS (
+            SELECT d.source, k.bucket
+            FROM keyed k JOIN documents d ON k.vec_id = d.doc_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_regions,
+               ROUND(COUNT(DISTINCT bucket) / {float(2 ** n_planes)!r}, 6) AS coverage
+        FROM labeled
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+@register(
+    "q186_source_region_coverage",
+    oracle=_region_coverage_oracle(6, 64, 23),
+    doc=(
+        "embedding-space coverage per source: distinct LSH sign-regions "
+        "occupied / 64 — the semantic-diversity complement of the "
+        "token-distribution divergence (q183); narrow slices surface "
+        "regardless of token volume. Vectorized bucket pass + doc-keyed "
+        "join + source-sized distinct aggregate."
+    ),
+    tags=("similarity", "corpus", "mixture"),
+)
+def q186_source_region_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    return source_region_coverage(t["documents"], t["embeddings"]).orderBy("source")

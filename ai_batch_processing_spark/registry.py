@@ -109,6 +109,7 @@ _PRIORITY = [
     "q183_source_divergence",
     "q184_source_overlap_matrix",
     "q185_leakage_safe_splits",
+    "q186_source_region_coverage",
     # New this round, never driver-gated: the hash-gateable twin of q150
     # (rational perturbation + recall-1 edge build + unrolled-oracle
     # pagerank — closes the last rows-only gap without an in-gate twin).

@@ -893,3 +893,28 @@ def test_stream_update_pq_index_and_reingest_dedup(spark, tmp_path):
     _append_pq_batch(idx, cb, df.filter("vec_id = 5"), batch_id=99)
     assert spark.read.parquet(f"{idx}/codes").count() == n1
     df.unpersist()
+
+
+def test_source_region_coverage_narrow_vs_spread(spark):
+    from ai_batch_processing_spark.operators.similarity import source_region_coverage
+
+    # source 'narrow': clones of one vector -> exactly 1 region;
+    # source 'spread': orthogonal-ish vectors -> several regions
+    docs = spark.createDataFrame(
+        [(i, "narrow" if i < 10 else "spread") for i in range(20)],
+        "doc_id long, source string",
+    )
+    base = [1.0, -2.0, 0.5, 3.0]
+    vecs = [(i, base) for i in range(10)] + [
+        (10 + j, [(1.0 if d == j % 4 else -0.1) * (1 + j) for d in range(4)])
+        for j in range(10)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {
+        r.source: r
+        for r in source_region_coverage(docs, emb, n_planes=4, dim=4).collect()
+    }
+    assert out["narrow"].n_regions == 1
+    assert out["spread"].n_regions > 1
+    assert out["spread"].coverage > out["narrow"].coverage
+    assert out["narrow"].n_vecs == 10 and out["spread"].n_vecs == 10
