@@ -2675,3 +2675,100 @@ def _region_coverage_oracle(n_planes: int, dim: int, seed: int) -> str:
 def q186_source_region_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents", "embeddings"])
     return source_region_coverage(t["documents"], t["embeddings"]).orderBy("source")
+
+
+def embedding_consistency_audit(
+    docs: DataFrame,
+    emb: DataFrame,
+    min_cosine: float = 0.99,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine): pairs of documents with IDENTICAL normalized
+    text whose embeddings disagree (cosine < ``min_cosine``) — the
+    inverse of semantic dedup, and a pipeline QA check: same content must
+    embed to (near-)identical vectors, so every row here is evidence of
+    a broken embedding job (version skew between backfills, truncation,
+    non-determinism, row misalignment). Run it after every embedding
+    refresh; an empty result is the pass condition.
+
+    Corpus-linear: pairs come from the content-fingerprint self-join
+    (per-key fan-out bounded by the duplicate-group size), never an
+    all-pairs vector scan; cosine is the oracle-stable sequential fold.
+    """
+    from ai_batch_processing_spark.operators.text import fingerprint_expr
+
+    d = (
+        docs.select(F.col(doc_id_col).alias("id"), fingerprint_expr(F.col(text_col)).alias("fp"))
+        .join(
+            emb.select(F.col(vec_id_col).alias("id"), F.col(vec_col).alias("v")),
+            "id",
+        )
+    )
+    a = d.select(F.col("id").alias("id_a"), F.col("fp"), F.col("v").alias("_va"))
+    b = d.select(F.col("id").alias("id_b"), F.col("fp"), F.col("v").alias("_vb"))
+    pairs = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") < min_cosine)
+    )
+
+
+@register(
+    "q187_embedding_consistency_audit",
+    oracle=r"""
+        WITH salted AS (
+            -- plant known inconsistencies: every 5th doc takes its
+            -- predecessor's text while keeping its OWN embedding row
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 AND doc_id > 0
+                        THEN LAG(text) OVER (ORDER BY doc_id)
+                        ELSE text END AS text
+            FROM documents
+        ),
+        d AS (
+            SELECT doc_id AS id,
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+            FROM salted
+        ),
+        v AS (
+            SELECT d.id, d.fp, CAST(e.embedding AS DOUBLE[]) AS v
+            FROM d JOIN embeddings e ON d.id = e.vec_id
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(list_inner_product(a.v, b.v)
+                     / (sqrt(list_inner_product(a.v, a.v))
+                        * sqrt(list_inner_product(b.v, b.v))), 6) AS cosine
+        FROM v a JOIN v b ON a.fp = b.fp AND a.id < b.id
+        WHERE list_inner_product(a.v, b.v)
+              / (sqrt(list_inner_product(a.v, a.v))
+                 * sqrt(list_inner_product(b.v, b.v))) < 0.99
+        ORDER BY id_a, id_b
+    """,
+    doc=(
+        "embedding-consistency audit (the inverse of semantic dedup): "
+        "identical-content doc pairs whose embeddings disagree — each row "
+        "is evidence of a broken embedding job (version skew, row "
+        "misalignment); empty = pass. Fingerprint self-join with "
+        "dup-group-bounded fan-out, oracle-stable sequential cosine."
+    ),
+    tags=("similarity", "corpus", "qa"),
+)
+def q187_embedding_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    # plant known inconsistencies (the raw synthetic corpus has no exact
+    # dups): every 5th doc takes its predecessor's text while keeping its
+    # OWN embedding row — the audit must flag exactly those pairs
+    w = Window.orderBy("doc_id")
+    salted = t["documents"].select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") > 0), F.lag("text").over(w)
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return embedding_consistency_audit(salted, t["embeddings"]).orderBy("id_a", "id_b")

@@ -918,3 +918,31 @@ def test_source_region_coverage_narrow_vs_spread(spark):
     assert out["spread"].n_regions > 1
     assert out["spread"].coverage > out["narrow"].coverage
     assert out["narrow"].n_vecs == 10 and out["spread"].n_vecs == 10
+
+
+def test_embedding_consistency_audit_flags_mismatched_twins(spark):
+    from ai_batch_processing_spark.operators.similarity import (
+        embedding_consistency_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same content here"),
+            (2, "same content here"),  # twin of 1
+            (3, "same content here"),  # twin with a CONSISTENT embedding
+            (4, "something else"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),  # disagrees with 1 -> flagged
+            (3, [1.0, 0.0, 0.0]),  # identical to 1 -> clean
+            (4, [0.5, 0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {(r.id_a, r.id_b): r.cosine for r in embedding_consistency_audit(docs, emb).collect()}
+    assert set(out) == {(1, 2), (2, 3)}  # every pair involving the bad row
+    assert all(c < 0.99 for c in out.values())
