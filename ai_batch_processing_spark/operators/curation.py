@@ -1911,3 +1911,93 @@ def q185_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_splits_leakage_safe(
         docs.select("doc_id", "source", "text"), method="knuth"
     ).select("doc_id", "source", "rep_id", "split").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup-aware mixture weights
+# ---------------------------------------------------------------------------
+def mixture_weights_deduped(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_share: dict[str, float] | None = None,
+) -> DataFrame:
+    """:func:`mixture_weights` computed on DEDUPLICATED token mass: each
+    distinct normalized content counts once per source (min-id survivor),
+    so a source's mixture weight cannot be inflated by its own internal
+    duplication — the bug class where a crawl that mirrored itself 10×
+    claims 10× the epochs. Comparing ``n_tokens`` here against the raw
+    aggregate (q104) per source IS the duplication-inflation report.
+
+    One fingerprint aggregate ((source, fp) → survivor token count —
+    map-combinable, 16-byte keys) feeding the same n_sources-row
+    share/target math as :func:`mixture_weights`.
+    """
+    from ai_batch_processing_spark.operators.text import fingerprint_expr, token_count_ws
+
+    survivors = (
+        docs.select(
+            F.col(group_col).alias("source"),
+            fingerprint_expr(F.col(text_col)).alias("fp"),
+            F.col(id_col).alias("id"),
+            token_count_ws(F.col(text_col)).cast("long").alias("nt"),
+        )
+        .groupBy("source", "fp")
+        .agg(F.min_by("nt", "id").alias("n_tokens"))
+    )
+    return mixture_weights(survivors, "source", "n_tokens", target_share=target_share)
+
+
+@register(
+    "q188_mixture_deduped",
+    oracle=r"""
+        WITH salted AS (
+            SELECT source, doc_id, text FROM documents
+            UNION ALL
+            SELECT source, doc_id + 500000 AS doc_id, text
+            FROM documents WHERE doc_id % 4 = 0
+        ),
+        fp AS (
+            SELECT source, doc_id,
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> t <> '')) AS BIGINT) AS nt
+            FROM salted
+        ),
+        survivors AS (
+            SELECT source, f, ARG_MIN(nt, doc_id) AS n_tokens
+            FROM fp GROUP BY source, f
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+            FROM survivors GROUP BY source
+        ),
+        tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS ns FROM agg)
+        SELECT source, n_docs, n_tokens,
+               ROUND(n_tokens / tot.t, 6) AS token_share,
+               ROUND((1.0 / tot.ns) / (n_tokens / tot.t), 6) AS repeat_factor
+        FROM agg CROSS JOIN tot
+        ORDER BY source
+    """,
+    doc=(
+        "dedup-aware mixture weights: per-source token shares over "
+        "DEDUPLICATED content (distinct fingerprints, min-id survivor) — "
+        "a source mirroring itself can't inflate its epochs. One "
+        "map-combinable (source, fp) aggregate into the q104 share math; "
+        "the delta vs the raw aggregate is the duplication-inflation "
+        "report."
+    ),
+    tags=("curation", "mixture", "dedup"),
+)
+def q188_mixture_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # salt with a self-mirroring source so the dedup correction is visible
+    salted = docs.select("source", "doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            "source", (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+        )
+    )
+    return mixture_weights_deduped(salted).orderBy("source")

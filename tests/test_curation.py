@@ -583,3 +583,33 @@ def test_leakage_safe_split_stable_under_duplicate_insertion(spark):
     b = {r.doc_id: r.split for r in assign_splits_leakage_safe(with_dups).collect()}
     # adding duplicates (higher ids) never moves an original doc's split
     assert all(b[i] == a[i] for i in range(50))
+
+
+def test_mixture_deduped_ignores_internal_mirroring(spark):
+    from ai_batch_processing_spark.operators.curation import (
+        mixture_weights,
+        mixture_weights_deduped,
+    )
+
+    body_a = "alpha beta gamma delta"
+    body_b = "epsilon zeta eta theta"
+    rows = (
+        [("a", i, body_a + f" {i}") for i in range(10)]
+        # source b: 10 distinct docs mirrored 3x = 40 raw rows, 10 distinct
+        + [("b", 100 + i, body_b + f" {i % 10}") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    dedup = {r.source: r for r in mixture_weights_deduped(df).collect()}
+    # deduped: both sources contribute 10 distinct 5-token docs -> equal
+    assert dedup["a"].n_tokens == dedup["b"].n_tokens == 50
+    assert dedup["a"].token_share == dedup["b"].token_share == 0.5
+    # raw weights would hand b 4x the share (the inflation this fixes)
+    from ai_batch_processing_spark.operators.text import token_count_ws
+
+    raw = {
+        r.source: r.token_share
+        for r in mixture_weights(
+            df.select("source", token_count_ws(F.col("text")).alias("nt")), "source", "nt"
+        ).collect()
+    }
+    assert raw["b"] == 0.8 and raw["a"] == 0.2
