@@ -2001,3 +2001,97 @@ def q188_mixture_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mixture_weights_deduped(salted).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-side contamination coverage (the eval set's own exposure)
+# ---------------------------------------------------------------------------
+def benchmark_exposure(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """(bench_id, n_shingles, n_exposed, exposure): for every BENCHMARK
+    document, the share of its distinct ``n``-gram shingles that appear
+    anywhere in the training corpus — :func:`decontaminate` answers
+    "which corpus docs must go"; this answers the eval owner's question
+    "how compromised is each eval item, even after cuts" (an item at
+    exposure 0.9 measures memorization no matter what the corpus side
+    deletes later — re-run after every corpus refresh).
+
+    The corpus side collapses to DISTINCT shingle hashes ONCE
+    (map-combinable, md5-keyed shuffle) and the per-item rollup joins
+    the small benchmark stream against it — corpus-linear, one corpus
+    pass, never doc×doc.
+    """
+    c_sh = (
+        corpus.select(F.explode(shingles_expr(F.col(text_col), n)).alias("s"))
+        .select(F.md5("s").alias("h"))
+        .distinct()
+    )
+    b_sh = (
+        benchmark.select(
+            F.col(id_col).alias("bench_id"),
+            F.explode(shingles_expr(F.col(text_col), n)).alias("s"),
+        )
+        .select("bench_id", F.md5("s").alias("h"))
+        .distinct()
+    )
+    hit = b_sh.join(c_sh.withColumn("_in", F.lit(1)), "h", "left")
+    return (
+        hit.groupBy("bench_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_in"), F.lit(0))).cast("long").alias("n_exposed"),
+        )
+        .withColumn(
+            "exposure", F.round(F.col("n_exposed") / F.col("n_shingles"), 6)
+        )
+    )
+
+
+@register(
+    "q189_benchmark_exposure",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 7, 1) + 1),
+                       i -> array_to_string(t[i:i+7], ' '))) AS shingle
+            FROM toks
+        ),
+        corpus AS (SELECT DISTINCT md5(shingle) AS h FROM sh WHERE doc_id % 97 <> 0),
+        bench AS (
+            SELECT DISTINCT doc_id AS bench_id, md5(shingle) AS h
+            FROM sh WHERE doc_id % 97 = 0
+        )
+        SELECT b.bench_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exposed,
+               ROUND(CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS exposure
+        FROM bench b LEFT JOIN corpus c USING (h)
+        GROUP BY b.bench_id
+        ORDER BY b.bench_id
+    """,
+    doc=(
+        "benchmark-side contamination: per eval item, the share of its "
+        "8-gram shingles found anywhere in the training corpus — the "
+        "eval owner's exposure report (q101 is the corpus-side cut "
+        "list). Corpus collapses to distinct md5 shingle keys once; "
+        "corpus-linear."
+    ),
+    tags=("curation", "decontamination", "ngram"),
+)
+def q189_benchmark_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return benchmark_exposure(corpus, benchmark, n=8).orderBy("bench_id")

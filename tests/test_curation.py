@@ -613,3 +613,26 @@ def test_mixture_deduped_ignores_internal_mirroring(spark):
         ).collect()
     }
     assert raw["b"] == 0.8 and raw["a"] == 0.2
+
+
+def test_benchmark_exposure_full_partial_none(spark):
+    from ai_batch_processing_spark.operators.curation import benchmark_exposure
+
+    leak = "q one two three four five six seven eight nine"
+    corpus = spark.createDataFrame(
+        [(1, leak + " corpus tail"), (2, "unrelated corpus body entirely")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, leak),  # fully contained -> exposure 1.0
+            (101, leak + " novel suffix words here"),  # partially contained
+            (102, "never seen eval item body at all padding words"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.bench_id: r for r in benchmark_exposure(corpus, bench, n=8).collect()}
+    assert out[100].exposure == 1.0
+    assert 0 < out[101].exposure < 1.0
+    assert out[102].exposure == 0.0
+    assert out[102].n_exposed == 0
