@@ -1025,3 +1025,55 @@ def q184_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return source_overlap_matrix(salted).orderBy("source_a", "source_b")
+
+
+@register(
+    "q190_quality_length_correlation",
+    oracle=r"""
+        WITH feats AS (
+            SELECT source,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   ROUND(CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                              / length(text)
+                         ELSE 0.0 END, 6) AS score
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(CORR(score, n_chars), 4) AS corr_quality_length
+        FROM feats
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "per-source correlation between quality score (alpha ratio) and "
+        "document length — the sanity panel that catches a quality "
+        "signal degenerating into a length proxy (|corr| near 1 means "
+        "the filter mostly selects on length). Rounded to 4dp: CORR's "
+        "big float accumulations are summation-order sensitive across "
+        "engines at 6dp."
+    ),
+    tags=("corpus", "quality", "stats"),
+)
+def q190_quality_length_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    feats = docs.select(
+        "source",
+        F.length("text").cast("double").alias("n_chars"),
+        F.round(
+            F.when(F.length("text") > 0, alpha.cast("double") / F.length("text")).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("score"),
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.corr("score", "n_chars"), 4).alias("corr_quality_length"),
+        )
+        .orderBy("source")
+    )
