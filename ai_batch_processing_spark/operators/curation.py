@@ -2095,3 +2095,101 @@ def q189_benchmark_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     benchmark = docs.filter(F.col("doc_id") % 97 == 0)
     return benchmark_exposure(corpus, benchmark, n=8).orderBy("bench_id")
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate census: what the corpus's repeated lines actually are
+# ---------------------------------------------------------------------------
+def boilerplate_census(
+    docs: DataFrame,
+    top_k: int = 20,
+    min_doc_freq: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(line, n_docs, n_occurrences, rnk): the corpus's most widespread
+    lines — the report an engineer reads BEFORE picking
+    :func:`line_dedup`'s ``max_doc_freq`` threshold (cut blind and the
+    cookie banner survives at freq 99 while a legitimate quote dies at
+    freq 3; the census shows where the cliff is). Trimmed non-empty
+    lines, ranked by distinct-document reach with the line text as the
+    deterministic tiebreak.
+
+    Corpus-linear: one line explode, one map-combinable aggregate, and a
+    top-k via the rank window over the (already df-filtered) line table —
+    at 100 TB the ``min_doc_freq`` filter runs before the rank so the
+    window sees only repeated lines, a tiny fraction of the line space.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+    ).select("doc_id", F.trim(F.col("raw")).alias("line")).filter(F.col("line") != "")
+    agg = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    hot = agg.filter(F.col("n_docs") >= min_doc_freq)
+    w = Window.orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("line"))
+    return (
+        hot.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_k)
+        .select("rnk", "line", F.col("n_docs").cast("long"), F.col("n_occurrences").cast("long"))
+    )
+
+
+@register(
+    "q191_boilerplate_census",
+    oracle=r"""
+        WITH salted AS (
+            SELECT doc_id,
+                   text || chr(10) || 'subscribe to our newsletter' ||
+                   CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || 'cookie policy applies' ELSE '' END AS text
+            FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, trim(l) AS line
+            FROM salted, unnest(string_split(text, chr(10))) u(l)
+            WHERE trim(l) <> ''
+        ),
+        agg AS (
+            SELECT line,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS n_occurrences
+            FROM lines GROUP BY line
+        ),
+        hot AS (SELECT * FROM agg WHERE n_docs >= 2)
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY n_docs DESC, n_occurrences DESC, line
+               ) AS BIGINT) AS rnk,
+               line,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_occurrences AS BIGINT) AS n_occurrences
+        FROM hot
+        QUALIFY rnk <= 20
+        ORDER BY rnk
+    """,
+    doc=(
+        "boilerplate census: the corpus's most widespread lines by "
+        "distinct-doc reach — the report that picks line_dedup's "
+        "max_doc_freq threshold with eyes open. df-filter BEFORE the "
+        "rank window; gate salts newsletter/cookie lines into the "
+        "single-line synthetic corpus."
+    ),
+    tags=("curation", "text", "stats"),
+)
+def q191_boilerplate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to our newsletter"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\ncookie policy applies")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return boilerplate_census(salted, top_k=20, min_doc_freq=2).orderBy("rnk")

@@ -636,3 +636,27 @@ def test_benchmark_exposure_full_partial_none(spark):
     assert 0 < out[101].exposure < 1.0
     assert out[102].exposure == 0.0
     assert out[102].n_exposed == 0
+
+
+def test_boilerplate_census_ranks_by_reach(spark):
+    from ai_batch_processing_spark.operators.curation import boilerplate_census
+
+    rows = [
+        (1, "header\nbody one\nfooter"),
+        (2, "header\nbody two\nfooter"),
+        (3, "header\nbody three"),
+        (4, "unique only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_census(df, top_k=5, min_doc_freq=2).collect()
+    assert [(r.line, r.n_docs) for r in out] == [("header", 3), ("footer", 2)]
+    assert [r.rnk for r in out] == [1, 2]
+
+
+def test_boilerplate_census_intra_doc_repeats_counted_once_for_reach(spark):
+    from ai_batch_processing_spark.operators.curation import boilerplate_census
+
+    rows = [(1, "spam\nspam\nspam"), (2, "spam\nother")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = boilerplate_census(df, top_k=1, min_doc_freq=2).collect()[0]
+    assert (r.line, r.n_docs, r.n_occurrences) == ("spam", 2, 4)
