@@ -1708,3 +1708,70 @@ def q160_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "q192_funnel_stages",
+    oracle=r"""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+               CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+               CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+               ROUND((SELECT COUNT(*) FROM c) * 1.0 / (SELECT COUNT(*) FROM v), 6) AS r_click,
+               ROUND((SELECT COUNT(*) FROM p) * 1.0 / (SELECT COUNT(*) FROM c), 6) AS r_purchase
+    """,
+    doc=(
+        "ordered multi-step funnel: users whose first view precedes their "
+        "first subsequent click precedes their first subsequent purchase, "
+        "with per-stage conversion rates — sequential pattern matching as "
+        "three per-user min-aggregates + two stage joins (each stage "
+        "shrinks the key set; no window over a user's whole history)."
+    ),
+    tags=("analytics", "events", "funnel"),
+)
+def q192_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("long").alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click") / F.col("n_view"), 6).alias("r_click"),
+        F.round(F.col("n_purchase") / F.col("n_click"), 6).alias("r_purchase"),
+    )

@@ -115,6 +115,7 @@ _PRIORITY = [
     "q189_benchmark_exposure",
     "q190_quality_length_correlation",
     "q191_boilerplate_census",
+    "q192_funnel_stages",
     # New this round, never driver-gated: the hash-gateable twin of q150
     # (rational perturbation + recall-1 edge build + unrolled-oracle
     # pagerank — closes the last rows-only gap without an in-gate twin).
