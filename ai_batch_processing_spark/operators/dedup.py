@@ -1013,3 +1013,86 @@ def q62_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cluster").alias("keep_id"), "cluster_size")
         .orderBy("keep_id")
     )
+
+
+def soft_dedup_weights(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, cluster, cluster_size, weight): keep EVERY document but weight
+    each near-duplicate cluster member 1/cluster_size — soft dedup, the
+    published alternative to keep-one (drop-based dedup discards
+    paraphrase diversity a cluster may carry; down-weighting preserves
+    the cluster's total loss contribution at exactly one document's
+    worth). Feed ``weight`` into loss scaling or
+    :func:`~ai_batch_processing_spark.operators.curation.weighted_sample_k_per_group`.
+
+    Same machinery as :func:`near_dedup`: large-star/small-star
+    components, then one cluster-sized aggregate joined back — the only
+    addition over keep-one is that nothing is dropped.
+    """
+    comp = connected_components(ids.selectExpr(f"{id_col} as id"), pairs)
+    sizes = comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster")
+        .select(
+            "id",
+            "cluster",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+        )
+    )
+
+
+@register(
+    "q193_soft_dedup_weights",
+    oracle=f"""
+        WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+        docs AS (SELECT id, text FROM corpus WHERE length(text) >= 5),
+        sh AS (
+            SELECT DISTINCT id, substring(text, CAST(i AS INT), 5) AS s
+            FROM docs, unnest(generate_series(1, length(text) - 4)) AS t(i)
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes na ON na.id = id_a
+            JOIN sizes nb ON nb.id = id_b
+            WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT id, id FROM corpus
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        labels AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src),
+        csize AS (SELECT cluster, COUNT(*) AS cluster_size FROM labels GROUP BY cluster)
+        SELECT l.id, l.cluster,
+               CAST(c.cluster_size AS BIGINT) AS cluster_size,
+               ROUND(1.0 / c.cluster_size, 6) AS weight
+        FROM labels l JOIN csize c USING (cluster)
+        ORDER BY l.id
+    """,
+    doc=(
+        "soft dedup: every near-duplicate cluster member kept at weight "
+        "1/cluster_size — the down-weighting alternative to keep-one "
+        "(cluster's total contribution = one document's worth, paraphrase "
+        "diversity preserved). q62's component machinery + one "
+        "cluster-sized aggregate; nothing dropped."
+    ),
+    tags=("dedup", "clustering", "mixture"),
+)
+def q193_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = jaccard_pairs(corpus, "id", "text", k=5, threshold=0.5)
+    return soft_dedup_weights(corpus.select("id"), pairs).orderBy("id")

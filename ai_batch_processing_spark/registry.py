@@ -116,6 +116,7 @@ _PRIORITY = [
     "q190_quality_length_correlation",
     "q191_boilerplate_census",
     "q192_funnel_stages",
+    "q193_soft_dedup_weights",
     # New this round, never driver-gated: the hash-gateable twin of q150
     # (rational perturbation + recall-1 edge build + unrolled-oracle
     # pagerank — closes the last rows-only gap without an in-gate twin).

@@ -397,3 +397,20 @@ def test_cut_duplicate_spans_fully_cut_doc_is_empty_string(spark):
     out = {r.doc_id: r for r in cut_duplicate_spans(_span_docs(spark, rows), n=8).collect()}
     assert out[1].cleaned_text == "" and out[1].n_removed == 8
     assert out[2].cleaned_text == ""
+
+
+def test_soft_dedup_weights_sum_to_one_per_cluster(spark):
+    from ai_batch_processing_spark.operators.dedup import soft_dedup_weights
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    out = soft_dedup_weights(ids, pairs).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert len(out) == 6  # nothing dropped
+    for rows in by_cluster.values():
+        assert abs(sum(r.weight for r in rows) - 1.0) < 1e-6
+    singles = {r.id: r.weight for r in out}
+    assert singles[6] == 1.0  # singleton keeps full weight
+    assert singles[1] == singles[2] == singles[3]  # triple at 1/3
