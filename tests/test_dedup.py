@@ -410,7 +410,9 @@ def test_soft_dedup_weights_sum_to_one_per_cluster(spark):
         by_cluster.setdefault(r.cluster, []).append(r)
     assert len(out) == 6  # nothing dropped
     for rows in by_cluster.values():
-        assert abs(sum(r.weight for r in rows) - 1.0) < 1e-6
+        # weights are ROUNDED to 6dp (3 x 0.333333 = 0.999999) — the
+        # conservation claim holds to rounding granularity
+        assert abs(sum(r.weight for r in rows) - 1.0) <= len(rows) * 1e-6
     singles = {r.id: r.weight for r in out}
     assert singles[6] == 1.0  # singleton keeps full weight
     assert singles[1] == singles[2] == singles[3]  # triple at 1/3
