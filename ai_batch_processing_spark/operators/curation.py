@@ -2193,3 +2193,81 @@ def q191_boilerplate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return boilerplate_census(salted, top_k=20, min_doc_freq=2).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# Weighted epoch interleave (deficit-round-robin stream order)
+# ---------------------------------------------------------------------------
+def weighted_interleave(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(position, doc_id, source, rk_in_source): a deterministic global
+    training-stream order in which each source appears with density
+    proportional to its weight — virtual-time (deficit round-robin)
+    scheduling: the s-th source's k-th doc is emitted at key k/w_s, so a
+    weight-2 source interleaves twice as densely as a weight-1 source
+    instead of arriving in blocks. Stream order matters for training
+    (per-source blocks = distribution shift every boundary); this is the
+    loader-side companion to :func:`mixture_weights`' epoch counts.
+
+    ``position`` is the contiguous global index over the key order via
+    the distributed range-partition row indexer
+    (:func:`~ai_batch_processing_spark.operators.template.with_row_index`) —
+    no single-reducer sort. Ties (equal virtual time) break by (source,
+    id) so the order is total and engine-reproducible.
+    """
+    from ai_batch_processing_spark.operators.template import with_row_index
+
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights}")
+    m = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    w_in = Window.partitionBy(group_col).orderBy(F.col(id_col).asc())
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("source"),
+    ).withColumn("rk_in_source", F.row_number().over(w_in).cast("long"))
+    keyed = keyed.withColumn(
+        "_key", F.round(F.col("rk_in_source") / m[F.col("source")], 9)
+    )
+    out = with_row_index(keyed, order_by=["_key", "source", "doc_id"], col="position")
+    return out.select(
+        F.col("position").cast("long"), "doc_id", "source", "rk_in_source"
+    )
+
+
+@register(
+    "q194_weighted_interleave",
+    oracle=r"""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY doc_id
+                   ) AS BIGINT) AS rk_in_source,
+                   CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 1 THEN 2.0 ELSE 1.0 END AS w
+            FROM documents
+        )
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY ROUND(rk_in_source / w, 9), source, doc_id
+               ) - 1 AS BIGINT) AS position,
+               doc_id, source, rk_in_source
+        FROM keyed
+        ORDER BY position
+    """,
+    doc=(
+        "weighted epoch interleave (virtual-time / deficit round-robin): "
+        "source s's k-th doc streams at key k/w_s, so weight-2 sources "
+        "interleave twice as densely instead of arriving in blocks — the "
+        "loader-side stream order behind mixture weights. Global position "
+        "via the distributed range-partition row indexer, never a "
+        "single-reducer sort."
+    ),
+    tags=("curation", "mixture", "ordering"),
+)
+def q194_weighted_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    srcs = [r.source for r in docs.select("source").distinct().collect()]
+    weights = {s: (2.0 if int(s[3:]) % 2 == 1 else 1.0) for s in srcs}
+    return weighted_interleave(docs, weights).orderBy("position")

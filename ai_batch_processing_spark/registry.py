@@ -117,6 +117,7 @@ _PRIORITY = [
     "q191_boilerplate_census",
     "q192_funnel_stages",
     "q193_soft_dedup_weights",
+    "q194_weighted_interleave",
     # New this round, never driver-gated: the hash-gateable twin of q150
     # (rational perturbation + recall-1 edge build + unrolled-oracle
     # pagerank — closes the last rows-only gap without an in-gate twin).
