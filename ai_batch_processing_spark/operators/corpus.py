@@ -49,7 +49,7 @@ caller's choice via ``materialize``:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_batch_processing_spark.registry import register
@@ -1077,3 +1077,111 @@ def q190_quality_length_correlation(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-threshold survival curve (the knob-picking sweep)
+# ---------------------------------------------------------------------------
+def threshold_survival(
+    df: DataFrame,
+    score_col: str,
+    size_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """(threshold, n_docs, n_tokens, doc_frac): for each candidate cut
+    t = k/n_bins, how many rows (and how much token mass) survive
+    ``score >= t`` — the sweep a practitioner reads before choosing a
+    quality threshold (the knee of this curve IS the knob; picking a
+    cut without it is guessing how much data dies).
+
+    Corpus-linear and one pass: scores collapse into an ``n_bins``
+    histogram (map-combinable), survival is a suffix sum over the bin
+    table (n_bins rows), never a re-scan per candidate threshold.
+    Scores are clamped into [0, 1]; a row in bin b survives thresholds
+    0..b.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor(F.col(score_col) * n_bins).cast("int")),
+    )
+    hist = df.select(b.alias("bin"), F.col(size_col).alias("sz")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("sz").alias("nt")
+    )
+    # dense bin axis so empty bins still emit a survival row
+    spark = df.sparkSession
+    axis = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    dense = axis.join(hist, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("nd"), F.lit(0)).alias("nd"),
+        F.coalesce(F.col("nt"), F.lit(0)).alias("nt"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    total = df.count()
+    return (
+        dense.select(
+            F.round(F.col("bin") / n_bins, 6).alias("threshold"),
+            F.sum("nd").over(w).cast("long").alias("n_docs"),
+            F.sum("nt").over(w).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "doc_frac",
+            F.round(F.col("n_docs") / F.lit(float(total or 1)), 6),
+        )
+    )
+
+
+@register(
+    "q195_threshold_survival",
+    oracle=r"""
+        WITH feats AS (
+            SELECT ROUND(CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                              / length(text)
+                         ELSE 0.0 END, 6) AS score,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> t <> '')) AS BIGINT) AS nt
+            FROM documents
+        ),
+        hist AS (
+            SELECT LEAST(9, GREATEST(0, CAST(FLOOR(score * 10) AS INT))) AS bin,
+                   COUNT(*) AS nd, SUM(nt) AS nt
+            FROM feats GROUP BY 1
+        ),
+        axis AS (SELECT CAST(u.b AS INT) AS bin FROM unnest(generate_series(0, 9)) u(b)),
+        dense AS (
+            SELECT a.bin, COALESCE(h.nd, 0) AS nd, COALESCE(h.nt, 0) AS nt
+            FROM axis a LEFT JOIN hist h USING (bin)
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats)
+        SELECT ROUND(bin / 10.0, 6) AS threshold,
+               CAST(SUM(nd) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_tokens,
+               ROUND(SUM(nd) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) / tot.n, 6) AS doc_frac
+        FROM dense CROSS JOIN tot
+        ORDER BY threshold
+    """,
+    doc=(
+        "quality-threshold survival curve: docs/token mass surviving each "
+        "candidate cut t = k/10 of the alpha-ratio score — the sweep that "
+        "picks a filter knob with its data cost visible. One histogram "
+        "pass + an n_bins-row suffix sum; never a re-scan per threshold."
+    ),
+    tags=("corpus", "quality", "stats"),
+)
+def q195_threshold_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import token_count_ws
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    feats = docs.select(
+        F.round(
+            F.when(F.length("text") > 0, alpha.cast("double") / F.length("text")).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("score"),
+        token_count_ws(F.col("text")).cast("long").alias("nt"),
+    )
+    return threshold_survival(feats, "score", "nt", n_bins=10).orderBy("threshold")

@@ -118,6 +118,7 @@ _PRIORITY = [
     "q192_funnel_stages",
     "q193_soft_dedup_weights",
     "q194_weighted_interleave",
+    "q195_threshold_survival",
     # New this round, never driver-gated: the hash-gateable twin of q150
     # (rational perturbation + recall-1 edge build + unrolled-oracle
     # pagerank — closes the last rows-only gap without an in-gate twin).

@@ -286,3 +286,21 @@ def test_source_overlap_matrix_no_overlap_empty(spark):
     rows = [("a", "alpha"), ("b", "beta"), ("c", "gamma")]
     df = spark.createDataFrame(rows, "source string, text string")
     assert source_overlap_matrix(df).count() == 0
+
+
+def test_threshold_survival_monotone_and_exact(spark):
+    from ai_batch_processing_spark.operators.corpus import threshold_survival
+
+    rows = [(0.05, 10), (0.25, 20), (0.55, 40), (0.95, 80)]
+    df = spark.createDataFrame(rows, "score double, nt long")
+    out = sorted(threshold_survival(df, "score", "nt", n_bins=10).collect(),
+                 key=lambda r: r.threshold)
+    assert len(out) == 10  # dense axis, empty bins included
+    assert out[0].n_docs == 4 and out[0].n_tokens == 150  # t=0 keeps all
+    # survival is non-increasing in the threshold
+    docs = [r.n_docs for r in out]
+    assert docs == sorted(docs, reverse=True)
+    at = {r.threshold: (r.n_docs, r.n_tokens) for r in out}
+    assert at[0.3] == (2, 120)  # 0.55 and 0.95 survive t=0.3
+    assert at[0.9] == (1, 80)
+    assert out[0].doc_frac == 1.0
