@@ -1185,3 +1185,111 @@ def q195_threshold_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_ws(F.col("text")).cast("long").alias("nt"),
     )
     return threshold_survival(feats, "score", "nt", n_bins=10).orderBy("threshold")
+
+
+# ---------------------------------------------------------------------------
+# Dataset datasheet (one-row corpus summary panel)
+# ---------------------------------------------------------------------------
+def dataset_datasheet(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """One row: (n_docs, n_sources, n_tokens, n_chars, dup_rate,
+    mean_alpha_ratio, lang_entropy_bits) — the headline numbers a
+    dataset card publishes (Datasheets for Datasets shape), computed in
+    TWO corpus passes: one scan for the row-level aggregates and one
+    fingerprint aggregate for the dup rate; the language entropy folds
+    over a languages-sized table.
+
+    dup_rate = 1 − distinct fingerprints / docs (share of docs that are
+    a normalized copy of another). lang_entropy_bits = Shannon entropy
+    of the declared-language distribution — a one-number mix summary
+    (0 = monolingual).
+    """
+    from ai_batch_processing_spark.operators.text import (
+        fingerprint_expr,
+        token_count_ws,
+    )
+
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    ratio = F.when(
+        F.length(F.col(text_col)) > 0, alpha.cast("double") / F.length(F.col(text_col))
+    ).otherwise(0.0)
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(group_col).cast("long").alias("n_sources"),
+        F.sum(token_count_ws(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.sum(F.length(F.col(text_col))).cast("long").alias("n_chars"),
+        F.round(F.avg(F.round(ratio, 6)), 6).alias("mean_alpha_ratio"),
+    )
+    fps = docs.select(fingerprint_expr(F.col(text_col)).alias("fp")).agg(
+        F.count_distinct("fp").cast("long").alias("n_distinct")
+    )
+    langs = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(docs.agg(F.count(F.lit(1)).cast("double").alias("n")))
+        .agg(
+            F.round(
+                -F.sum((F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("n"))), 6
+            ).alias("lang_entropy_bits")
+        )
+    )
+    return (
+        base.crossJoin(fps)
+        .crossJoin(langs)
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_tokens",
+            "n_chars",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_docs"), 6).alias("dup_rate"),
+            "mean_alpha_ratio",
+            "lang_entropy_bits",
+        )
+    )
+
+
+@register(
+    "q196_dataset_datasheet",
+    oracle=r"""
+        WITH base AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                            t -> t <> ''))) AS BIGINT) AS n_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                   ROUND(AVG(ROUND(CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                              / length(text)
+                         ELSE 0.0 END, 6)), 6) AS mean_alpha_ratio
+            FROM documents
+        ),
+        fps AS (
+            SELECT CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g')))) AS BIGINT) AS n_distinct
+            FROM documents
+        ),
+        langs AS (
+            SELECT ROUND(-SUM((c / n) * log2(c / n)), 6) AS lang_entropy_bits
+            FROM (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS c FROM documents GROUP BY lang)
+            CROSS JOIN (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+        )
+        SELECT n_docs, n_sources, n_tokens, n_chars,
+               ROUND(1.0 - n_distinct / n_docs, 6) AS dup_rate,
+               mean_alpha_ratio, lang_entropy_bits
+        FROM base CROSS JOIN fps CROSS JOIN langs
+    """,
+    doc=(
+        "dataset datasheet: the one-row corpus card (docs, sources, "
+        "tokens, chars, normalized-dup rate, mean alpha ratio, language-"
+        "mix entropy) — two corpus passes total (scan aggregates + "
+        "fingerprint distinct), languages-sized entropy fold."
+    ),
+    tags=("corpus", "stats", "qa"),
+)
+def q196_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return dataset_datasheet(docs)

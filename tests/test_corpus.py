@@ -304,3 +304,19 @@ def test_threshold_survival_monotone_and_exact(spark):
     assert at[0.3] == (2, 120)  # 0.55 and 0.95 survive t=0.3
     assert at[0.9] == (1, 80)
     assert out[0].doc_frac == 1.0
+
+
+def test_dataset_datasheet_hand_computed(spark):
+    from ai_batch_processing_spark.operators.corpus import dataset_datasheet
+
+    rows = [
+        (1, "Alpha beta", "en", "a"),
+        (2, "alpha beta!", "en", "a"),  # normalized dup of 1
+        (3, "gamma delta", "fr", "b"),
+        (4, "epsilon zeta", "fr", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    r = dataset_datasheet(df).collect()[0]
+    assert (r.n_docs, r.n_sources, r.n_tokens) == (4, 2, 8)
+    assert r.dup_rate == 0.25  # 3 distinct fingerprints of 4 docs
+    assert r.lang_entropy_bits == 1.0  # 50/50 en-fr
