@@ -1775,3 +1775,56 @@ def q192_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_click") / F.col("n_view"), 6).alias("r_click"),
         F.round(F.col("n_purchase") / F.col("n_click"), 6).alias("r_purchase"),
     )
+
+
+@register(
+    "q197_event_rate_anomalies",
+    oracle=r"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   AVG(c) AS mu,
+                   STDDEV_SAMP(c) AS sd
+            FROM hourly GROUP BY event_type
+        )
+        SELECT h.event_type,
+               h.h AS hour,
+               CAST(h.c AS BIGINT) AS n_events,
+               ROUND((h.c - s.mu) / s.sd, 4) AS z
+        FROM hourly h JOIN stats s USING (event_type)
+        WHERE s.sd > 0 AND ABS((h.c - s.mu) / s.sd) >= 2.0
+        ORDER BY h.event_type, h.h
+    """,
+    doc=(
+        "hourly event-rate anomalies: per event type, hours whose count "
+        "sits >= 2 sample standard deviations from that type's hourly "
+        "mean — the ingestion-monitoring panel (a stuck producer or a "
+        "replay storm shows up here first). Two tiny aggregates over the "
+        "hourly rollup; z rounded to 4dp (order-sensitive float "
+        "accumulations in STDDEV at 6dp)."
+    ),
+    tags=("analytics", "events", "qa"),
+)
+def q197_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("c").alias("mu"), F.stddev_samp("c").alias("sd")
+    )
+    z = (F.col("c") - F.col("mu")) / F.col("sd")
+    return (
+        hourly.join(stats, "event_type")
+        .filter((F.col("sd") > 0) & (F.abs(z) >= 2.0))
+        .select(
+            "event_type",
+            "hour",
+            F.col("c").cast("long").alias("n_events"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_type", "hour")
+    )
