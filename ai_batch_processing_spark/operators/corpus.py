@@ -1293,3 +1293,59 @@ def dataset_datasheet(
 def q196_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return dataset_datasheet(docs)
+
+
+@register(
+    "q198_quality_drift_by_ingest_half",
+    oracle=r"""
+        WITH feats AS (
+            SELECT source, doc_id,
+                   ROUND(CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                              / length(text)
+                         ELSE 0.0 END, 6) AS score,
+                   PERCENT_RANK() OVER (PARTITION BY source ORDER BY doc_id) AS pr
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(CASE WHEN pr <= 0.5 THEN score END), 6) AS early_quality,
+               ROUND(AVG(CASE WHEN pr > 0.5 THEN score END), 6) AS late_quality,
+               ROUND(AVG(CASE WHEN pr > 0.5 THEN score END)
+                     - AVG(CASE WHEN pr <= 0.5 THEN score END), 6) AS drift
+        FROM feats
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "quality drift across ingestion order: per source, mean quality "
+        "of the first half of the id range vs the second — the panel "
+        "that catches a crawl degrading over time (or a fixed extractor "
+        "silently improving it) before the aggregate mean hides it. One "
+        "per-source rank window + conditional means."
+    ),
+    tags=("corpus", "quality", "qa"),
+)
+def q198_quality_drift_by_ingest_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    score = F.round(
+        F.when(F.length("text") > 0, alpha.cast("double") / F.length("text")).otherwise(0.0),
+        6,
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    feats = docs.select("source", "doc_id", score.alias("score")).withColumn(
+        "pr", F.percent_rank().over(w)
+    )
+    early = F.avg(F.when(F.col("pr") <= 0.5, F.col("score")))
+    late = F.avg(F.when(F.col("pr") > 0.5, F.col("score")))
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(early, 6).alias("early_quality"),
+            F.round(late, 6).alias("late_quality"),
+            F.round(late - early, 6).alias("drift"),
+        )
+        .orderBy("source")
+    )
