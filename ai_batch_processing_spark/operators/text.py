@@ -1876,3 +1876,87 @@ def cut_duplicate_spans(
 def q181_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return cut_duplicate_spans(docs, n=8, min_docs=2).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch–Kincaid shape)
+# ---------------------------------------------------------------------------
+def readability(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, fk_grade): Flesch–
+    Kincaid grade level with the standard cheap approximations —
+    sentences = terminal-punctuation runs (min 1), syllables = vowel
+    groups per word (the classic heuristic) — the education-level signal
+    quality stacks use to slice corpora by reading difficulty (a "grade
+    14" slice reads very differently from a "grade 4" one; both are
+    valid targets, which is why it's a COLUMN, not a filter).
+
+    fk = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59, the
+    published coefficients. Pure Catalyst: one regex count for
+    sentences, one per-word vowel-group fold for syllables; zero
+    shuffle.
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_sent = F.greatest(F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1))
+    n_syll = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.greatest(F.regexp_count(w, F.lit("[aeiouy]+")), F.lit(1)),
+    )
+    fk = (
+        F.lit(0.39) * (n_words.cast("double") / n_sent)
+        + F.lit(11.8) * (n_syll.cast("double") / n_words)
+        - F.lit(15.59)
+    )
+    return docs.filter(n_words > 0).select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(fk, 4).alias("fk_grade"),
+    )
+
+
+@register(
+    "q199_readability",
+    oracle=r"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(ws) AS n_words,
+                   GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+                   COALESCE(list_sum(list_transform(ws,
+                       w -> GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1))), 0) AS n_syllables
+            FROM base
+            WHERE len(ws) > 0
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                     - 15.59, 4) AS fk_grade
+        FROM m
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Flesch-Kincaid readability: grade level from words/sentences and "
+        "vowel-group syllables (the standard cheap approximations, "
+        "published coefficients) — the reading-difficulty column quality "
+        "stacks slice corpora by. Pure Catalyst, zero shuffle."
+    ),
+    tags=("text", "quality"),
+)
+def q199_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return readability(docs).orderBy("doc_id")

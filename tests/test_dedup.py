@@ -416,3 +416,30 @@ def test_soft_dedup_weights_sum_to_one_per_cluster(spark):
     singles = {r.id: r.weight for r in out}
     assert singles[6] == 1.0  # singleton keeps full weight
     assert singles[1] == singles[2] == singles[3]  # triple at 1/3
+
+
+def test_readability_simple_vs_complex_prose(spark):
+    from ai_batch_processing_spark.operators.text import readability
+
+    rows = [
+        (1, "The cat sat. The dog ran. We play all day."),
+        (2, "Extraordinarily sophisticated considerations necessitate "
+            "comprehensive organizational restructuring initiatives."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in readability(df).collect()}
+    assert out[1].n_sentences == 3
+    assert out[1].fk_grade < out[2].fk_grade  # long-word prose reads harder
+    assert out[2].n_syllables > out[2].n_words * 3  # genuinely polysyllabic
+
+
+def test_readability_sentence_floor_and_word_filter(spark):
+    from ai_batch_processing_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "no terminal punctuation here at all"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    out = readability(df).collect()
+    assert len(out) == 1  # the whitespace-only doc is excluded
+    assert out[0].n_sentences == 1  # floor, no division by zero
