@@ -483,3 +483,91 @@ def q177_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .orderBy("source", "rk")
     )
+
+
+@register(
+    "q200_training_mix_plan",
+    oracle=r"""
+        WITH fp AS (
+            SELECT source, doc_id,
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> t <> '')) AS BIGINT) AS nt
+            FROM documents
+        ),
+        survivors AS (
+            SELECT source, f, ARG_MIN(nt, doc_id) AS n_tokens
+            FROM fp GROUP BY source, f
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+            FROM survivors GROUP BY source
+        ),
+        tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM agg),
+        shared AS (
+            SELECT agg.*, agg.n_tokens / tot.t AS p FROM agg CROSS JOIN tot
+        ),
+        powsum AS (SELECT SUM(sqrt(p)) AS sp FROM shared),
+        stream AS (
+            SELECT source,
+                   CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 512 AS b
+            FROM (SELECT source, unnest(list_filter(
+                      string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+                  FROM documents)
+        ),
+        sb AS (SELECT source, b, COUNT(*) AS c FROM stream GROUP BY 1, 2),
+        stot AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS n_src FROM sb GROUP BY source),
+        corpus AS (SELECT b, SUM(c) AS cc FROM sb GROUP BY b),
+        ctot AS (SELECT CAST(SUM(cc) AS DOUBLE) AS n_all FROM corpus),
+        grid AS (SELECT * FROM stot CROSS JOIN corpus CROSS JOIN ctot),
+        kls AS (
+            SELECT g.source,
+                   ROUND(SUM(((COALESCE(sb.c, 0) + 1.0) / (g.n_src + 512.0))
+                             * log2(((COALESCE(sb.c, 0) + 1.0) / (g.n_src + 512.0))
+                                    / ((g.cc + 1.0) / (g.n_all + 512.0)))), 6) AS kl_bits
+            FROM grid g LEFT JOIN sb ON g.source = sb.source AND g.b = sb.b
+            GROUP BY g.source
+        )
+        SELECT s.source, s.n_docs, s.n_tokens,
+               ROUND(s.p, 6) AS p_natural,
+               ROUND(sqrt(s.p) / ps.sp, 6) AS q_temperature,
+               ROUND((sqrt(s.p) / ps.sp) / s.p, 6) AS repeat_factor,
+               k.kl_bits
+        FROM shared s CROSS JOIN powsum ps JOIN kls k USING (source)
+        ORDER BY s.source
+    """,
+    doc=(
+        "the training-mix plan, composed end to end: per-source DEDUPED "
+        "token mass (q188's min-id-survivor aggregate, so self-mirroring "
+        "can't inflate epochs) -> alpha=0.5 temperature shares and repeat "
+        "factors (q166's IEEE-exact sqrt) -> annotated with KL(source || "
+        "corpus) (q183) so the operator of the mix sees which weights "
+        "are backed by genuinely distinct distributions. One lazy plan; "
+        "each stage is also gated alone."
+    ),
+    tags=("pipeline", "curation", "mixture", "dedup"),
+)
+def q200_training_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.corpus import source_divergence
+    from ai_batch_processing_spark.operators.curation import (
+        mixture_weights_deduped,  # noqa: F401 — the fp/survivor shape below is its core
+        temperature_mixture,
+    )
+    from ai_batch_processing_spark.operators.text import fingerprint_expr, token_count_ws
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    survivors = (
+        docs.select(
+            "source",
+            fingerprint_expr(F.col("text")).alias("fp"),
+            F.col("doc_id").alias("id"),
+            token_count_ws(F.col("text")).cast("long").alias("nt"),
+        )
+        .groupBy("source", "fp")
+        .agg(F.min_by("nt", "id").alias("n_tokens"))
+    )
+    mix = temperature_mixture(survivors, "source", "n_tokens", alpha=0.5)
+    kl = source_divergence(docs, method="md5").select("source", "kl_bits")
+    return mix.join(kl, "source").orderBy("source")
