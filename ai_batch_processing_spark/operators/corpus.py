@@ -1118,17 +1118,20 @@ def threshold_survival(
         F.coalesce(F.col("nt"), F.lit(0)).alias("nt"),
     )
     w = Window.orderBy("bin").rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    total = df.count()
-    return (
-        dense.select(
-            F.round(F.col("bin") / n_bins, 6).alias("threshold"),
-            F.sum("nd").over(w).cast("long").alias("n_docs"),
-            F.sum("nt").over(w).cast("long").alias("n_tokens"),
-        )
-        .withColumn(
-            "doc_frac",
-            F.round(F.col("n_docs") / F.lit(float(total or 1)), 6),
-        )
+    # total from the bin table itself (an n_bins-row window), NOT a second
+    # df.count() pass — the histogram already saw every row once
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return dense.select(
+        F.round(F.col("bin") / n_bins, 6).alias("threshold"),
+        F.sum("nd").over(w).cast("long").alias("n_docs"),
+        F.sum("nt").over(w).cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("nd").over(w)
+            / F.greatest(F.sum("nd").over(w_all).cast("double"), F.lit(1.0)),
+            6,
+        ).alias("doc_frac"),
     )
 
 
@@ -1199,9 +1202,10 @@ def dataset_datasheet(
     """One row: (n_docs, n_sources, n_tokens, n_chars, dup_rate,
     mean_alpha_ratio, lang_entropy_bits) — the headline numbers a
     dataset card publishes (Datasheets for Datasets shape), computed in
-    TWO corpus passes: one scan for the row-level aggregates and one
-    fingerprint aggregate for the dup rate; the language entropy folds
-    over a languages-sized table.
+    THREE corpus-linear passes: the row-level scan aggregate, the
+    fingerprint-distinct aggregate for the dup rate, and the per-lang
+    rollup the entropy folds over (each map-combinable; nothing
+    corpus-sized crosses a single reducer).
 
     dup_rate = 1 − distinct fingerprints / docs (share of docs that are
     a normalized copy of another). lang_entropy_bits = Shannon entropy
