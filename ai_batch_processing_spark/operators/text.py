@@ -1960,3 +1960,103 @@ def readability(
 def q199_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return readability(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# HTML strip (the extraction step web pipelines start with)
+# ---------------------------------------------------------------------------
+def html_strip(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, cleaned_text, n_tags): markup removed — script/style
+    blocks dropped WITH their contents, remaining tags replaced by a
+    space, the five core entities unescaped, whitespace collapsed. The
+    extraction step every web-corpus pipeline runs first (C4/Dolma
+    shape); a regex extractor is deliberately the scope — a real DOM
+    parser is a different fidelity/cost point, and the published
+    pipelines themselves shipped regex-grade extraction for years.
+
+    Pure chained ``regexp_replace`` — whole-stage codegen, zero Python,
+    zero shuffle, scan-speed (the fingerprint_expr lesson: one linear
+    pass per pattern).
+    """
+    c = F.col(text_col)
+    n_tags = F.regexp_count(c, F.lit(r"<[^>]+>"))
+    # two separate block patterns, NOT one with a backreference: the
+    # oracle engine's RE2 has no backreferences (Java regex does — a
+    # pattern only one engine can run is a portability bug)
+    no_script = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    no_blocks = F.regexp_replace(no_script, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    no_tags = F.regexp_replace(no_blocks, r"<[^>]+>", " ")
+    unescaped = no_tags
+    for ent, ch in (
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+    ):
+        unescaped = F.replace(unescaped, F.lit(ent), F.lit(ch))
+    cleaned = F.trim(F.regexp_replace(unescaped, r"\s+", " "))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        cleaned.alias("cleaned_text"),
+        n_tags.cast("long").alias("n_tags"),
+    )
+
+
+@register(
+    "q201_html_strip",
+    oracle=r"""
+        WITH salted AS (
+            SELECT doc_id,
+                   '<html><head><style>p { color: red }</style></head><body><p class="x">'
+                   || text ||
+                   CASE WHEN doc_id % 3 = 0
+                        THEN '</p><script type="text/javascript">var x = 1 < 2;</script>'
+                        ELSE '</p>' END
+                   || '<br/>&amp; more &lt;here&gt; &quot;quoted&quot; &#39;s &nbsp;end</body></html>' AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                       regexp_replace(
+                           regexp_replace(regexp_replace(text, '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+                               '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+                           '<[^>]+>', ' ', 'g'),
+                       '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+                   '\s+', ' ', 'g')) AS cleaned_text,
+               CAST(len(regexp_extract_all(text, '<[^>]+>')) AS BIGINT) AS n_tags
+        FROM salted
+        ORDER BY doc_id
+    """,
+    doc=(
+        "HTML strip (the C4/Dolma extraction step): script/style blocks "
+        "dropped with contents, tags -> space, core entities unescaped, "
+        "whitespace collapsed — pure chained regexp_replace at scan "
+        "speed. Gate wraps the synthetic corpus in real markup "
+        "(nested tags, attrs, a script with a '<' inside) and "
+        "hash-matches the cleaned text."
+    ),
+    tags=("text", "extraction", "curation"),
+)
+def q201_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><style>p { color: red }</style></head><body><p class="x">'),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit('</p><script type="text/javascript">var x = 1 < 2;</script>'),
+            ).otherwise(F.lit("</p>")),
+            F.lit('<br/>&amp; more &lt;here&gt; &quot;quoted&quot; &#39;s &nbsp;end</body></html>'),
+        ).alias("text"),
+    )
+    return html_strip(salted).orderBy("doc_id")

@@ -124,6 +124,7 @@ _PRIORITY = [
     "q198_quality_drift_by_ingest_half",
     "q199_readability",
     "q200_training_mix_plan",
+    "q201_html_strip",
     # New this round, never driver-gated: the hash-gateable twin of q150
     # (rational perturbation + recall-1 edge build + unrolled-oracle
     # pagerank — closes the last rows-only gap without an in-gate twin).

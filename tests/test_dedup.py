@@ -443,3 +443,19 @@ def test_readability_sentence_floor_and_word_filter(spark):
     out = readability(df).collect()
     assert len(out) == 1  # the whitespace-only doc is excluded
     assert out[0].n_sentences == 1  # floor, no division by zero
+
+
+def test_html_strip_blocks_entities_and_counts(spark):
+    from ai_batch_processing_spark.operators.text import html_strip
+
+    rows = [
+        (1, '<p class="a">Hello <b>world</b></p><script>var a = "<evil>";</script>'),
+        (2, "plain text, no markup"),
+        (3, "<style>body { x: 1 }</style>A &amp; B &lt;tag&gt; &quot;q&quot;"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in html_strip(df).collect()}
+    assert out[1].cleaned_text == "Hello world"  # script CONTENT gone too
+    assert out[2].cleaned_text == "plain text, no markup"
+    assert out[2].n_tags == 0
+    assert out[3].cleaned_text == 'A & B <tag> "q"'
