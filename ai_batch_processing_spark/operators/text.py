@@ -2060,3 +2060,79 @@ def q201_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return html_strip(salted).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (NFC + control-char strip)
+# ---------------------------------------------------------------------------
+def normalize_unicode(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, cleaned_text, changed): NFC-compose the text and strip
+    C0 control characters (keeping tab/newline) — the normalization step
+    CCNet/Dolma-class pipelines run before anything hashes or tokenizes:
+    WITHOUT it, 'é' and 'e'+COMBINING ACUTE are different fingerprints,
+    different shingles, different dedup keys — the same document twice.
+
+    NFC runs in an Arrow-batched pandas UDF (``unicodedata`` — the JVM
+    side has no normalizer expression); the control strip is a Catalyst
+    regex. ``changed`` marks rows the normalization actually touched, so
+    the cheap follow-up is re-fingerprinting only those.
+    """
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def nfc(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [unicodedata.normalize("NFC", t) if t is not None else None for t in texts]
+        )
+
+    c = F.col(text_col)
+    cleaned = F.regexp_replace(nfc(c), r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        cleaned.alias("cleaned_text"),
+        (cleaned != c).alias("changed"),
+    )
+
+
+@register(
+    "q202_unicode_normalize",
+    oracle=r"""
+        WITH salted AS (
+            SELECT doc_id,
+                   text || ' cafe' || chr(769) || ' fiancee' || chr(769) || chr(1) || ' end' AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(nfc_normalize(text),
+                              '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g') AS cleaned_text,
+               regexp_replace(nfc_normalize(text),
+                              '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g') <> text AS changed
+        FROM salted
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Unicode NFC normalization + C0 control strip (the CCNet/Dolma "
+        "pre-hash normalization: composed vs combining sequences must "
+        "not be two different dedup keys). NFC via Arrow-batched "
+        "unicodedata — hash-matched against the oracle engine's "
+        "independent utf8proc normalizer on combining-accent salted "
+        "text, which pins the two implementations agree."
+    ),
+    tags=("text", "extraction", "curation"),
+)
+def q202_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            # genuinely COMBINING sequences (e + U+0301), not precomposed
+            # literals - the normalization must have real work to do
+            F.lit(" cafe\u0301 fiancee\u0301\x01 end"),
+        ).alias("text"),
+    )
+    return normalize_unicode(salted).orderBy("doc_id")

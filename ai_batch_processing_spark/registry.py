@@ -125,6 +125,7 @@ _PRIORITY = [
     "q199_readability",
     "q200_training_mix_plan",
     "q201_html_strip",
+    "q202_unicode_normalize",
     # New this round, never driver-gated: the hash-gateable twin of q150
     # (rational perturbation + recall-1 edge build + unrolled-oracle
     # pagerank — closes the last rows-only gap without an in-gate twin).

@@ -459,3 +459,20 @@ def test_html_strip_blocks_entities_and_counts(spark):
     assert out[2].cleaned_text == "plain text, no markup"
     assert out[2].n_tags == 0
     assert out[3].cleaned_text == 'A & B <tag> "q"'
+
+
+def test_normalize_unicode_composes_and_strips(spark):
+    from ai_batch_processing_spark.operators.text import normalize_unicode
+
+    rows = [
+        (1, "café time"),  # combining acute -> composed é
+        (2, "plain ascii"),
+        (3, "ctrl\x01char\ttab kept\nnewline kept"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in normalize_unicode(df).collect()}
+    assert out[1].cleaned_text == "café time" and out[1].changed
+    assert out[2].cleaned_text == "plain ascii" and not out[2].changed
+    assert out[3].cleaned_text == "ctrlchar\ttab kept\nnewline kept" and out[3].changed
+    # and the composed form now fingerprints identically to a precomposed twin
+    assert len(out[1].cleaned_text) == len("café time")
