@@ -1,0 +1,466 @@
+"""Deterministic, SQL-portable sketches: fixed-threshold theta distinct
+sampling, cross-sketch set algebra, and count-min frequency counters —
+the cardinality / heavy-hitter scale path with oracle-exact semantics.
+
+Spark 4 ships binary DataSketches (``hll_sketch_agg`` /
+``theta_sketch_agg`` — tests/test_sketches.py pins their estimates and
+mergeability); those are the production default when only an estimate is
+needed. What the binary sketches CANNOT give is a cross-engine, *audit-
+reproducible* result: the sketch bytes depend on build order and library
+version. This module implements the classic fixed-threshold theta sketch
+(the Theta-Sketch Framework's θ=const member; KMV's simpler sibling) and
+count-min (Cormode & Muthukrishnan 2005) over a portable 32-bit hash, so
+every estimate is a pure function of the input SET — bit-identical across
+engines, partitionings, and retry orders. That determinism is what makes
+them hash-gateable against a DuckDB oracle here, and reproducible across
+re-runs of a 100 TB pipeline in production.
+
+Scale shape:
+
+- **theta**: the hash-threshold filter keeps ``theta_frac`` of the key
+  stream BEFORE the distinct shuffle. An exact distinct shuffles every
+  key; this shuffles ``theta_frac`` of them (relative stderr ≈
+  ``1/sqrt(sampled)`` — pick the fraction to trade error for shuffle
+  bytes). Samples are unionable: the sample of a union is the union of
+  samples (same hash, same θ), so per-partition / per-day samples merge
+  exactly — no re-scan for rollups, and set algebra (∩, ∪, Jaccard)
+  works directly on the sampled sets.
+- **count-min**: ONE map-side-combinable aggregation collapses any key
+  stream to ``depth × width`` counters per partition before the (tiny)
+  shuffle; counters are additive, so shard sketches sum into the global
+  sketch. Point estimates overestimate only (min over depth rows).
+
+Reference parity: the reference app (main.py) keeps exact progress
+counters only and has no sketch surface — this is north-star extension
+surface, same family as dedup/ANN (SURVEY.md §2's scale-path additions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.registry import register
+from ai_batch_processing_spark.session import load_tables
+
+_HASH_SPACE = 4_294_967_296  # 2^32 — the portable hash range
+
+
+def portable_hash32(col: Column, method: str = "xxhash64") -> Column:
+    """Uniform 32-bit hash in [0, 2^32) — the sketch-family hash.
+
+    ``xxhash64``: JVM-intrinsic, production default (pmod into 2^32).
+    ``md5``: first 8 md5 hex digits as an integer — the SQL-portable
+    variant for oracle gates; DuckDB computes the identical value via
+    ``CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT)`` (the
+    :func:`~ai_batch_processing_spark.operators.curation._feature_bucket`
+    pattern).
+    """
+    if method == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(_HASH_SPACE))
+    if method == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    raise ValueError(f"method must be xxhash64|md5, got {method!r}")
+
+
+def theta_threshold(theta_frac: float) -> int:
+    """The integer θ for a sampling fraction (θ/2^32 = effective rate)."""
+    if not 0.0 < theta_frac <= 1.0:
+        raise ValueError(f"theta_frac must be in (0, 1], got {theta_frac}")
+    return int(theta_frac * _HASH_SPACE)
+
+
+def theta_sample(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    theta_frac: float = 1 / 8,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Distinct ``(group…, key)`` rows whose 32-bit hash < θ.
+
+    The filter runs BEFORE the distinct, so only ``theta_frac`` of the
+    key stream reaches the shuffle — the whole point at 100 TB. The
+    result is itself the sketch: union samples from shards to get the
+    shard-union's sample (same hash ⇒ identical definition).
+    """
+    theta = theta_threshold(theta_frac)
+    keep = portable_hash32(F.col(key_col), method) < F.lit(theta)
+    return df.where(keep).select(*group_cols, key_col).distinct()
+
+
+def theta_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    theta_frac: float = 1 / 8,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Per-group distinct-count estimate: ``(group…, sampled_distinct,
+    est_distinct)``.
+
+    ``est = round(sampled · 2^32 / θ)`` in pure BIGINT arithmetic, so the
+    estimate is bit-identical across engines. Groups whose sample is
+    empty simply don't appear — join from an exact group list (or a
+    ``count(*)`` frame) when presence matters.
+    """
+    theta = theta_threshold(theta_frac)
+    sample = theta_sample(df, key_col, group_cols, theta_frac, method)
+    grouped = (
+        sample.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("sampled_distinct"))
+        if group_cols
+        else sample.agg(F.count(F.lit(1)).alias("sampled_distinct"))
+    )
+    num = F.col("sampled_distinct") * F.lit(_HASH_SPACE) + F.lit(theta // 2)
+    est = ((num - F.pmod(num, F.lit(theta))) / F.lit(theta)).cast("long")
+    return grouped.withColumn("est_distinct", est)
+
+
+def theta_pair_overlap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    theta_frac: float = 1 / 8,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Estimated set overlap between every group pair from ONE shared
+    sample: ``(group_a, group_b, sampled_a, sampled_b, inter_sampled,
+    union_sampled, est_jaccard)`` for all unordered pairs (a < b).
+
+    The cross-sketch property: because every group is sampled with the
+    SAME hash and θ, the sampled sets are comparable — ``|A∩B|`` on the
+    samples is an unbiased θ-scaled estimate of the true intersection,
+    and Jaccard needs no scaling at all (the θ factors cancel). One
+    corpus scan builds all groups' sketches; the pair join runs on the
+    tiny samples, never on the raw keys.
+    """
+    sample = theta_sample(df, key_col, (group_col,), theta_frac, method)
+    counts = sample.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    groups = counts.select(F.col(group_col).alias("g"), F.col("n"))
+    pairs = (
+        groups.alias("ga")
+        .crossJoin(groups.alias("gb"))
+        .where(F.col("ga.g") < F.col("gb.g"))
+        .select(
+            F.col("ga.g").alias("group_a"),
+            F.col("gb.g").alias("group_b"),
+            F.col("ga.n").alias("sampled_a"),
+            F.col("gb.n").alias("sampled_b"),
+        )
+    )
+    inter = (
+        sample.alias("a")
+        .join(sample.alias("b"), on=key_col)
+        .where(F.col(f"a.{group_col}") < F.col(f"b.{group_col}"))
+        .groupBy(
+            F.col(f"a.{group_col}").alias("group_a"),
+            F.col(f"b.{group_col}").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter_sampled"))
+    )
+    out = (
+        pairs.join(inter, ["group_a", "group_b"], "left")
+        .withColumn("inter_sampled", F.coalesce("inter_sampled", F.lit(0)).cast("long"))
+        .withColumn(
+            "union_sampled",
+            (F.col("sampled_a") + F.col("sampled_b") - F.col("inter_sampled")).cast("long"),
+        )
+    )
+    jac = F.when(
+        F.col("union_sampled") > 0,
+        F.round(F.col("inter_sampled") / F.col("union_sampled"), 4),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("est_jaccard", jac)
+
+
+def count_min(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Count-min sketch of key occurrences: ``(row_idx, col_idx, counter)``
+    — ``depth`` independent hash rows of ``width`` counters.
+
+    One aggregation: each occurrence explodes to ``depth`` (row, col)
+    cells, and the partial agg collapses every partition to ≤ depth·width
+    rows before the shuffle — the sketch build costs one corpus scan no
+    matter the corpus size, and shard sketches ADD into the global one.
+    Row hashes are ``hash(r ‖ ':' ‖ key)`` — independent per row, same
+    portable hash family as the theta sketch.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be ≥1, got {depth}/{width}")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row_idx"),
+                (
+                    portable_hash32(
+                        F.concat(F.lit(f"{r}:"), F.col(key_col)), method
+                    )
+                    % F.lit(width)
+                ).alias("col_idx"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row_idx").alias("row_idx"), F.col("c.col_idx").alias("col_idx"))
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def cms_lookup(
+    cms: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Point-estimate each probe key against a count-min sketch:
+    probes + ``cms_est`` (min over the depth rows — overestimate-only).
+
+    The sketch is ≤ depth·width rows → broadcast; each probe key fans out
+    to ``depth`` lookups and folds back with ``min``. Missing cells read
+    as 0 (a key whose cell was never touched has true count 0).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row_idx"),
+                (
+                    portable_hash32(
+                        F.concat(F.lit(f"{r}:"), F.col(key_col)), method
+                    )
+                    % F.lit(width)
+                ).alias("col_idx"),
+            )
+            for r in range(depth)
+        ]
+    )
+    fanout = probes.select(*probes.columns, F.explode(cells).alias("c")).select(
+        *probes.columns,
+        F.col("c.row_idx").alias("row_idx"),
+        F.col("c.col_idx").alias("col_idx"),
+    )
+    joined = fanout.join(F.broadcast(cms), ["row_idx", "col_idx"], "left").withColumn(
+        "counter", F.coalesce("counter", F.lit(0))
+    )
+    return joined.groupBy(*probes.columns).agg(F.min("counter").alias("cms_est"))
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (gate form: method="md5", the SQL-portable hash;
+# production default is xxhash64 — parity of the two estimates is pinned
+# in tests/test_sketches.py)
+# ---------------------------------------------------------------------------
+
+# Shared oracle CTEs: 8-token shingles per (source, doc) — q101's shingle
+# SQL — and the md5-threshold sample. θ = 2^32/8 = 536870912.
+_SHINGLE_CTE = r"""
+        toks AS (
+            SELECT source,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT source,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 7, 1) + 1),
+                       i -> array_to_string(t[i:i+7], ' '))) AS shingle
+            FROM toks
+        ),
+        sample AS (
+            SELECT DISTINCT source, shingle FROM sh
+            WHERE CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) < 536870912
+        )
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.curation import shingles_expr
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return docs.select(
+        "source", F.explode(shingles_expr(F.col("text"), 8)).alias("shingle")
+    )
+
+
+@register(
+    "q203_theta_distinct_shingles",
+    oracle=r"""
+        WITH """ + _SHINGLE_CTE + r""",
+        est AS (
+            SELECT source,
+                   COUNT(*) AS sampled_distinct,
+                   (COUNT(*) * 4294967296 + 268435456) // 536870912 AS est_distinct
+            FROM sample GROUP BY source
+        ),
+        exact AS (
+            SELECT source, COUNT(DISTINCT shingle) AS exact_distinct
+            FROM sh GROUP BY source
+        )
+        SELECT x.source,
+               COALESCE(e.sampled_distinct, 0) AS sampled_distinct,
+               COALESCE(e.est_distinct, 0) AS est_distinct,
+               x.exact_distinct,
+               ROUND(100.0 * (COALESCE(e.est_distinct, 0) - x.exact_distinct)
+                     / x.exact_distinct, 2) AS err_pct
+        FROM exact x LEFT JOIN est e USING (source)
+        ORDER BY source
+    """,
+    doc=(
+        "fixed-threshold theta sketch: per-source distinct 8-gram shingle "
+        "estimate (the dedup capacity-planning statistic) from a 1/8 "
+        "hash-threshold sample, vs the exact count — deterministic, "
+        "SQL-portable, the audit-reproducible alternative to binary HLL; "
+        "the θ filter runs BEFORE the distinct shuffle (the 100 TB point)."
+    ),
+    tags=("sketch", "distinct", "scale"),
+)
+def q203_theta_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    est = theta_distinct(sh, "shingle", ("source",), theta_frac=1 / 8, method="md5")
+    exact = sh.groupBy("source").agg(
+        F.countDistinct("shingle").alias("exact_distinct")
+    )
+    out = exact.join(est, "source", "left").select(
+        "source",
+        F.coalesce("sampled_distinct", F.lit(0)).cast("long").alias("sampled_distinct"),
+        F.coalesce("est_distinct", F.lit(0)).cast("long").alias("est_distinct"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.round(
+            (F.coalesce("est_distinct", F.lit(0)) - F.col("exact_distinct"))
+            * 100.0
+            / F.col("exact_distinct"),
+            2,
+        ).alias("err_pct"),
+    )
+    return out.orderBy("source")
+
+
+@register(
+    "q204_theta_source_overlap",
+    oracle=r"""
+        WITH """ + _SHINGLE_CTE + r""",
+        counts AS (
+            SELECT source, COUNT(*) AS n FROM sample GROUP BY source
+        ),
+        pairs AS (
+            SELECT a.source AS group_a, b.source AS group_b,
+                   a.n AS sampled_a, b.n AS sampled_b
+            FROM counts a JOIN counts b ON a.source < b.source
+        ),
+        inter AS (
+            SELECT a.source AS group_a, b.source AS group_b,
+                   COUNT(*) AS inter_sampled
+            FROM sample a JOIN sample b
+              ON a.shingle = b.shingle AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT p.group_a, p.group_b,
+               CAST(COALESCE(i.inter_sampled, 0) AS BIGINT) AS inter_sampled,
+               CAST(p.sampled_a + p.sampled_b - COALESCE(i.inter_sampled, 0) AS BIGINT)
+                   AS union_sampled,
+               CASE WHEN p.sampled_a + p.sampled_b - COALESCE(i.inter_sampled, 0) > 0
+                    THEN ROUND(CAST(COALESCE(i.inter_sampled, 0) AS DOUBLE)
+                          / (p.sampled_a + p.sampled_b - COALESCE(i.inter_sampled, 0)), 4)
+                    ELSE 0.0 END AS est_jaccard
+        FROM pairs p LEFT JOIN inter i USING (group_a, group_b)
+        ORDER BY group_a, group_b
+    """,
+    doc=(
+        "cross-sketch set algebra: estimated shingle-set Jaccard between "
+        "every source pair from ONE shared theta sample (same hash + θ ⇒ "
+        "samples are directly intersectable; the θ factors cancel in the "
+        "ratio). One corpus scan builds all 20 sketches; the 190-pair "
+        "join runs on the samples — the sketch-cost estimate of q184's "
+        "exact overlap matrix."
+    ),
+    tags=("sketch", "setops", "scale"),
+)
+def q204_theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    out = theta_pair_overlap(sh, "shingle", "source", theta_frac=1 / 8, method="md5")
+    return out.select(
+        "group_a",
+        "group_b",
+        "inter_sampled",
+        "union_sampled",
+        "est_jaccard",
+    ).orderBy("group_a", "group_b")
+
+
+@register(
+    "q205_count_min_bigrams",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT unnest(list_transform(
+                       range(1, greatest(len(t) - 1, 1) + 1),
+                       i -> array_to_string(t[i:i+1], ' '))) AS bigram
+            FROM toks
+        ),
+        truth AS (
+            SELECT bigram, COUNT(*) AS true_count FROM grams GROUP BY bigram
+        ),
+        probes AS (
+            SELECT bigram, true_count FROM truth
+            ORDER BY true_count DESC, bigram LIMIT 10
+        ),
+        cells AS (
+            SELECT d.r AS row_idx,
+                   CAST(('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' || g.bigram), 1, 8))
+                        AS BIGINT) % 256 AS col_idx
+            FROM grams g, range(4) d(r)
+        ),
+        cms AS (
+            SELECT row_idx, col_idx, COUNT(*) AS counter
+            FROM cells GROUP BY row_idx, col_idx
+        ),
+        lookups AS (
+            SELECT p.bigram, p.true_count, d.r AS row_idx,
+                   CAST(('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' || p.bigram), 1, 8))
+                        AS BIGINT) % 256 AS col_idx
+            FROM probes p, range(4) d(r)
+        )
+        SELECT l.bigram,
+               CAST(l.true_count AS BIGINT) AS true_count,
+               CAST(MIN(COALESCE(c.counter, 0)) AS BIGINT) AS cms_est,
+               CAST(MIN(COALESCE(c.counter, 0)) - l.true_count AS BIGINT) AS overestimate
+        FROM lookups l LEFT JOIN cms c USING (row_idx, col_idx)
+        GROUP BY l.bigram, l.true_count
+        ORDER BY true_count DESC, bigram
+    """,
+    doc=(
+        "count-min sketch (Cormode-Muthukrishnan): 4×256 counters over the "
+        "corpus bigram stream — one map-combinable aggregation regardless "
+        "of corpus size, counters additive across shards — probed at the "
+        "top-10 true bigrams; the overestimate column pins the one-sided "
+        "error guarantee (cms_est ≥ true, always)."
+    ),
+    tags=("sketch", "frequency", "scale"),
+)
+def q205_count_min_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.curation import shingles_expr
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    grams = docs.select(F.explode(shingles_expr(F.col("text"), 2)).alias("bigram"))
+    truth = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("true_count"))
+    probes = truth.orderBy(F.desc("true_count"), "bigram").limit(10)
+    cms = count_min(grams, "bigram", depth=4, width=256, method="md5")
+    out = cms_lookup(cms, probes, "bigram", depth=4, width=256, method="md5")
+    return out.select(
+        "bigram",
+        F.col("true_count").cast("long").alias("true_count"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("true_count")).cast("long").alias("overestimate"),
+    ).orderBy(F.desc("true_count"), "bigram")

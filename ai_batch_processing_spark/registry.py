@@ -55,6 +55,7 @@ _QUERY_MODULES = [
     "ai_batch_processing_spark.operators.corpus",
     "ai_batch_processing_spark.operators.graph",
     "ai_batch_processing_spark.operators.multimodal",
+    "ai_batch_processing_spark.operators.sketches",
     "ai_batch_processing_spark.streaming.events",
     "ai_batch_processing_spark.io.writers",
 ]
@@ -93,6 +94,11 @@ _PRIORITY = [
     # Second round-5 batch first (newest-never-gated leads the line):
     # DSIR importance weights, duplicate-span detection, bucket-balanced
     # sampling, PQ-ADC (integer-exact config), IVF-PQ at recall-1.
+    # Seventh round-5 batch: deterministic SQL-portable sketches (theta
+    # distinct / cross-sketch set algebra / count-min heavy hitters).
+    "q203_theta_distinct_shingles",
+    "q204_theta_source_overlap",
+    "q205_count_min_bigrams",
     "q170_dsir_importance_weights",
     "q171_duplicate_spans",
     "q172_bucket_balanced_sample",

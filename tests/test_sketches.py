@@ -58,3 +58,128 @@ def test_kll_quantile_sketch_tracks_exact(spark, sf_dir):
     ).first()
     # KLL default k: rank error ~1.7%; value tolerance generous at 5%
     assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Deterministic SQL-portable sketches (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def _orders_keys(spark, sf_dir):
+    return load_tables(spark, sf_dir, ["orders"])["orders"].select(
+        F.col("o_custkey").cast("string").alias("k"),
+        (F.col("o_orderkey") % 2 == 0).cast("string").alias("g"),
+    )
+
+
+def test_portable_hash32_md5_matches_duckdb(spark, duck):
+    from ai_batch_processing_spark.operators.sketches import portable_hash32
+
+    vals = ["alpha", "b c d", "", "Ω-unicode", "42"]
+    sdf = spark.createDataFrame([(v,) for v in vals], ["k"])
+    got = {
+        r.k: r.h
+        for r in sdf.select("k", portable_hash32(F.col("k"), "md5").alias("h")).collect()
+    }
+    for v in vals:
+        want = duck.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 8)) AS BIGINT)", [v]
+        ).fetchone()[0]
+        assert got[v] == want, v
+
+
+def test_theta_distinct_tracks_exact_and_is_deterministic(spark, sf_dir):
+    from ai_batch_processing_spark.operators.sketches import theta_distinct
+
+    df = _orders_keys(spark, sf_dir)
+    exact = df.select("k").distinct().count()
+    for method in ("xxhash64", "md5"):
+        est = theta_distinct(df, "k", (), theta_frac=1 / 4, method=method).first()
+        # rel stderr ~ 1/sqrt(sampled); allow 5 sigma
+        tol = 5 / max(est.sampled_distinct, 1) ** 0.5
+        assert abs(est.est_distinct - exact) / exact < max(tol, 0.02), method
+        again = theta_distinct(
+            df.repartition(7), "k", (), theta_frac=1 / 4, method=method
+        ).first()
+        assert (again.sampled_distinct, again.est_distinct) == (
+            est.sampled_distinct,
+            est.est_distinct,
+        ), "estimate must be partitioning-invariant"
+
+
+def test_theta_sample_merges_exactly(spark, sf_dir):
+    """sample(A ∪ B) == sample(A) ∪ sample(B) — shard sketches roll up."""
+    from ai_batch_processing_spark.operators.sketches import theta_sample
+
+    df = _orders_keys(spark, sf_dir)
+    a, b = df.where(F.col("k").cast("long") % 2 == 0), df.where(
+        F.col("k").cast("long") % 2 == 1
+    )
+    whole = set(r.k for r in theta_sample(df, "k", (), 1 / 4).collect())
+    merged = set(r.k for r in theta_sample(a, "k", (), 1 / 4).collect()) | set(
+        r.k for r in theta_sample(b, "k", (), 1 / 4).collect()
+    )
+    assert whole == merged
+
+
+def test_theta_pair_overlap_jaccard_sane(spark, sf_dir):
+    from ai_batch_processing_spark.operators.sketches import theta_pair_overlap
+
+    df = _orders_keys(spark, sf_dir)
+    rows = theta_pair_overlap(df, "k", "g", theta_frac=1.0).collect()
+    # theta_frac=1 → the "sample" IS the full set → est_jaccard is exact
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.union_sampled == r.sampled_a + r.sampled_b - r.inter_sampled
+    exact_inter = (
+        df.where(F.col("g") == "true")
+        .select("k")
+        .intersect(df.where(F.col("g") == "false").select("k"))
+        .count()
+    )
+    assert r.inter_sampled == exact_inter
+
+
+def test_count_min_never_underestimates_and_merges(spark, sf_dir):
+    from ai_batch_processing_spark.operators.sketches import cms_lookup, count_min
+
+    df = _orders_keys(spark, sf_dir)
+    truth = df.groupBy("k").agg(F.count(F.lit(1)).alias("true_count"))
+    cms = count_min(df, "k", depth=4, width=64)
+    est = cms_lookup(cms, truth, "k", depth=4, width=64)
+    bad = est.where(F.col("cms_est") < F.col("true_count")).count()
+    assert bad == 0, "CMS must overestimate only"
+    # additivity: shard sketches sum to the whole sketch, cell by cell
+    a = count_min(df.where(F.col("k").cast("long") % 2 == 0), "k", depth=4, width=64)
+    b = count_min(df.where(F.col("k").cast("long") % 2 == 1), "k", depth=4, width=64)
+    summed = (
+        a.unionByName(b)
+        .groupBy("row_idx", "col_idx")
+        .agg(F.sum("counter").alias("counter"))
+    )
+    diff = summed.exceptAll(cms).count() + cms.exceptAll(summed).count()
+    assert diff == 0
+
+
+def test_cms_unseen_key_estimates_small(spark, sf_dir):
+    from ai_batch_processing_spark.operators.sketches import cms_lookup, count_min
+
+    df = _orders_keys(spark, sf_dir)
+    cms = count_min(df, "k", depth=4, width=256)
+    probe = df.sparkSession.createDataFrame([("never-seen-key-xyz",)], ["k"])
+    est = cms_lookup(cms, probe, "k", depth=4, width=256).first().cms_est
+    n = df.count()
+    # CMS guarantee: err ≤ e/width · N with prob 1 - e^-depth
+    assert est <= 2.71828 / 256 * n * 3
+
+
+def test_theta_threshold_validates():
+    import pytest as _pytest
+
+    from ai_batch_processing_spark.operators.sketches import theta_threshold
+
+    assert theta_threshold(1.0) == 4294967296
+    with _pytest.raises(ValueError):
+        theta_threshold(0.0)
+    with _pytest.raises(ValueError):
+        theta_threshold(1.5)
