@@ -2271,3 +2271,383 @@ def q194_weighted_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = [r.source for r in docs.select("source").distinct().collect()]
     weights = {s: (2.0 if int(s[3:]) % 2 == 1 else 1.0) for s in srcs}
     return weighted_interleave(docs, weights).orderBy("position")
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization: calibrate per-source score distributions onto the
+# global distribution (score calibration across heterogeneous sources)
+# ---------------------------------------------------------------------------
+def quantile_normalize(
+    df: DataFrame,
+    score_col: str = "score",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Input columns + ``(pr, calibrated)``: each row's within-group ECDF
+    rank and the GLOBAL score at that quantile.
+
+    Why: per-source quality scorers drift (different boilerplate, length
+    mixes, scorer versions), so a fixed absolute threshold over-prunes
+    some sources and under-prunes others. Quantile normalization maps
+    every group's distribution onto the pooled one — after calibration,
+    "calibrated ≥ t" selects comparable quality everywhere. The
+    classical quantile-normalization recipe, group-vs-pooled form.
+
+    Semantics: ``pr = (#rows in the group with a strictly smaller
+    score) / (n_group − 1)`` (0 for singleton groups) — a pure function
+    of the group's score MULTISET, no per-row tiebreaks, so equal scores
+    calibrate equally. ``calibrated = Q_global(pr)`` with ``Q_global(p) =
+    min{s : ECDF_global(s) ≥ p}`` — an actual observed score, not an
+    interpolation.
+
+    Scale shape: every per-row window here would be a skew trap, so there
+    are none. Both ECDFs are built on groupBy-aggregated ``(group,
+    score) → count`` tables (map-combinable; size = distinct scores, not
+    rows — scores arrive rounded, so the domain is bounded); the
+    cumulative windows run on those aggregate tables only. Rows get
+    their pr by joining the aggregate back on (group, score), and the
+    global quantile lookup is a broadcast range join against the
+    distinct-score table: per row O(1), one shuffle total on the
+    aggregate key.
+    """
+    n_w = Window.partitionBy(group_col)
+    cum_w = Window.partitionBy(group_col).orderBy(score_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    src_ecdf = (
+        df.groupBy(group_col, score_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_cum", F.sum("_c").over(cum_w))
+        .withColumn("_n", F.sum("_c").over(n_w))
+        .withColumn(
+            "pr",
+            F.when(
+                F.col("_n") > 1,
+                (F.col("_cum") - F.col("_c")) / (F.col("_n") - F.lit(1)),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(group_col, score_col, "pr")
+    )
+    g_cum_w = Window.orderBy(score_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    glob = (
+        df.groupBy(score_col)
+        .agg(F.count(F.lit(1)).alias("_cg"))
+        .withColumn("_cumg", F.sum("_cg").over(g_cum_w))
+        .select(F.col(score_col).alias("_gscore"), "_cg", "_cumg")
+    )
+    n_total = df.count()
+    with_pr = df.join(src_ecdf, [group_col, score_col])
+    # Q_global(pr): the unique global row with cum−c < t ≤ cum,
+    # t = max(pr·n, 0.5) — the 0.5 floor lands pr=0 on the first row and
+    # never moves an integer boundary (cumulative counts are integers).
+    t = F.greatest(F.col("pr") * F.lit(float(n_total)), F.lit(0.5))
+    return (
+        with_pr.join(
+            F.broadcast(glob),
+            (F.col("_cumg") >= t) & ((F.col("_cumg") - F.col("_cg")) < t),
+        )
+        .withColumn("calibrated", F.col("_gscore"))
+        .drop("_gscore", "_cg", "_cumg")
+    )
+
+
+@register(
+    "q207_quality_calibration",
+    oracle=r"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   ROUND(CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                              / length(text)
+                         ELSE 0.0 END, 6) AS score
+            FROM documents
+        ),
+        src_ecdf AS (
+            SELECT source, score,
+                   CASE WHEN SUM(c) OVER (PARTITION BY source) > 1
+                        THEN CAST(SUM(c) OVER (
+                                 PARTITION BY source ORDER BY score
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                             ) - c AS DOUBLE)
+                             / (SUM(c) OVER (PARTITION BY source) - 1)
+                        ELSE 0.0 END AS pr
+            FROM (SELECT source, score, COUNT(*) AS c FROM scored GROUP BY 1, 2)
+        ),
+        gq AS (
+            SELECT score AS gscore, cg,
+                   SUM(cg) OVER (
+                       ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cumg
+            FROM (SELECT score, COUNT(*) AS cg FROM scored GROUP BY 1)
+        ),
+        n AS (SELECT COUNT(*) AS n_total FROM scored)
+        SELECT s.doc_id, s.source, s.score,
+               ROUND(e.pr, 6) AS pr,
+               g.gscore AS calibrated
+        FROM scored s
+        JOIN src_ecdf e USING (source, score)
+        JOIN n ON TRUE
+        JOIN gq g
+          ON g.cumg >= GREATEST(e.pr * n.n_total, 0.5)
+         AND g.cumg - g.cg < GREATEST(e.pr * n.n_total, 0.5)
+        ORDER BY s.doc_id
+    """,
+    doc=(
+        "quantile normalization: map every source's alpha-ratio score "
+        "distribution onto the pooled global distribution (ECDF rank -> "
+        "global quantile), so one calibrated threshold selects comparable "
+        "quality across heterogeneous sources. No per-row windows: both "
+        "ECDFs live on groupBy-aggregated distinct-score tables; the "
+        "quantile lookup is a broadcast range join."
+    ),
+    tags=("curation", "calibration", "quality"),
+)
+def q207_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.when(F.length("text") > 0, alpha.cast("double") / F.length("text")).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("score"),
+    )
+    out = quantile_normalize(scored, "score", "source", "doc_id")
+    return out.select(
+        "doc_id", "source", "score", F.round("pr", 6).alias("pr"), "calibrated"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear text classifier (fastText-shape inference at scale)
+# ---------------------------------------------------------------------------
+def linear_text_classifier(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    method: str = "xxhash64",
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """fastText-shape linear classifier INFERENCE: ``(doc_id, n_feats,
+    margin, score, label)`` from a hashed unigram(+bigram) bag and a
+    ``(b, w)`` weight table — the model-based quality-classifier pass
+    every published curation pipeline runs after the rule-based gates
+    (GPT-3/LLaMA's "quality classifier" step), reduced to its data-plane
+    shape: the training happens elsewhere; at corpus scale the COST is
+    this inference scan.
+
+    ``margin = Σ_features w[bucket(f)]`` with integer weights, so the
+    margin is exact (no float-summation order sensitivity — what makes
+    the op hash-gateable); ``score = margin / (w_scale · n_feats)`` is a
+    normalized confidence; ``label = margin > 0``.
+
+    Scale shape: the DSIR feature stream — ONE explode over tokens,
+    map-combinable (doc, bucket) counts — then a broadcast join against
+    the ≤ ``n_buckets``-row weight table and one per-doc sum. Weights are
+    a TABLE, not an expression, because real learned weights arrive as
+    data; pass any (b, w) frame (``procedural_weights`` gives the
+    deterministic test model).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("ts")
+    )
+    ts = F.col("ts")
+    feats = ts
+    if include_bigrams:
+        bigrams = F.when(
+            F.size(ts) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - 1),
+                lambda i: F.concat(
+                    F.element_at(ts, i), F.lit(" "), F.element_at(ts, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(ts, bigrams)
+    stream = base.select("doc_id", F.explode(feats).alias("f")).select(
+        "doc_id", _feature_bucket(F.col("f"), n_buckets, method).alias("b")
+    )
+    nb = stream.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        nb.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum(F.col("c") * F.col("w")).cast("long").alias("margin"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "margin",
+        F.round(F.col("margin") / (F.lit(1000.0) * F.col("n_feats")), 6).alias("score"),
+        (F.col("margin") > 0).alias("label"),
+    )
+
+
+def procedural_weights(spark: SparkSession, n_buckets: int = 256, seed: int = 99991) -> DataFrame:
+    """Deterministic integer weight table ``(b, w)``, w ∈ [−1000, 1000]:
+    Knuth multiplicative hash of the bucket id — BIGINT-only arithmetic,
+    reproducible in ANSI SQL, stands in for learned weights in gates and
+    tests (a trained model would be loaded as the same (b, w) shape)."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("b"),
+        (
+            ((F.col("id") * F.lit(2654435761) + F.lit(seed)) % F.lit(4294967296))
+            % F.lit(2001)
+            - F.lit(1000)
+        ).cast("long").alias("w"),
+    )
+
+
+@register(
+    "q208_linear_classifier_scores",
+    oracle=r"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+            FROM documents
+        ),
+        uni AS (SELECT doc_id, unnest(ts) AS f FROM base),
+        bi AS (
+            SELECT doc_id,
+                   ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS f
+            FROM base, unnest(generate_series(1, len(ts) - 1)) u(i)
+            WHERE len(ts) >= 2
+        ),
+        feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        nb AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 256 AS b,
+                   COUNT(*) AS c
+            FROM feats GROUP BY 1, 2
+        ),
+        wt AS (
+            SELECT r.range AS b,
+                   (r.range * 2654435761 + 99991) % 4294967296 % 2001 - 1000 AS w
+            FROM range(256) r
+        )
+        SELECT nb.doc_id,
+               CAST(SUM(nb.c) AS BIGINT) AS n_feats,
+               CAST(SUM(nb.c * wt.w) AS BIGINT) AS margin,
+               ROUND(CAST(SUM(nb.c * wt.w) AS DOUBLE) / (1000.0 * SUM(nb.c)), 6) AS score,
+               SUM(nb.c * wt.w) > 0 AS label
+        FROM nb JOIN wt USING (b)
+        GROUP BY nb.doc_id
+        ORDER BY nb.doc_id
+    """,
+    doc=(
+        "hashed linear classifier inference (fastText shape): unigram+bigram "
+        "features -> 256 md5 buckets -> integer weight table -> per-doc "
+        "margin/score/label. The quality-classifier pass of published "
+        "curation recipes as pure data-plane: one explode, map-combinable "
+        "(doc,bucket) counts, broadcast weight join — integer margins make "
+        "it engine-exact."
+    ),
+    tags=("curation", "classifier", "quality"),
+)
+def q208_linear_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    w = procedural_weights(spark, 256)
+    return linear_text_classifier(
+        docs, w, n_buckets=256, method="md5"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Pareto front (skyline) over two maximize-objectives
+# ---------------------------------------------------------------------------
+def pareto_front(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Rows not dominated in the (maximize ``x_col``, maximize ``y_col``)
+    sense: keep row i unless some j has (x_j > x_i ∧ y_j ≥ y_i) or
+    (x_j ≥ x_i ∧ y_j > y_i). Exact duplicates of a front point all
+    survive (no strict part). The multi-signal selection primitive:
+    "no other doc is both higher-quality AND longer" — a cut no single
+    weighted score can express.
+
+    Scale shape: the textbook skyline needs the all-pairs NOT EXISTS
+    (the oracle's quadratic form); this runs in one aggregate + one
+    tiny window. Per distinct x, take max(y) (map-combinable groupBy);
+    over that x-sorted table compute the running max of y from strictly
+    greater x (row-window on the AGGREGATE, whose size is distinct-x —
+    bounded, since scores arrive rounded — never the corpus). A row is
+    on the front iff y equals its x-group max and beats every
+    greater-x max.
+    """
+    per_x = df.groupBy(x_col).agg(F.max(y_col).alias("_ymax"))
+    w = (
+        Window.orderBy(F.desc(x_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = per_x.withColumn("_mstrict", F.max("_ymax").over(w)).select(
+        x_col,
+        "_ymax",
+        F.coalesce("_mstrict", F.lit(float("-inf")).cast("double")).alias("_mstrict"),
+    )
+    return (
+        df.join(F.broadcast(marked), x_col)
+        .where((F.col(y_col) == F.col("_ymax")) & (F.col(y_col) > F.col("_mstrict")))
+        .drop("_ymax", "_mstrict")
+    )
+
+
+@register(
+    "q209_pareto_front",
+    oracle=r"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   ROUND(CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                              / length(text)
+                         ELSE 0.0 END, 6) AS score,
+                   len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))
+                       AS n_tokens
+            FROM documents
+        )
+        SELECT s.doc_id, s.source, s.score, CAST(s.n_tokens AS BIGINT) AS n_tokens
+        FROM scored s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM scored o
+            WHERE (o.score > s.score AND o.n_tokens >= s.n_tokens)
+               OR (o.score >= s.score AND o.n_tokens > s.n_tokens)
+        )
+        ORDER BY s.doc_id
+    """,
+    doc=(
+        "Pareto front: docs not dominated on (alpha-ratio quality, token "
+        "length) — the multi-objective selection cut. Linear plan: per-"
+        "distinct-score max-length aggregate + a window over that bounded "
+        "table; the oracle runs the textbook quadratic NOT EXISTS."
+    ),
+    tags=("curation", "selection", "skyline"),
+)
+def q209_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import tokens_expr as _toks
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.when(F.length("text") > 0, alpha.cast("double") / F.length("text")).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("score"),
+        F.size(_toks(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return pareto_front(scored, "score", "n_tokens").orderBy("doc_id")

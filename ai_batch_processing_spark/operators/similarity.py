@@ -2772,3 +2772,97 @@ def q187_embedding_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFr
         .alias("text"),
     )
     return embedding_consistency_audit(salted, t["embeddings"]).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding standardization stats (whitening preprocessing)
+# ---------------------------------------------------------------------------
+def dimension_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-dimension distribution audit: ``(dim, n, mean, std,
+    n_outliers)`` — the statistics a whitening / standardization
+    transform consumes, plus the |z| > threshold census that catches a
+    broken embedding dimension (a stuck feature, an unnormalized
+    backfill, a dimension whose scale drifted between model versions).
+    Run it before ANN index builds: SQ8/PQ quantizers assume roughly
+    comparable per-dim ranges, and one pathological dimension silently
+    eats the quantization budget.
+
+    Two posexplode passes (stats, then z-census against the BROADCAST
+    64-row stats table); each collapses map-side to ≤ dim rows per
+    partition — the standard distributed-moments shape, no corpus-sized
+    shuffle. The z comparison uses the ROUNDED mean/std on purpose:
+    both engines (and any two cluster runs) threshold against the same
+    constants, so the outlier census is reproducible even though raw
+    float summation order is not.
+    """
+    vals = emb.select(F.posexplode(vec_col).alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    stats = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.stddev_pop("v"), 6).alias("std"),
+    )
+    z_ok = (F.col("std") > 0) & (
+        F.abs((F.col("v") - F.col("mean")) / F.col("std")) > F.lit(z_threshold)
+    )
+    outliers = (
+        vals.join(F.broadcast(stats), "dim")
+        .where(z_ok)
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        stats.join(outliers, "dim", "left")
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.col("n").cast("long").alias("n"),
+            "mean",
+            "std",
+            F.coalesce("n_outliers", F.lit(0)).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "q210_embedding_dim_stats",
+    oracle="""
+        WITH vals AS (
+            SELECT CAST(t.i AS BIGINT) AS dim,
+                   CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE) AS v
+            FROM embeddings, unnest(generate_series(0, len(embedding) - 1)) t(i)
+        ),
+        stats AS (
+            SELECT dim, COUNT(*) AS n,
+                   ROUND(AVG(v), 6) AS mean,
+                   ROUND(STDDEV_POP(v), 6) AS std
+            FROM vals GROUP BY dim
+        ),
+        outl AS (
+            SELECT v.dim, COUNT(*) AS n_outliers
+            FROM vals v JOIN stats s USING (dim)
+            WHERE s.std > 0 AND ABS((v.v - s.mean) / s.std) > 3.0
+            GROUP BY v.dim
+        )
+        SELECT s.dim, CAST(s.n AS BIGINT) AS n, s.mean, s.std,
+               CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
+        FROM stats s LEFT JOIN outl o USING (dim)
+        ORDER BY s.dim
+    """,
+    doc=(
+        "per-dimension embedding stats (mean/std/|z|>3 census) — the "
+        "whitening-transform inputs and the broken-dimension detector run "
+        "before ANN index builds. Distributed moments: posexplode with "
+        "map-side collapse to dim rows, broadcast stats join for the "
+        "z-census; thresholds compare against ROUNDED stats so the census "
+        "is engine- and run-reproducible."
+    ),
+    tags=("embedding", "qa", "stats"),
+)
+def q210_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return dimension_stats(emb).orderBy("dim")

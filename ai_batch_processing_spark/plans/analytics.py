@@ -1828,3 +1828,62 @@ def q197_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# --- q206: Markov transition matrix over per-user event streams --------------
+# The sequence-model view of the events table: P(next event type | current)
+# estimated from every consecutive pair in each user's time-ordered
+# stream. One window (lag over user_id) + one count aggregate — the same
+# shuffle q67 already pays, then a groupBy whose partial agg collapses
+# each partition to ≤ |types|² rows, so the matrix costs one pass at any
+# scale. Transition probabilities are conditioned per prev_type and
+# rounded (the count ratio is exact; rounding only stabilizes the
+# cross-engine double).
+@register(
+    "q206_event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        trans AS (
+            SELECT event_type AS prev_type, next_type, COUNT(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type,
+               CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n AS DOUBLE)
+                     / SUM(n) OVER (PARTITION BY prev_type), 4) AS prob
+        FROM trans
+        ORDER BY prev_type, next_type
+    """,
+    doc=(
+        "event-sequence Markov matrix: transition counts and conditional "
+        "probabilities between consecutive event types per user stream — "
+        "the first-order behavioral model funnels and anomaly baselines "
+        "read from. One lag window + one map-combinable count."
+    ),
+    tags=("analytics", "events", "sequence"),
+)
+def q206_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    trans = seq.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("prev_type")
+    return (
+        trans.select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.sum("n").over(wt), 4).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -97,6 +97,11 @@ _PRIORITY = [
     # Seventh round-5 batch: deterministic SQL-portable sketches (theta
     # distinct / cross-sketch set algebra / count-min heavy hitters).
     "q203_theta_distinct_shingles",
+    "q206_event_transition_matrix",
+    "q207_quality_calibration",
+    "q208_linear_classifier_scores",
+    "q209_pareto_front",
+    "q210_embedding_dim_stats",
     "q204_theta_source_overlap",
     "q205_count_min_bigrams",
     "q170_dsir_importance_weights",

@@ -685,3 +685,145 @@ def test_weighted_interleave_density_and_determinism(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     with pytest.raises(ValueError, match="positive"):
         weighted_interleave(df, {"heavy": 0.0, "light": 1.0})
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization (quantile_normalize / q207)
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_normalize_maps_shifted_group_onto_global(spark):
+    from ai_batch_processing_spark.operators.curation import quantile_normalize
+
+    # group a: scores 1..5, group b: same shape shifted +100 — after
+    # calibration both groups' ECDF ranks coincide, so equal ranks get
+    # the SAME global quantile value.
+    rows = [("a", i, float(i)) for i in range(1, 6)] + [
+        ("b", 10 + i, float(100 + i)) for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "score"])
+    out = quantile_normalize(df, "score", "source", "doc_id").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.source, {})[r.pr] = r.calibrated
+    assert by_group["a"].keys() == by_group["b"].keys()
+    for pr in by_group["a"]:
+        assert by_group["a"][pr] == by_group["b"][pr]
+    # calibrated values are actual observed global scores
+    observed = {float(s) for _, _, s in rows}
+    assert all(r.calibrated in observed for r in out)
+    # monotone: higher raw score within a group never calibrates lower
+    for g in ("a", "b"):
+        seq = sorted((r.score, r.calibrated) for r in out if r.source == g)
+        assert all(c1 <= c2 for (_, c1), (_, c2) in zip(seq, seq[1:]))
+
+
+def test_quantile_normalize_singleton_group_gets_pr_zero(spark):
+    from ai_batch_processing_spark.operators.curation import quantile_normalize
+
+    df = spark.createDataFrame(
+        [("solo", 1, 5.0), ("big", 2, 1.0), ("big", 3, 9.0)],
+        ["source", "doc_id", "score"],
+    )
+    out = {r.doc_id: r for r in quantile_normalize(df, "score", "source", "doc_id").collect()}
+    assert out[1].pr == 0.0
+    # pr=0 → global minimum score
+    assert out[1].calibrated == 1.0
+
+
+def test_quantile_normalize_equal_scores_calibrate_equally(spark):
+    from ai_batch_processing_spark.operators.curation import quantile_normalize
+
+    df = spark.createDataFrame(
+        [("a", i, 2.0) for i in range(4)] + [("a", 9, 7.0)],
+        ["source", "doc_id", "score"],
+    )
+    out = quantile_normalize(df, "score", "source", "doc_id").collect()
+    tied = {r.calibrated for r in out if r.score == 2.0}
+    assert len(tied) == 1  # no per-row tiebreak leakage
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear classifier (linear_text_classifier / q208)
+# ---------------------------------------------------------------------------
+
+
+def test_linear_classifier_margin_is_exact_weight_sum(spark):
+    from ai_batch_processing_spark.operators.curation import (
+        _feature_bucket,
+        linear_text_classifier,
+        procedural_weights,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(1, "alpha beta alpha")], ["doc_id", "text"])
+    w = procedural_weights(spark, 64)
+    wmap = {r.b: r.w for r in w.collect()}
+    # features: 3 unigrams (alpha ×2, beta) + 2 bigrams
+    feats = ["alpha", "beta", "alpha", "alpha beta", "beta alpha"]
+    fdf = spark.createDataFrame([(f,) for f in feats], ["f"])
+    buckets = [
+        r.b for r in fdf.select(_feature_bucket(F.col("f"), 64, "xxhash64").alias("b")).collect()
+    ]
+    expected = sum(wmap[b] for b in buckets)
+    row = linear_text_classifier(docs, w, n_buckets=64).first()
+    assert row.n_feats == 5
+    assert row.margin == expected
+    assert row.label == (expected > 0)
+
+
+def test_linear_classifier_empty_doc_yields_no_row(spark):
+    from ai_batch_processing_spark.operators.curation import (
+        linear_text_classifier,
+        procedural_weights,
+    )
+
+    docs = spark.createDataFrame([(1, ""), (2, "ok")], ["doc_id", "text"])
+    out = linear_text_classifier(docs, procedural_weights(spark, 16), n_buckets=16)
+    assert [r.doc_id for r in out.collect()] == [2]
+
+
+def test_procedural_weights_bounded_and_deterministic(spark):
+    from ai_batch_processing_spark.operators.curation import procedural_weights
+
+    w1 = procedural_weights(spark, 128).collect()
+    w2 = procedural_weights(spark, 128).collect()
+    assert w1 == w2
+    assert all(-1000 <= r.w <= 1000 for r in w1)
+
+
+# ---------------------------------------------------------------------------
+# Pareto front (pareto_front / q209)
+# ---------------------------------------------------------------------------
+
+
+def _brute_front(pts):
+    def dominated(p, q):
+        return (q[0] > p[0] and q[1] >= p[1]) or (q[0] >= p[0] and q[1] > p[1])
+
+    return sorted(i for i, p in enumerate(pts) if not any(dominated(p, q) for q in pts))
+
+
+def test_pareto_front_matches_bruteforce_with_ties_and_dups(spark):
+    from ai_batch_processing_spark.operators.curation import pareto_front
+
+    pts = [
+        (1.0, 10), (2.0, 9), (2.0, 9),  # duplicate front point survives twice
+        (2.0, 5),                        # tied x, smaller y → dominated
+        (3.0, 9),                        # dominates (2.0, 9)? no: y equal, x greater → dominates
+        (0.5, 11), (3.0, 1), (2.5, 9),
+    ]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], ["id", "x", "y"]
+    )
+    got = sorted(r.id for r in pareto_front(df, "x", "y").collect())
+    assert got == _brute_front(pts)
+
+
+def test_pareto_front_single_point_and_all_equal(spark):
+    from ai_batch_processing_spark.operators.curation import pareto_front
+
+    one = spark.createDataFrame([(1, 1.0, 1)], ["id", "x", "y"])
+    assert [r.id for r in pareto_front(one, "x", "y").collect()] == [1]
+    eq = spark.createDataFrame([(i, 2.0, 3) for i in range(4)], ["id", "x", "y"])
+    assert sorted(r.id for r in pareto_front(eq, "x", "y").collect()) == [0, 1, 2, 3]

@@ -946,3 +946,35 @@ def test_embedding_consistency_audit_flags_mismatched_twins(spark):
     out = {(r.id_a, r.id_b): r.cosine for r in embedding_consistency_audit(docs, emb).collect()}
     assert set(out) == {(1, 2), (2, 3)}  # every pair involving the bad row
     assert all(c < 0.99 for c in out.values())
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding stats (dimension_stats / q210)
+# ---------------------------------------------------------------------------
+
+
+def test_dimension_stats_flags_planted_outlier_and_stuck_dim(spark):
+    from ai_batch_processing_spark.operators.similarity import dimension_stats
+
+    # dim 0: tight cluster + one wild value → ≥1 outlier
+    # dim 1: constant (stuck feature) → std 0, zero outliers by contract
+    rows = [(i, [0.001 * i, 5.0]) for i in range(50)] + [(99, [1000.0, 5.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.dim: r for r in dimension_stats(emb).collect()}
+    assert out[0].n == 51 and out[0].n_outliers >= 1
+    assert out[1].std == 0.0 and out[1].n_outliers == 0
+    assert out[1].mean == 5.0
+
+
+def test_dimension_stats_partitioning_invariant(spark, sf_dir):
+    from ai_batch_processing_spark.operators.similarity import dimension_stats
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    a = {(r.dim, r.n, r.n_outliers) for r in dimension_stats(emb).collect()}
+    b = {
+        (r.dim, r.n, r.n_outliers)
+        for r in dimension_stats(emb.repartition(13)).collect()
+    }
+    # counts and the rounded-stat census are partitioning-invariant
+    assert a == b
