@@ -150,7 +150,9 @@ def test_pagerank_checkpoint_cadence_parity(spark):
     )
     every = {r.id: r.rank for r in pagerank(nodes, edges, iterations=7, checkpoint_every=1).collect()}
     cad2 = {r.id: r.rank for r in pagerank(nodes, edges, iterations=7, checkpoint_every=2).collect()}
+    fused = {r.id: r.rank for r in pagerank(nodes, edges, iterations=7, checkpoint_every=None).collect()}
     assert every == cad2
+    assert every == fused
 
 
 def test_pagerank_edge_cache_partitioning_feeds_join_without_exchange(spark):
