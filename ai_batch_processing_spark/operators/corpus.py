@@ -1353,3 +1353,260 @@ def q198_quality_drift_by_ingest_half(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Phrase search over a positional inverted index
+# ---------------------------------------------------------------------------
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, term): the positional posting stream — one row per
+    token occurrence with its 0-based position. The index shape phrase
+    and proximity queries run on."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "term"),
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact consecutive-token phrase matching: ``(doc_id, n_hits,
+    first_pos)`` for every document containing the phrase at least once.
+
+    The inverted-index query plan, not the text-scan one: the posting
+    stream is filtered to the phrase's vocabulary BEFORE anything
+    shuffles (for a selective phrase that drops the corpus-sized stream
+    to the df of its rarest term), then each adjacent term is attached
+    by an equi-join on ``(doc_id, start_pos)`` — term i's postings
+    joined at ``pos − i``. All k−1 joins share one key, so Catalyst
+    lays the chain out on a single partitioning; per-join data is
+    term-frequency-sized, never corpus-sized. A single-term "phrase"
+    degrades to a posting count with no joins.
+
+    The DuckDB oracle deliberately runs the OTHER algorithm — a per-row
+    array scan testing every window of the token array — so the gate
+    checks the index plan against an independent formulation.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase_search: phrase must contain at least one token")
+    posts = positional_postings(docs, id_col, text_col)
+    vocab = sorted(set(terms))
+    base = posts.filter(F.col("term").isin(*vocab))
+    cur = base.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("pos").alias("start_pos")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = base.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - F.lit(i)).alias("start_pos")
+        )
+        cur = cur.join(nxt, ["doc_id", "start_pos"])
+    return cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("start_pos").cast("long").alias("first_pos"),
+    )
+
+
+_PHRASE = "value fast"
+
+
+@register(
+    "q211_phrase_search",
+    oracle=rf"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_hits,
+               CAST(MIN(i - 1) AS BIGINT) AS first_pos
+        FROM base, unnest(generate_series(1, len(ts) - 1)) u(i)
+        WHERE ts[CAST(i AS INT)] = 'value' AND ts[CAST(i + 1 AS INT)] = 'fast'
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc=(
+        "exact phrase search ('value fast') on a positional inverted index: "
+        "vocabulary-filtered posting streams equi-joined on (doc_id, "
+        "start_pos) — the index-side query plan, hash-checked against a "
+        "DuckDB oracle that scans every token window per row (a genuinely "
+        "different algorithm for the same answer)."
+    ),
+    tags=("corpus", "search", "phrase"),
+)
+def q211_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return phrase_search(docs, _PHRASE).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + embedding cosine fused by reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal-rank fusion of named ranked lists: ``(doc_id,
+    <name>_rnk…, rrf_score, rnk)``.
+
+    ``rrf_score = Σ_lists 1/(k + rank)`` over the lists that contain the
+    doc (Cormack et al.'s rank-only fusion — no score calibration needed
+    across heterogeneous scorers, which is exactly why hybrid lexical+
+    vector search uses it). Each input list is top-N bounded by
+    construction, so every frame here is N·|lists| rows: the unions,
+    the group-by, and the final rank window all run on list-sized data —
+    the corpus-scale work already happened inside the retrievers.
+    Determinism: with ≤2 lists the float sum is order-free (IEEE addition
+    commutes); ranks tiebreak on doc_id.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    tagged = None
+    for name, df in ranked.items():
+        t = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(name).alias("_list"),
+            F.col(rank_col).cast("long").alias("_r"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    names = sorted(ranked)
+    fused = tagged.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("_list") == n, F.col("_r"))).alias(f"{n}_rnk")
+            for n in names
+        ],
+        F.round(F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("_r"))), 6).alias(
+            "rrf_score"
+        ),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return fused.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+_RRF_TOPN = 20
+_RRF_QUERY_VEC_ID = 0
+
+
+@register(
+    "q212_hybrid_rrf_search",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id, t.tok AS term
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS t(tok)
+        ),
+        dl AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS DOUBLE) AS dl
+            FROM documents
+        ),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks WHERE term IN ('data', 'model', 'training')
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        bm25_scored AS (
+            SELECT tf.doc_id,
+                   ROUND(SUM(
+                       ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * (tf.tf * (1.2 + 1.0))
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                   ), 6) AS score
+            FROM tf
+            JOIN dl USING (doc_id)
+            JOIN dfreq USING (term)
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+        ),
+        bm25_top AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+            FROM bm25_scored
+            ORDER BY score DESC, doc_id LIMIT {_RRF_TOPN}
+        ),
+        qv AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE vec_id = {_RRF_QUERY_VEC_ID}
+        ),
+        cos_scored AS (
+            SELECT e.vec_id AS doc_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v), 6) AS score
+            FROM embeddings e CROSS JOIN qv
+            WHERE e.vec_id <> {_RRF_QUERY_VEC_ID}
+        ),
+        cos_top AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+            FROM cos_scored
+            ORDER BY score DESC, doc_id LIMIT {_RRF_TOPN}
+        ),
+        tagged AS (
+            SELECT doc_id, 'bm25' AS l, r FROM bm25_top
+            UNION ALL
+            SELECT doc_id, 'cosine' AS l, r FROM cos_top
+        ),
+        fused AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN l = 'bm25' THEN r END) AS bm25_rnk,
+                   MAX(CASE WHEN l = 'cosine' THEN r END) AS cosine_rnk,
+                   ROUND(SUM(1.0 / (60.0 + r)), 6) AS rrf_score
+            FROM tagged GROUP BY doc_id
+        )
+        SELECT doc_id, bm25_rnk, cosine_rnk, rrf_score,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rnk
+        FROM fused
+        ORDER BY rnk
+    """,
+    doc=(
+        "hybrid retrieval: BM25 ('data model training') and embedding-cosine "
+        "(query = vec 0) top-20 lists fused with reciprocal-rank fusion "
+        "1/(60+r) — the lexical+vector hybrid search pattern. Fusion runs "
+        "entirely on list-sized frames; the corpus-scale work stays inside "
+        "the two retrievers."
+    ),
+    tags=("corpus", "search", "similarity", "hybrid"),
+)
+def q212_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.similarity import cosine
+
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    bm25 = bm25_search(t["documents"], _BM25_QUERY, top_k=_RRF_TOPN).select(
+        "doc_id", "rnk"
+    )
+    emb = t["embeddings"]
+    qv = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC_ID).select(
+        F.col("embedding").alias("_qvec")
+    )
+    cos_scored = (
+        emb.filter(F.col("vec_id") != _RRF_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("_qvec")), 6).alias("score"),
+        )
+    )
+    cos_top = (
+        cos_scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RRF_TOPN)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .cast("long"),
+        )
+        .select("doc_id", "rnk")
+    )
+    return rrf_fuse({"bm25": bm25, "cosine": cos_top}).orderBy("rnk")

@@ -535,3 +535,152 @@ def q150_pagerank_approx_knn_graph(spark: SparkSession, sf_dir: str) -> DataFram
     return ranks.select(
         F.col("id").alias("vec_id"), F.round("rank", 6).alias("rank")
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Triangle census / local clustering coefficient
+# ---------------------------------------------------------------------------
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over the
+    UNDIRECTED simple graph induced by ``edges`` (src/dst): ``(id,
+    degree, triangles, clustering_coeff)`` with
+    coeff = 2·tri / (deg·(deg−1)), 0 for degree < 2.
+
+    Community structure over a k-NN document graph is a curation signal
+    (tight clusters = near-duplicate families or topic clumps; coeff ~0 =
+    hub spam), and the triangle census is its cheapest probe.
+
+    Scale shape — degree-ordered orientation (the classical distributed
+    triangle trick): every canonical edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, so each node's
+    OUT-neighborhood is O(√m)-bounded on any graph (a hub's edges all
+    point INTO it and it generates no wedges). Wedges come from one
+    self-join of the oriented list on the source node; each wedge is
+    closed by one equi-join against the canonical edge set; each
+    triangle materializes exactly once. Without the orientation the
+    wedge count is Σ deg², which a single celebrity node turns
+    quadratic; with it, Σ outdeg² ≤ m^1.5.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("degree").alias("_dega"))
+    db = deg.select(F.col("id").alias("b"), F.col("degree").alias("_degb"))
+    # orient low-(degree, id) -> high-(degree, id); ties broken by id so
+    # the orientation is total and deterministic
+    lower_first = (F.col("_dega") < F.col("_degb")) | (
+        (F.col("_dega") == F.col("_degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    o1 = oriented.select("u", F.col("v").alias("v1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"))
+    wedges = o1.join(o2, "u").where(F.col("v1") < F.col("v2"))
+    closed = wedges.join(
+        und,
+        (F.least("v1", "v2") == und.a) & (F.greatest("v1", "v2") == und.b),
+    ).select("u", "v1", "v2")
+    corners = (
+        closed.select(F.col("u").alias("id"))
+        .unionAll(closed.select(F.col("v1").alias("id")))
+        .unionAll(closed.select(F.col("v2").alias("id")))
+    )
+    tri = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    F.lit(2.0)
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - F.lit(1.0))),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+@register(
+    "q213_knn_triangle_census",
+    oracle=f"""
+        WITH emb AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {_PR_CAP}
+        ),
+        scored AS (
+            SELECT a.id AS src, b.id AS dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC, b.id
+                   ) AS rnk
+            FROM emb a JOIN emb b ON a.id <> b.id
+        ),
+        ed AS (SELECT src, dst FROM scored WHERE rnk <= {_PR_K}),
+        und AS (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ed WHERE src <> dst
+        ),
+        deg AS (
+            SELECT id, COUNT(*) AS degree
+            FROM (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+            GROUP BY id
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        pertri AS (
+            SELECT id, COUNT(*) AS triangles
+            FROM (SELECT x AS id FROM tri UNION ALL
+                  SELECT y AS id FROM tri UNION ALL
+                  SELECT z AS id FROM tri)
+            GROUP BY id
+        )
+        SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+               ROUND(CASE WHEN d.degree >= 2
+                     THEN 2.0 * COALESCE(t.triangles, 0)
+                          / (d.degree * (d.degree - 1.0))
+                     ELSE 0.0 END, 6) AS clustering_coeff
+        FROM deg d LEFT JOIN pertri t USING (id)
+        ORDER BY d.id
+    """,
+    doc=(
+        "triangle census + local clustering coefficient over the exact k-NN "
+        "graph (300 nodes, k=5): degree-ordered edge orientation bounds "
+        "wedge generation at sum(outdeg^2) <= m^1.5 even with hubs; the "
+        "DuckDB oracle counts triangles the textbook a<b<c way — two "
+        "independent triangle enumerations, one hash."
+    ),
+    tags=("graph", "dedup", "clustering"),
+)
+def q213_knn_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        .filter(F.col("vec_id") < _PR_CAP)
+        .select("vec_id", "embedding")
+    )
+    return triangle_census(knn_edges(emb, k=_PR_K)).orderBy("id")

@@ -96,6 +96,9 @@ _PRIORITY = [
     # sampling, PQ-ADC (integer-exact config), IVF-PQ at recall-1.
     # Seventh round-5 batch: deterministic SQL-portable sketches (theta
     # distinct / cross-sketch set algebra / count-min heavy hitters).
+    "q211_phrase_search",
+    "q212_hybrid_rrf_search",
+    "q213_knn_triangle_census",
     "q203_theta_distinct_shingles",
     "q206_event_transition_matrix",
     "q207_quality_calibration",

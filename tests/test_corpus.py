@@ -320,3 +320,67 @@ def test_dataset_datasheet_hand_computed(spark):
     assert (r.n_docs, r.n_sources, r.n_tokens) == (4, 2, 8)
     assert r.dup_rate == 0.25  # 3 distinct fingerprints of 4 docs
     assert r.lang_entropy_bits == 1.0  # 50/50 en-fr
+
+
+# ---------------------------------------------------------------------------
+# Phrase search (positional_postings / phrase_search / q211)
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_counts_overlapping_and_multi_hits(spark):
+    from ai_batch_processing_spark.operators.corpus import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),       # "a b a" occurs at 0 and 2 (overlapping)
+            (2, "a b"),             # too short for the 3-token phrase
+            (3, "x a b a y a b a"), # at 1 and 5
+            (4, "c c c"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in phrase_search(docs, "a b a").collect()}
+    assert set(out) == {1, 3}
+    assert (out[1].n_hits, out[1].first_pos) == (2, 0)
+    assert (out[3].n_hits, out[3].first_pos) == (2, 1)
+
+
+def test_phrase_search_single_term_and_case_fold(spark):
+    from ai_batch_processing_spark.operators.corpus import phrase_search
+
+    docs = spark.createDataFrame([(1, "Foo bar FOO")], ["doc_id", "text"])
+    out = phrase_search(docs, "FOO").collect()
+    assert [(r.n_hits, r.first_pos) for r in out] == [(2, 0)]
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one token"):
+        phrase_search(docs, "   ")
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (rrf_fuse / q212)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_two_lists_scores_and_missing_entries(spark):
+    from ai_batch_processing_spark.operators.corpus import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], ["doc_id", "rnk"])
+    b = spark.createDataFrame([(11, 1), (13, 2)], ["doc_id", "rnk"])
+    out = {r.doc_id: r for r in rrf_fuse({"a": a, "b": b}, k=60).collect()}
+    assert out[11].rrf_score == round(1 / 62 + 1 / 61, 6)  # in both lists
+    assert out[10].rrf_score == round(1 / 61, 6)
+    assert out[13].a_rnk is None and out[13].b_rnk == 2
+    # doc in both lists outranks every single-list doc here
+    assert out[11].rnk == 1
+    ranks = sorted(r.rnk for r in out.values())
+    assert ranks == [1, 2, 3, 4]
+
+
+def test_rrf_fuse_empty_input_raises(spark):
+    import pytest
+
+    from ai_batch_processing_spark.operators.corpus import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse({})

@@ -200,3 +200,45 @@ def test_pagerank_edge_cache_partitioning_feeds_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         if old_aqe is not None:
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+
+def test_triangle_census_matches_bruteforce_on_known_graph(spark):
+    from itertools import combinations
+
+    from ai_batch_processing_spark.operators.graph import triangle_census
+
+    # K4 on {0..3} plus a pendant node 4 and an isolated-from-triangles
+    # hub 5 connected to 4: K4 nodes have 3 triangles each, coeff 1.0
+    pairs = list(combinations(range(4), 2)) + [(3, 4), (4, 5)]
+    # feed DIRECTED duplicates + self loops: census must canonicalize
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs] + [(1, 1)],
+        "src long, dst long",
+    )
+    out = {r.id: r for r in triangle_census(edges).collect()}
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for node, nbrs in adj.items():
+        tri = sum(1 for x, y in combinations(sorted(nbrs), 2) if y in adj[x])
+        d = len(nbrs)
+        assert out[node].degree == d
+        assert out[node].triangles == tri, node
+        expected = 0.0 if d < 2 else round(2.0 * tri / (d * (d - 1)), 6)
+        assert out[node].clustering_coeff == expected
+    assert out[0].clustering_coeff == 1.0  # K4 corner
+    assert out[5].triangles == 0
+
+
+def test_triangle_census_hub_graph_orientation_bounds_wedges(spark):
+    from ai_batch_processing_spark.operators.graph import triangle_census
+
+    # star: hub 0 to 1..20, no triangles anywhere; every coeff is 0
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 21)], "src long, dst long"
+    )
+    rows = triangle_census(edges).collect()
+    assert all(r.triangles == 0 and r.clustering_coeff == 0.0 for r in rows)
+    hub = next(r for r in rows if r.id == 0)
+    assert hub.degree == 20
