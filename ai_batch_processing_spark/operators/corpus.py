@@ -1610,3 +1610,109 @@ def q212_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rnk")
     )
     return rrf_fuse({"bm25": bm25, "cosine": cos_top}).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# Document-level co-occurrence PMI over the top vocabulary
+# ---------------------------------------------------------------------------
+_PMI_TOP_V = 30
+_PMI_MIN_CO = 5
+
+
+def cooccurrence_pmi(
+    docs: DataFrame,
+    top_v: int = _PMI_TOP_V,
+    min_co: int = _PMI_MIN_CO,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-level pointwise mutual information between frequent terms:
+    ``(term_a, term_b, n_a, n_b, n_ab, pmi)`` for term_a < term_b with
+    co-document count ≥ ``min_co``.
+
+    pmi = ln(n_ab·N / (n_a·n_b)) over DOCUMENT cooccurrence (presence,
+    not adjacency — the topic-affinity signal, vs q168's adjacent-bigram
+    surprise). Positive = the terms ride together across documents.
+
+    Scale shape: the all-pairs explosion is capped BEFORE it happens —
+    the distinct (doc, term) stream is semi-joined against the top-``top_v``
+    document-frequency vocabulary (a TakeOrdered over the map-combined df
+    aggregate, broadcast back), so the per-doc self-join emits at most
+    C(top_v, 2) pairs per document regardless of corpus size. Vocabulary
+    selection tie-breaks on the term, making the whole output
+    deterministic.
+    """
+    dt = token_stream(docs, id_col, text_col).distinct()
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+    vocab = dfreq.orderBy(F.desc("n_t"), F.asc("term")).limit(top_v)
+    hits = dt.join(F.broadcast(vocab), "term").select("doc_id", "term", "n_t")
+    a = hits.select(
+        "doc_id", F.col("term").alias("term_a"), F.col("n_t").alias("n_a")
+    )
+    b = hits.select(
+        "doc_id", F.col("term").alias("term_b"), F.col("n_t").alias("n_b")
+    )
+    pairs = a.join(b, "doc_id").where(F.col("term_a") < F.col("term_b"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    return (
+        pairs.groupBy("term_a", "term_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_co)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(F.col("n_ab") * F.col("nd") / (F.col("n_a") * F.col("n_b"))), 6
+            ).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "q217_cooccurrence_pmi",
+    oracle=rf"""
+        WITH {_TOKS_SQL},
+        dt AS (SELECT DISTINCT doc_id, term FROM toks),
+        dfreq AS (SELECT term, COUNT(*) AS n_t FROM dt GROUP BY term),
+        vocab AS (
+            SELECT term, n_t FROM dfreq
+            ORDER BY n_t DESC, term LIMIT {_PMI_TOP_V}
+        ),
+        hits AS (
+            SELECT dt.doc_id, dt.term, v.n_t
+            FROM dt JOIN vocab v USING (term)
+        ),
+        nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+        pairs AS (
+            SELECT a.term AS term_a, b.term AS term_b,
+                   a.n_t AS n_a, b.n_t AS n_b, COUNT(*) AS n_ab
+            FROM hits a JOIN hits b
+              ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT term_a, term_b,
+               CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(n_ab AS BIGINT) AS n_ab,
+               ROUND(ln(n_ab * nd.nd / (n_a * n_b)), 6) AS pmi
+        FROM pairs CROSS JOIN nd
+        WHERE n_ab >= {_PMI_MIN_CO}
+        ORDER BY term_a, term_b
+    """,
+    doc=(
+        "document-level co-occurrence PMI over the top-30 vocabulary: which "
+        "frequent terms ride together across documents (topic affinity; the "
+        "presence-based complement of q168's adjacency surprise). The "
+        "pair explosion is vocabulary-capped before it happens — "
+        "broadcast-semi-join against a TakeOrdered top-df vocab bounds the "
+        "per-doc self-join at C(30,2) pairs."
+    ),
+    tags=("corpus", "text", "stats"),
+)
+def q217_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return cooccurrence_pmi(docs).orderBy("term_a", "term_b")

@@ -2866,3 +2866,103 @@ def dimension_stats(
 def q210_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     return dimension_stats(emb).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# Per-source embedding centroids + pairwise centroid cosine
+# ---------------------------------------------------------------------------
+def source_centroids(
+    docs: DataFrame,
+    emb: DataFrame,
+    group_col: str = "source",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean embedding as ``(group, dim, c)`` rows — the
+    embedding-space fingerprint of each corpus source.
+
+    Components are ROUNDED (6dp) at the aggregate so every downstream
+    comparison (and the cross-engine gate) sees the same constants
+    regardless of float-summation order. Shape: one join to attach the
+    group, one posexplode, one map-combinable (group, dim) average —
+    output size |groups|·dim, never corpus-sized.
+    """
+    tagged = docs.select(
+        F.col(doc_id_col).alias("_id"), F.col(group_col).alias("grp")
+    ).join(
+        emb.select(F.col(vec_id_col).alias("_id"), F.col(vec_col).alias("_v")), "_id"
+    )
+    return (
+        tagged.select("grp", F.posexplode("_v").alias("dim", "x"))
+        .groupBy("grp", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+    )
+
+
+def centroid_similarity_matrix(centroids: DataFrame) -> DataFrame:
+    """Pairwise cosine between group centroids: ``(grp_a, grp_b, cosine)``
+    for grp_a < grp_b. Runs entirely on the |groups|·dim centroid table
+    (corpus-scale work already collapsed by :func:`source_centroids`);
+    the dot/norm sums run over the dim-sized aggregate per pair. Reads
+    on the ROUNDED components, so the matrix is engine-reproducible.
+    """
+    a = centroids.select(
+        F.col("grp").alias("grp_a"), "dim", F.col("c").alias("ca")
+    )
+    b = centroids.select(
+        F.col("grp").alias("grp_b"), "dim", F.col("c").alias("cb")
+    )
+    pairs = a.join(b, "dim").where(F.col("grp_a") < F.col("grp_b"))
+    return (
+        pairs.groupBy("grp_a", "grp_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("_dot"),
+            F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("_na"),
+            F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("_nb"),
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6).alias("cosine"),
+        )
+    )
+
+
+@register(
+    "q215_source_centroid_similarity",
+    oracle="""
+        WITH tagged AS (
+            SELECT d.source AS grp, CAST(e.embedding AS DOUBLE[]) AS v
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ),
+        vals AS (
+            SELECT grp, CAST(t.i AS BIGINT) AS dim, v[CAST(t.i + 1 AS INT)] AS x
+            FROM tagged, unnest(generate_series(0, len(v) - 1)) t(i)
+        ),
+        cent AS (
+            SELECT grp, dim, ROUND(AVG(x), 6) AS c
+            FROM vals GROUP BY grp, dim
+        )
+        SELECT a.grp AS grp_a, b.grp AS grp_b,
+               ROUND(SUM(a.c * b.c)
+                     / (SQRT(SUM(a.c * a.c)) * SQRT(SUM(b.c * b.c))), 6) AS cosine
+        FROM cent a JOIN cent b USING (dim)
+        WHERE a.grp < b.grp
+        GROUP BY a.grp, b.grp
+        ORDER BY grp_a, grp_b
+    """,
+    doc=(
+        "embedding-space source divergence: per-source centroid (rounded "
+        "map-combinable mean over a posexplode) and the pairwise cosine "
+        "matrix between centroids — the panel that shows which corpus "
+        "sources occupy the same embedding region (token-distribution "
+        "divergence q183's vector-space twin). All pairwise work runs on "
+        "the |sources|*dim aggregate, never the corpus."
+    ),
+    tags=("similarity", "embedding", "corpus", "qa"),
+)
+def q215_source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    cent = source_centroids(t["documents"], t["embeddings"])
+    return centroid_similarity_matrix(cent).orderBy("grp_a", "grp_b")

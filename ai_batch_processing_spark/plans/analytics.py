@@ -1887,3 +1887,116 @@ def q206_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# --- q214: join-key skew audit ----------------------------------------------
+# The pre-flight a 100 TB join actually needs: per-key cardinality of the
+# intended join key, heavy hitters with cumulative share, and the
+# partition-pressure number (max key count / mean) that says whether to
+# salt. One map-combinable count + windows over the TOP-K aggregate only
+# (the corpus-sized key table is TakeOrdered-capped before any window).
+@register(
+    "q214_join_key_skew_audit",
+    oracle="""
+        WITH per_key AS (
+            SELECT o_custkey AS key, COUNT(*) AS cnt
+            FROM orders GROUP BY o_custkey
+        ),
+        tot AS (
+            SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+                   CAST(AVG(cnt) AS DOUBLE) AS mean_cnt
+            FROM per_key
+        ),
+        topk AS (
+            SELECT key, cnt FROM per_key
+            ORDER BY cnt DESC, key LIMIT 20
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.cnt DESC, t.key) AS BIGINT) AS rnk,
+               t.key, CAST(t.cnt AS BIGINT) AS cnt,
+               ROUND(t.cnt / tot.total, 6) AS share,
+               ROUND(SUM(t.cnt) OVER (ORDER BY t.cnt DESC, t.key
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / tot.total, 6) AS cum_share,
+               ROUND(t.cnt / tot.mean_cnt, 4) AS skew_x_mean
+        FROM topk t CROSS JOIN tot
+        ORDER BY rnk
+    """,
+    doc=(
+        "join-key skew audit on orders.o_custkey: top-20 heavy keys with "
+        "share, cumulative share, and count/mean skew factor — the numbers "
+        "that decide salting / AQE skew-join before a big join. Heavy "
+        "hitters come off a TakeOrderedAndProject over the map-combined "
+        "per-key counts; every window runs on the 20-row result."
+    ),
+    tags=("analytics", "ops", "skew", "join"),
+)
+def q214_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    per_key = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = per_key.agg(
+        F.sum("cnt").cast("double").alias("total"),
+        F.avg("cnt").cast("double").alias("mean_cnt"),
+    )
+    topk = per_key.orderBy(F.desc("cnt"), F.asc("key")).limit(20)
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        topk.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w).cast("long").alias("rnk"),
+            "key",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.sum("cnt").over(wc) / F.col("total"), 6).alias("cum_share"),
+            F.round(F.col("cnt") / F.col("mean_cnt"), 4).alias("skew_x_mean"),
+        )
+        .orderBy("rnk")
+    )
+
+
+# --- q216: per-group OLS (price ~ quantity) ----------------------------------
+# Closed-form simple regression per group out of single-pass moments —
+# slope, intercept, r², all map-combinable, no second scan. The two
+# engines compute regr_* with INDEPENDENT kernels (Spark codegen vs
+# DuckDB's aggregate core); the `+1e-9, ROUND` idiom (q96) absorbs
+# last-ulp drift on the big-sum ratios.
+@register(
+    "q216_group_ols_price_qty",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4) AS slope,
+               ROUND(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 4) AS intercept,
+               ROUND(POWER(corr(l_extendedprice, l_quantity), 2) + 1e-9, 6) AS r2
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc=(
+        "per-group simple OLS of extendedprice on quantity (slope / "
+        "intercept / r-squared): single-pass regr_* aggregates, "
+        "map-combinable moments, zero extra scans — gated against DuckDB's "
+        "independently implemented regression kernels."
+    ),
+    tags=("analytics", "stats", "agg"),
+)
+def q216_group_ols_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity") + F.lit(1e-9), 4).alias(
+                "slope"
+            ),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity") + F.lit(1e-9), 4
+            ).alias("intercept"),
+            F.round(
+                F.pow(F.corr("l_extendedprice", "l_quantity"), 2) + F.lit(1e-9), 6
+            ).alias("r2"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -96,6 +96,10 @@ _PRIORITY = [
     # sampling, PQ-ADC (integer-exact config), IVF-PQ at recall-1.
     # Seventh round-5 batch: deterministic SQL-portable sketches (theta
     # distinct / cross-sketch set algebra / count-min heavy hitters).
+    "q214_join_key_skew_audit",
+    "q215_source_centroid_similarity",
+    "q216_group_ols_price_qty",
+    "q217_cooccurrence_pmi",
     "q211_phrase_search",
     "q212_hybrid_rrf_search",
     "q213_knn_triangle_census",

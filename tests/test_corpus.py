@@ -384,3 +384,37 @@ def test_rrf_fuse_empty_input_raises(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse({})
+
+
+# ---------------------------------------------------------------------------
+# Doc-level co-occurrence PMI (cooccurrence_pmi / q217)
+# ---------------------------------------------------------------------------
+
+
+def test_cooccurrence_pmi_values_and_vocab_cap(spark):
+    import math
+
+    from ai_batch_processing_spark.operators.corpus import cooccurrence_pmi
+
+    # 4 docs; a & b always together (PMI > 0), a & c never (excluded),
+    # rare term z outside the top-2 vocabulary cap
+    docs = spark.createDataFrame(
+        [(1, "a b z"), (2, "a b"), (3, "a b c"), (4, "c d")],
+        ["doc_id", "text"],
+    )
+    out = {(r.term_a, r.term_b): r for r in cooccurrence_pmi(docs, top_v=2, min_co=1).collect()}
+    # top-2 vocab by df: a (3 docs), b (3 docs) — only the (a, b) pair
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert (r.n_a, r.n_b, r.n_ab) == (3, 3, 3)
+    assert r.pmi == round(math.log(3 * 4 / (3 * 3)), 6)
+
+
+def test_cooccurrence_pmi_min_co_filters(spark):
+    from ai_batch_processing_spark.operators.corpus import cooccurrence_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+    )
+    out = cooccurrence_pmi(docs, top_v=3, min_co=2).collect()
+    assert {(r.term_a, r.term_b) for r in out} == {("a", "b")}

@@ -978,3 +978,38 @@ def test_dimension_stats_partitioning_invariant(spark, sf_dir):
     }
     # counts and the rounded-stat census are partitioning-invariant
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Source centroids + centroid cosine matrix (q215)
+# ---------------------------------------------------------------------------
+
+
+def test_source_centroids_and_similarity_matrix(spark):
+    from ai_batch_processing_spark.operators.similarity import (
+        centroid_similarity_matrix,
+        source_centroids,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "x"), (1, "x"), (2, "y"), (3, "z")], ["doc_id", "source"]
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [3.0, 0.0]),   # x centroid (2, 0)
+            (2, [0.0, 5.0]),                     # y centroid (0, 5)
+            (3, [2.0, 2.0]),                     # z centroid (2, 2)
+        ],
+        ["vec_id", "embedding"],
+    )
+    cent = {(r.grp, r.dim): r.c for r in source_centroids(docs, emb, "source").collect()}
+    assert cent[("x", 0)] == 2.0 and cent[("x", 1)] == 0.0
+    assert cent[("y", 1)] == 5.0
+    sim = {
+        (r.grp_a, r.grp_b): r.cosine
+        for r in centroid_similarity_matrix(source_centroids(docs, emb, "source")).collect()
+    }
+    assert sim[("x", "y")] == 0.0          # orthogonal
+    assert sim[("x", "z")] == round(2 * 2 / (2.0 * (8 ** 0.5)), 6)
+    assert sim[("y", "z")] == sim[("x", "z")]
+    assert set(sim) == {("x", "y"), ("x", "z"), ("y", "z")}  # a < b only
