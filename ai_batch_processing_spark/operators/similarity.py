@@ -317,6 +317,8 @@ def kmeans_centroids(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "hash",
+    round_dp: int | None = None,
 ) -> list[list[float]]:
     """Deterministic distributed Lloyd's iterations → ``nlist`` centroids.
 
@@ -331,27 +333,41 @@ def kmeans_centroids(
     bench shape: 3 Lloyd rounds fell from 4.3 s / 6 jobs to one job per
     round). Only the nlist×dim centroid matrix ever reaches the driver.
     Cells that lose all members keep their previous centroid, as before.
+
+    SQL-portable mode (the q218 gate): ``init="first"`` seeds from the
+    ``nlist`` lowest ids (ORDER BY id — expressible in any engine, unlike
+    xxhash64), and ``round_dp`` rounds BOTH the assignment similarities
+    (before argmax) and the updated centroid components after every
+    round, so each iteration's decisions depend only on 6dp constants
+    both engines agree on — that makes the whole iterative algorithm
+    hash-checkable against an unrolled DuckDB CTE chain. Defaults keep
+    the exact historical behavior for the IVF/PQ callers.
     """
-    init = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
-        .limit(nlist)
-        .collect()
-    )
-    centroids = np.array([list(r.v) for r in init], dtype=np.float64)
+    if init not in ("hash", "first"):
+        raise ValueError(f"init must be 'hash' or 'first', got {init!r}")
+    sel = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if init == "hash":
+        sel = sel.orderBy(F.xxhash64(F.col("id")), F.col("id"))
+    else:
+        sel = sel.orderBy(F.col("id"))
+    init_rows = sel.limit(nlist).collect()
+    centroids = np.array([list(r.v) for r in init_rows], dtype=np.float64)
     vecs = corpus.select(F.col(vec_col).alias("v"))
     for _ in range(n_iter):
         cnorm = centroids / np.maximum(
             np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
         )
 
-        def partials(batches, _c=cnorm):
+        def partials(batches, _c=cnorm, _dp=round_dp):
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
                 mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-                cells = np.argmax(mn @ _c.T, axis=1)  # first-max, as assign_cells
+                sims = mn @ _c.T
+                if _dp is not None:
+                    sims = np.round(sims, _dp)
+                cells = np.argmax(sims, axis=1)  # first-max, as assign_cells
                 frames = []
                 for c in np.unique(cells):
                     sel = m[cells == c]
@@ -376,6 +392,8 @@ def kmeans_centroids(
         )
         for r in new:
             centroids[r.cell][r.pos] = r.m
+        if round_dp is not None:
+            centroids = np.round(centroids, round_dp)
     return centroids.tolist()
 
 
@@ -2966,3 +2984,111 @@ def q215_source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFra
     t = load_tables(spark, sf_dir, ["documents", "embeddings"])
     cent = source_centroids(t["documents"], t["embeddings"])
     return centroid_similarity_matrix(cent).orderBy("grp_a", "grp_b")
+
+
+# ---------------------------------------------------------------------------
+# First-class k-means clustering (SQL-portable configuration)
+# ---------------------------------------------------------------------------
+_KM_NLIST = 8
+_KM_ITER = 2
+
+
+def _km_assign_sql(cent: str, out: str) -> str:
+    """One DuckDB assignment round: rounded cosine vs ``cent``, first-max."""
+    return f"""
+        sims_{out} AS (
+            SELECT v.vec_id, ct.cell,
+                   ROUND(SUM(v.x * ct.c) / (vn.nv * cn.ncell), 6) AS sim
+            FROM vals v
+            JOIN {cent} ct USING (dim)
+            JOIN vnorm vn USING (vec_id)
+            JOIN (SELECT cell, SQRT(SUM(c * c)) AS ncell
+                  FROM {cent} GROUP BY cell) cn USING (cell)
+            GROUP BY v.vec_id, ct.cell, vn.nv, cn.ncell
+        ),
+        {out} AS (
+            SELECT vec_id, cell, sim FROM (
+                SELECT vec_id, cell, sim,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY sim DESC, cell
+                       ) AS rn
+                FROM sims_{out}
+            ) WHERE rn = 1
+        )"""
+
+
+def _km_update_sql(assign: str, prev: str, out: str) -> str:
+    """One DuckDB Lloyd update: per-(cell, dim) mean rounded to 6dp;
+    cells that lost every member keep their previous centroid."""
+    return f"""
+        upd_{out} AS (
+            SELECT a.cell, v.dim, ROUND(AVG(v.x), 6) AS c
+            FROM {assign} a JOIN vals v USING (vec_id)
+            GROUP BY a.cell, v.dim
+        ),
+        {out} AS (
+            SELECT p.cell, p.dim, COALESCE(u.c, p.c) AS c
+            FROM {prev} p
+            LEFT JOIN upd_{out} u ON u.cell = p.cell AND u.dim = p.dim
+        )"""
+
+
+@register(
+    "q218_kmeans_clusters",
+    oracle=f"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        vals AS (
+            SELECT vec_id, CAST(t.i AS BIGINT) AS dim, v[CAST(t.i + 1 AS INT)] AS x
+            FROM emb, unnest(generate_series(0, len(v) - 1)) t(i)
+        ),
+        vnorm AS (SELECT vec_id, SQRT(SUM(x * x)) AS nv FROM vals GROUP BY vec_id),
+        seeds AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vec_id
+            FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT {_KM_NLIST})
+        ),
+        cent0 AS (
+            SELECT s.cell, v.dim, v.x AS c FROM seeds s JOIN vals v USING (vec_id)
+        ),
+        {_km_assign_sql("cent0", "a1")},
+        {_km_update_sql("a1", "cent0", "cent1")},
+        {_km_assign_sql("cent1", "a2")},
+        {_km_update_sql("a2", "cent1", "cent2")},
+        {_km_assign_sql("cent2", "afinal")}
+        SELECT vec_id, CAST(cell AS BIGINT) AS cell, sim FROM afinal
+        ORDER BY vec_id
+    """,
+    doc=(
+        "first-class k-means (8 cells, 2 Lloyd rounds, SQL-portable "
+        "config): lowest-id seeding, assignment on 6dp-ROUNDED cosine with "
+        "first-max tiebreak, centroids rounded per round — every iterative "
+        "decision depends only on constants both engines reproduce, so the "
+        "whole distributed training loop hash-matches an unrolled DuckDB "
+        "CTE chain. Spark side trains via the fused Arrow kernel (one job "
+        "per round, nlist*dim partials shuffled — the IVF trainer) and "
+        "gates the final assignment through the Catalyst cosine twin."
+    ),
+    tags=("similarity", "clustering", "iterative", "verify"),
+)
+def q218_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = kmeans_centroids(
+        emb, nlist=_KM_NLIST, n_iter=_KM_ITER, init="first", round_dp=6
+    )
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell long, cv array<double>",
+    )
+    scored = emb.crossJoin(F.broadcast(cdf)).select(
+        "vec_id",
+        "cell",
+        F.round(cosine(F.col("embedding"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell", "sim")
+        .orderBy("vec_id")
+    )

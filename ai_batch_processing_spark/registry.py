@@ -96,6 +96,7 @@ _PRIORITY = [
     # sampling, PQ-ADC (integer-exact config), IVF-PQ at recall-1.
     # Seventh round-5 batch: deterministic SQL-portable sketches (theta
     # distinct / cross-sketch set algebra / count-min heavy hitters).
+    "q218_kmeans_clusters",
     "q214_join_key_skew_audit",
     "q215_source_centroid_similarity",
     "q216_group_ols_price_qty",

@@ -1013,3 +1013,36 @@ def test_source_centroids_and_similarity_matrix(spark):
     assert sim[("x", "z")] == round(2 * 2 / (2.0 * (8 ** 0.5)), 6)
     assert sim[("y", "z")] == sim[("x", "z")]
     assert set(sim) == {("x", "y"), ("x", "z"), ("y", "z")}  # a < b only
+
+
+# ---------------------------------------------------------------------------
+# SQL-portable k-means mode (q218)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_portable_mode_deterministic_and_seeded_by_lowest_ids(spark):
+    from ai_batch_processing_spark.operators.similarity import kmeans_centroids
+
+    rows = [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = kmeans_centroids(emb, nlist=4, n_iter=2, init="first", round_dp=6)
+    c2 = kmeans_centroids(emb.repartition(7), nlist=4, n_iter=2, init="first", round_dp=6)
+    assert c1 == c2  # partition-layout invariant
+    # every component rounded to 6dp
+    assert all(round(x, 6) == x for c in c1 for x in c)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="init"):
+        kmeans_centroids(emb, nlist=4, init="pp")
+
+
+def test_kmeans_default_mode_unchanged_by_new_params(spark):
+    """IVF/PQ callers rely on the historical hash-init exact path — the new
+    keyword defaults must reproduce it bit-for-bit."""
+    from ai_batch_processing_spark.operators.similarity import kmeans_centroids
+
+    rows = [(i, [float(i % 3), float(i % 5)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = kmeans_centroids(emb, nlist=3, n_iter=2)
+    b = kmeans_centroids(emb, nlist=3, n_iter=2, init="hash", round_dp=None)
+    assert a == b
