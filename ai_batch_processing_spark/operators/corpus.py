@@ -1716,3 +1716,98 @@ def cooccurrence_pmi(
 def q217_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return cooccurrence_pmi(docs).orderBy("term_a", "term_b")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate per source
+# ---------------------------------------------------------------------------
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 20,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group coverage of the corpus's top-``vocab_size`` vocabulary.
+
+    Builds the global vocabulary (top-N terms by occurrence count, ties →
+    lexicographic) and reports, per ``group_col``: total token occurrences,
+    occurrences covered by the vocabulary, the OOV rate, and the distinct
+    OOV term count — the tokenizer-fit / domain-shift panel read before
+    committing a vocabulary to a heterogeneous corpus.
+
+    Scale shape: one token-stream aggregate builds the term counts
+    (map-side partials), the vocabulary cut is a TakeOrderedAndProject
+    (never a global sort), and membership rides back as a broadcast left
+    join onto the stream — the corpus is scanned once per branch and never
+    shuffled on the token. The vocabulary is bounded by construction.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    cov = toks.join(F.broadcast(vocab), "term", "left")
+    return (
+        cov.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_tokens"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))).cast("long").alias("covered"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))) / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("term"))
+            ).cast("long").alias("distinct_oov"),
+        )
+        .orderBy(group_col)
+    )
+
+
+@register(
+    "q222_vocab_coverage",
+    oracle=r"""
+        WITH toks AS (
+            SELECT source AS grp, t.tok AS term
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS t(tok)
+        ),
+        vocab AS (
+            SELECT term FROM (
+                SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+                ORDER BY n DESC, term LIMIT 20
+            )
+        ),
+        cov AS (
+            SELECT t.grp, t.term,
+                   CASE WHEN v.term IS NULL THEN 0 ELSE 1 END AS in_vocab
+            FROM toks t LEFT JOIN vocab v ON v.term = t.term
+        )
+        SELECT grp AS source,
+               CAST(COUNT(*) AS BIGINT) AS total_tokens,
+               CAST(SUM(in_vocab) AS BIGINT) AS covered,
+               ROUND(1.0 - SUM(in_vocab) * 1.0 / COUNT(*), 6) AS oov_rate,
+               CAST(COUNT(DISTINCT CASE WHEN in_vocab = 0 THEN term END) AS BIGINT)
+                   AS distinct_oov
+        FROM cov GROUP BY grp ORDER BY grp
+    """,
+    doc=(
+        "vocabulary coverage / OOV panel: per-source token occurrences covered "
+        "by the global top-20 vocabulary, OOV rate, distinct OOV terms — the "
+        "tokenizer-fit and domain-shift check before committing a vocabulary. "
+        "Vocab cut is a TakeOrderedAndProject over map-combined term counts; "
+        "membership returns as a broadcast left join, the token stream is "
+        "never shuffled on the term for the census itself."
+    ),
+    tags=("corpus", "text", "tokenizer"),
+)
+def q222_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return vocab_coverage(docs, vocab_size=20)

@@ -2651,3 +2651,66 @@ def q209_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(_toks(F.col("text"))).cast("long").alias("n_tokens"),
     )
     return pareto_front(scored, "score", "n_tokens").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Blocklist policy filter (the C4 "bad words" pass)
+# ---------------------------------------------------------------------------
+def blocklist_hits(text: Column | str, terms: tuple[str, ...]) -> Column:
+    """Count of whole-word blocklist matches in ``text`` (case-insensitive).
+
+    One ``regexp_count`` over an alternation anchored by word boundaries —
+    pure codegen at scan speed, the same shape as the PII pass above. C4
+    (Raffel et al. 2020 §2.2) drops any page containing a blocklisted word;
+    callers filter on ``blocklist_hits(...) > 0`` or keep the count as a
+    policy feature. Terms are inlined as a regex alternation: the list is a
+    policy artifact (hundreds of terms), never a data-sized table.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    pat = r"\b(" + "|".join(terms) + r")\b"
+    return F.regexp_count(F.lower(c), F.lit(pat))
+
+
+_BLOCKLIST = ("slow", "dup", "big")  # stand-in policy list for the gate
+
+
+@register(
+    "q220_blocklist_policy",
+    oracle=r"""
+        WITH hits AS (
+            SELECT source,
+                   len(regexp_extract_all(lower(text), '\b(slow|dup|big)\b')) AS n_hits
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+               ROUND(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS flag_rate,
+               CAST(SUM(n_hits) AS BIGINT) AS total_hits
+        FROM hits GROUP BY source ORDER BY source
+    """,
+    doc=(
+        "blocklist policy census (the C4 bad-words pass): whole-word "
+        "case-insensitive blocklist matches per document via one regexp_count "
+        "alternation (scan-speed codegen, zero extra shuffles beyond the "
+        "per-source aggregate), rolled up to per-source docs / flagged / "
+        "flag-rate / total hits — the policy-impact panel reviewed before "
+        "turning a filter on."
+    ),
+    tags=("curation", "policy", "filter"),
+)
+def q220_blocklist_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n_hits = blocklist_hits(F.col("text"), _BLOCKLIST)
+    per_doc = docs.select("source", n_hits.alias("n_hits"))
+    flagged = F.when(F.col("n_hits") > 0, 1).otherwise(0)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum(flagged).cast("long").alias("flagged_docs"),
+            F.round(F.sum(flagged) / F.count(F.lit(1)), 6).alias("flag_rate"),
+            F.sum("n_hits").cast("long").alias("total_hits"),
+        )
+        .orderBy("source")
+    )

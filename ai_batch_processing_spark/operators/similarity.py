@@ -3092,3 +3092,232 @@ def q218_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell", "sim")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: IR metrics + k-NN label classifier
+# ---------------------------------------------------------------------------
+def retrieval_eval(
+    run: DataFrame,
+    labels: DataFrame,
+    k: int,
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """IR metrics for a retrieval ``run`` against label-match relevance.
+
+    ``run`` is a ranked result list — ``(query_id, neighbor_id, rank)``,
+    ``rank`` 1-based, at most ``k`` rows per query (the output shape of
+    :func:`cosine_topk` and every ANN variant here). ``labels`` is the
+    relevance source: ``(id, label)``; a neighbor is relevant iff it
+    shares the query's label. Returns one row per query:
+    ``(query_id, label, n_rel, hits, precision, recall, rr, ndcg)`` —
+    precision@k, recall@k (vs all same-label corpus rows excluding the
+    query itself), reciprocal rank of the first relevant hit, and
+    NDCG@k with the ideal DCG truncated at ``min(k, n_rel)``.
+
+    Scale shape: the run is queries×k rows; both label joins broadcast
+    the bounded side, the per-query aggregate partitions on query_id, and
+    the per-label totals are a label-cardinality-sized broadcast. Nothing
+    here touches the corpus beyond one count per label. The eval harness
+    the curation loop reads after every index/tokenizer change; metric
+    definitions per Manning et al., Introduction to Information
+    Retrieval §8.4 (public). The reference app has no retrieval surface
+    (SURVEY.md §2 — scoring ends at its LLM batch loop), so this is a
+    north-star extension, not a parity item.
+    """
+    lab_q = labels.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("q_label")
+    )
+    lab_n = labels.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
+    )
+    totals = labels.groupBy(F.col(label_col).alias("q_label")).agg(
+        F.count(F.lit(1)).alias("n_tot")
+    )
+    rel = (
+        run.join(F.broadcast(lab_q), "query_id")
+        .join(F.broadcast(lab_n), "neighbor_id")
+        .withColumn("rel", (F.col("n_label") == F.col("q_label")).cast("int"))
+    )
+    per_q = rel.groupBy("query_id", "q_label").agg(
+        F.sum("rel").cast("long").alias("hits"),
+        F.max(
+            F.when(F.col("rel") == 1, F.lit(1.0) / F.col("rank")).otherwise(0.0)
+        ).alias("rr_raw"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1, F.lit(1.0) / F.log2(F.col("rank") + F.lit(1.0))
+            ).otherwise(0.0)
+        ).alias("dcg"),
+    )
+    out = per_q.join(F.broadcast(totals), "q_label").withColumn(
+        "n_rel", (F.col("n_tot") - F.lit(1)).cast("long")
+    )
+    # Ideal DCG: sequential fold over positions 1..min(k, n_rel) — the same
+    # left-to-right accumulation order as the oracle's running-window sum.
+    # greatest(n_rel, 1) guards Spark's descending-sequence surprise
+    # (sequence(1, 0) == [1, 0]); n_rel == 0 yields ndcg 0 via the dcg gate.
+    idcg = F.expr(
+        f"aggregate(sequence(1, int(least({k}, greatest(n_rel, 1)))), "
+        "cast(0.0 as double), (acc, i) -> acc + 1.0 / log2(cast(i as double) + 1.0))"
+    )
+    return out.select(
+        "query_id",
+        F.col("q_label").alias("label"),
+        "n_rel",
+        "hits",
+        F.round(F.col("hits") / F.lit(float(k)), 6).alias("precision"),
+        F.round(
+            F.when(F.col("n_rel") > 0, F.col("hits") / F.col("n_rel")).otherwise(0.0),
+            6,
+        ).alias("recall"),
+        F.round(F.col("rr_raw"), 6).alias("rr"),
+        F.round(
+            F.when(F.col("dcg") > 0, F.col("dcg") / idcg).otherwise(0.0), 6
+        ).alias("ndcg"),
+    )
+
+
+def knn_label_predict(
+    run: DataFrame,
+    labels: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote label prediction from a ranked neighbor ``run``.
+
+    ``run`` is ``(query_id, neighbor_id, rank)``; each query's predicted
+    label is the most common neighbor label (ties → smallest label, the
+    deterministic argmax convention used throughout). Returns
+    ``(query_id, true_label, pred_label, votes, correct)`` — the
+    label-quality eval that decides whether an embedding column is good
+    enough to drive weak supervision. The vote aggregate partitions on
+    query_id (bounded), never on the corpus.
+    """
+    lab_q = labels.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    lab_n = labels.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
+    )
+    votes = (
+        run.join(F.broadcast(lab_n), "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("n_label"))
+    pred = votes.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return pred.join(F.broadcast(lab_q), "query_id").select(
+        "query_id",
+        "true_label",
+        F.col("n_label").alias("pred_label"),
+        "votes",
+        (F.col("true_label") == F.col("n_label")).cast("int").alias("correct"),
+    )
+
+
+_EVAL_TOPK_SQL = """
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                     label AS q_label
+              FROM embeddings WHERE vec_id < 50),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+                     label AS n_label
+              FROM embeddings),
+        scored AS (
+            SELECT query_id, q_label, neighbor_id, n_label,
+                   ROUND(list_cosine_similarity(qv, cv), 6) AS score
+            FROM q JOIN c ON query_id <> neighbor_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id
+            ) AS rank FROM scored
+        ),
+        topk AS (SELECT * FROM ranked WHERE rank <= 10)
+"""
+
+
+@register(
+    "q219_retrieval_eval",
+    oracle=f"""
+        WITH {_EVAL_TOPK_SQL},
+        lab_tot AS (SELECT label, COUNT(*) AS n_tot FROM embeddings GROUP BY label),
+        perq AS (
+            SELECT query_id, q_label AS label,
+                   CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                   MAX(CASE WHEN n_label = q_label THEN 1.0 / rank ELSE 0.0 END) AS rr_raw,
+                   SUM(CASE WHEN n_label = q_label
+                            THEN 1.0 / log2(rank + 1.0) ELSE 0.0 END) AS dcg
+            FROM topk GROUP BY query_id, q_label
+        ),
+        pos AS (
+            SELECT i, SUM(1.0 / log2(i + 1.0)) OVER (ORDER BY i) AS idcg
+            FROM generate_series(1, 10) t(i)
+        )
+        SELECT p.query_id, p.label,
+               CAST(lt.n_tot - 1 AS BIGINT) AS n_rel,
+               p.hits,
+               ROUND(p.hits / 10.0, 6) AS precision,
+               ROUND(CASE WHEN lt.n_tot - 1 > 0
+                          THEN p.hits * 1.0 / (lt.n_tot - 1) ELSE 0.0 END, 6) AS recall,
+               ROUND(p.rr_raw, 6) AS rr,
+               ROUND(CASE WHEN p.dcg > 0 THEN p.dcg / pos.idcg ELSE 0.0 END, 6) AS ndcg
+        FROM perq p
+        JOIN lab_tot lt ON lt.label = p.label
+        JOIN pos ON pos.i = LEAST(10, GREATEST(lt.n_tot - 1, 1))
+        ORDER BY p.query_id
+    """,
+    doc=(
+        "retrieval eval harness: precision/recall@10, MRR, NDCG@10 of exact "
+        "cosine top-10 against label-match relevance — the metrics loop every "
+        "index/tokenizer change is judged by. Run is queries*k rows; label "
+        "joins broadcast, per-query aggregate partitions on query_id; NDCG's "
+        "ideal-DCG fold mirrors the oracle's running-window sum order."
+    ),
+    tags=("similarity", "eval"),
+)
+def q219_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    run = cosine_topk(emb, emb.filter(F.col("vec_id") < 50), k=10)
+    labels = emb.select(F.col("vec_id").alias("id"), "label")
+    return retrieval_eval(run, labels, k=10).orderBy("query_id")
+
+
+@register(
+    "q221_knn_label_eval",
+    oracle=f"""
+        WITH {_EVAL_TOPK_SQL},
+        votes AS (
+            SELECT query_id, n_label, CAST(COUNT(*) AS BIGINT) AS votes
+            FROM topk GROUP BY query_id, n_label
+        ),
+        pred AS (
+            SELECT query_id, n_label, votes FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY votes DESC, n_label
+                ) AS rn FROM votes
+            ) WHERE rn = 1
+        )
+        SELECT p.query_id,
+               q2.label AS true_label,
+               p.n_label AS pred_label,
+               p.votes,
+               CAST(CASE WHEN q2.label = p.n_label THEN 1 ELSE 0 END AS INT) AS correct
+        FROM pred p JOIN embeddings q2 ON q2.vec_id = p.query_id
+        ORDER BY p.query_id
+    """,
+    doc=(
+        "k-NN majority-vote label classifier eval (k=10, ties -> smallest "
+        "label): per-query predicted vs true label over the embeddings' label "
+        "column — the weak-supervision quality check for an embedding space. "
+        "Votes aggregate on query_id only; corpus work stays in the gated "
+        "top-k kernel."
+    ),
+    tags=("similarity", "eval"),
+)
+def q221_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    run = cosine_topk(emb, emb.filter(F.col("vec_id") < 50), k=10)
+    labels = emb.select(F.col("vec_id").alias("id"), "label")
+    return knn_label_predict(run, labels).orderBy("query_id")

@@ -97,6 +97,10 @@ _PRIORITY = [
     # Seventh round-5 batch: deterministic SQL-portable sketches (theta
     # distinct / cross-sketch set algebra / count-min heavy hitters).
     "q218_kmeans_clusters",
+    "q219_retrieval_eval",
+    "q220_blocklist_policy",
+    "q221_knn_label_eval",
+    "q222_vocab_coverage",
     "q214_join_key_skew_audit",
     "q215_source_centroid_similarity",
     "q216_group_ols_price_qty",

@@ -418,3 +418,28 @@ def test_cooccurrence_pmi_min_co_filters(spark):
     )
     out = cooccurrence_pmi(docs, top_v=3, min_co=2).collect()
     assert {(r.term_a, r.term_b) for r in out} == {("a", "b")}
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV (q222)
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_counts_and_oov(spark):
+    from ai_batch_processing_spark.operators.corpus import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "x x y z"),
+            (2, "a", "x y"),
+            (3, "b", "z z z q"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    # global counts: x=3, z=4, y=2, q=1 -> vocab_size=2 keeps {z, x}
+    out = {r.source: r for r in vocab_coverage(docs, vocab_size=2).collect()}
+    a, b = out["a"], out["b"]
+    assert a.total_tokens == 6 and a.covered == 4  # x,x,x,z in vocab; y,y OOV
+    assert b.total_tokens == 4 and b.covered == 3  # z z z in vocab; q OOV
+    assert a.distinct_oov == 1 and b.distinct_oov == 1  # y / q
+    assert a.oov_rate == round(2 / 6, 6) and b.oov_rate == 0.25

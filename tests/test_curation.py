@@ -827,3 +827,26 @@ def test_pareto_front_single_point_and_all_equal(spark):
     assert [r.id for r in pareto_front(one, "x", "y").collect()] == [1]
     eq = spark.createDataFrame([(i, 2.0, 3) for i in range(4)], ["id", "x", "y"])
     assert sorted(r.id for r in pareto_front(eq, "x", "y").collect()) == [0, 1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# Blocklist policy filter (q220)
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_hits_word_boundaries_and_case(spark):
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.operators.curation import blocklist_hits
+
+    df = spark.createDataFrame(
+        [("Slow dupx DUP big slowly",), ("nothing here",)], "text string"
+    )
+    got = [
+        r.n for r in df.select(blocklist_hits("text", ("slow", "dup", "big")).alias("n")).collect()
+    ]
+    # 'Slow', 'DUP', 'big' match (case-folded, whole words); 'dupx'/'slowly' do not
+    assert got == [3, 0]
+    # terms are inlined once: the expression is pure codegen, no join/UDF
+    plan = df.select(blocklist_hits("text", ("slow",)).alias("n"))._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "BatchEvalPython" not in plan

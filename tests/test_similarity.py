@@ -1046,3 +1046,55 @@ def test_kmeans_default_mode_unchanged_by_new_params(spark):
     a = kmeans_centroids(emb, nlist=3, n_iter=2)
     b = kmeans_centroids(emb, nlist=3, n_iter=2, init="hash", round_dp=None)
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Retrieval eval + k-NN label classifier (q219/q221)
+# ---------------------------------------------------------------------------
+
+
+def test_retrieval_eval_hand_computed(spark):
+    import math
+
+    from ai_batch_processing_spark.operators.similarity import retrieval_eval
+
+    # query 1: relevant at ranks 1 and 3 (of k=3); corpus has 3 rows of
+    # label 7 (n_rel = 2 excluding the query) -> recall = 1.0
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 10, 1), (2, 12, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    labels = spark.createDataFrame(
+        [(1, 7), (10, 7), (11, 3), (12, 7), (2, 3)],
+        "id long, label int",
+    )
+    out = {r.query_id: r for r in retrieval_eval(run, labels, k=3).collect()}
+    r1 = out[1]
+    assert r1.label == 7 and r1.n_rel == 2 and r1.hits == 2
+    assert r1.precision == round(2 / 3, 6)
+    assert r1.recall == 1.0
+    assert r1.rr == 1.0
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)  # truncated at n_rel=2
+    assert r1.ndcg == round(dcg / idcg, 6)
+    # query 2: single relevant (label 3) at rank... neighbor 11 not retrieved,
+    # retrieved neighbors are labels 7,7 -> zero hits, all metrics 0
+    r2 = out[2]
+    assert r2.hits == 0 and r2.rr == 0.0 and r2.ndcg == 0.0 and r2.recall == 0.0
+
+
+def test_knn_label_predict_majority_and_tiebreak(spark):
+    from ai_batch_processing_spark.operators.similarity import knn_label_predict
+
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    # two votes for label 5, two for label 2 -> tie, smallest label wins
+    labels = spark.createDataFrame(
+        [(1, 5), (10, 5), (11, 2), (12, 5), (13, 2)], "id long, label int"
+    )
+    rows = knn_label_predict(run, labels).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.pred_label == 2 and r.votes == 2 and r.true_label == 5 and r.correct == 0
