@@ -585,6 +585,23 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionAll(near)
 
 
+def _dup_corpus_one_scan(docs: DataFrame) -> DataFrame:
+    """The q40/q98 planted-dup corpus (every doc + a shifted copy of each
+    doc_id % 3 == 0) generated from ONE scan: the union-of-two-filters form
+    read the parquet twice; the explode emits both rows per matching input
+    row in a single pass (A/B at x100: 0.90 s -> 0.53 s warm, identical
+    output)."""
+    return docs.select(
+        F.explode(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.array(F.col("doc_id"), F.col("doc_id") + 100000),
+            ).otherwise(F.array(F.col("doc_id")))
+        ).alias("id"),
+        "text",
+    )
+
+
 @register(
     "q40_dedup_exact",
     oracle="""
@@ -598,17 +615,13 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY text
         ORDER BY keep_id
     """,
-    doc="exact dedup: hash-groupBy on content, deterministic min-id survivor.",
+    doc="exact dedup: hash-groupBy on content, deterministic min-id survivor (one-scan exploded corpus).",
     bench=True,
     tags=("dedup", "exact"),
 )
 def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    base = t["documents"].select(F.col("doc_id").alias("id"), "text")
-    dups = (
-        t["documents"].filter(F.col("doc_id") % 3 == 0).select((F.col("doc_id") + 100000).alias("id"), "text")
-    )
-    corpus = base.unionAll(dups)
+    corpus = _dup_corpus_one_scan(t["documents"])
     return (
         corpus.groupBy("text")
         .agg(F.min("id").cast("long").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -638,11 +651,7 @@ def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q98_dedup_exact_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    base = t["documents"].select(F.col("doc_id").alias("id"), "text")
-    dups = (
-        t["documents"].filter(F.col("doc_id") % 3 == 0).select((F.col("doc_id") + 100000).alias("id"), "text")
-    )
-    corpus = base.unionAll(dups)
+    corpus = _dup_corpus_one_scan(t["documents"])
     out = exact_dedup_hashed(corpus, ["text"], "id")
     return out.select(F.col("id").cast("long").alias("id"), "n_copies").orderBy("id")
 
@@ -1096,3 +1105,186 @@ def q193_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
     pairs = jaccard_pairs(corpus, "id", "text", k=5, threshold=0.5)
     return soft_dedup_weights(corpus.select("id"), pairs).orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# Candidate-stage eval: precision/recall of production banding vs exact truth
+# --------------------------------------------------------------------------
+def portable_shingle_stream(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """(id, h): SQL-portable polynomial shingle hash (dups kept).
+
+    The cross-engine twin of :func:`shingle_hash_stream` — base-31
+    polynomial over the k ASCII codes (max value 255·Σ31^j < 2³¹ at k=5,
+    so no modulus is needed and every engine computes the identical
+    integer). Production keeps xxhash64 (better diffusion, 64-bit space);
+    this form exists so banding DECISIONS can be reproduced in a SQL
+    oracle (the `_hash_key` xxhash64/portable pattern, q170/q171).
+    """
+    pos = _exploded_positions(df, id_col, text_col, k)
+    e = "cast(ascii(substring(_t, pos, 1)) as bigint)"
+    for j in range(1, k):
+        e = f"({e} * 31 + ascii(substring(_t, pos + {j}, 1)))"
+    return pos.select("id", F.expr(e).alias("h"))
+
+
+def minhash_candidates_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs with every decision SQL-reproducible.
+
+    Same pipeline as ``minhash_dedup_pairs`` up to the candidate stage —
+    shingle stream → num_perm min-permutations → banded buckets →
+    distinct pairs — but on the portable shingle hash, and banding by
+    the signature SLICE ITSELF (array-equality join key) instead of
+    xxhash64-of-slice: identical collisions, zero hash dependence. The
+    slice key is r longs instead of one — fine for an eval corpus; the
+    production path keeps the hashed band key.
+    """
+    sig = _signatures_from_stream(
+        portable_shingle_stream(df, id_col, text_col, k), num_perm, seed
+    )
+    r = max(1, num_perm // bands)
+    banded = sig.select(
+        F.col("id"),
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {bands - 1}), j -> slice(sig, j * {r} + 1, {r}))")
+        ).alias("band", "key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _candidate_eval_oracle_sql(
+    corpus_sql: str, k: int, num_perm: int, bands: int, seed: int, threshold: float
+) -> str:
+    """Generated DuckDB twin of the whole candidate-stage eval: the same
+    seeded permutation coefficients inlined as literals (the q173
+    integer-codebook pattern), banding by slice equality, truth by the
+    exact shingle-self-join Jaccard."""
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_perm)
+    ]
+    poly = "CAST(ascii(substring(text, CAST(t.i AS INT), 1)) AS BIGINT)"
+    for j in range(1, k):
+        poly = f"({poly} * 31 + ascii(substring(text, CAST(t.i + {j} AS INT), 1)))"
+    mins = ",\n                   ".join(
+        f"MIN(({a} * h + {b}) % {_MERSENNE31}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    r = max(1, num_perm // bands)
+    band_rows = "\n            UNION ALL ".join(
+        "SELECT id, {j} AS band, [{ms}] AS key FROM sigs".format(
+            j=j, ms=", ".join(f"m{j * r + i}" for i in range(r))
+        )
+        for j in range(bands)
+    )
+    return f"""
+        WITH corpus AS ({corpus_sql}),
+        docs AS (SELECT id, text FROM corpus WHERE length(text) >= {k}),
+        shh AS (
+            SELECT id, {poly} AS h
+            FROM docs, unnest(generate_series(1, length(text) - {k - 1})) AS t(i)
+        ),
+        sigs AS (SELECT id, {mins}
+                 FROM shh GROUP BY id),
+        banded AS (
+            {band_rows}
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        ),
+        sh AS (
+            SELECT DISTINCT id, substring(text, CAST(i AS INT), {k}) AS s
+            FROM docs, unnest(generate_series(1, length(text) - {k - 1})) AS t(i)
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sizes na ON na.id = i.id_a
+            JOIN sizes nb ON nb.id = i.id_b
+            WHERE i.i * 1.0 / (na.n + nb.n - i.i) >= {threshold}
+        ),
+        stats AS (
+            SELECT (SELECT COUNT(*) FROM cand) AS candidates,
+                   (SELECT COUNT(*) FROM truth) AS truth_pairs,
+                   (SELECT COUNT(*) FROM cand c JOIN truth t
+                    ON c.id_a = t.id_a AND c.id_b = t.id_b) AS true_positives
+        )
+        SELECT CAST(candidates AS BIGINT) AS candidates,
+               CAST(truth_pairs AS BIGINT) AS truth_pairs,
+               CAST(true_positives AS BIGINT) AS true_positives,
+               ROUND(true_positives * 1.0 / candidates, 6) AS precision,
+               ROUND(true_positives * 1.0 / truth_pairs, 6) AS recall
+        FROM stats
+    """
+
+
+@register(
+    "q223_dedup_candidate_eval",
+    oracle=_candidate_eval_oracle_sql(
+        _DUP_CORPUS_SQL, k=5, num_perm=64, bands=8, seed=42, threshold=0.5
+    ),
+    doc=(
+        "candidate-stage eval for the PRODUCTION MinHash banding (bands=8, "
+        "the q42 configuration): precision and recall of the LSH candidate "
+        "set against exact Jaccard >= 0.5 truth, as one summary row. The "
+        "whole measurement — portable polynomial shingle hash, the 64 seeded "
+        "permutations inlined as SQL literals, slice-equality banding, "
+        "shingle-self-join truth — is reproduced in the DuckDB twin, so the "
+        "recall number the tuning API (operators/tuning.py) reasons about is "
+        "itself hash-gated, not just test-asserted. Spark side is one lazy "
+        "plan: full-outer pair join -> single aggregate row."
+    ),
+    tags=("dedup", "minhash", "eval", "verify"),
+)
+def q223_dedup_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    cand = minhash_candidates_portable(
+        corpus, "id", "text", k=5, num_perm=64, bands=8, seed=42
+    ).withColumn("c", F.lit(1))
+    truth = (
+        jaccard_pairs(corpus, "id", "text", k=5, threshold=0.5)
+        .select("id_a", "id_b")
+        .withColumn("t", F.lit(1))
+    )
+    both = cand.join(truth, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.sum("c").cast("long").alias("candidates"),
+        F.sum("t").cast("long").alias("truth_pairs"),
+        F.sum(
+            F.when(F.col("c").isNotNull() & F.col("t").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("true_positives"),
+    ).select(
+        "candidates",
+        "truth_pairs",
+        "true_positives",
+        F.round(F.col("true_positives") / F.col("candidates"), 6).alias("precision"),
+        F.round(F.col("true_positives") / F.col("truth_pairs"), 6).alias("recall"),
+    )

@@ -101,6 +101,7 @@ _PRIORITY = [
     "q220_blocklist_policy",
     "q221_knn_label_eval",
     "q222_vocab_coverage",
+    "q223_dedup_candidate_eval",
     "q214_join_key_skew_audit",
     "q215_source_centroid_similarity",
     "q216_group_ols_price_qty",

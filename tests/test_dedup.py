@@ -476,3 +476,33 @@ def test_normalize_unicode_composes_and_strips(spark):
     assert out[3].cleaned_text == "ctrlchar\ttab kept\nnewline kept" and out[3].changed
     # and the composed form now fingerprints identically to a precomposed twin
     assert len(out[1].cleaned_text) == len("café time")
+
+
+# ---------------------------------------------------------------------------
+# Candidate-stage eval (q223)
+# ---------------------------------------------------------------------------
+
+
+def test_portable_shingle_stream_polynomial(spark):
+    from ai_batch_processing_spark.operators.dedup import portable_shingle_stream
+
+    df = spark.createDataFrame([(1, "abcde")], "id long, text string")
+    rows = portable_shingle_stream(df, "id", "text", k=5).collect()
+    assert len(rows) == 1
+    want = 0
+    for ch in "abcde":
+        want = want * 31 + ord(ch)
+    assert rows[0].h == want
+
+
+def test_minhash_candidates_portable_pairs(spark):
+    from ai_batch_processing_spark.operators.dedup import minhash_candidates_portable
+
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, same), (2, same), (3, "zzzz completely different content qqqq xxxx")],
+        "id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in minhash_candidates_portable(df, "id", "text").collect()}
+    assert (1, 2) in pairs        # identical docs share every band
+    assert (1, 3) not in pairs and (2, 3) not in pairs
