@@ -3321,3 +3321,239 @@ def q221_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = cosine_topk(emb, emb.filter(F.col("vec_id") < 50), k=10)
     labels = emb.select(F.col("vec_id").alias("id"), "label")
     return knn_label_predict(run, labels).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF recall eval at a REAL approximate configuration (q224)
+# ---------------------------------------------------------------------------
+_IVF_EVAL_NPROBE = 2
+_IVF_EVAL_K = 5
+_IVF_EVAL_NQ = 30
+
+_KM_PORTABLE_CTES = f"""
+        emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        vals AS (
+            SELECT vec_id, CAST(t.i AS BIGINT) AS dim, v[CAST(t.i + 1 AS INT)] AS x
+            FROM emb, unnest(generate_series(0, len(v) - 1)) t(i)
+        ),
+        vnorm AS (SELECT vec_id, SQRT(SUM(x * x)) AS nv FROM vals GROUP BY vec_id),
+        seeds AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vec_id
+            FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT {_KM_NLIST})
+        ),
+        cent0 AS (
+            SELECT s.cell, v.dim, v.x AS c FROM seeds s JOIN vals v USING (vec_id)
+        ),
+        {{a1}},
+        {{c1}},
+        {{a2}},
+        {{c2}},
+        {{afinal}}
+"""
+
+
+@register(
+    "q224_ivf_recall_eval",
+    oracle=f"""
+        WITH {_KM_PORTABLE_CTES.format(
+            a1=_km_assign_sql("cent0", "a1"),
+            c1=_km_update_sql("a1", "cent0", "cent1"),
+            a2=_km_assign_sql("cent1", "a2"),
+            c2=_km_update_sql("a2", "cent1", "cent2"),
+            afinal=_km_assign_sql("cent2", "afinal"),
+        )},
+        probe AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY sim DESC, cell
+                       ) AS rn
+                FROM sims_afinal WHERE vec_id < {_IVF_EVAL_NQ}
+            ) WHERE rn <= {_IVF_EVAL_NPROBE}
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY ROUND(list_cosine_similarity(qe.v, ce.v), 6) DESC,
+                                    c.vec_id
+                       ) AS rank
+                FROM probe p
+                JOIN afinal c ON c.cell = p.cell AND c.vec_id <> p.query_id
+                JOIN emb qe ON qe.vec_id = p.query_id
+                JOIN emb ce ON ce.vec_id = c.vec_id
+            ) WHERE rank <= {_IVF_EVAL_K}
+        ),
+        truth AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                                    c.vec_id
+                       ) AS rank
+                FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < {_IVF_EVAL_NQ}
+            ) WHERE rank <= {_IVF_EVAL_K}
+        )
+        SELECT t.query_id,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+               ROUND(COUNT(a.neighbor_id) / {_IVF_EVAL_K}.0, 6) AS recall
+        FROM truth t
+        LEFT JOIN approx a
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id
+        ORDER BY t.query_id
+    """,
+    doc=(
+        "per-query recall@5 of REAL approximate IVF search (nprobe=2 of "
+        "nlist=8, trained centroids) against brute-force truth — the first "
+        "approximate-configuration ANN gate: q218's SQL-portable k-means "
+        "makes the trained centroids, cell assignment, probe choice, and "
+        "candidate ranking all reproducible in the DuckDB twin, so the "
+        "recall measurement itself hash-matches (before this, approximate "
+        "paths were gate-able only at recall-1 configurations, q133/q134). "
+        "Spark side mirrors the production IVF plan shape: assignment + "
+        "probe via broadcast centroid joins, candidates co-joined on cell, "
+        "per-query top-k window."
+    ),
+    tags=("similarity", "ann", "eval", "verify"),
+)
+def q224_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return ivf_recall_eval(
+        emb,
+        n_queries=_IVF_EVAL_NQ,
+        nlist=_KM_NLIST,
+        n_iter=_KM_ITER,
+        nprobe=_IVF_EVAL_NPROBE,
+        k=_IVF_EVAL_K,
+    ).orderBy("query_id")
+
+
+def ivf_recall_eval(
+    emb: DataFrame,
+    n_queries: int,
+    nlist: int,
+    n_iter: int,
+    nprobe: int,
+    k: int,
+) -> DataFrame:
+    """Per-query recall@k of approximate IVF (trained portable centroids,
+    ``nprobe`` probed cells) against brute-force truth — the q224 body,
+    parameterized so tests can pin the recall-1 boundary (nprobe=nlist ⇒
+    every recall is exactly 1.0, the q133 argument applied to the trained
+    index)."""
+    spark = emb.sparkSession
+    cents = kmeans_centroids(emb, nlist=nlist, n_iter=n_iter, init="first", round_dp=6)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell long, cv array<double>",
+    )
+    sims = emb.crossJoin(F.broadcast(cdf)).select(
+        "vec_id", "cell", F.round(cosine(F.col("embedding"), F.col("cv")), 6).alias("sim")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    ranked = sims.withColumn("rn", F.row_number().over(w_cell))
+    assign = ranked.where(F.col("rn") == 1).select("vec_id", "cell")
+    probe = (
+        ranked.where((F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe))
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    cand = (
+        probe.join(assign.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w_q = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    approx = (
+        cand.withColumn("rank", F.row_number().over(w_q))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.lit(1).alias("a"))
+    )
+    truth = cosine_topk(emb, emb.filter(F.col("vec_id") < n_queries), k=k).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("a"), F.lit(0))).cast("long").alias("hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("a"), F.lit(0))) / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval scorecard capstone (q225)
+# ---------------------------------------------------------------------------
+def _eval_scorecard_oracle() -> str:
+    # importing the module registers q223 — required when similarity is
+    # imported directly (tests) rather than via registry.load_all()
+    from ai_batch_processing_spark.operators import dedup  # noqa: F401
+    from ai_batch_processing_spark.registry import registered_oracle
+
+    q219 = registered_oracle("q219_retrieval_eval")
+    q221 = registered_oracle("q221_knn_label_eval")
+    q223 = registered_oracle("q223_dedup_candidate_eval")
+    q224 = registered_oracle("q224_ivf_recall_eval")
+    return f"""
+        SELECT a.retrieval_mean_ndcg, a.retrieval_mrr, b.knn_accuracy,
+               c.dedup_precision, c.dedup_recall, d.ivf_mean_recall
+        FROM (SELECT ROUND(AVG(ndcg), 6) AS retrieval_mean_ndcg,
+                     ROUND(AVG(rr), 6) AS retrieval_mrr
+              FROM ({q219}) t) a,
+             (SELECT ROUND(AVG(correct), 6) AS knn_accuracy FROM ({q221}) t) b,
+             (SELECT precision AS dedup_precision, recall AS dedup_recall
+              FROM ({q223}) t) c,
+             (SELECT ROUND(AVG(recall), 6) AS ivf_mean_recall FROM ({q224}) t) d
+    """
+
+
+@register(
+    "q225_eval_scorecard",
+    oracle=_eval_scorecard_oracle(),
+    doc=(
+        "one-row quality scorecard for the whole eval family: retrieval mean "
+        "NDCG@10 + MRR (q219), k-NN label accuracy (q221), dedup "
+        "candidate-stage precision/recall (q223), IVF mean recall@5 at "
+        "nprobe=2/8 (q224) — the dashboard row a pipeline publishes per data "
+        "snapshot. Composed lazily from the gated sub-pipelines; the DuckDB "
+        "twin embeds their oracles verbatim (registered_oracle), so the "
+        "capstone can never drift from its parts."
+    ),
+    tags=("eval", "capstone"),
+)
+def q225_eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.dedup import q223_dedup_candidate_eval
+
+    r = q219_retrieval_eval(spark, sf_dir).agg(
+        F.round(F.avg("ndcg"), 6).alias("retrieval_mean_ndcg"),
+        F.round(F.avg("rr"), 6).alias("retrieval_mrr"),
+    )
+    knn = q221_knn_label_eval(spark, sf_dir).agg(
+        F.round(F.avg("correct"), 6).alias("knn_accuracy")
+    )
+    ded = q223_dedup_candidate_eval(spark, sf_dir).select(
+        F.col("precision").alias("dedup_precision"),
+        F.col("recall").alias("dedup_recall"),
+    )
+    ivf = q224_ivf_recall_eval(spark, sf_dir).agg(
+        F.round(F.avg("recall"), 6).alias("ivf_mean_recall")
+    )
+    return r.crossJoin(knn).crossJoin(ded).crossJoin(ivf)

@@ -79,6 +79,17 @@ def register(
     return deco
 
 
+def registered_oracle(name: str) -> str:
+    """Oracle SQL of an ALREADY-REGISTERED query — for composed capstones
+    whose DuckDB twin embeds the sub-queries' twins verbatim (the oracle
+    stays derived from the gated source, never a drifting copy). Only
+    valid for names registered earlier in import order."""
+    spec = _REGISTRY[name]
+    if spec.oracle is None:
+        raise ValueError(f"{name} has no oracle")
+    return spec.oracle
+
+
 # Emission order for queries()/oracle_sql(). The external driver gates a
 # prefix of the registry in iteration order (round 1 recorded CORRECTNESS
 # rows for exactly the first 50 entries), so the dict is emitted
@@ -102,6 +113,8 @@ _PRIORITY = [
     "q221_knn_label_eval",
     "q222_vocab_coverage",
     "q223_dedup_candidate_eval",
+    "q224_ivf_recall_eval",
+    "q225_eval_scorecard",
     "q214_join_key_skew_audit",
     "q215_source_centroid_similarity",
     "q216_group_ols_price_qty",

@@ -1098,3 +1098,19 @@ def test_knn_label_predict_majority_and_tiebreak(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r.pred_label == 2 and r.votes == 2 and r.true_label == 5 and r.correct == 0
+
+
+def test_ivf_recall_eval_full_probe_is_recall_one(spark):
+    from ai_batch_processing_spark.operators.similarity import ivf_recall_eval
+
+    rows = [(i, [float((i * 7 + j) % 9) for j in range(6)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = ivf_recall_eval(emb, n_queries=8, nlist=4, n_iter=1, nprobe=4, k=3).collect()
+    assert len(full) == 8
+    assert all(r.recall == 1.0 and r.hits == 3 for r in full)
+    # a strict subset of probes can only lose candidates
+    part = {
+        r.query_id: r.hits
+        for r in ivf_recall_eval(emb, n_queries=8, nlist=4, n_iter=1, nprobe=1, k=3).collect()
+    }
+    assert all(part[r.query_id] <= r.hits for r in full)
