@@ -22,6 +22,8 @@ main.py:697-733); all four are north-star extensions, built Catalyst-first:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2229,8 +2231,21 @@ def weighted_interleave(
         F.col(id_col).alias("doc_id"),
         F.col(group_col).alias("source"),
     ).withColumn("rk_in_source", F.row_number().over(w_in).cast("long"))
+    # a source missing from `weights` must FAIL, not silently sort as one
+    # null-keyed block at the head of the stream (the exact distribution-
+    # shift failure this operator exists to prevent); the raise_error
+    # branch costs nothing on covered rows and needs no extra job
     keyed = keyed.withColumn(
-        "_key", F.round(F.col("rk_in_source") / m[F.col("source")], 9)
+        "_key",
+        F.when(
+            m[F.col("source")].isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("weighted_interleave: no weight for source "),
+                    F.col("source"),
+                )
+            ),
+        ).otherwise(F.round(F.col("rk_in_source") / m[F.col("source")], 9)),
     )
     out = with_row_index(keyed, order_by=["_key", "source", "doc_id"], col="position")
     return out.select(
@@ -2667,7 +2682,10 @@ def blocklist_hits(text: Column | str, terms: tuple[str, ...]) -> Column:
     policy artifact (hundreds of terms), never a data-sized table.
     """
     c = F.col(text) if isinstance(text, str) else text
-    pat = r"\b(" + "|".join(terms) + r")\b"
+    # escape each term: real bad-word lists contain regex metacharacters
+    # ('f*ck', 'a$$', parens) that would otherwise mis-compile or match
+    # the wrong language
+    pat = r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b"
     return F.regexp_count(F.lower(c), F.lit(pat))
 
 

@@ -1148,6 +1148,12 @@ def minhash_candidates_portable(
     slice key is r longs instead of one — fine for an eval corpus; the
     production path keeps the hashed band key.
     """
+    if bands > num_perm or num_perm % bands != 0:
+        raise ValueError(
+            f"bands must divide num_perm (got bands={bands}, num_perm={num_perm}): "
+            "out-of-range band slices would be empty arrays shared by EVERY "
+            "document, degenerating the candidate join to the full cross product"
+        )
     sig = _signatures_from_stream(
         portable_shingle_stream(df, id_col, text_col, k), num_perm, seed
     )

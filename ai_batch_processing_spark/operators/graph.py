@@ -86,6 +86,28 @@ def pagerank(
     # layout must be an explicit REPARTITION_BY_NUM (below), which is
     # exactly the form AQE leaves alone.
     e_raw = edges.persist()
+    caches: list[DataFrame] = [e_raw]
+    try:
+        return _pagerank_impl(
+            nodes, e_raw, iterations, damping, checkpoint_every, conf_part, caches
+        )
+    finally:
+        # a library function must not leak storage across calls — even when
+        # an executor loss / OOM raises mid-loop (the eager final checkpoint
+        # materializes ranks before the caches are dropped)
+        for c in caches:
+            c.unpersist()
+
+
+def _pagerank_impl(
+    nodes: DataFrame,
+    e_raw: DataFrame,
+    iterations: int,
+    damping: float,
+    checkpoint_every: int | None,
+    conf_part: int,
+    caches: list[DataFrame],
+) -> DataFrame:
     n_edges = e_raw.count()
     n_part = max(1, min(conf_part, -(-n_edges // 100_000)))
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
@@ -104,6 +126,7 @@ def pagerank(
         .repartition(n_part, "src")
         .persist()
     )
+    caches.append(e)
     # (id, n) materialized ONCE, hash-partitioned on id for the same
     # reason — every iteration joins onto this checkpointed frame (and
     # the rank table it produces inherits the layout) instead of
@@ -132,16 +155,14 @@ def pagerank(
         )
         last = i == iterations - 1
         if last or (checkpoint_every is not None and (i + 1) % checkpoint_every == 0):
-            # eager only on the last round: downstream consumers (and
-            # e.unpersist below) need the RESULT materialized — in fused
+            # eager only on the last round: downstream consumers (and the
+            # caller's cache cleanup) need the RESULT materialized — in fused
             # mode this one eager checkpoint runs the whole chain as a
             # single job; with a cadence, intermediate rounds only need
             # their lineage cut (lazy)
             ranks = ranks.localCheckpoint(eager=last)
-    # ranks is eagerly checkpointed — nothing downstream depends on e's
-    # cache, and a library function must not leak storage across calls
-    e.unpersist()
-    e_raw.unpersist()
+    # ranks is eagerly checkpointed before the caller's finally drops the
+    # caches — nothing downstream depends on e's storage
     return ranks
 
 

@@ -391,9 +391,10 @@ def kmeans_centroids(
             .collect()
         )
         for r in new:
-            centroids[r.cell][r.pos] = r.m
-        if round_dp is not None:
-            centroids = np.round(centroids, round_dp)
+            # round the UPDATED components only — kept-previous (emptied-
+            # cell) centroids stay at their exact prior value, matching the
+            # oracle twin's COALESCE(updated, previous) semantics
+            centroids[r.cell][r.pos] = r.m if round_dp is None else round(r.m, round_dp)
     return centroids.tolist()
 
 
@@ -2730,8 +2731,11 @@ def embedding_consistency_audit(
     pairs = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
     return (
-        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") < min_cosine)
+        # filter on the RAW cosine (the oracle's form): rounding first
+        # would silently pass pairs in [min_cosine - 5e-7, min_cosine)
+        pairs.select("id_a", "id_b", cos.alias("_raw"))
+        .filter(F.col("_raw") < min_cosine)
+        .select("id_a", "id_b", F.round(F.col("_raw"), 6).alias("cosine"))
     )
 
 

@@ -111,8 +111,12 @@ def theta_distinct(
         if group_cols
         else sample.agg(F.count(F.lit(1)).alias("sampled_distinct"))
     )
-    num = F.col("sampled_distinct") * F.lit(_HASH_SPACE) + F.lit(theta // 2)
-    est = ((num - F.pmod(num, F.lit(theta))) / F.lit(theta)).cast("long")
+    # BIGINT `div`, not double `/`: past 2^53 the double quotient loses ulps
+    # and cast('long') can truncate to q-1 while the oracle's exact integer
+    # division yields q — `div` keeps the whole estimate in integer arithmetic
+    est = F.expr(
+        f"(sampled_distinct * {_HASH_SPACE}L + {theta // 2}L) div {theta}L"
+    ).cast("long")
     return grouped.withColumn("est_distinct", est)
 
 

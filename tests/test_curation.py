@@ -850,3 +850,27 @@ def test_blocklist_hits_word_boundaries_and_case(spark):
     # terms are inlined once: the expression is pure codegen, no join/UDF
     plan = df.select(blocklist_hits("text", ("slow",)).alias("n"))._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
+def test_blocklist_hits_escapes_regex_metachars(spark):
+    from ai_batch_processing_spark.operators.curation import blocklist_hits
+
+    df = spark.createDataFrame(
+        [("he said f*ck and fck",), ("fck fcck fxck",)], "text string"
+    )
+    got = [r.n for r in df.select(blocklist_hits("text", ("f*ck",)).alias("n")).collect()]
+    # literal match only: the unescaped regex 'f*ck' would match 'fck'/'fcck'
+    assert got == [1, 0]
+
+
+def test_weighted_interleave_raises_on_uncovered_source(spark):
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+
+    from ai_batch_processing_spark.operators.curation import weighted_interleave
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, source string"
+    )
+    with _pt.raises(Exception, match="no weight for source"):
+        weighted_interleave(df, {"a": 1.0, "b": 2.0}).collect()

@@ -1114,3 +1114,25 @@ def test_ivf_recall_eval_full_probe_is_recall_one(spark):
         for r in ivf_recall_eval(emb, n_queries=8, nlist=4, n_iter=1, nprobe=1, k=3).collect()
     }
     assert all(part[r.query_id] <= r.hits for r in full)
+
+
+def test_kmeans_portable_keeps_emptied_cell_centroid_unrounded(spark):
+    from ai_batch_processing_spark.operators.similarity import kmeans_centroids
+
+    third = 1.0 / 3.0
+    # seeds = ids 0,1,2. id 2's direction duplicates id 0's, so with
+    # first-max tiebreaking cell 2 attracts no members and must KEEP its
+    # exact (unrounded) seed vector — the oracle's COALESCE semantics.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [third, 0.0]),
+        (3, [1.0, 0.1]),
+        (4, [0.1, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_centroids(emb, nlist=3, n_iter=1, init="first", round_dp=6)
+    f32_third = float(__import__("numpy").float32(third))
+    assert cents[2] == [f32_third, 0.0]  # exact kept value, NOT round(.,6)
+    # updated cells ARE rounded
+    assert all(round(x, 6) == x for c in (cents[0], cents[1]) for x in c)
