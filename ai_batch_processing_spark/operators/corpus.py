@@ -1811,3 +1811,121 @@ def vocab_coverage(
 def q222_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return vocab_coverage(docs, vocab_size=20)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (dataset versioning)
+# ---------------------------------------------------------------------------
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    compare_cols: list[str],
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, carry…, status) content diff between two corpus snapshots:
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` per id.
+
+    The what-changed-between-crawls panel (and the input to incremental
+    re-processing: only ``added``/``changed`` rows need re-embedding /
+    re-scoring). Scale shape: each side collapses its compare columns to
+    a 128-bit content hash (two seeded xxhash64 — q98's argument) BEFORE
+    the full-outer join, so the shuffle carries 16 bytes + carry columns
+    per row, never document payloads; collision odds ~pairs × 2⁻¹²⁸.
+    One keyed shuffle total.
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        h1 = F.xxhash64(*[F.col(c) for c in compare_cols])
+        h2 = F.xxhash64(*[F.col(c) for c in compare_cols], F.lit(0x5F3E))
+        return df.select(
+            F.col(id_col).alias("_id"),
+            h1.alias(f"_h1{tag}"),
+            h2.alias(f"_h2{tag}"),
+            *[F.col(c).alias(f"_{c}{tag}") for c in carry_cols],
+        )
+
+    j = side(old, "_o").join(side(new, "_n"), "_id", "full_outer")
+    status = (
+        F.when(F.col("_h1_o").isNull(), F.lit("added"))
+        .when(F.col("_h1_n").isNull(), F.lit("removed"))
+        .when(
+            (F.col("_h1_o") != F.col("_h1_n")) | (F.col("_h2_o") != F.col("_h2_n")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.col("_id").alias(id_col),
+        *[
+            F.coalesce(F.col(f"_{c}_o"), F.col(f"_{c}_n")).alias(c)
+            for c in carry_cols
+        ],
+        status.alias("status"),
+    )
+
+
+@register(
+    "q226_snapshot_diff",
+    oracle="""
+        WITH a AS (SELECT doc_id, source, text FROM documents),
+        b AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id + 300000 AS doc_id, source, 'new ' || text AS text
+            FROM documents WHERE doc_id % 13 = 0
+        ),
+        d AS (
+            SELECT COALESCE(a.source, b.source) AS source,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.text <> b.text THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        )
+        SELECT source,
+               CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS added,
+               CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+               CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+               CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+        FROM d GROUP BY source ORDER BY source
+    """,
+    doc=(
+        "snapshot diff (dataset versioning): added/removed/changed/unchanged "
+        "per source between two corpus snapshots — the what-changed panel and "
+        "the work-list source for incremental re-processing. Spark side "
+        "compares 128-bit content hashes so the full-outer join shuffles 16 "
+        "bytes per row, never text; the oracle compares raw payloads — "
+        "identical answers absent 2^-128 collisions (q98's argument, gated)."
+    ),
+    tags=("corpus", "versioning", "incremental"),
+)
+def q226_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    a = docs.select("doc_id", "source", "text")
+    b = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                "source",
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    d = snapshot_diff(a, b, "doc_id", ["text"], carry_cols=("source",))
+    agg = [
+        F.sum(F.when(F.col("status") == s, 1).otherwise(0)).cast("long").alias(s)
+        for s in ("added", "removed", "changed", "unchanged")
+    ]
+    return d.groupBy("source").agg(*agg).orderBy("source")

@@ -2732,3 +2732,97 @@ def q220_blocklist_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rater agreement (Cohen's kappa) between two quality signals
+# ---------------------------------------------------------------------------
+_KAPPA_ALPHA_THRESHOLD = 0.822  # ~median alpha-ratio: keeps rater 1 balanced
+
+
+def _kappa_oracle() -> str:
+    # q208 is registered earlier in this module, so its oracle is available
+    # here; embedding it keeps the capstone's twin derived from the gated
+    # source (the q225 registered_oracle pattern)
+    from ai_batch_processing_spark.registry import registered_oracle
+
+    q208 = registered_oracle("q208_linear_classifier_scores")
+    return f"""
+        WITH cls AS ({q208}),
+        r1t AS (
+            SELECT doc_id,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       * 1.0 / length(text) >= {_KAPPA_ALPHA_THRESHOLD} AS r1
+            FROM documents
+        ),
+        j AS (SELECT r1t.r1, cls.label AS r2 FROM r1t JOIN cls USING (doc_id)),
+        cells AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                   CAST(SUM(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                   CAST(SUM(CASE WHEN NOT r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                   CAST(SUM(CASE WHEN NOT r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+            FROM j
+        )
+        SELECT n_docs, n11, n10, n01, n00,
+               ROUND((n11 + n00) * 1.0 / n_docs, 6) AS po,
+               ROUND((n11 + n10) * 1.0 / n_docs * ((n11 + n01) * 1.0 / n_docs)
+                     + (n01 + n00) * 1.0 / n_docs * ((n10 + n00) * 1.0 / n_docs), 6) AS pe,
+               ROUND(((n11 + n00) * 1.0 / n_docs
+                      - ((n11 + n10) * 1.0 / n_docs * ((n11 + n01) * 1.0 / n_docs)
+                         + (n01 + n00) * 1.0 / n_docs * ((n10 + n00) * 1.0 / n_docs)))
+                     / (1.0 - ((n11 + n10) * 1.0 / n_docs * ((n11 + n01) * 1.0 / n_docs)
+                               + (n01 + n00) * 1.0 / n_docs
+                                 * ((n10 + n00) * 1.0 / n_docs))), 6) AS kappa
+        FROM cells
+    """
+
+
+@register(
+    "q228_rater_agreement",
+    oracle=_kappa_oracle(),
+    doc=(
+        "Cohen's kappa between two automatic quality raters — the rule-based "
+        "alpha-ratio cut and the hashed linear classifier (q208) — plus the "
+        "2x2 agreement cells: the calibration check run before swapping one "
+        "quality signal for another (agreement >> chance means the cheap rule "
+        "can gate data the classifier would). One doc-keyed join, one "
+        "single-row aggregate; kappa arithmetic on exact BIGINT cells."
+    ),
+    tags=("curation", "eval", "quality"),
+)
+def q228_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    r1 = docs.select(
+        "doc_id",
+        (alpha * 1.0 / F.length("text") >= _KAPPA_ALPHA_THRESHOLD).alias("r1"),
+    )
+    r2 = q208_linear_classifier_scores(spark, sf_dir).select(
+        "doc_id", F.col("label").alias("r2")
+    )
+    j = r1.join(r2, "doc_id")
+    cells = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("r1") & F.col("r2")).cast("int")).cast("long").alias("n11"),
+        F.sum((F.col("r1") & ~F.col("r2")).cast("int")).cast("long").alias("n10"),
+        F.sum((~F.col("r1") & F.col("r2")).cast("int")).cast("long").alias("n01"),
+        F.sum((~F.col("r1") & ~F.col("r2")).cast("int")).cast("long").alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n_docs")
+    pe = ((F.col("n11") + F.col("n10")) / F.col("n_docs")) 
+    pe = pe * ((F.col("n11") + F.col("n01")) / F.col("n_docs")) + (
+        (F.col("n01") + F.col("n00")) / F.col("n_docs")
+    ) * ((F.col("n10") + F.col("n00")) / F.col("n_docs"))
+    return cells.select(
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+

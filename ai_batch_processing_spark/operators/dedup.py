@@ -27,7 +27,7 @@ from __future__ import annotations
 import functools
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_batch_processing_spark.registry import register
@@ -1293,4 +1293,111 @@ def q223_dedup_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_positives",
         F.round(F.col("true_positives") / F.col("candidates"), 6).alias("precision"),
         F.round(F.col("true_positives") / F.col("truth_pairs"), 6).alias("recall"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-aware cluster representatives (keep-best, not keep-first)
+# --------------------------------------------------------------------------
+def cluster_representatives(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """(cluster, keep_id, keep_score, cluster_size): the HIGHEST-QUALITY
+    member of each near-dup cluster (ties → smallest id), not the
+    smallest-id one.
+
+    Real pipelines keep the best copy of a duplicated page (cleanest
+    extraction, longest form), not an arbitrary survivor —
+    ``connected_components``' min-label survivor is the determinism
+    baseline; this is the quality-aware policy on top. ``members`` is the
+    (id, cluster) component output; ``scores`` is (id, score). One
+    cluster-keyed aggregate; ties break on (score desc, id asc) so the
+    choice is total and engine-reproducible — pass an already-rounded
+    score when the gate needs cross-engine agreement.
+    """
+    j = members.join(scores, members[id_col] == scores[id_col]).select(
+        members[id_col].alias("_id"), "cluster", F.col(score_col).alias("_s")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("_s"), F.asc("_id"))
+    sized = j.withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster")))
+    return (
+        sized.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster",
+            F.col("_id").alias("keep_id"),
+            F.col("_s").alias("keep_score"),
+            F.col("cluster_size").cast("long"),
+        )
+    )
+
+
+@register(
+    "q227_dedup_keep_best",
+    oracle=f"""
+        WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+        docs AS (SELECT id, text FROM corpus WHERE length(text) >= 5),
+        sh AS (
+            SELECT DISTINCT id, substring(text, CAST(i AS INT), 5) AS s
+            FROM docs, unnest(generate_series(1, length(text) - 4)) AS t(i)
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes na ON na.id = id_a
+            JOIN sizes nb ON nb.id = id_b
+            WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT id, id FROM corpus
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        labels AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src),
+        qual AS (
+            SELECT id,
+                   ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         * 1.0 / length(text), 6) AS q
+            FROM corpus
+        )
+        SELECT cluster, keep_id, keep_score, cluster_size FROM (
+            SELECT l.cluster, l.id AS keep_id, q.q AS keep_score,
+                   CAST(COUNT(*) OVER (PARTITION BY l.cluster) AS BIGINT) AS cluster_size,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l.cluster ORDER BY q.q DESC, l.id
+                   ) AS rn
+            FROM labels l JOIN qual q ON q.id = l.id
+        ) WHERE rn = 1 ORDER BY cluster
+    """,
+    doc=(
+        "quality-aware dedup survivor selection (keep-BEST, not keep-first): "
+        "near-dup clusters from the exact-Jaccard pair graph, representative "
+        "= argmax 6dp-rounded alpha-ratio (ties -> min id) — what real "
+        "pipelines do with duplicated pages. Distributed label propagation + "
+        "one cluster-keyed argmax vs the DuckDB recursive-CTE closure."
+    ),
+    tags=("dedup", "clustering", "quality"),
+)
+def q227_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = jaccard_pairs(corpus, "id", "text", k=5, threshold=0.5)
+    comp = connected_components(corpus.select("id"), pairs)
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    scores = corpus.select(
+        "id", F.round(alpha * 1.0 / F.length("text"), 6).alias("q")
+    )
+    return cluster_representatives(comp, scores, id_col="id", score_col="q").orderBy(
+        "cluster"
     )

@@ -114,6 +114,9 @@ _PRIORITY = [
     "q222_vocab_coverage",
     "q223_dedup_candidate_eval",
     "q224_ivf_recall_eval",
+    "q226_snapshot_diff",
+    "q227_dedup_keep_best",
+    "q228_rater_agreement",
     "q225_eval_scorecard",
     "q214_join_key_skew_audit",
     "q215_source_centroid_similarity",

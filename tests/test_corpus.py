@@ -443,3 +443,26 @@ def test_vocab_coverage_counts_and_oov(spark):
     assert b.total_tokens == 4 and b.covered == 3  # z z z in vocab; q OOV
     assert a.distinct_oov == 1 and b.distinct_oov == 1  # y / q
     assert a.oov_rate == round(2 / 6, 6) and b.oov_rate == 0.25
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from ai_batch_processing_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "same"), (2, "a", "will change"), (3, "b", "gone")],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "same"), (2, "a", "changed!"), (4, "b", "brand new")],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r.doc_id: (r.status, r.source)
+        for r in snapshot_diff(old, new, "doc_id", ["text"], carry_cols=("source",)).collect()
+    }
+    assert got == {
+        1: ("unchanged", "a"),
+        2: ("changed", "a"),
+        3: ("removed", "b"),
+        4: ("added", "b"),
+    }

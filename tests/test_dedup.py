@@ -506,3 +506,18 @@ def test_minhash_candidates_portable_pairs(spark):
     pairs = {(r.id_a, r.id_b) for r in minhash_candidates_portable(df, "id", "text").collect()}
     assert (1, 2) in pairs        # identical docs share every band
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_cluster_representatives_argmax_and_ties(spark):
+    from ai_batch_processing_spark.operators.dedup import cluster_representatives
+
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id long, cluster long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.1), (8, 0.1)], "id long, score double"
+    )
+    got = {r.cluster: r for r in cluster_representatives(members, scores).collect()}
+    # cluster 1: score tie 0.9 between ids 2 and 3 -> min id 2 wins
+    assert got[1].keep_id == 2 and got[1].keep_score == 0.9 and got[1].cluster_size == 3
+    assert got[7].keep_id == 7 and got[7].cluster_size == 2
