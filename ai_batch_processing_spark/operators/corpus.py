@@ -1834,9 +1834,20 @@ def snapshot_diff(
     per row, never document payloads; collision odds ~pairs × 2⁻¹²⁸.
     One keyed shuffle total.
     """
+    # per-column null markers make the hash null-POSITION-sensitive (bare
+    # xxhash64 skips NULL inputs, so (NULL,'a') and ('a',NULL) would hash
+    # equal); the salt goes FIRST so h2 starts from a different state —
+    # appended, it would make h2 a pure function of h1 (xxhash64 folds
+    # left-to-right with the running hash as seed) and the pair only 64-bit
+    marked = [
+        x
+        for c in compare_cols
+        for x in (F.isnull(F.col(c)).cast("int"), F.col(c))
+    ]
+
     def side(df: DataFrame, tag: str) -> DataFrame:
-        h1 = F.xxhash64(*[F.col(c) for c in compare_cols])
-        h2 = F.xxhash64(*[F.col(c) for c in compare_cols], F.lit(0x5F3E))
+        h1 = F.xxhash64(*marked)
+        h2 = F.xxhash64(F.lit(0x5F3E), *marked)
         return df.select(
             F.col(id_col).alias("_id"),
             h1.alias(f"_h1{tag}"),

@@ -2682,10 +2682,16 @@ def blocklist_hits(text: Column | str, terms: tuple[str, ...]) -> Column:
     policy artifact (hundreds of terms), never a data-sized table.
     """
     c = F.col(text) if isinstance(text, str) else text
-    # escape each term: real bad-word lists contain regex metacharacters
-    # ('f*ck', 'a$$', parens) that would otherwise mis-compile or match
-    # the wrong language
-    pat = r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b"
+    # escape each term (real bad-word lists contain regex metacharacters:
+    # 'f*ck', 'a$$', parens), and anchor \b only against a WORD-char edge:
+    # \b between '$' and a space is no boundary at all, so an
+    # unconditionally-anchored metachar-edged term could never match
+    def one(t: str) -> str:
+        lead = r"\b" if t and (t[0].isalnum() or t[0] == "_") else ""
+        trail = r"\b" if t and (t[-1].isalnum() or t[-1] == "_") else ""
+        return lead + re.escape(t) + trail
+
+    pat = "(" + "|".join(one(t) for t in terms) + ")"
     return F.regexp_count(F.lower(c), F.lit(pat))
 
 
@@ -2751,8 +2757,10 @@ def _kappa_oracle() -> str:
         WITH cls AS ({q208}),
         r1t AS (
             SELECT doc_id,
-                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                       * 1.0 / length(text) >= {_KAPPA_ALPHA_THRESHOLD} AS r1
+                   CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                             * 1.0 / length(text)
+                        ELSE 0.0 END >= {_KAPPA_ALPHA_THRESHOLD} AS r1
             FROM documents
         ),
         j AS (SELECT r1t.r1, cls.label AS r2 FROM r1t JOIN cls USING (doc_id)),
@@ -2794,10 +2802,8 @@ def _kappa_oracle() -> str:
 def q228_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
-    r1 = docs.select(
-        "doc_id",
-        (alpha * 1.0 / F.length("text") >= _KAPPA_ALPHA_THRESHOLD).alias("r1"),
-    )
+    ratio = F.when(F.length("text") > 0, alpha * 1.0 / F.length("text")).otherwise(0.0)
+    r1 = docs.select("doc_id", (ratio >= _KAPPA_ALPHA_THRESHOLD).alias("r1"))
     r2 = q208_linear_classifier_scores(spark, sf_dir).select(
         "doc_id", F.col("label").alias("r2")
     )

@@ -68,8 +68,14 @@ def exact_dedup_hashed(df: DataFrame, key_cols: list[str], keep_min: str) -> Dat
     selection is identical to ``exact_dedup`` (min-struct on ``keep_min``),
     and a parity test pins equality of results.
     """
-    h1 = F.xxhash64(*[F.col(c) for c in key_cols])
-    h2 = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(0x5F3E))
+    # null markers make the hash null-position-sensitive (bare xxhash64
+    # skips NULLs, so (NULL,'a') and ('a',NULL) would collide); the salt
+    # goes FIRST — appended, h2 would be a pure function of h1 (xxhash64
+    # folds left-to-right seeding each step with the running hash) and the
+    # pair would give only 64 collision bits, not 128
+    marked = [x for c in key_cols for x in (F.isnull(F.col(c)).cast("int"), F.col(c))]
+    h1 = F.xxhash64(*marked)
+    h2 = F.xxhash64(F.lit(0x5F3E), *marked)
     others = [c for c in df.columns if c not in key_cols]
     packed = F.struct(
         F.col(keep_min),
@@ -1148,7 +1154,7 @@ def minhash_candidates_portable(
     slice key is r longs instead of one — fine for an eval corpus; the
     production path keeps the hashed band key.
     """
-    if bands > num_perm or num_perm % bands != 0:
+    if bands < 1 or bands > num_perm or num_perm % bands != 0:
         raise ValueError(
             f"bands must divide num_perm (got bands={bands}, num_perm={num_perm}): "
             "out-of-range band slices would be empty arrays shared by EVERY "
@@ -1368,8 +1374,10 @@ def cluster_representatives(
         labels AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src),
         qual AS (
             SELECT id,
-                   ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                         * 1.0 / length(text), 6) AS q
+                   ROUND(CASE WHEN length(text) > 0
+                              THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                   * 1.0 / length(text)
+                              ELSE 0.0 END, 6) AS q
             FROM corpus
         )
         SELECT cluster, keep_id, keep_score, cluster_size FROM (
@@ -1396,7 +1404,11 @@ def q227_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(corpus.select("id"), pairs)
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     scores = corpus.select(
-        "id", F.round(alpha * 1.0 / F.length("text"), 6).alias("q")
+        "id",
+        F.round(
+            F.when(F.length("text") > 0, alpha * 1.0 / F.length("text")).otherwise(0.0),
+            6,
+        ).alias("q"),
     )
     return cluster_representatives(comp, scores, id_col="id", score_col="q").orderBy(
         "cluster"

@@ -466,3 +466,13 @@ def test_snapshot_diff_all_statuses(spark):
         3: ("removed", "b"),
         4: ("added", "b"),
     }
+
+
+def test_snapshot_diff_detects_null_column_shift(spark):
+    from ai_batch_processing_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame([(1, None, "a")], "doc_id long, title string, text string")
+    new = spark.createDataFrame([(1, "a", None)], "doc_id long, title string, text string")
+    rows = snapshot_diff(old, new, "doc_id", ["title", "text"]).collect()
+    # a value MOVING between nullable columns is a change, not 'unchanged'
+    assert rows[0].status == "changed"

@@ -865,7 +865,6 @@ def test_blocklist_hits_escapes_regex_metachars(spark):
 
 def test_weighted_interleave_raises_on_uncovered_source(spark):
     import pytest as _pt
-    from py4j.protocol import Py4JJavaError
 
     from ai_batch_processing_spark.operators.curation import weighted_interleave
 
@@ -874,3 +873,17 @@ def test_weighted_interleave_raises_on_uncovered_source(spark):
     )
     with _pt.raises(Exception, match="no weight for source"):
         weighted_interleave(df, {"a": 1.0, "b": 2.0}).collect()
+
+
+def test_blocklist_hits_matches_metachar_edged_terms(spark):
+    from ai_batch_processing_spark.operators.curation import blocklist_hits
+
+    df = spark.createDataFrame(
+        [("what an a$$ move",), ("class a$$igned",)], "text string"
+    )
+    got = [r.n for r in df.select(blocklist_hits("text", ("a$$",)).alias("n")).collect()]
+    # '$' edge gets no \b anchor (there is no boundary between '$' and space),
+    # but the word-char LEADING edge still anchors: 'a$$' matches standalone
+    # and as a prefix of 'a$$igned' (no trailing word-char to anchor against),
+    # never inside 'cla$$'-style words on the left
+    assert got[0] == 1 and got[1] >= 1

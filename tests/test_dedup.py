@@ -521,3 +521,27 @@ def test_cluster_representatives_argmax_and_ties(spark):
     # cluster 1: score tie 0.9 between ids 2 and 3 -> min id 2 wins
     assert got[1].keep_id == 2 and got[1].keep_score == 0.9 and got[1].cluster_size == 3
     assert got[7].keep_id == 7 and got[7].cluster_size == 2
+
+
+def test_exact_dedup_hashed_null_position_sensitive(spark):
+    from ai_batch_processing_spark.operators.dedup import exact_dedup_hashed
+
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, "a", None)],
+        "id long, c1 string, c2 string",
+    )
+    out = exact_dedup_hashed(df, ["c1", "c2"], "id").collect()
+    # (NULL,'a') and ('a',NULL) are DIFFERENT keys — bare xxhash64 skips
+    # NULLs and would have collapsed them into one group
+    assert len(out) == 2 and all(r.n_copies == 1 for r in out)
+
+
+def test_minhash_candidates_portable_rejects_bad_bands(spark):
+    import pytest as _pt
+
+    from ai_batch_processing_spark.operators.dedup import minhash_candidates_portable
+
+    df = spark.createDataFrame([(1, "abcdefghij")], "id long, text string")
+    for bad in (0, -1, 7, 128):
+        with _pt.raises(ValueError, match="bands"):
+            minhash_candidates_portable(df, "id", "text", num_perm=64, bands=bad)
