@@ -32,7 +32,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 10,
     damping: float = DAMPING,
-    checkpoint_every: int | None = None,
+    checkpoint_every: int | None = 2,
 ) -> DataFrame:
     """(id, rank) after ``iterations`` synchronous PageRank steps.
 
@@ -46,22 +46,20 @@ def pagerank(
     edge rows, so each iteration shuffles edges exactly once (join on src,
     aggregate on dst) and the rank table once.
 
-    ``checkpoint_every=None`` (default) builds the WHOLE fixed-iteration
-    loop as ONE plan — no per-round ``localCheckpoint``, one action, one
-    AQE execution, exchange reuse across identical per-round subtrees —
-    and eagerly materializes only the final result. Per-round truncation
-    (pass an int) bounds plan depth for long/reused loops but pays a
-    driver-side lineage barrier per cadence. Interleaved A/B at the q122
-    bench shape (300 nodes, 1.5k edges, 10 rounds, fresh calls, min-of-4
-    in one session): lazy-every-round 3.7 s, fused 3.9 s — WALL-NEUTRAL
-    at this scale, where the fresh k-NN edge build (~1.2 s) plus ambient
-    jitter dominate; a cache-warm re-run of the fused chain alone runs in
-    ~1.0 s, which is what repeated consumers see. Fused is the default
-    because it removes ``iterations`` driver round-trips (a real cost on
-    a loaded driver at cluster scale) at zero measured penalty. Plan size
-    grows linearly in ``iterations`` (ranks feeds forward once per
-    round), so the fused form is right up to tens of rounds; past that,
-    or when callers act on intermediate ranks, pass a cadence.
+    ``checkpoint_every`` picks how often the rank lineage is truncated
+    with a LAZY ``localCheckpoint``. The default (2) bounds plan depth at
+    two rounds; ``None`` fuses the WHOLE fixed-iteration loop into ONE
+    plan (no per-round truncation, exchange reuse across identical
+    per-round subtrees). Fused was briefly the default, but a fresh-call
+    min-of-3 A/B at the q122 bench shape (300 nodes, 1.5k edges, 10
+    rounds, warm session) measured fused 4.76 s vs every-2 3.23 s vs
+    every-1 3.28 s: every NEW invocation re-analyzes the depth-10 plan on
+    the driver, and that analysis cost dominates the round-trips it
+    saves. Fused remains the right opt-in for a REUSED DataFrame (its
+    cache-warm re-run is ~1.0 s) or a driver so loaded that per-round
+    barriers are the bottleneck. Fused plan size grows linearly in
+    ``iterations`` (ranks feeds forward once per round), so even as an
+    opt-in it is only right up to tens of rounds.
 
     The explicit-N co-partitioning of ``e`` and ``base`` (below) is
     plan-verified (tests/test_graph.py: the cached scan feeds the join
