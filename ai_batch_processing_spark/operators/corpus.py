@@ -1465,8 +1465,11 @@ def rrf_fuse(
     construction, so every frame here is N·|lists| rows: the unions,
     the group-by, and the final rank window all run on list-sized data —
     the corpus-scale work already happened inside the retrievers.
-    Determinism: with ≤2 lists the float sum is order-free (IEEE addition
-    commutes); ranks tiebreak on doc_id.
+    Determinism: the per-doc contributions are summed via a sorted array
+    fold (collect_list → array_sort → aggregate), so the 6dp score is
+    independent of aggregation order for ANY number of lists — IEEE
+    addition only commutes pairwise, so a plain F.sum over 3+ lists would
+    be shuffle-order-dependent; ranks tiebreak on doc_id.
     """
     if not ranked:
         raise ValueError("rrf_fuse: need at least one ranked list")
@@ -1484,9 +1487,16 @@ def rrf_fuse(
             F.max(F.when(F.col("_list") == n, F.col("_r"))).alias(f"{n}_rnk")
             for n in names
         ],
-        F.round(F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("_r"))), 6).alias(
-            "rrf_score"
-        ),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.lit(1.0) / (F.lit(float(k)) + F.col("_r")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("rrf_score"),
     )
     w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return fused.withColumn("rnk", F.row_number().over(w).cast("long"))

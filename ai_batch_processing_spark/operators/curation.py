@@ -2681,6 +2681,10 @@ def blocklist_hits(text: Column | str, terms: tuple[str, ...]) -> Column:
     policy feature. Terms are inlined as a regex alternation: the list is a
     policy artifact (hundreds of terms), never a data-sized table.
     """
+    if not terms:
+        # '()' would match the empty string at every position, silently
+        # flagging every document with length(text)+1 hits
+        raise ValueError("blocklist_hits: terms must be non-empty")
     c = F.col(text) if isinstance(text, str) else text
     # escape each term (real bad-word lists contain regex metacharacters:
     # 'f*ck', 'a$$', parens), and anchor \b only against a WORD-char edge:
@@ -2776,12 +2780,15 @@ def _kappa_oracle() -> str:
                ROUND((n11 + n00) * 1.0 / n_docs, 6) AS po,
                ROUND((n11 + n10) * 1.0 / n_docs * ((n11 + n01) * 1.0 / n_docs)
                      + (n01 + n00) * 1.0 / n_docs * ((n10 + n00) * 1.0 / n_docs), 6) AS pe,
-               ROUND(((n11 + n00) * 1.0 / n_docs
+               CASE WHEN (n11 + n10) * 1.0 / n_docs * ((n11 + n01) * 1.0 / n_docs)
+                         + (n01 + n00) * 1.0 / n_docs * ((n10 + n00) * 1.0 / n_docs) < 1.0
+               THEN ROUND(((n11 + n00) * 1.0 / n_docs
                       - ((n11 + n10) * 1.0 / n_docs * ((n11 + n01) * 1.0 / n_docs)
                          + (n01 + n00) * 1.0 / n_docs * ((n10 + n00) * 1.0 / n_docs)))
                      / (1.0 - ((n11 + n10) * 1.0 / n_docs * ((n11 + n01) * 1.0 / n_docs)
                                + (n01 + n00) * 1.0 / n_docs
-                                 * ((n10 + n00) * 1.0 / n_docs))), 6) AS kappa
+                                 * ((n10 + n00) * 1.0 / n_docs))), 6)
+               ELSE NULL END AS kappa
         FROM cells
     """
 
@@ -2815,8 +2822,15 @@ def q228_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("r1") & F.col("r2")).cast("int")).cast("long").alias("n01"),
         F.sum((~F.col("r1") & ~F.col("r2")).cast("int")).cast("long").alias("n00"),
     )
+    return kappa_from_cells(cells)
+
+
+def kappa_from_cells(cells: DataFrame) -> DataFrame:
+    """Cohen's kappa from a 1-row 2x2 cell frame ``(n_docs, n11, n10,
+    n01, n00)`` — split out so the degenerate-agreement guard is unit-
+    testable without a corpus."""
     po = (F.col("n11") + F.col("n00")) / F.col("n_docs")
-    pe = ((F.col("n11") + F.col("n10")) / F.col("n_docs")) 
+    pe = ((F.col("n11") + F.col("n10")) / F.col("n_docs"))
     pe = pe * ((F.col("n11") + F.col("n01")) / F.col("n_docs")) + (
         (F.col("n01") + F.col("n00")) / F.col("n_docs")
     ) * ((F.col("n10") + F.col("n00")) / F.col("n_docs"))
@@ -2828,7 +2842,13 @@ def q228_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n00",
         F.round(po, 6).alias("po"),
         F.round(pe, 6).alias("pe"),
-        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        # pe == 1.0 (both raters collapse to one class) would divide by
+        # zero — Spark yields NULL where DuckDB double division diverges;
+        # both twins guard, so the gate holds exactly when agreement is
+        # trivial (the oracle mirrors this with CASE WHEN ... < 1.0)
+        F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("kappa"),
     )
 
 

@@ -34,6 +34,25 @@ from ai_batch_processing_spark.registry import register
 from ai_batch_processing_spark.session import load_tables
 
 
+def _round_half_up(x, dp: int):
+    """HALF_UP (ties away from zero) at ``dp`` decimals, vectorized.
+
+    The convention DuckDB ``ROUND`` and Spark ``F.round`` share on ties —
+    unlike ``np.round``/Python ``round`` (banker's: .5 → even), which the
+    portable k-means verify mode used before round 6 and which would let
+    an exact .5e-dp tie diverge between the three engines. The
+    frac-vs-0.5 compare is exact on the scaled value (Sterbenz, see
+    ``_sq8_np``); the one remaining divergence class vs F.round's
+    shortest-decimal path is boundary-repr values, absent by the
+    6dp-constant construction of the verify mode. Returns a float64
+    ndarray (0-d for scalar input — wrap in ``float()``).
+    """
+    s = 10.0**dp
+    t = np.abs(np.asarray(x, dtype=np.float64)) * s
+    fl = np.floor(t)
+    return np.sign(x) * (fl + (t - fl >= 0.5)) / s
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, sequential order (oracle-stable)."""
     return F.aggregate(
@@ -358,7 +377,7 @@ def kmeans_centroids(
             np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
         )
 
-        def partials(batches, _c=cnorm, _dp=round_dp):
+        def partials(batches, _c=cnorm, _dp=round_dp, _hu=_round_half_up):
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -366,7 +385,7 @@ def kmeans_centroids(
                 mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
                 sims = mn @ _c.T
                 if _dp is not None:
-                    sims = np.round(sims, _dp)
+                    sims = _hu(sims, _dp)
                 cells = np.argmax(sims, axis=1)  # first-max, as assign_cells
                 frames = []
                 for c in np.unique(cells):
@@ -394,7 +413,9 @@ def kmeans_centroids(
             # round the UPDATED components only — kept-previous (emptied-
             # cell) centroids stay at their exact prior value, matching the
             # oracle twin's COALESCE(updated, previous) semantics
-            centroids[r.cell][r.pos] = r.m if round_dp is None else round(r.m, round_dp)
+            centroids[r.cell][r.pos] = (
+                r.m if round_dp is None else float(_round_half_up(r.m, round_dp))
+            )
     return centroids.tolist()
 
 

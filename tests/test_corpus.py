@@ -476,3 +476,27 @@ def test_snapshot_diff_detects_null_column_shift(spark):
     rows = snapshot_diff(old, new, "doc_id", ["title", "text"]).collect()
     # a value MOVING between nullable columns is a change, not 'unchanged'
     assert rows[0].status == "changed"
+
+
+def test_rrf_fuse_three_lists_order_free_scores(spark):
+    from ai_batch_processing_spark.operators.corpus import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2)], ["doc_id", "rnk"])
+    b = spark.createDataFrame([(11, 1), (10, 2)], ["doc_id", "rnk"])
+    c = spark.createDataFrame([(10, 3), (12, 1)], ["doc_id", "rnk"])
+    fused = {r.doc_id: r for r in rrf_fuse({"a": a, "b": b, "c": c}, k=60).collect()}
+    # sorted-fold sum: contributions added ascending, independent of
+    # shuffle arrival order (IEEE addition only commutes pairwise)
+    exp_10 = round(1 / 63 + (1 / 62 + 1 / 61), 6)  # ascending: 1/63, 1/62, 1/61
+    assert fused[10].rrf_score == exp_10
+    assert fused[10].a_rnk == 1 and fused[10].b_rnk == 2 and fused[10].c_rnk == 3
+    # partition-layout invariance of the 6dp score
+    fused2 = {
+        r.doc_id: r
+        for r in rrf_fuse(
+            {"a": a.repartition(5), "b": b.repartition(3), "c": c.repartition(2)}, k=60
+        ).collect()
+    }
+    assert {d: r.rrf_score for d, r in fused.items()} == {
+        d: r.rrf_score for d, r in fused2.items()
+    }

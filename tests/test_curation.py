@@ -887,3 +887,34 @@ def test_blocklist_hits_matches_metachar_edged_terms(spark):
     # and as a prefix of 'a$$igned' (no trailing word-char to anchor against),
     # never inside 'cla$$'-style words on the left
     assert got[0] == 1 and got[1] >= 1
+
+
+def test_blocklist_hits_empty_terms_raises(spark):
+    import pytest
+
+    from ai_batch_processing_spark.operators.curation import blocklist_hits
+
+    # '()' would match the empty string at every position — every doc
+    # silently flagged with length(text)+1 hits; fail fast instead
+    with pytest.raises(ValueError, match="non-empty"):
+        blocklist_hits("text", ())
+
+
+def test_kappa_degenerate_agreement_yields_null(spark):
+    from ai_batch_processing_spark.operators.curation import kappa_from_cells
+
+    # both raters collapse to one class: po == pe == 1.0 → kappa undefined
+    cells = spark.createDataFrame(
+        [(10, 10, 0, 0, 0)], "n_docs long, n11 long, n10 long, n01 long, n00 long"
+    )
+    row = kappa_from_cells(cells).collect()[0]
+    assert row.po == 1.0 and row.pe == 1.0 and row.kappa is None
+
+    # non-degenerate cells still produce the textbook value
+    cells2 = spark.createDataFrame(
+        [(100, 40, 10, 20, 30)], "n_docs long, n11 long, n10 long, n01 long, n00 long"
+    )
+    row2 = kappa_from_cells(cells2).collect()[0]
+    po, pe = 0.70, 0.5 * 0.6 + 0.4 * 0.5
+    assert row2.po == round(po, 6) and row2.pe == round(pe, 6)
+    assert row2.kappa == round((po - pe) / (1 - pe), 6)

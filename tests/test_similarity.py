@@ -1136,3 +1136,28 @@ def test_kmeans_portable_keeps_emptied_cell_centroid_unrounded(spark):
     assert cents[2] == [f32_third, 0.0]  # exact kept value, NOT round(.,6)
     # updated cells ARE rounded
     assert all(round(x, 6) == x for c in (cents[0], cents[1]) for x in c)
+
+
+def test_round_half_up_matches_engine_tie_convention(spark):
+    import numpy as np
+
+    from ai_batch_processing_spark.operators.similarity import _round_half_up
+
+    # exact .5 ties at 6dp: away from zero (Spark F.round / DuckDB ROUND),
+    # NOT banker's (np.round would give 0.0 for both)
+    assert float(_round_half_up(0.0000005, 6)) == 0.000001
+    assert float(_round_half_up(-0.0000005, 6)) == -0.000001
+    assert float(np.round(0.0000005, 6)) == 0.0  # the divergence being fixed
+    # ties at integer scale and agreement with F.round on a value sweep
+    assert float(_round_half_up(2.5, 0)) == 3.0
+    assert float(_round_half_up(-2.5, 0)) == -3.0
+    from pyspark.sql import functions as F
+
+    # agreement sweep away from .5e-6 boundaries (boundary-repr values are
+    # the one documented divergence class vs F.round's shortest-decimal
+    # path and are absent by construction in the verify mode)
+    vals = [i / 7.0 for i in range(-50, 50)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    spark_rounded = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
+    ours = [float(_round_half_up(v, 6)) for v in vals]
+    assert ours == spark_rounded
