@@ -2852,3 +2852,177 @@ def kappa_from_cells(cells: DataFrame) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Facility-location greedy coreset selection (submodular data selection)
+# ---------------------------------------------------------------------------
+def facility_location_select(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int | None = 10_000,
+) -> DataFrame:
+    """(round, vec_id, gain): k greedily-selected coreset rows maximizing
+    the facility-location objective F(S) = Σ_x max_{s∈S} cos(x, s).
+
+    The standard submodular data-selection primitive (pick the k most
+    *representative* examples, not the k best-scoring — every corpus row
+    must be near SOME selected row): greedy is (1−1/e)-optimal. Per
+    round, the marginal gain of a candidate c is
+    Σ_x (max(cos(x,c), cur(x)) − cur(x)) with cur(x) the best coverage so
+    far; the argmax row comes back to the driver (one bounded limit(1)
+    round-trip per round — the BPE-argmax cadence), previously-selected
+    ids are excluded, and coverage updates distributed.
+
+    The pair-similarity frame is computed ONCE (6dp-rounded, persisted);
+    each round is one join + one candidate aggregate over it. That frame
+    is O(n²) — the exact form carries the same ``max_rows`` fail-fast
+    guard as ``knn_edges``; for large corpora, prefilter candidates to an
+    IVF-bucketed pool and feed the bounded pool here. Gains are
+    ROUND(SUM, 6)ed and ties break to the smallest id, so a fixed round
+    count unrolls into a straight-line DuckDB CTE chain (the q122/q151
+    recipe) and the whole greedy loop hash-gates.
+    """
+    from ai_batch_processing_spark.operators.similarity import _dot, _norm
+
+    if max_rows is not None:
+        n = emb.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"facility_location_select: corpus exceeds max_rows={max_rows}. "
+                "The exact form scores all pairs (O(n^2)); prefilter the "
+                "candidate pool (IVF buckets) or pass max_rows=None to accept "
+                "the quadratic scan."
+            )
+    a = emb.select(
+        F.col(id_col).alias("x"), F.col(vec_col).alias("_xv"), _norm(F.col(vec_col)).alias("_xn")
+    )
+    b = emb.select(
+        F.col(id_col).alias("cand"), F.col(vec_col).alias("_cv"), _norm(F.col(vec_col)).alias("_cn")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.lit(True))
+        .select(
+            "x",
+            "cand",
+            F.round(
+                _dot(F.col("_xv"), F.col("_cv")) / (F.col("_xn") * F.col("_cn")), 6
+            ).alias("sim"),
+        )
+        .persist()
+    )
+    try:
+        cur = emb.select(F.col(id_col).alias("x"), F.lit(0.0).alias("cur"))
+        chosen: list[tuple[int, int, float]] = []
+        for rnd in range(1, k + 1):
+            cands = pairs
+            if chosen:
+                cands = pairs.filter(~F.col("cand").isin([c[1] for c in chosen]))
+            win = (
+                cands.join(cur, "x")
+                .groupBy("cand")
+                .agg(
+                    F.round(
+                        F.sum(F.greatest(F.col("sim"), F.col("cur")) - F.col("cur")), 6
+                    ).alias("gain")
+                )
+                .orderBy(F.desc("gain"), F.asc("cand"))
+                .limit(1)
+                .collect()[0]
+            )
+            chosen.append((rnd, int(win.cand), float(win.gain)))
+            upd = pairs.filter(F.col("cand") == win.cand).select("x", "sim")
+            cur = (
+                cur.join(upd, "x", "left")
+                .select(
+                    "x",
+                    F.greatest(F.col("cur"), F.coalesce(F.col("sim"), F.lit(0.0))).alias(
+                        "cur"
+                    ),
+                )
+                .localCheckpoint(eager=False)
+            )
+        return emb.sparkSession.createDataFrame(
+            chosen, "round bigint, vec_id bigint, gain double"
+        )
+    finally:
+        pairs.unpersist()
+
+
+def _facility_location_oracle_sql(k: int, cap: int) -> str:
+    """Unrolled DuckDB twin of the greedy loop: per round, a gains CTE
+    over the not-yet-selected candidates, a LIMIT-1 winner, a coverage
+    update — straight-line SQL for the same k selections."""
+    head = f"""
+        WITH emb AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {cap}
+        ),
+        pairs AS (
+            SELECT a.id AS x, b.id AS cand,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+            FROM emb a CROSS JOIN emb b
+        ),
+        sel0 AS (
+            SELECT CAST(NULL AS BIGINT) AS rnd, CAST(NULL AS BIGINT) AS id,
+                   CAST(NULL AS DOUBLE) AS gain WHERE FALSE
+        ),
+        c0 AS (SELECT id AS x, 0.0 AS cur FROM emb)
+    """
+    steps = []
+    for r in range(1, k + 1):
+        steps.append(
+            f"""
+        , g{r} AS (
+            SELECT p.cand,
+                   ROUND(SUM(GREATEST(p.sim, c.cur) - c.cur), 6) AS gain
+            FROM pairs p JOIN c{r - 1} c ON p.x = c.x
+            WHERE p.cand NOT IN (SELECT id FROM sel{r - 1})
+            GROUP BY p.cand
+        ),
+        w{r} AS (SELECT cand AS id, gain FROM g{r} ORDER BY gain DESC, cand ASC LIMIT 1),
+        sel{r} AS (
+            SELECT * FROM sel{r - 1}
+            UNION ALL SELECT {r} AS rnd, id, gain FROM w{r}
+        ),
+        c{r} AS (
+            SELECT c.x, GREATEST(c.cur, COALESCE(p.sim, 0.0)) AS cur
+            FROM c{r - 1} c
+            LEFT JOIN (
+                SELECT pairs.x, pairs.sim FROM pairs JOIN w{r} ON pairs.cand = w{r}.id
+            ) p ON c.x = p.x
+        )"""
+        )
+    tail = f"""
+        SELECT rnd AS round, id AS vec_id, gain FROM sel{k} ORDER BY round
+    """
+    return head + "".join(steps) + tail
+
+
+_FL_K = 5
+_FL_CAP = 200
+
+
+@register(
+    "q233_facility_location_coreset",
+    oracle=_facility_location_oracle_sql(_FL_K, _FL_CAP),
+    doc=(
+        "greedy facility-location coreset: the 5 most REPRESENTATIVE "
+        "embedding rows (every corpus row close to some selected row — "
+        "submodular coverage, (1-1/e)-optimal greedy), not the 5 "
+        "best-scoring. One persisted 6dp pair frame, one join+aggregate+"
+        "argmax per round with a bounded limit(1) driver round-trip, "
+        "hash-checked against the same greedy rounds unrolled as DuckDB "
+        "CTEs."
+    ),
+    tags=("curation", "selection", "embedding", "iterative"),
+)
+def q233_facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        .filter(F.col("vec_id") < _FL_CAP)
+        .select("vec_id", "embedding")
+    )
+    return facility_location_select(emb, k=_FL_K).orderBy("round")

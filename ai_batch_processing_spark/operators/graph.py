@@ -703,3 +703,161 @@ def q213_knn_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     return triangle_census(knn_edges(emb, k=_PR_K)).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (semi-supervised classification over the k-NN graph)
+# ---------------------------------------------------------------------------
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(id, label) after ``iterations`` synchronous label-propagation steps.
+
+    ``nodes``: (id, seed_label) with seed_label NULL for unlabeled rows;
+    ``edges``: directed weighted (src, dst, w). Each step, every node
+    takes the label with the largest incoming weighted vote from its
+    currently-labeled in-neighbors (Zhu & Ghahramani's hard-clamp form:
+    seeds never change; unlabeled nodes with no labeled in-neighbor keep
+    their previous state, NULL until reached). Ties break to the smallest
+    label. Votes are ROUND(SUM(w), round_dp)ed so the vote comparison —
+    the only decision — depends on 6dp constants a SQL twin reproduces,
+    making the fixed-iteration loop hash-checkable against an unrolled
+    DuckDB CTE chain (the q122 recipe).
+
+    Scale shape: each step is one edges⋈labels join (shuffle on src) +
+    one (dst,label) aggregate + one dst argmax — edges shuffle once per
+    round, labels are node-sized, and lineage is truncated per round with
+    a lazy localCheckpoint so the plan doesn't double per iteration.
+    """
+    seeds = nodes.select("id", F.col("seed_label").cast("int").alias("seed_label"))
+    labels = seeds.select("id", F.col("seed_label").alias("label"))
+    for i in range(iterations):
+        lab = labels.filter(F.col("label").isNotNull()).select(
+            F.col("id").alias("src"), "label"
+        )
+        votes = (
+            edges.join(lab, "src")
+            .groupBy("dst", "label")
+            .agg(F.round(F.sum("w"), round_dp).alias("v"))
+        )
+        best = (
+            votes.groupBy("dst")
+            .agg(F.max(F.struct(F.col("v"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select(F.col("dst").alias("id"), (-F.col("m.nl")).cast("int").alias("vote_label"))
+        )
+        labels = (
+            seeds.join(best, "id", "left")
+            .join(labels.select("id", F.col("label").alias("prev")), "id", "left")
+            .select(
+                "id",
+                F.coalesce("seed_label", "vote_label", "prev").cast("int").alias("label"),
+            )
+            .localCheckpoint(eager=(i == iterations - 1))
+        )
+    return labels
+
+
+def _label_prop_oracle_sql(iterations: int, cap: int, k: int, seed_mod: int) -> str:
+    """Unrolled DuckDB twin: same k-NN edges (weight = 6dp cosine), same
+    clamped synchronous updates, ROW_NUMBER argmax with the same
+    (votes DESC, label ASC) tie order."""
+    head = f"""
+        WITH emb AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label
+            FROM embeddings WHERE vec_id < {cap}
+        ),
+        seeds AS (
+            SELECT id, CASE WHEN id % {seed_mod} = 0 THEN label END AS slabel
+            FROM emb
+        ),
+        scored AS (
+            SELECT a.id AS src, b.id AS dst,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS w,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC, b.id
+                   ) AS rnk
+            FROM emb a JOIN emb b ON a.id <> b.id
+        ),
+        edges AS (SELECT src, dst, w FROM scored WHERE rnk <= {k}),
+        l0 AS (SELECT id, slabel AS label FROM seeds)
+    """
+    steps = []
+    for i in range(iterations):
+        steps.append(
+            f"""
+        , v{i + 1} AS (
+            SELECT e.dst, l.label, ROUND(SUM(e.w), 6) AS v
+            FROM edges e JOIN l{i} l ON e.src = l.id
+            WHERE l.label IS NOT NULL
+            GROUP BY e.dst, l.label
+        ),
+        b{i + 1} AS (
+            SELECT dst, label FROM (
+                SELECT dst, label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY dst ORDER BY v DESC, label ASC
+                       ) AS rn
+                FROM v{i + 1}
+            ) WHERE rn = 1
+        ),
+        l{i + 1} AS (
+            SELECT s.id,
+                   CAST(COALESCE(s.slabel, b.label, p.label) AS INT) AS label
+            FROM seeds s
+            LEFT JOIN b{i + 1} b ON s.id = b.dst
+            LEFT JOIN l{i} p ON s.id = p.id
+        )"""
+        )
+    tail = f"""
+        SELECT id AS vec_id, label FROM l{iterations} ORDER BY vec_id
+    """
+    return head + "".join(steps) + tail
+
+
+_LP_ITERS = 3
+_LP_SEED_MOD = 3  # every 3rd node keeps its label; the rest start unlabeled
+
+
+@register(
+    "q231_label_propagation",
+    oracle=_label_prop_oracle_sql(_LP_ITERS, _PR_CAP, _PR_K, _LP_SEED_MOD),
+    doc=(
+        "semi-supervised label propagation over the embedding k-NN graph "
+        "(300 nodes, k=5, 1/3 seeded, 3 clamped synchronous rounds): the "
+        "cheap label-spreading step that turns a small labeled subset into "
+        "corpus-wide labels before training a real classifier. One "
+        "edges-join + vote aggregate + argmax per round, 6dp-rounded votes, "
+        "hash-checked against the same rounds unrolled as DuckDB SQL."
+    ),
+    tags=("graph", "similarity", "iterative", "labels"),
+)
+def q231_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.similarity import cosine_topk
+
+    emb = (
+        load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        .filter(F.col("vec_id") < _PR_CAP)
+        .select("vec_id", "embedding", "label")
+        .persist()
+    )
+    try:
+        nodes = emb.select(
+            F.col("vec_id").alias("id"),
+            F.when(F.col("vec_id") % _LP_SEED_MOD == 0, F.col("label")).alias(
+                "seed_label"
+            ),
+        )
+        edges = cosine_topk(emb, emb, k=_PR_K).select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            F.col("score").alias("w"),
+        )
+        out = label_propagation(nodes, edges, iterations=_LP_ITERS)
+        out.count()  # materialize while the corpus cache is alive
+    finally:
+        emb.unpersist()
+    return out.select(F.col("id").alias("vec_id"), "label").orderBy("vec_id")

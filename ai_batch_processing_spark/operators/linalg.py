@@ -1,0 +1,223 @@
+"""Distributed embedding linear algebra: portable PCA by power iteration.
+
+Training-data pipelines run PCA over embedding corpora constantly —
+whitening before indexing (OPQ/PCA-rotated IVF), dimensionality checks
+(is the collection collapsed onto a few directions?), drift monitoring
+(has the dominant direction moved between snapshots?). The reference has
+no linear-algebra surface; this is a north-star extension in the same
+mold as the portable k-means verify mode (`similarity.kmeans_centroids`):
+
+- every corpus-sized object stays distributed; the driver only ever
+  holds dim-sized vectors (the mean, the iterate) — bounded collect;
+- each power-iteration step is ONE ``mapInPandas`` partial-sum pass plus
+  a dim-sized aggregate: the Arrow batches do the O(n·dim) work in numpy,
+  the JVM shuffles only ``dim × n_partitions`` partial rows;
+- every cross-engine decision value is rounded to 6dp HALF_UP
+  (``similarity._round_half_up`` — the DuckDB/Spark tie convention)
+  immediately after the aggregate that produces it, so a fixed iteration
+  count unrolls into a straight-line DuckDB CTE chain and the whole
+  iterative algorithm hash-gates (the q218/q122 recipe).
+
+At 100 TB the shape holds: n_iter + 2 corpus scans (cacheable), no
+shuffle wider than ``dim`` rows per partition, no driver state beyond
+O(dim). Power iteration converges to the top eigenvector of the covariance
+at rate (λ₂/λ₁)^iter — callers wanting more components deflate and rerun.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.operators.similarity import _round_half_up
+from ai_batch_processing_spark.registry import register
+from ai_batch_processing_spark.session import load_tables
+
+
+def pca_top_component(
+    emb: DataFrame,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Top principal component of the (column-centered) embedding corpus.
+
+    Returns a dim-row DataFrame ``(pos, component, var_share)``:
+    ``component`` is the unit top-eigenvector estimate after ``n_iter``
+    power-iteration steps from the fixed start v₀ = 1/√dim (no RNG — the
+    start is part of the portable contract), ``var_share`` the fraction of
+    total centered variance captured by that direction (constant column).
+
+    Passes over the corpus: 1 (mean) + n_iter (vᵢ₊₁ ∝ Σ((x−μ)·vᵢ)(x−μ))
+    + 1 (variance capture). Each pass emits only per-partition dim-sized
+    partial sums. ``round_dp`` rounds the per-doc dot products and each
+    aggregate result to that many decimals (HALF_UP) so a DuckDB twin
+    reproduces every iterate bit-for-bit; ``None`` skips rounding for
+    callers that just want the direction.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    vecs = emb.select(F.col(vec_col).alias("v"))
+    first = vecs.select(F.size("v").alias("d")).first()
+    if first is None:
+        raise ValueError("pca_top_component: empty corpus")
+    dim = int(first.d)
+
+    def _rnd(x):
+        return np.asarray(x, dtype=np.float64) if round_dp is None else _round_half_up(x, round_dp)
+
+    def _mat(pdf: pd.DataFrame) -> np.ndarray:
+        return np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+
+    # pass 1: column means --------------------------------------------------
+    def mean_partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _mat(pdf)
+            yield pd.DataFrame(
+                {
+                    "pos": np.arange(dim, dtype=np.int32),
+                    "s": m.sum(axis=0),
+                    "n": np.full(dim, len(m), dtype=np.int64),
+                }
+            )
+
+    mu = np.zeros(dim)
+    for r in (
+        vecs.mapInPandas(mean_partials, "pos int, s double, n long")
+        .groupBy("pos")
+        .agg((F.sum("s") / F.sum("n")).alias("m"))
+        .collect()
+    ):
+        mu[r.pos] = float(_rnd(r.m))
+
+    # power iterations --------------------------------------------------------
+    v = np.full(dim, float(_rnd(1.0 / np.sqrt(dim))))
+    for _ in range(n_iter):
+
+        def it_partials(batches, _mu=mu, _v=v, _r=_rnd):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                c = _mat(pdf) - _mu
+                d = _r(c @ _v)  # per-doc dot, rounded like the oracle's d CTE
+                yield pd.DataFrame(
+                    {"pos": np.arange(dim, dtype=np.int32), "w": d @ c}
+                )
+
+        w = np.zeros(dim)
+        for r in (
+            vecs.mapInPandas(it_partials, "pos int, w double")
+            .groupBy("pos")
+            .agg(F.sum("w").alias("w"))
+            .collect()
+        ):
+            w[r.pos] = float(_rnd(r.w))
+        nrm = float(np.sqrt((w * w).sum()))
+        if nrm == 0.0:
+            raise ValueError("pca_top_component: zero covariance iterate (constant corpus?)")
+        v = np.asarray(_rnd(w / nrm), dtype=np.float64)
+
+    # final pass: variance captured by v vs total centered variance ----------
+    def var_partials(batches, _mu=mu, _v=v, _r=_rnd):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = _mat(pdf) - _mu
+            d = _r(c @ _v)
+            yield pd.DataFrame({"d2": [float((d * d).sum())], "c2": [float((c * c).sum())]})
+
+    tot = (
+        vecs.mapInPandas(var_partials, "d2 double, c2 double")
+        .agg(F.sum("d2").alias("d2"), F.sum("c2").alias("c2"))
+        .first()
+    )
+    share = float(_rnd(tot.d2 / tot.c2)) if tot.c2 else 0.0
+
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(int(p), float(v[p]), share) for p in range(dim)],
+        "pos bigint, component double, var_share double",
+    )
+
+
+def _pca_oracle_sql(n_iter: int, dim: int) -> str:
+    """Straight-line DuckDB twin: the same fixed-start power iteration
+    unrolled as a CTE chain, every decision value ROUND(...,6)ed exactly
+    where the Spark side rounds (per-doc dots, per-pos aggregates)."""
+    v0 = float(_round_half_up(1.0 / np.sqrt(dim), 6))
+    head = f"""
+        WITH px AS (
+            SELECT vec_id, CAST(u.i - 1 AS INT) AS pos,
+                   CAST(embedding[u.i] AS DOUBLE) AS x
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        ),
+        mu AS (SELECT pos, ROUND(AVG(x), 6) AS m FROM px GROUP BY pos),
+        c AS (SELECT px.vec_id, px.pos, px.x - mu.m AS x FROM px JOIN mu USING (pos)),
+        v0 AS (SELECT DISTINCT pos, {v0!r} AS val FROM px)
+    """
+    steps = []
+    for i in range(n_iter):
+        steps.append(
+            f"""
+        , d{i + 1} AS (
+            SELECT c.vec_id, ROUND(SUM(c.x * v{i}.val), 6) AS d
+            FROM c JOIN v{i} USING (pos) GROUP BY c.vec_id
+        ),
+        w{i + 1} AS (
+            SELECT c.pos, ROUND(SUM(c.x * d{i + 1}.d), 6) AS w
+            FROM c JOIN d{i + 1} USING (vec_id) GROUP BY c.pos
+        ),
+        v{i + 1} AS (
+            SELECT pos,
+                   ROUND(w / (SELECT SQRT(SUM(w * w)) FROM w{i + 1}), 6) AS val
+            FROM w{i + 1}
+        )"""
+        )
+    tail = f"""
+        , dfin AS (
+            SELECT c.vec_id, ROUND(SUM(c.x * v{n_iter}.val), 6) AS d
+            FROM c JOIN v{n_iter} USING (pos) GROUP BY c.vec_id
+        ),
+        sh AS (
+            SELECT ROUND(SUM(d * d) / (SELECT SUM(x * x) FROM c), 6) AS var_share
+            FROM dfin
+        )
+        SELECT CAST(v{n_iter}.pos AS BIGINT) AS pos,
+               v{n_iter}.val AS component,
+               sh.var_share
+        FROM v{n_iter}, sh ORDER BY pos
+    """
+    return head + "".join(steps) + tail
+
+
+_PCA_ITERS = 3
+_PCA_DIM = 64  # embeddings table dim (TESTDATA.md); validated at runtime
+
+
+@register(
+    "q230_pca_power_iteration",
+    oracle=_pca_oracle_sql(_PCA_ITERS, _PCA_DIM),
+    doc=(
+        "top principal component of the embedding corpus by fixed-start "
+        "power iteration (3 steps, v0 = 1/sqrt(dim)), plus the variance "
+        "share it captures — the whitening/drift primitive, distributed as "
+        "one mapInPandas partial-sum pass per step with only dim-sized "
+        "driver state, hash-checked against the same iterations unrolled "
+        "as straight-line DuckDB SQL (6dp-rounded decision values, the "
+        "portable-kmeans recipe)."
+    ),
+    tags=("linalg", "embedding", "iterative"),
+)
+def q230_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    emb = emb.persist()
+    try:
+        out = pca_top_component(emb, n_iter=_PCA_ITERS)
+        out.count()  # materialize while the corpus cache is alive
+    finally:
+        emb.unpersist()
+    return out.orderBy("pos")

@@ -3582,3 +3582,164 @@ def q225_eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("recall"), 6).alias("ivf_mean_recall")
     )
     return r.crossJoin(knn).crossJoin(ded).crossJoin(ivf)
+
+
+# ---------------------------------------------------------------------------
+# Margin-criterion pair mining (bitext-mining shape)
+# ---------------------------------------------------------------------------
+def margin_best_pairs(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine, margin): each A-row's best B-match by the
+    RATIO margin criterion — cos(x,y) / ((avgk(x) + avgk(y)) / 2), where
+    avgk(·) is the mean cosine of that row's k nearest neighbors in the
+    OTHER side (Artetxe & Schwenk 2019, the bitext/parallel-pair mining
+    score). Plain cosine thresholds fail under hubness — some vectors are
+    close to everything — so the score is normalized by both points'
+    neighborhood density; a pair only scores high if they are closer to
+    each other than to their own neighborhoods.
+
+    Scale shape: side A is the bounded probe set (broadcast, the
+    cosine_topk contract); side B streams. ONE scored A×B pair frame is
+    computed, then both per-side neighborhood means come from two windows
+    over that same frame (partitioned by id_a / id_b — no second scan,
+    no re-scoring). For large-×-large mining, prefilter candidates with
+    the IVF machinery (ann_ivf_topk) and feed the surviving pairs here.
+    All decision values are 6dp-rounded (engine-portable); a non-positive
+    neighborhood denominator yields a NULL margin, ranked last.
+    """
+    a = side_a.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_av"), _norm(F.col(vec_col)).alias("_an")
+    )
+    b = side_b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_bv"), _norm(F.col(vec_col)).alias("_bn")
+    )
+    pairs = b.join(F.broadcast(a), F.lit(True)).select(
+        "id_a",
+        "id_b",
+        F.round(_dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")), 6).alias(
+            "cosine"
+        ),
+    )
+    wa = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    wb = Window.partitionBy("id_b").orderBy(F.desc("cosine"), F.asc("id_a"))
+    ranked = pairs.select(
+        "id_a",
+        "id_b",
+        "cosine",
+        F.row_number().over(wa).alias("_ra"),
+        F.row_number().over(wb).alias("_rb"),
+    )
+    # neighborhood statistic = ROUND(SUM(top-k cosines), 6), NOT the
+    # average: a sum of k 6dp decimals IS a 6dp decimal, so the round
+    # snaps both engines to the same exact value regardless of summation
+    # order — whereas AVG over k=4 lands on the .25e-6 grid where a 1-ulp
+    # order difference flips the 6th decimal (observed in the first gate
+    # run). The /k folds into the margin ratio below.
+    ka = (
+        ranked.filter(F.col("_ra") <= k)
+        .groupBy("id_a")
+        .agg(F.round(F.sum("cosine"), 6).alias("_ka"))
+    )
+    kb = (
+        ranked.filter(F.col("_rb") <= k)
+        .groupBy("id_b")
+        .agg(F.round(F.sum("cosine"), 6).alias("_kb"))
+    )
+    # margin = cos / ((sum_a/k + sum_b/k) / 2) = cos * 2k / (sum_a + sum_b)
+    ssum = F.col("_ka") + F.col("_kb")
+    scored = (
+        pairs.join(ka, "id_a")
+        .join(kb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "cosine",
+            F.when(
+                ssum > 0, F.round(F.col("cosine") * F.lit(2.0 * k) / ssum, 6)
+            ).alias("margin"),
+        )
+    )
+    wbest = Window.partitionBy("id_a").orderBy(
+        F.desc_nulls_last("margin"), F.asc("id_b")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(wbest))
+        .filter(F.col("_rn") == 1)
+        .select("id_a", "id_b", "cosine", "margin")
+    )
+
+
+_MM_CAP_A = 50
+_MM_K = 4
+
+
+@register(
+    "q232_margin_pair_mining",
+    oracle=f"""
+        WITH a AS (
+            SELECT vec_id AS id_a, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {_MM_CAP_A}
+        ),
+        b AS (
+            SELECT vec_id AS id_b, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id >= {_MM_CAP_A}
+        ),
+        pairs AS (
+            SELECT a.id_a, b.id_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM a CROSS JOIN b
+        ),
+        ranked AS (
+            SELECT id_a, id_b, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id_a ORDER BY cosine DESC, id_b ASC
+                   ) AS ra,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id_b ORDER BY cosine DESC, id_a ASC
+                   ) AS rb
+            FROM pairs
+        ),
+        ka AS (
+            SELECT id_a, ROUND(SUM(cosine), 6) AS ka
+            FROM ranked WHERE ra <= {_MM_K} GROUP BY id_a
+        ),
+        kb AS (
+            SELECT id_b, ROUND(SUM(cosine), 6) AS kb
+            FROM ranked WHERE rb <= {_MM_K} GROUP BY id_b
+        ),
+        scored AS (
+            SELECT p.id_a, p.id_b, p.cosine,
+                   CASE WHEN ka.ka + kb.kb > 0
+                        THEN ROUND(p.cosine * {2.0 * _MM_K} / (ka.ka + kb.kb), 6)
+                   END AS margin
+            FROM pairs p JOIN ka USING (id_a) JOIN kb USING (id_b)
+        )
+        SELECT id_a, id_b, cosine, margin FROM (
+            SELECT id_a, id_b, cosine, margin,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id_a
+                       ORDER BY margin DESC NULLS LAST, id_b ASC
+                   ) AS rn
+            FROM scored
+        ) WHERE rn = 1 ORDER BY id_a
+    """,
+    doc=(
+        "margin-criterion pair mining (the bitext / parallel-pair score): "
+        "each probe vector's best match in the other side by "
+        "cos / mean-of-both-neighborhoods ratio — hubness-robust pairing "
+        "that plain cosine thresholds get wrong. One broadcast-scored pair "
+        "frame feeds both neighborhood windows and the final argmax; "
+        "hash-checked against a windowed DuckDB twin."
+    ),
+    tags=("similarity", "embedding", "mining"),
+)
+def q232_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    side_a = emb.filter(F.col("vec_id") < _MM_CAP_A)
+    side_b = emb.filter(F.col("vec_id") >= _MM_CAP_A)
+    return margin_best_pairs(side_a, side_b, k=_MM_K).orderBy("id_a")

@@ -1613,6 +1613,86 @@ def q176_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(docs).orderBy("doc_id")
 
 
+def rle_compressibility(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chars, n_runs, ratio): maximal-run count per document —
+    the hash-gateable twin of :func:`compression_ratio`. Same shape end to
+    end (one Arrow-batched pandas UDF beside a JVM-side length column,
+    same guarded ratio arithmetic, corpus-linear, zero shuffles), but the
+    'compressor' is run-length symbol counting, which a SQL engine CAN
+    express — so this one carries the DuckDB hash gate that zlib's DEFLATE
+    (q176) structurally cannot, pinning the shared plumbing. Runs are
+    counted over unicode codepoints (UTF-32), matching DuckDB's
+    ``string_split(text, '')`` / ``length()`` codepoint semantics.
+    """
+
+    @F.pandas_udf("long")
+    def runs(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            if t is None or len(t) == 0:
+                out.append(0)
+                continue
+            a = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            out.append(int(1 + np.count_nonzero(a[1:] != a[:-1])))
+        return pd.Series(out, dtype="int64")
+
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.length(F.col(text_col)), F.lit(0)).cast("long").alias("n_chars"),
+        runs(F.col(text_col)).alias("n_runs"),
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_runs",
+        F.round(
+            F.when(F.col("n_chars") > 0, F.col("n_runs") / F.col("n_chars")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("ratio"),
+    )
+
+
+@register(
+    "q229_rle_compressibility",
+    oracle=r"""
+        WITH cs AS (
+            SELECT doc_id, string_split(text, '') AS c FROM documents
+        )
+        SELECT doc_id,
+               CAST(COALESCE(len(c), 0) AS BIGINT) AS n_chars,
+               CAST(CASE WHEN c IS NULL OR len(c) = 0 THEN 0
+                    ELSE 1 + len(list_filter(range(2, len(c) + 1),
+                                             i -> c[i] != c[i - 1]))
+                    END AS BIGINT) AS n_runs,
+               ROUND(CASE WHEN COALESCE(len(c), 0) > 0
+                     THEN (CASE WHEN len(c) = 0 THEN 0
+                           ELSE 1 + len(list_filter(range(2, len(c) + 1),
+                                                    i -> c[i] != c[i - 1]))
+                           END) * 1.0 / len(c)
+                     ELSE 0.0 END, 6) AS ratio
+        FROM cs ORDER BY doc_id
+    """,
+    doc=(
+        "run-length compressibility: maximal-run count over codepoints per "
+        "document — the oracle-backed twin of q176 (DEFLATE has no SQL "
+        "compressor; RLE does), hash-pinning the shared Arrow-batched UDF "
+        "plumbing, JVM-side length column, and guarded ratio arithmetic. "
+        "Oracle iterates the split-char list per row — a genuinely "
+        "different evaluation of the same run count."
+    ),
+    tags=("text", "quality", "verify-twin"),
+)
+def q229_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return rle_compressibility(docs).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Window-level language consistency (code-switching / mixed-language signal)
 # ---------------------------------------------------------------------------

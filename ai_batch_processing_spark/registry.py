@@ -54,6 +54,7 @@ _QUERY_MODULES = [
     "ai_batch_processing_spark.operators.curation",
     "ai_batch_processing_spark.operators.corpus",
     "ai_batch_processing_spark.operators.graph",
+    "ai_batch_processing_spark.operators.linalg",
     "ai_batch_processing_spark.operators.multimodal",
     "ai_batch_processing_spark.operators.sketches",
     "ai_batch_processing_spark.streaming.events",
@@ -101,12 +102,65 @@ def registered_oracle(name: str) -> str:
 # order after the listed ones. All queries stay registered either way —
 # this only biases WHICH subset a capped driver proves.
 _PRIORITY = [
-    # ---- round-5 gate prefix (the driver caps at ~50 rows) ----
-    # Second round-5 batch first (newest-never-gated leads the line):
-    # DSIR importance weights, duplicate-span detection, bucket-balanced
-    # sampling, PQ-ADC (integer-exact config), IVF-PQ at recall-1.
-    # Seventh round-5 batch: deterministic SQL-portable sketches (theta
-    # distinct / cross-sketch set algebra / count-min heavy hitters).
+    # ---- round-6 gate prefix (the driver caps at ~50 rows) ----
+    # New round-6 operators first: the q176 verify twin (RLE
+    # compressibility — the SQL-expressible compressor), portable PCA
+    # power iteration, label propagation over the k-NN graph,
+    # margin-criterion pair mining, facility-location greedy coreset.
+    "q229_rle_compressibility",
+    "q230_pca_power_iteration",
+    "q231_label_propagation",
+    "q232_margin_pair_mining",
+    "q233_facility_location_coreset",
+    # Then every oracle-backed query no driver round has gated yet
+    # (rounds 1-5 union): the q194-q202 tail of the round-4 batches and
+    # the q162-q169 round-5 block that the 50-row cap cut off.
+    "q194_weighted_interleave",
+    "q195_threshold_survival",
+    "q196_dataset_datasheet",
+    "q197_event_rate_anomalies",
+    "q198_quality_drift_by_ingest_half",
+    "q199_readability",
+    "q200_training_mix_plan",
+    "q201_html_strip",
+    "q202_unicode_normalize",
+    "q162_pagerank_replicated_verified",
+    "q163_ivf_sq8_cogrouped_topk",
+    "q164_gopher_quality_rules",
+    "q165_random_projection",
+    "q166_temperature_mixture",
+    "q167_line_dedup_boilerplate",
+    "q168_bigram_surprise",
+    "q169_curation_pipeline_v3",
+    # Rotation: re-verify the oldest green rows (round-1 relational/
+    # window/setops/scalars core) so every query keeps a recent gate.
+    "q01_pricing_summary",
+    "q02_shipping_priority",
+    "q03_region_revenue",
+    "q07_distinct_agg",
+    "q08_conditional_agg",
+    "q09_rollup",
+    "q12_range_join_price_tiers",
+    "q13_asof_join_purchase_signup",
+    "q14_window_rank",
+    "q16_window_moving_avg",
+    "q19_union_distinct",
+    "q23_string_funcs",
+    "q26_json_funcs",
+    "q30_template_render",
+    "q31_group_unknown_bucket",
+    "q32_llm_map_ungrouped",
+    "q33_llm_map_grouped_conversation",
+    "q34_pipeline_export",
+    "q40_dedup_exact",
+    "q45_ann_bruteforce_topk",
+    "q52_tumbling_window",
+    "q55_percentiles",
+    "q58_topk_per_group",
+    "q63_funnel_interval_join",
+    "q73_training_data_filter",
+    "q76_merge_upsert",
+    # ---- round-5 gate prefix (history below; driver gated these r5) ----
     "q218_kmeans_clusters",
     "q219_retrieval_eval",
     "q220_blocklist_policy",

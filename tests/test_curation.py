@@ -918,3 +918,55 @@ def test_kappa_degenerate_agreement_yields_null(spark):
     po, pe = 0.70, 0.5 * 0.6 + 0.4 * 0.5
     assert row2.po == round(po, 6) and row2.pe == round(pe, 6)
     assert row2.kappa == round((po - pe) / (1 - pe), 6)
+
+
+def test_facility_location_greedy_matches_numpy_reference(spark):
+    import numpy as np
+
+    from ai_batch_processing_spark.operators.curation import facility_location_select
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(30, 6))
+    rows = [(i, [float(v) for v in x[i]]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [(r.round, r.vec_id) for r in facility_location_select(emb, k=4).orderBy("round").collect()]
+
+    # driver-side greedy reference on the same 6dp-rounded sims
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = np.round(xn @ xn.T, 6)
+    cur = np.zeros(30)
+    chosen = []
+    for rnd in range(1, 5):
+        best = None
+        for c in range(30):
+            if c in [i for _, i in chosen]:
+                continue
+            gain = round(float(np.maximum(sims[:, c], cur).sum() - cur.sum()), 6)
+            if best is None or gain > best[1] or (gain == best[1] and c < best[0]):
+                best = (c, gain)
+        chosen.append((rnd, best[0]))
+        cur = np.maximum(cur, sims[:, best[0]])
+    assert got == chosen
+
+
+def test_facility_location_first_pick_covers_most(spark):
+    import numpy as np
+
+    from ai_batch_processing_spark.operators.curation import facility_location_select
+
+    # two tight clusters (sizes 8 and 3) plus an outlier: round 1 must pick
+    # from the big cluster, round 2 from the small one (coverage, not score)
+    rows = []
+    for i in range(8):
+        rows.append((i, [1.0, 0.001 * i, 0.0]))
+    for i in range(3):
+        rows.append((100 + i, [0.0, 1.0, 0.001 * i]))
+    rows.append((999, [0.0, 0.0, 1.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [r.vec_id for r in facility_location_select(emb, k=2).orderBy("round").collect()]
+    assert got[0] < 8 and 100 <= got[1] < 103
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_rows"):
+        facility_location_select(emb, k=2, max_rows=5)

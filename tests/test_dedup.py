@@ -545,3 +545,25 @@ def test_minhash_candidates_portable_rejects_bad_bands(spark):
     for bad in (0, -1, 7, 128):
         with _pt.raises(ValueError, match="bands"):
             minhash_candidates_portable(df, "id", "text", num_perm=64, bands=bad)
+
+
+def test_rle_compressibility_orders_repetition_below_prose(spark):
+    """The RLE twin must reproduce q176's defining property: repeated
+    text scores as more compressible (lower ratio) than novel prose."""
+    from ai_batch_processing_spark.operators.text import rle_compressibility
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaaaaaaaaaaaaaa"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in rle_compressibility(df).collect()}
+    assert out[1].n_runs == 1  # one maximal run
+    assert out[2].n_runs > 30  # novel prose: nearly every char starts a run
+    assert out[1].ratio < out[2].ratio
+    assert out[3].n_chars == 0 and out[3].n_runs == 0 and out[3].ratio == 0.0
+    assert out[4].n_chars == 0 and out[4].n_runs == 0 and out[4].ratio == 0.0

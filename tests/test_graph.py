@@ -242,3 +242,42 @@ def test_triangle_census_hub_graph_orientation_bounds_wedges(spark):
     assert all(r.triangles == 0 and r.clustering_coeff == 0.0 for r in rows)
     hub = next(r for r in rows if r.id == 0)
     assert hub.degree == 20
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (q231)
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_spreads_and_clamps_seeds(spark):
+    from ai_batch_processing_spark.operators.graph import label_propagation
+
+    # chain 0-1-2-3 with seed labels at the ends; node 9 isolated.
+    # Weights make every vote unambiguous (equal-weight ties would fall
+    # to the smallest label by the documented tie rule): node 1 is bound
+    # tighter to seed 0, node 2 tighter to seed 3.
+    nodes = spark.createDataFrame(
+        [(0, 7), (1, None), (2, None), (3, 5), (9, None)],
+        "id long, seed_label int",
+    )
+    e = [(0, 1, 0.9), (1, 0, 0.9), (1, 2, 0.5), (2, 1, 0.5), (2, 3, 0.8), (3, 2, 0.8)]
+    edges = spark.createDataFrame(e, "src long, dst long, w double")
+    out = {r.id: r.label for r in label_propagation(nodes, edges, iterations=3).collect()}
+    assert out[0] == 7 and out[3] == 5  # seeds clamped
+    assert out[1] == 7 and out[2] == 5  # nearest seed wins the vote
+    assert out[9] is None  # unreachable stays unlabeled
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    from ai_batch_processing_spark.operators.graph import label_propagation
+
+    # node 2 receives equal-weight votes for labels 9 (from node 0) and
+    # 4 (from node 1): the tie must deterministically pick label 4
+    nodes = spark.createDataFrame(
+        [(0, 9), (1, 4), (2, None)], "id long, seed_label int"
+    )
+    edges = spark.createDataFrame(
+        [(0, 2, 0.5), (1, 2, 0.5)], "src long, dst long, w double"
+    )
+    out = {r.id: r.label for r in label_propagation(nodes, edges, iterations=1).collect()}
+    assert out[2] == 4

@@ -1,0 +1,63 @@
+"""Portable PCA power iteration (q230): direction quality, determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ai_batch_processing_spark.operators.linalg import pca_top_component
+
+
+def _planted_corpus(spark, n=120, dim=6, seed=3):
+    """Gaussian cloud stretched 8x along a planted unit direction."""
+    rng = np.random.default_rng(seed)
+    u = rng.normal(size=dim)
+    u /= np.linalg.norm(u)
+    x = rng.normal(size=(n, dim)) + 8.0 * np.outer(rng.normal(size=n), u)
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        u,
+    )
+
+
+def test_pca_recovers_planted_direction(spark):
+    emb, u = _planted_corpus(spark)
+    out = pca_top_component(emb, n_iter=6)
+    comp = np.array([r.component for r in out.orderBy("pos").collect()])
+    # direction recovered up to sign
+    assert abs(float(comp @ u)) > 0.99
+    # unit norm (up to the 6dp component rounding)
+    assert np.linalg.norm(comp) == pytest.approx(1.0, abs=1e-4)
+    # the stretched direction dominates: most variance captured
+    share = out.first().var_share
+    assert 0.8 < share <= 1.0
+
+
+def test_pca_matches_numpy_eigenvector(spark):
+    emb, _ = _planted_corpus(spark, n=80, dim=5, seed=11)
+    rows = emb.orderBy("vec_id").collect()
+    x = np.array([r.embedding for r in rows])
+    c = x - x.mean(axis=0)
+    evals, evecs = np.linalg.eigh(c.T @ c)
+    top = evecs[:, -1]
+    comp = np.array(
+        [r.component for r in pca_top_component(emb, n_iter=8).orderBy("pos").collect()]
+    )
+    assert abs(float(comp @ top)) > 0.999
+
+
+def test_pca_partition_invariant_and_validates(spark):
+    emb, _ = _planted_corpus(spark, n=60, dim=4, seed=5)
+    c1 = [(r.pos, r.component, r.var_share) for r in pca_top_component(emb).orderBy("pos").collect()]
+    c2 = [
+        (r.pos, r.component, r.var_share)
+        for r in pca_top_component(emb.repartition(7)).orderBy("pos").collect()
+    ]
+    assert c1 == c2  # 6dp-rounded decisions → layout-invariant
+    with pytest.raises(ValueError, match="n_iter"):
+        pca_top_component(emb, n_iter=0)
+    empty = emb.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        pca_top_component(empty)

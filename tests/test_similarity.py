@@ -1161,3 +1161,48 @@ def test_round_half_up_matches_engine_tie_convention(spark):
     spark_rounded = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
     ours = [float(_round_half_up(v, 6)) for v in vals]
     assert ours == spark_rounded
+
+
+# ---------------------------------------------------------------------------
+# Margin-criterion pair mining (q232)
+# ---------------------------------------------------------------------------
+
+
+def test_margin_best_pairs_hubness_normalization(spark):
+    from ai_batch_processing_spark.operators.similarity import margin_best_pairs
+
+    # a: two probes. b: a "hub" close to everything (high neighborhood
+    # mean) and a specific partner. Raw cosine prefers the hub for BOTH
+    # probes; the margin criterion routes probe 0 to its true partner.
+    rows_a = [(0, [1.0, 0.05, 0.0]), (1, [0.0, 1.0, 0.0])]
+    rows_b = [
+        (10, [0.6, 0.75, 0.0]),  # hub-ish: decent cosine to both probes
+        (11, [1.0, 0.0, 0.05]),  # probe 0's true partner
+        (12, [0.05, 1.0, 0.0]),  # probe 1's true partner
+        (13, [0.55, 0.70, 0.1]),  # second hub neighbor (pumps hub means)
+    ]
+    a = spark.createDataFrame(rows_a, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(rows_b, "vec_id long, embedding array<double>")
+    out = {r.id_a: r for r in margin_best_pairs(a, b, k=2).collect()}
+    assert out[0].id_b == 11  # margin picks the partner, not the hub
+    assert out[1].id_b == 12
+    # scores carry both raw cosine and the normalized margin
+    assert out[0].margin is not None and out[0].cosine is not None
+
+
+def test_margin_best_pairs_partition_invariant(spark):
+    from ai_batch_processing_spark.operators.similarity import margin_best_pairs
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = emb.filter("vec_id < 8")
+    b = emb.filter("vec_id >= 8")
+    r1 = {(r.id_a, r.id_b, r.margin) for r in margin_best_pairs(a, b, k=3).collect()}
+    r2 = {
+        (r.id_a, r.id_b, r.margin)
+        for r in margin_best_pairs(a.repartition(5), b.repartition(7), k=3).collect()
+    }
+    assert r1 == r2
