@@ -3026,3 +3026,118 @@ def q233_facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFram
         .select("vec_id", "embedding")
     )
     return facility_location_select(emb, k=_FL_K).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Rank AUC (Mann-Whitney) — threshold-free rater/classifier evaluation
+# ---------------------------------------------------------------------------
+def rank_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Per-group ROC-AUC of ``score_col`` against boolean ``label_col``
+    via the Mann-Whitney rank statistic — no threshold sweep, no curve
+    materialization: AUC = (Σ_pos avgrank − P(P+1)/2) / (P·N), with
+    average ranks for tied scores (the exact ROC-trapezoid value).
+
+    Complements q207 (calibration buckets) and q228 (kappa at ONE
+    threshold): AUC measures whether the score ORDERS positives above
+    negatives anywhere on the curve. One rank window + one aggregate per
+    group; avgrank arithmetic is integer/half-integer exact, so the only
+    rounding is the final 6dp division — bit-stable across engines.
+    Degenerate groups (all-positive / all-negative) yield NULL (the
+    kappa-guard convention). Output: by-cols + (n_docs, n_pos, n_neg,
+    auc).
+    """
+    by = by or []
+    part = [F.col(c) for c in by]
+    w_rank = Window.partitionBy(*part).orderBy(F.asc(score_col))
+    w_tie = Window.partitionBy(*part, F.col(score_col))
+    rk = df.select(
+        *by,
+        F.col(label_col).alias("_y"),
+        (
+            F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
+        ).alias("_ar"),
+    )
+    ag = rk.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("_y").cast("int")).cast("long").alias("n_pos"),
+        F.sum((~F.col("_y")).cast("int")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("_y"), F.col("_ar"))).alias("_sp"),
+    )
+    auc = (F.col("_sp") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0) / (
+        F.col("n_pos") * 1.0 * F.col("n_neg")
+    )
+    return ag.select(
+        *by,
+        "n_docs",
+        "n_pos",
+        "n_neg",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.round(auc, 6)).alias(
+            "auc"
+        ),
+    )
+
+
+def _auc_oracle() -> str:
+    from ai_batch_processing_spark.registry import registered_oracle
+
+    q208 = registered_oracle("q208_linear_classifier_scores")
+    return f"""
+        WITH cls AS ({q208}),
+        r1 AS (
+            SELECT doc_id, source,
+                   CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                             * 1.0 / length(text)
+                        ELSE 0.0 END >= {_KAPPA_ALPHA_THRESHOLD} AS y
+            FROM documents
+        ),
+        j AS (SELECT r1.source, r1.y, cls.score FROM r1 JOIN cls USING (doc_id)),
+        rk AS (
+            SELECT source, y,
+                   RANK() OVER (PARTITION BY source ORDER BY score ASC) AS r,
+                   COUNT(*) OVER (PARTITION BY source, score) AS c
+            FROM j
+        ),
+        ag AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                   CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+                   SUM(CASE WHEN y THEN r + (c - 1) / 2.0 END) AS sp
+            FROM rk GROUP BY source
+        )
+        SELECT source, n_docs, n_pos, n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0
+                    THEN ROUND((sp - n_pos * (n_pos + 1) / 2.0)
+                               / (n_pos * 1.0 * n_neg), 6)
+               END AS auc
+        FROM ag ORDER BY source
+    """
+
+
+@register(
+    "q235_quality_auc",
+    oracle=_auc_oracle(),
+    doc=(
+        "per-source ROC-AUC (Mann-Whitney rank form, tie-averaged ranks) of "
+        "the hashed linear classifier's score against the alpha-ratio rule "
+        "label — the threshold-free companion to q207's calibration buckets "
+        "and q228's single-threshold kappa: does the continuous score ORDER "
+        "rule-positives above rule-negatives, per source? One rank window + "
+        "one aggregate; degenerate one-class sources yield NULL."
+    ),
+    tags=("curation", "eval", "quality"),
+)
+def q235_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    ratio = F.when(F.length("text") > 0, alpha * 1.0 / F.length("text")).otherwise(0.0)
+    r1 = docs.select("doc_id", "source", (ratio >= _KAPPA_ALPHA_THRESHOLD).alias("y"))
+    cls = q208_linear_classifier_scores(spark, sf_dir).select("doc_id", "score")
+    j = r1.join(cls, "doc_id")
+    return rank_auc(j, "score", "y", by=["source"]).orderBy("source")

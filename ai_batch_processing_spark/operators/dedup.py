@@ -1413,3 +1413,80 @@ def q227_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_representatives(comp, scores, id_col="id", score_col="q").orderBy(
         "cluster"
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric shingle containment (subset / quote-inclusion detection)
+# ---------------------------------------------------------------------------
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.8
+) -> DataFrame:
+    """Directed exact containment |S(a)∩S(b)| / |S(a)| ≥ threshold.
+
+    The asymmetric twin of :func:`jaccard_pairs` (Broder's containment):
+    a short document quoted inside a long one has LOW Jaccard (the union
+    is dominated by the long side) but containment ≈ 1 in the short→long
+    direction — resemblance-based dedup misses exactly these
+    subset/quote/boilerplate-inclusion pairs, so curation pipelines run
+    both. Same inverted-index plan as Jaccard (one shingle self-join —
+    never corpus×corpus; at scale feed LSH candidates), but emitted in
+    BOTH directions: (id_a, id_b, containment) means S(id_a) is
+    containment-covered by S(id_b). Output deterministic; shingle sets
+    are distinct char-k-grams.
+    """
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.alias("na")
+    cont = F.col("i") / F.col("na.n")
+    return (
+        inter.join(na, F.col("id_a") == F.col("na.id"))
+        .filter(cont >= threshold)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+
+
+_CONTAINMENT_SQL = f"""
+        WITH corpus AS ({{corpus_sql}}),
+        docs AS (SELECT id, text FROM corpus WHERE length(text) >= 5),
+        sh AS (
+            SELECT DISTINCT id, substring(text, CAST(i AS INT), 5) AS s
+            FROM docs, unnest(generate_series(1, length(text) - 4)) AS t(i)
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id <> b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / na.n, 6) AS containment
+        FROM inter
+        JOIN sizes na ON na.id = id_a
+        WHERE CAST(i AS DOUBLE) / na.n >= 0.8
+        ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "q234_shingle_containment",
+    oracle=_CONTAINMENT_SQL.format(corpus_sql=_DUP_CORPUS_SQL),
+    doc=(
+        "directed shingle containment >= 0.8 over the planted-dup corpus: "
+        "the asymmetric near-dup signal (quote / subset / boilerplate "
+        "inclusion) that symmetric Jaccard structurally misses — same "
+        "inverted-index join as q41, |A∩B| normalized by |A| alone, both "
+        "directions emitted."
+    ),
+    tags=("dedup", "jaccard", "containment"),
+)
+def q234_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return containment_pairs(corpus, "id", "text", k=5, threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )

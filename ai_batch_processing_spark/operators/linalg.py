@@ -150,35 +150,35 @@ def _pca_oracle_sql(n_iter: int, dim: int) -> str:
     where the Spark side rounds (per-doc dots, per-pos aggregates)."""
     v0 = float(_round_half_up(1.0 / np.sqrt(dim), 6))
     head = f"""
-        WITH px AS (
+        WITH px AS MATERIALIZED (
             SELECT vec_id, CAST(u.i - 1 AS INT) AS pos,
                    CAST(embedding[u.i] AS DOUBLE) AS x
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
         ),
-        mu AS (SELECT pos, ROUND(AVG(x), 6) AS m FROM px GROUP BY pos),
-        c AS (SELECT px.vec_id, px.pos, px.x - mu.m AS x FROM px JOIN mu USING (pos)),
+        mu AS MATERIALIZED (SELECT pos, ROUND(AVG(x), 6) AS m FROM px GROUP BY pos),
+        c AS MATERIALIZED (SELECT px.vec_id, px.pos, px.x - mu.m AS x FROM px JOIN mu USING (pos)),
         v0 AS (SELECT DISTINCT pos, {v0!r} AS val FROM px)
     """
     steps = []
     for i in range(n_iter):
         steps.append(
             f"""
-        , d{i + 1} AS (
+        , d{i + 1} AS MATERIALIZED (
             SELECT c.vec_id, ROUND(SUM(c.x * v{i}.val), 6) AS d
             FROM c JOIN v{i} USING (pos) GROUP BY c.vec_id
         ),
-        w{i + 1} AS (
+        w{i + 1} AS MATERIALIZED (
             SELECT c.pos, ROUND(SUM(c.x * d{i + 1}.d), 6) AS w
             FROM c JOIN d{i + 1} USING (vec_id) GROUP BY c.pos
         ),
-        v{i + 1} AS (
+        v{i + 1} AS MATERIALIZED (
             SELECT pos,
                    ROUND(w / (SELECT SQRT(SUM(w * w)) FROM w{i + 1}), 6) AS val
             FROM w{i + 1}
         )"""
         )
     tail = f"""
-        , dfin AS (
+        , dfin AS MATERIALIZED (
             SELECT c.vec_id, ROUND(SUM(c.x * v{n_iter}.val), 6) AS d
             FROM c JOIN v{n_iter} USING (pos) GROUP BY c.vec_id
         ),
@@ -221,3 +221,256 @@ def q230_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         emb.unpersist()
     return out.orderBy("pos")
+
+
+def pca_components(
+    emb: DataFrame,
+    n_components: int = 2,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """(mu, [v1, v2, ...]): top principal directions by power iteration
+    with deflation — the multi-component generalization of
+    :func:`pca_top_component` (same fixed start, same 6dp portability
+    contract).
+
+    Deflation is ON THE FLY: component j iterates over
+    c_j = c − Σ_{l<j} ROUND(c_l·v_l, 6)·v_l computed inside each Arrow
+    batch from (mu, v_1..v_{j-1}) — the residualized corpus is never
+    materialized, and the driver still holds only dim-sized vectors.
+    Because the 6dp residual leaves a ~1e-7 ghost of each prior
+    direction that power iteration would re-amplify (λ1 ≫ λ2 makes even
+    a tiny v1 component grow back), every iterate is explicitly
+    re-orthogonalized against the prior components before normalizing:
+    w ← u − ROUND(u·v_l, 6)·v_l. Both corrections are plain products of
+    identical doubles, so the DuckDB twin reproduces them bit-for-bit.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if n_components < 1:
+        raise ValueError(f"n_components must be >= 1, got {n_components}")
+    vecs = emb.select(F.col(vec_col).alias("v"))
+    first = vecs.select(F.size("v").alias("d")).first()
+    if first is None:
+        raise ValueError("pca_components: empty corpus")
+    dim = int(first.d)
+
+    def _rnd(x):
+        return (
+            np.asarray(x, dtype=np.float64)
+            if round_dp is None
+            else _round_half_up(x, round_dp)
+        )
+
+    def _mat(pdf: pd.DataFrame) -> np.ndarray:
+        return np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+
+    def mean_partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _mat(pdf)
+            yield pd.DataFrame(
+                {
+                    "pos": np.arange(dim, dtype=np.int32),
+                    "s": m.sum(axis=0),
+                    "n": np.full(dim, len(m), dtype=np.int64),
+                }
+            )
+
+    mu = np.zeros(dim)
+    for r in (
+        vecs.mapInPandas(mean_partials, "pos int, s double, n long")
+        .groupBy("pos")
+        .agg((F.sum("s") / F.sum("n")).alias("m"))
+        .collect()
+    ):
+        mu[r.pos] = float(_rnd(r.m))
+
+    def _residual(m: np.ndarray, prior: list[np.ndarray], rnd) -> np.ndarray:
+        c = m - mu
+        for pv in prior:
+            c = c - np.outer(rnd(c @ pv), pv)
+        return c
+
+    comps: list[np.ndarray] = []
+    for _ in range(n_components):
+        v = np.full(dim, float(_rnd(1.0 / np.sqrt(dim))))
+        for _i in range(n_iter):
+
+            def it_partials(batches, _v=v, _prior=tuple(comps), _r=_rnd):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    c = _residual(_mat(pdf), list(_prior), _r)
+                    d = _r(c @ _v)
+                    yield pd.DataFrame(
+                        {"pos": np.arange(dim, dtype=np.int32), "w": d @ c}
+                    )
+
+            u = np.zeros(dim)
+            for r in (
+                vecs.mapInPandas(it_partials, "pos int, w double")
+                .groupBy("pos")
+                .agg(F.sum("w").alias("w"))
+                .collect()
+            ):
+                u[r.pos] = float(_rnd(r.w))
+            for pv in comps:  # re-orthogonalize against prior components
+                u = u - float(_rnd(float(u @ pv))) * pv
+            nrm = float(np.sqrt((u * u).sum()))
+            if nrm == 0.0:
+                raise ValueError("pca_components: zero iterate (constant corpus?)")
+            v = np.asarray(_rnd(u / nrm), dtype=np.float64)
+        comps.append(v)
+    return mu, comps
+
+
+def pca_project(
+    emb: DataFrame,
+    mu: np.ndarray,
+    comps: list[np.ndarray],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """(id, pc1, pc2, ...): per-row coordinates in the deflated component
+    basis — pc_j = ROUND(c_j · v_j, 6) with the SAME on-the-fly
+    residualization used during training, so projections are exactly the
+    d-values the oracle's CTE chain computes. One mapInPandas pass."""
+    dim = len(mu)
+    names = [f"pc{j + 1}" for j in range(len(comps))]
+    schema = f"{id_col} long, " + ", ".join(f"{n} double" for n in names)
+
+    def _rnd(x):
+        return (
+            np.asarray(x, dtype=np.float64)
+            if round_dp is None
+            else _round_half_up(x, round_dp)
+        )
+
+    def proj_partials(batches, _mu=mu, _comps=tuple(comps), _r=_rnd):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            c = m - _mu
+            out = {id_col: pdf[id_col].astype("int64")}
+            for j, pv in enumerate(_comps):
+                d = _r(c @ pv)
+                out[f"pc{j + 1}"] = d
+                c = c - np.outer(d, pv)
+            yield pd.DataFrame(out)
+
+    return emb.select(id_col, vec_col).mapInPandas(proj_partials, schema)
+
+
+def _pca2_oracle_sql(n_iter: int, dim: int) -> str:
+    """Unrolled DuckDB twin of pca_components(n_components=2) +
+    pca_project: the q230 chain for component 1, a residual CTE, the
+    re-orthogonalized chain for component 2, then per-row projections."""
+    v0 = float(_round_half_up(1.0 / np.sqrt(dim), 6))
+    parts = [
+        f"""
+        WITH px AS MATERIALIZED (
+            SELECT vec_id, CAST(u.i - 1 AS INT) AS pos,
+                   CAST(embedding[u.i] AS DOUBLE) AS x
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        ),
+        mu AS MATERIALIZED (SELECT pos, ROUND(AVG(x), 6) AS m FROM px GROUP BY pos),
+        c AS MATERIALIZED (SELECT px.vec_id, px.pos, px.x - mu.m AS x FROM px JOIN mu USING (pos)),
+        v0 AS (SELECT DISTINCT pos, {v0!r} AS val FROM px)"""
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""
+        , d{i + 1} AS MATERIALIZED (
+            SELECT c.vec_id, ROUND(SUM(c.x * v{i}.val), 6) AS d
+            FROM c JOIN v{i} USING (pos) GROUP BY c.vec_id
+        ),
+        w{i + 1} AS MATERIALIZED (
+            SELECT c.pos, ROUND(SUM(c.x * d{i + 1}.d), 6) AS w
+            FROM c JOIN d{i + 1} USING (vec_id) GROUP BY c.pos
+        ),
+        v{i + 1} AS MATERIALIZED (
+            SELECT pos,
+                   ROUND(w / (SELECT SQRT(SUM(w * w)) FROM w{i + 1}), 6) AS val
+            FROM w{i + 1}
+        )"""
+        )
+    # component-1 projections and the residualized corpus
+    parts.append(
+        f"""
+        , p1 AS MATERIALIZED (
+            SELECT c.vec_id, ROUND(SUM(c.x * v{n_iter}.val), 6) AS d
+            FROM c JOIN v{n_iter} USING (pos) GROUP BY c.vec_id
+        ),
+        c2 AS MATERIALIZED (
+            SELECT c.vec_id, c.pos, c.x - p1.d * v{n_iter}.val AS x
+            FROM c JOIN p1 USING (vec_id) JOIN v{n_iter} USING (pos)
+        ),
+        s0 AS (SELECT DISTINCT pos, {v0!r} AS val FROM px)"""
+    )
+    for i in range(n_iter):
+        parts.append(
+            f"""
+        , e{i + 1} AS MATERIALIZED (
+            SELECT c2.vec_id, ROUND(SUM(c2.x * s{i}.val), 6) AS d
+            FROM c2 JOIN s{i} USING (pos) GROUP BY c2.vec_id
+        ),
+        u{i + 1} AS MATERIALIZED (
+            SELECT c2.pos, ROUND(SUM(c2.x * e{i + 1}.d), 6) AS w
+            FROM c2 JOIN e{i + 1} USING (vec_id) GROUP BY c2.pos
+        ),
+        pr{i + 1} AS MATERIALIZED (
+            SELECT ROUND(SUM(u{i + 1}.w * v{n_iter}.val), 6) AS p
+            FROM u{i + 1} JOIN v{n_iter} USING (pos)
+        ),
+        o{i + 1} AS MATERIALIZED (
+            SELECT u{i + 1}.pos,
+                   u{i + 1}.w - pr{i + 1}.p * v{n_iter}.val AS w
+            FROM u{i + 1} CROSS JOIN pr{i + 1} JOIN v{n_iter} USING (pos)
+        ),
+        s{i + 1} AS MATERIALIZED (
+            SELECT pos,
+                   ROUND(w / (SELECT SQRT(SUM(w * w)) FROM o{i + 1}), 6) AS val
+            FROM o{i + 1}
+        )"""
+        )
+    parts.append(
+        f"""
+        , p2 AS MATERIALIZED (
+            SELECT c2.vec_id, ROUND(SUM(c2.x * s{n_iter}.val), 6) AS d
+            FROM c2 JOIN s{n_iter} USING (pos) GROUP BY c2.vec_id
+        )
+        SELECT p1.vec_id, p1.d AS pc1, p2.d AS pc2
+        FROM p1 JOIN p2 USING (vec_id) ORDER BY p1.vec_id
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "q236_pca_top2_projection",
+    oracle=_pca2_oracle_sql(_PCA_ITERS, _PCA_DIM),
+    doc=(
+        "per-row coordinates in the top-2 principal-component basis "
+        "(deflated power iteration, re-orthogonalized iterates): the "
+        "dimensionality-reduction / whitening-input primitive. The "
+        "residualized corpus is never materialized — deflation happens "
+        "inside each Arrow batch from dim-sized driver state — and the "
+        "whole two-component training + projection is hash-checked against "
+        "one unrolled DuckDB CTE chain."
+    ),
+    tags=("linalg", "embedding", "iterative"),
+)
+def q236_pca_top2_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].persist()
+    try:
+        mu, comps = pca_components(emb, n_components=2, n_iter=_PCA_ITERS)
+        out = pca_project(emb, mu, comps)
+        out = out.localCheckpoint(eager=True)  # materialize before unpersist
+    finally:
+        emb.unpersist()
+    return out.orderBy("vec_id")

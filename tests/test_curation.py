@@ -970,3 +970,28 @@ def test_facility_location_first_pick_covers_most(spark):
 
     with pytest.raises(ValueError, match="max_rows"):
         facility_location_select(emb, k=2, max_rows=5)
+
+
+def test_rank_auc_textbook_values_and_degenerate_null(spark):
+    from ai_batch_processing_spark.operators.curation import rank_auc
+
+    # perfect separation → 1.0; perfect inversion → 0.0; ties → 0.5
+    rows = [
+        ("sep", 0.9, True), ("sep", 0.8, True), ("sep", 0.2, False), ("sep", 0.1, False),
+        ("inv", 0.1, True), ("inv", 0.2, True), ("inv", 0.8, False), ("inv", 0.9, False),
+        ("tie", 0.5, True), ("tie", 0.5, False), ("tie", 0.5, True), ("tie", 0.5, False),
+        ("one", 0.3, True), ("one", 0.7, True),  # degenerate: no negatives
+    ]
+    df = spark.createDataFrame(rows, "source string, score double, y boolean")
+    out = {r.source: r for r in rank_auc(df, "score", "y", by=["source"]).collect()}
+    assert out["sep"].auc == 1.0
+    assert out["inv"].auc == 0.0
+    assert out["tie"].auc == 0.5  # tie-averaged ranks give exactly chance
+    assert out["one"].auc is None and out["one"].n_neg == 0
+    # hand-computed mixed case: scores 1,2,3,4 with y at ranks 2,4 →
+    # auc = ((2+4) - 2*3/2) / (2*2) = 0.75
+    df2 = spark.createDataFrame(
+        [("m", 1.0, False), ("m", 2.0, True), ("m", 3.0, False), ("m", 4.0, True)],
+        "source string, score double, y boolean",
+    )
+    assert rank_auc(df2, "score", "y", by=["source"]).collect()[0].auc == 0.75

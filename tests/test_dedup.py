@@ -567,3 +567,28 @@ def test_rle_compressibility_orders_repetition_below_prose(spark):
     assert out[1].ratio < out[2].ratio
     assert out[3].n_chars == 0 and out[3].n_runs == 0 and out[3].ratio == 0.0
     assert out[4].n_chars == 0 and out[4].n_runs == 0 and out[4].ratio == 0.0
+
+
+def test_containment_pairs_asymmetric_subset_detection(spark):
+    """A short doc quoted inside a long one: Jaccard misses it (union
+    dominated by the long side), containment flags the short→long
+    direction at ~1.0 — the defining property of the asymmetric signal."""
+    from ai_batch_processing_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long = short + " " + "x" * 400 + " entirely different tail content here"
+    df = spark.createDataFrame([(1, short), (2, long)], "id long, text string")
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, "id", "text", k=5, threshold=0.8).collect()
+    }
+    jac = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(df, "id", "text", k=5, threshold=0.8).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] > 0.95  # short contained in long
+    assert (2, 1) not in cont  # not symmetric: long is NOT contained in short
+    assert (1, 2) not in jac  # resemblance misses the subset pair

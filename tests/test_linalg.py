@@ -61,3 +61,43 @@ def test_pca_partition_invariant_and_validates(spark):
     empty = emb.filter(F.lit(False))
     with pytest.raises(ValueError, match="empty"):
         pca_top_component(empty)
+
+
+def test_pca_components_orthogonal_and_match_numpy_top2(spark):
+    emb, _ = _planted_corpus(spark, n=100, dim=6, seed=21)
+    from ai_batch_processing_spark.operators.linalg import pca_components
+
+    mu, comps = pca_components(emb, n_components=2, n_iter=8)
+    v1, v2 = comps
+    assert abs(float(v1 @ v2)) < 1e-4  # re-orthogonalized
+    rows = emb.orderBy("vec_id").collect()
+    x = np.array([r.embedding for r in rows])
+    c = x - x.mean(axis=0)
+    _, evecs = np.linalg.eigh(c.T @ c)
+    assert abs(float(v1 @ evecs[:, -1])) > 0.99
+    assert abs(float(v2 @ evecs[:, -2])) > 0.98
+
+
+def test_pca_project_reconstruction_improves_with_components(spark):
+    emb, _ = _planted_corpus(spark, n=80, dim=5, seed=9)
+    from ai_batch_processing_spark.operators.linalg import (
+        pca_components,
+        pca_project,
+    )
+
+    mu, comps = pca_components(emb, n_components=2, n_iter=6)
+    proj = {r.vec_id: (r.pc1, r.pc2) for r in pca_project(emb, mu, comps).collect()}
+    rows = emb.orderBy("vec_id").collect()
+    x = np.array([r.embedding for r in rows])
+    c = x - mu
+    # residual after removing pc1 then pc2 shrinks monotonically
+    r0 = float((c**2).sum())
+    c1 = c - np.outer([proj[r.vec_id][0] for r in rows], comps[0])
+    r1 = float((c1**2).sum())
+    c2 = c1 - np.outer([proj[r.vec_id][1] for r in rows], comps[1])
+    r2 = float((c2**2).sum())
+    assert r1 < 0.9 * r0 and r2 < r1
+    # pc1 equals the centered dot with v1 (6dp)
+    want = np.round(c @ comps[0], 6)
+    got = np.array([proj[r.vec_id][0] for r in rows])
+    assert np.allclose(got, want, atol=2e-6)
