@@ -3141,3 +3141,128 @@ def q235_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls = q208_linear_classifier_scores(spark, sf_dir).select("doc_id", "score")
     j = r1.join(cls, "doc_id")
     return rank_auc(j, "score", "y", by=["source"]).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa — multi-rater agreement (3 automatic quality raters)
+# ---------------------------------------------------------------------------
+_FLEISS_FK_THRESHOLD = 23.0  # ~median Flesch-Kincaid grade: balanced rater 3
+
+
+def fleiss_kappa_cells(votes: DataFrame, n_raters: int) -> DataFrame:
+    """Fleiss' kappa from per-item positive-vote counts ``(id, n_pos)``.
+
+    The m-rater generalization of :func:`kappa_from_cells` (Cohen only
+    compares two): per item, P_i = Σ_cat n_ic(n_ic−1) / (m(m−1)); kappa =
+    (mean(P_i) − Pe) / (1 − Pe) with Pe from the pooled category
+    proportions. All per-item arithmetic is integer-exact rationals over
+    m(m−1); only the final three ratios round. Degenerate unanimity
+    (Pe = 1) yields NULL — the q228 guard convention. Output one row:
+    (n_docs, p_bar, p_e, kappa).
+    """
+    m = n_raters
+    npos = F.col("n_pos")
+    nneg = F.lit(m) - npos
+    pi = (npos * (npos - 1) + nneg * (nneg - 1)) / F.lit(float(m * (m - 1)))
+    ag = votes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(pi).alias("_spi"),
+        F.sum(npos).cast("long").alias("_tpos"),
+    )
+    p1 = F.col("_tpos") / (F.col("n_docs") * F.lit(float(m)))
+    pe = p1 * p1 + (F.lit(1.0) - p1) * (F.lit(1.0) - p1)
+    pbar = F.col("_spi") / F.col("n_docs")
+    return ag.select(
+        "n_docs",
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(pe, 6).alias("p_e"),
+        F.when(pe < 1.0, F.round((pbar - pe) / (F.lit(1.0) - pe), 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("kappa"),
+    )
+
+
+def _fleiss_oracle() -> str:
+    from ai_batch_processing_spark.registry import registered_oracle
+
+    q208 = registered_oracle("q208_linear_classifier_scores")
+    q199 = registered_oracle("q199_readability")
+    return f"""
+        WITH cls AS ({q208}),
+        rd AS ({q199}),
+        r1t AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                             * 1.0 / length(text)
+                        ELSE 0.0 END >= {_KAPPA_ALPHA_THRESHOLD} AS r1
+            FROM documents
+        ),
+        votes AS (
+            SELECT r1t.doc_id,
+                   (CASE WHEN r1t.r1 THEN 1 ELSE 0 END
+                    + CASE WHEN cls.label THEN 1 ELSE 0 END
+                    + CASE WHEN rd.fk_grade <= {_FLEISS_FK_THRESHOLD} THEN 1 ELSE 0 END
+                   ) AS n_pos
+            FROM r1t JOIN cls USING (doc_id) JOIN rd USING (doc_id)
+        ),
+        ag AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   SUM((n_pos * (n_pos - 1) + (3 - n_pos) * (2 - n_pos)) / 6.0) AS spi,
+                   CAST(SUM(n_pos) AS BIGINT) AS tpos
+            FROM votes
+        )
+        SELECT n_docs,
+               ROUND(spi / n_docs, 6) AS p_bar,
+               ROUND(POWER(tpos * 1.0 / (n_docs * 3.0), 2)
+                     + POWER(1.0 - tpos * 1.0 / (n_docs * 3.0), 2), 6) AS p_e,
+               CASE WHEN POWER(tpos * 1.0 / (n_docs * 3.0), 2)
+                         + POWER(1.0 - tpos * 1.0 / (n_docs * 3.0), 2) < 1.0
+                    THEN ROUND((spi / n_docs
+                                - (POWER(tpos * 1.0 / (n_docs * 3.0), 2)
+                                   + POWER(1.0 - tpos * 1.0 / (n_docs * 3.0), 2)))
+                               / (1.0 - (POWER(tpos * 1.0 / (n_docs * 3.0), 2)
+                                         + POWER(1.0 - tpos * 1.0 / (n_docs * 3.0), 2))), 6)
+               END AS kappa
+        FROM ag
+    """
+
+
+@register(
+    "q238_fleiss_kappa",
+    oracle=_fleiss_oracle(),
+    doc=(
+        "Fleiss' kappa across THREE automatic quality raters — the "
+        "alpha-ratio rule, the hashed linear classifier (q208), and the "
+        "Flesch-Kincaid grade cut (q199) — the m-rater agreement panel run "
+        "before trusting any single cheap signal as a gate (Cohen/q228 "
+        "only compares two). Per-item vote counts are integer-exact; one "
+        "doc-keyed 3-way join + one single-row aggregate; unanimity "
+        "degenerate case yields NULL in both engines."
+    ),
+    tags=("curation", "eval", "quality"),
+)
+def q238_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import readability
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    ratio = F.when(F.length("text") > 0, alpha * 1.0 / F.length("text")).otherwise(0.0)
+    r1 = docs.select("doc_id", (ratio >= _KAPPA_ALPHA_THRESHOLD).alias("r1"))
+    r2 = q208_linear_classifier_scores(spark, sf_dir).select(
+        "doc_id", F.col("label").alias("r2")
+    )
+    r3 = readability(docs).select(
+        "doc_id", (F.col("fk_grade") <= _FLEISS_FK_THRESHOLD).alias("r3")
+    )
+    votes = (
+        r1.join(r2, "doc_id")
+        .join(r3, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("r1").cast("int") + F.col("r2").cast("int") + F.col("r3").cast("int")
+            ).alias("n_pos"),
+        )
+    )
+    return fleiss_kappa_cells(votes, n_raters=3)

@@ -334,14 +334,19 @@ def pca_project(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int | None = 6,
+    residual_norm: bool = False,
 ) -> DataFrame:
     """(id, pc1, pc2, ...): per-row coordinates in the deflated component
     basis — pc_j = ROUND(c_j · v_j, 6) with the SAME on-the-fly
     residualization used during training, so projections are exactly the
-    d-values the oracle's CTE chain computes. One mapInPandas pass."""
+    d-values the oracle's CTE chain computes. One mapInPandas pass.
+    ``residual_norm`` appends the norm of what the basis did NOT explain
+    (ROUND 6dp) — the reconstruction-error anomaly score."""
     dim = len(mu)
     names = [f"pc{j + 1}" for j in range(len(comps))]
     schema = f"{id_col} long, " + ", ".join(f"{n} double" for n in names)
+    if residual_norm:
+        schema += ", resid_norm double"
 
     def _rnd(x):
         return (
@@ -361,15 +366,17 @@ def pca_project(
                 d = _r(c @ pv)
                 out[f"pc{j + 1}"] = d
                 c = c - np.outer(d, pv)
+            if residual_norm:
+                out["resid_norm"] = _r(np.sqrt((c * c).sum(axis=1)))
             yield pd.DataFrame(out)
 
     return emb.select(id_col, vec_col).mapInPandas(proj_partials, schema)
 
 
-def _pca2_oracle_sql(n_iter: int, dim: int) -> str:
-    """Unrolled DuckDB twin of pca_components(n_components=2) +
-    pca_project: the q230 chain for component 1, a residual CTE, the
-    re-orthogonalized chain for component 2, then per-row projections."""
+def _pca2_chain_sql(n_iter: int, dim: int) -> str:
+    """Shared unrolled-CTE chain of pca_components(n_components=2) +
+    pca_project through the per-row projections (CTEs p1/p2 and the
+    comp-2 basis s{n_iter}) — q236 and q237 append different tails."""
     v0 = float(_round_half_up(1.0 / np.sqrt(dim), 6))
     parts = [
         f"""
@@ -443,12 +450,34 @@ def _pca2_oracle_sql(n_iter: int, dim: int) -> str:
         , p2 AS MATERIALIZED (
             SELECT c2.vec_id, ROUND(SUM(c2.x * s{n_iter}.val), 6) AS d
             FROM c2 JOIN s{n_iter} USING (pos) GROUP BY c2.vec_id
-        )
+        )"""
+    )
+    return "".join(parts)
+
+
+def _pca2_oracle_sql(n_iter: int, dim: int) -> str:
+    return (
+        _pca2_chain_sql(n_iter, dim)
+        + """
         SELECT p1.vec_id, p1.d AS pc1, p2.d AS pc2
         FROM p1 JOIN p2 USING (vec_id) ORDER BY p1.vec_id
     """
     )
-    return "".join(parts)
+
+
+def _pca2_outliers_oracle_sql(n_iter: int, dim: int, top_n: int) -> str:
+    return (
+        _pca2_chain_sql(n_iter, dim)
+        + f"""
+        , resid AS MATERIALIZED (
+            SELECT c2.vec_id, c2.pos, c2.x - p2.d * s{n_iter}.val AS x
+            FROM c2 JOIN p2 USING (vec_id) JOIN s{n_iter} USING (pos)
+        )
+        SELECT vec_id, ROUND(SQRT(SUM(x * x)), 6) AS resid_norm
+        FROM resid GROUP BY vec_id
+        ORDER BY resid_norm DESC, vec_id LIMIT {top_n}
+    """
+    )
 
 
 @register(
@@ -474,3 +503,36 @@ def q236_pca_top2_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         emb.unpersist()
     return out.orderBy("vec_id")
+
+
+_PCA_OUTLIER_TOPN = 20
+
+
+@register(
+    "q237_pca_reconstruction_outliers",
+    oracle=_pca2_outliers_oracle_sql(_PCA_ITERS, _PCA_DIM, _PCA_OUTLIER_TOPN),
+    doc=(
+        "embedding anomaly detection by PCA reconstruction error: the 20 "
+        "rows the top-2 principal basis explains WORST (largest residual "
+        "norm after projecting out pc1/pc2) — corrupted vectors, encoding "
+        "bugs, and off-manifold outliers rank first, which per-dimension "
+        "z-scores (q210) miss when the anomaly is a direction, not a "
+        "coordinate. Same one-pass projection kernel as q236 plus a "
+        "residual-norm column; TakeOrderedAndProject top-20."
+    ),
+    tags=("linalg", "embedding", "qa", "iterative"),
+)
+def q237_pca_reconstruction_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].persist()
+    try:
+        mu, comps = pca_components(emb, n_components=2, n_iter=_PCA_ITERS)
+        out = (
+            pca_project(emb, mu, comps, residual_norm=True)
+            .select("vec_id", "resid_norm")
+            .orderBy(F.desc("resid_norm"), F.asc("vec_id"))
+            .limit(_PCA_OUTLIER_TOPN)
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        emb.unpersist()
+    return out

@@ -2000,3 +2000,103 @@ def q216_group_ols_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# --- q239: CUSUM change-point / drift detection over hourly event rates ------
+# q197 flags hours that are individually extreme (z-score); CUSUM catches
+# the complementary failure — a SUSTAINED small shift (a producer running
+# 1σ hot for a day never trips a 2σ gate but accumulates linearly here).
+# The textbook recurrence S_i = max(0, S_{i-1} + z_i − k) looks
+# sequential, but it equals P_i − min(0, min_{j≤i} P_j) for the prefix
+# sums P of (z − k) — so the whole detector is two window functions
+# (running sum + running min), no recursion, no UDF, scale-free per
+# partition. z reuses q197's 4dp convention (stddev accumulation order);
+# the one-sided upper CUSUM with reference k = 0.5σ is the standard
+# configuration.
+_CUSUM_K = 0.5
+_CUSUM_H = 4.0
+
+
+@register(
+    "q239_cusum_drift",
+    oracle=rf"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type, AVG(c) AS mu, STDDEV_SAMP(c) AS sd
+            FROM hourly GROUP BY event_type
+        ),
+        z AS (
+            SELECT h.event_type, h.h, h.c,
+                   ROUND((h.c - s.mu) / s.sd, 4) AS z
+            FROM hourly h JOIN stats s USING (event_type)
+            WHERE s.sd > 0
+        ),
+        p AS (
+            SELECT event_type, h, c, z,
+                   SUM(z - {_CUSUM_K}) OVER (
+                       PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pf
+            FROM z
+        ),
+        s AS (
+            SELECT event_type, h, c, z,
+                   ROUND(pf - LEAST(0.0, MIN(pf) OVER (
+                       PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )), 4) AS cusum
+            FROM p
+        )
+        SELECT event_type, h AS hour, CAST(c AS BIGINT) AS n_events, z, cusum,
+               cusum > {_CUSUM_H} AS drifting
+        FROM s ORDER BY event_type, hour
+    """,
+    doc=(
+        "one-sided CUSUM drift detector over hourly event rates: flags "
+        "SUSTAINED small rate shifts that per-hour z-scores (q197) never "
+        "see — S_i = max(0, S_{i-1} + z_i − k) computed without recursion "
+        "via the prefix-sum identity S_i = P_i − min(0, running-min P), "
+        "i.e. two window functions per event type. k=0.5σ reference, "
+        "h=4 decision threshold, full trajectory emitted."
+    ),
+    tags=("analytics", "events", "qa", "streaming-adjacent"),
+)
+def q239_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("c").alias("mu"), F.stddev_samp("c").alias("sd")
+    )
+    z = (
+        hourly.join(stats, "event_type")
+        .filter(F.col("sd") > 0)
+        .select(
+            "event_type",
+            "hour",
+            "c",
+            F.round((F.col("c") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = z.withColumn("pf", F.sum(F.col("z") - F.lit(_CUSUM_K)).over(w))
+    s = p.withColumn(
+        "cusum",
+        F.round(F.col("pf") - F.least(F.lit(0.0), F.min("pf").over(w)), 4),
+    )
+    return s.select(
+        "event_type",
+        "hour",
+        F.col("c").cast("long").alias("n_events"),
+        "z",
+        "cusum",
+        (F.col("cusum") > _CUSUM_H).alias("drifting"),
+    ).orderBy("event_type", "hour")

@@ -115,6 +115,9 @@ _PRIORITY = [
     "q234_shingle_containment",
     "q235_quality_auc",
     "q236_pca_top2_projection",
+    "q237_pca_reconstruction_outliers",
+    "q238_fleiss_kappa",
+    "q239_cusum_drift",
     # Then every oracle-backed query no driver round has gated yet
     # (rounds 1-5 union): the q194-q202 tail of the round-4 batches and
     # the q162-q169 round-5 block that the 50-row cap cut off.

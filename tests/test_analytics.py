@@ -33,3 +33,27 @@ def test_systematic_sample_fraction(spark, sf_dir):
     sampled = q56_systematic_sample(spark, sf_dir).count()
     # keys are dense-ish → mod-97 sampling lands near 1/97 of the table
     assert 0.2 / 97 < sampled / total < 5 / 97
+
+
+def test_cusum_prefix_sum_identity_matches_sequential_reference(spark):
+    """The window-function form must equal the textbook sequential
+    recurrence S_i = max(0, S_{i-1} + z_i - k) on a planted drift."""
+    from ai_batch_processing_spark.plans.analytics import q239_cusum_drift  # noqa: F401
+    from pyspark.sql import functions as F, Window
+
+    # reuse the same machinery on a toy frame via the identity directly
+    zs = [0.2, -0.1, 0.3, 1.1, 1.2, 1.0, 0.9, -2.0, 0.1]
+    k = 0.5
+    df = spark.createDataFrame(
+        [("a", i, z) for i, z in enumerate(zs)], "t string, h int, z double"
+    )
+    w = Window.partitionBy("t").orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = df.withColumn("pf", F.sum(F.col("z") - F.lit(k)).over(w))
+    s = p.withColumn("cusum", F.round(F.col("pf") - F.least(F.lit(0.0), F.min("pf").over(w)), 4))
+    got = [r.cusum for r in s.orderBy("h").collect()]
+    # sequential reference
+    S, want = 0.0, []
+    for z in zs:
+        S = max(0.0, S + z - k)
+        want.append(round(S, 4))
+    assert got == [round(x, 4) for x in want]

@@ -995,3 +995,22 @@ def test_rank_auc_textbook_values_and_degenerate_null(spark):
         "source string, score double, y boolean",
     )
     assert rank_auc(df2, "score", "y", by=["source"]).collect()[0].auc == 0.75
+
+
+def test_fleiss_kappa_textbook_properties(spark):
+    from ai_batch_processing_spark.operators.curation import fleiss_kappa_cells
+
+    # perfect agreement on a balanced corpus: every P_i = 1, Pe = 0.5 → kappa 1
+    v = spark.createDataFrame([(1, 3), (2, 0), (3, 3), (4, 0)], "id long, n_pos int")
+    row = fleiss_kappa_cells(v, 3).collect()[0]
+    assert row.p_bar == 1.0 and row.kappa == 1.0
+
+    # maximal disagreement (2-1 splits everywhere): P_i = 1/3 < Pe → kappa < 0
+    v2 = spark.createDataFrame([(1, 2), (2, 1), (3, 2), (4, 1)], "id long, n_pos int")
+    row2 = fleiss_kappa_cells(v2, 3).collect()[0]
+    assert row2.p_bar == round(1 / 3, 6) and row2.kappa < 0
+
+    # unanimity on ONE class: Pe = 1 → NULL (degenerate guard)
+    v3 = spark.createDataFrame([(1, 3), (2, 3)], "id long, n_pos int")
+    row3 = fleiss_kappa_cells(v3, 3).collect()[0]
+    assert row3.p_e == 1.0 and row3.kappa is None

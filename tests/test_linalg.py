@@ -101,3 +101,31 @@ def test_pca_project_reconstruction_improves_with_components(spark):
     want = np.round(c @ comps[0], 6)
     got = np.array([proj[r.vec_id][0] for r in rows])
     assert np.allclose(got, want, atol=2e-6)
+
+
+def test_pca_residual_norm_flags_planted_off_manifold_outlier(spark):
+    from ai_batch_processing_spark.operators.linalg import (
+        pca_components,
+        pca_project,
+    )
+
+    # corpus living (almost) exactly in a 2-D subspace — the top-2 basis
+    # explains normal rows to ~noise level, so reconstruction error is a
+    # clean anomaly score; the outlier leaves the subspace by 3.0
+    rng = np.random.default_rng(17)
+    a, b = rng.normal(size=60), rng.normal(size=60)
+    noise = 0.01 * rng.normal(size=(60, 6))
+    u1 = np.array([1.0, 0, 0, 0, 0, 0])
+    u2 = np.array([0, 1.0, 0, 0, 0, 0])
+    x = np.outer(4 * a, u1) + np.outer(2 * b, u2) + noise
+    rows = [(i, [float(v) for v in x[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out_row = spark.createDataFrame(
+        [(999, [1.0, 0.5, 3.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb.union(out_row)
+    mu, comps = pca_components(corpus, n_components=2, n_iter=6)
+    proj = pca_project(corpus, mu, comps, residual_norm=True)
+    top = proj.orderBy(F.desc("resid_norm")).first()
+    assert top.vec_id == 999  # the planted off-manifold row ranks first
