@@ -536,3 +536,59 @@ def q237_pca_reconstruction_outliers(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         emb.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding-QA capstone: one-row health report over the vector corpus
+# ---------------------------------------------------------------------------
+def _embedding_qa_oracle() -> str:
+    from ai_batch_processing_spark.registry import registered_oracle
+
+    q230 = registered_oracle("q230_pca_power_iteration")
+    q210 = registered_oracle("q210_embedding_dim_stats")
+    q237 = registered_oracle("q237_pca_reconstruction_outliers")
+    return f"""
+        WITH pca AS ({q230}),
+        dims AS ({q210}),
+        outl AS ({q237})
+        SELECT
+            (SELECT ROUND(MAX(var_share), 6) FROM pca) AS pc1_var_share,
+            (SELECT CAST(SUM(CASE WHEN ABS(mean) > 0.05 THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM dims) AS n_drifted_dims,
+            (SELECT CAST(SUM(n_outliers) AS BIGINT) FROM dims) AS n_dim_outliers,
+            (SELECT MAX(resid_norm) FROM outl) AS max_resid_norm
+    """
+
+
+@register(
+    "q240_embedding_qa_report",
+    oracle=_embedding_qa_oracle(),
+    doc=(
+        "embedding-corpus health report (the q225-style capstone for the "
+        "vector side): PC1 variance share (collapse indicator — a healthy "
+        "isotropic-ish corpus stays low; near 1 means the embedder "
+        "degenerated), count of mean-drifted dimensions and per-dimension "
+        "3-sigma outliers (q210), and the worst top-2-basis reconstruction "
+        "error (q237). Every component reuses its gated sub-oracle "
+        "verbatim via registered_oracle, so the capstone twin cannot "
+        "drift from the proven parts."
+    ),
+    tags=("linalg", "embedding", "qa", "capstone"),
+)
+def q240_embedding_qa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.similarity import (
+        q210_embedding_dim_stats,
+    )
+
+    pca = q230_pca_power_iteration(spark, sf_dir)
+    dims = q210_embedding_dim_stats(spark, sf_dir)
+    outl = q237_pca_reconstruction_outliers(spark, sf_dir)
+    a = pca.agg(F.round(F.max("var_share"), 6).alias("pc1_var_share"))
+    b = dims.agg(
+        F.sum(F.when(F.abs("mean") > 0.05, 1).otherwise(0))
+        .cast("long")
+        .alias("n_drifted_dims"),
+        F.sum("n_outliers").cast("long").alias("n_dim_outliers"),
+    )
+    c = outl.agg(F.max("resid_norm").alias("max_resid_norm"))
+    return a.crossJoin(b).crossJoin(c)

@@ -457,3 +457,64 @@ def stream_user_sessions_with_timeout(
             update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def stream_cusum_drift(
+    spark: SparkSession,
+    source_dir: str,
+    k: float = 0.5,
+    h: float = 4.0,
+    schema: str = "event_type string, hour timestamp, z double",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of q239's CUSUM drift detector: per event type, the
+    one-sided CUSUM over standardized hourly rates, carried across
+    micro-batches in two doubles of state (the prefix sum and its running
+    min — the same identity S_i = P_i − min(0, min_j P_j) the batch query
+    uses, so state is O(1) per key regardless of stream length).
+
+    Input rows are the standardized hourly aggregates (event_type, hour,
+    z); rows are processed in hour order WITHIN each micro-batch and the
+    source is expected to deliver batches in hour order per key (the
+    hourly-rollup producer's natural order) — a late hour would need the
+    watermarked-sort front end of stream_tumbling_counts first. Emits the
+    full trajectory row per hour with the same 4dp rounding as q239, so
+    a cross-batch run is value-identical to the batch query on the same
+    rows (pinned in tests/test_streaming.py).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_type string, hour timestamp, z double, cusum double, drifting boolean"
+    )
+    state_schema = "pf double, minpf double"
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pf, minpf = state.get if state.exists else (0.0, 0.0)
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            for r in pdf.sort_values("hour").itertuples():
+                pf += float(r.z) - k
+                minpf = min(minpf, pf)
+                s = round(pf - min(0.0, minpf), 4)
+                out.append(
+                    {
+                        "event_type": key[0],
+                        "hour": r.hour,
+                        "z": float(r.z),
+                        "cusum": s,
+                        "drifting": s > h,
+                    }
+                )
+        state.update((pf, minpf))
+        yield pd.DataFrame(out, columns=["event_type", "hour", "z", "cusum", "drifting"])
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -556,3 +556,46 @@ def test_stream_llm_map_grouped_resume_continues_conversations(spark, tmp_path):
     assert len(hist["en"]) == 1 + 2 * 8  # 8 en rows across 4 files
     assert len(hist["fr"]) == 1 + 2 * 4
     assert hist["en"][0] == {"role": "system", "content": "You are terse."}
+
+
+def test_stream_cusum_matches_batch_identity_across_batches(spark, tmp_path):
+    """stream_cusum_drift carried across micro-batches must emit exactly
+    the sequential-recurrence trajectory q239 computes in batch (the
+    prefix-sum identity with O(1) state per key)."""
+    from ai_batch_processing_spark.streaming.events import stream_cusum_drift
+
+    zs = [0.2, -0.1, 1.3, 1.1, 1.2, -2.0, 0.4, 0.9]
+    rows = [
+        {"event_type": "click", "hour": f"2024-01-01T{i:02d}:00:00", "z": z}
+        for i, z in enumerate(zs)
+    ]
+    d = tmp_path / "cusum"
+    d.mkdir()
+    # split across two micro-batches: state must carry pf/minpf over
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in rows[:4]))
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[4:]))
+    # the file source orders batches by modification time; same-instant
+    # writes tie and can flip the batch order — pin b0 strictly older
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(d / "b0.json", (now - 60, now - 60))
+    _os.utime(d / "b1.json", (now, now))
+    sdf = stream_cusum_drift(spark, str(d), max_files_per_trigger=1)
+    q = (
+        sdf.writeStream.format("memory").queryName("t_cusum").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r.hour): (r.cusum, r.drifting)
+        for r in spark.sql("SELECT * FROM t_cusum").collect()
+    }
+    # sequential reference (the recurrence form)
+    S, k, h = 0.0, 0.5, 4.0
+    for i, z in enumerate(zs):
+        S = max(0.0, S + z - k)
+        assert got[f"2024-01-01 {i:02d}:00:00"] == (round(S, 4), round(S, 4) > h)

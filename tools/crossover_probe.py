@@ -78,6 +78,17 @@ QUERIES = [
     "q170_dsir_importance_weights",
     "q171_duplicate_spans",
     "q173_pq_adc_int_topk",
+    # round-6 additions, unbounded over documents/embeddings:
+    # q229 is the RLE-compressibility scan (one Arrow-batched UDF pass vs
+    # DuckDB's per-char list lambda — the interpreted-lambda regime);
+    # q230 is the iterative-linalg representative: Spark pays 5 linear
+    # mapInPandas passes with dim-sized shuffles, the DuckDB twin must
+    # MATERIALIZE the 64x-exploded position table and walk the unrolled
+    # chain over it; q235 is the window-rank eval regime (per-source rank
+    # + tie windows over the classifier-score join).
+    "q229_rle_compressibility",
+    "q230_pca_power_iteration",
+    "q235_quality_auc",
 ]
 
 # LLM-pipeline heavies (round-2 verdict item 8) need crossover-SPECIFIC
