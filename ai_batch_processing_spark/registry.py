@@ -105,8 +105,10 @@ _PRIORITY = [
     # ---- round-6 gate prefix (the driver caps at ~50 rows) ----
     # New round-6 operators first: the q176 verify twin (RLE
     # compressibility — the SQL-expressible compressor), portable PCA
-    # power iteration, label propagation over the k-NN graph,
-    # margin-criterion pair mining, facility-location greedy coreset.
+    # power iteration + top-2 projection + reconstruction outliers +
+    # the embedding-QA capstone, label propagation over the k-NN graph,
+    # margin-criterion pair mining, facility-location greedy coreset,
+    # shingle containment, rank AUC, Fleiss' kappa, CUSUM drift.
     "q229_rle_compressibility",
     "q230_pca_power_iteration",
     "q231_label_propagation",
