@@ -2883,7 +2883,12 @@ def facility_location_select(
     IVF-bucketed pool and feed the bounded pool here. Gains are
     ROUND(SUM, 6)ed and ties break to the smallest id, so a fixed round
     count unrolls into a straight-line DuckDB CTE chain (the q122/q151
-    recipe) and the whole greedy loop hash-gates.
+    recipe) and the whole greedy loop hash-gates. The gain sum is a plain
+    global F.sum rounded once (the kmeans/PCA aggregate convention, NOT
+    the rrf sorted fold — vote groups there are k-bounded, while a
+    per-candidate sorted fold here would collect corpus-sized lists);
+    boundary-exact ties between shuffle layouts are assumed absent, as
+    everywhere 6dp-rounded global sums are used.
     """
     from ai_batch_processing_spark.operators.similarity import _dot, _norm
 
@@ -2920,7 +2925,7 @@ def facility_location_select(
             cands = pairs
             if chosen:
                 cands = pairs.filter(~F.col("cand").isin([c[1] for c in chosen]))
-            win = (
+            winners = (
                 cands.join(cur, "x")
                 .groupBy("cand")
                 .agg(
@@ -2930,8 +2935,14 @@ def facility_location_select(
                 )
                 .orderBy(F.desc("gain"), F.asc("cand"))
                 .limit(1)
-                .collect()[0]
+                .collect()
             )
+            if not winners:
+                raise ValueError(
+                    f"facility_location_select: k={k} exceeds the candidate "
+                    f"count (all {len(chosen)} rows already selected)"
+                )
+            win = winners[0]
             chosen.append((rnd, int(win.cand), float(win.gain)))
             upd = pairs.filter(F.col("cand") == win.cand).select("x", "sim")
             cur = (
@@ -3160,18 +3171,22 @@ def fleiss_kappa_cells(votes: DataFrame, n_raters: int) -> DataFrame:
     (Pe = 1) yields NULL — the q228 guard convention. Output one row:
     (n_docs, p_bar, p_e, kappa).
     """
+    if n_raters < 2:
+        raise ValueError(f"fleiss_kappa_cells: need >= 2 raters, got {n_raters}")
     m = n_raters
     npos = F.col("n_pos")
     nneg = F.lit(m) - npos
-    pi = (npos * (npos - 1) + nneg * (nneg - 1)) / F.lit(float(m * (m - 1)))
+    # sum the INTEGER numerators n_i1(n_i1-1)+n_i0(n_i0-1) and divide by
+    # m(m-1)·N once at the end — summing per-item /m(m-1) fractions would
+    # accumulate non-representable 1/3-style values in shuffle order
     ag = votes.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(pi).alias("_spi"),
+        F.sum(npos * (npos - 1) + nneg * (nneg - 1)).cast("long").alias("_spi"),
         F.sum(npos).cast("long").alias("_tpos"),
     )
     p1 = F.col("_tpos") / (F.col("n_docs") * F.lit(float(m)))
     pe = p1 * p1 + (F.lit(1.0) - p1) * (F.lit(1.0) - p1)
-    pbar = F.col("_spi") / F.col("n_docs")
+    pbar = F.col("_spi") / (F.col("n_docs") * F.lit(float(m * (m - 1))))
     return ag.select(
         "n_docs",
         F.round(pbar, 6).alias("p_bar"),
@@ -3208,17 +3223,18 @@ def _fleiss_oracle() -> str:
         ),
         ag AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   SUM((n_pos * (n_pos - 1) + (3 - n_pos) * (2 - n_pos)) / 6.0) AS spi,
+                   CAST(SUM(n_pos * (n_pos - 1) + (3 - n_pos) * (2 - n_pos))
+                        AS BIGINT) AS spi,
                    CAST(SUM(n_pos) AS BIGINT) AS tpos
             FROM votes
         )
         SELECT n_docs,
-               ROUND(spi / n_docs, 6) AS p_bar,
+               ROUND(spi / (6.0 * n_docs), 6) AS p_bar,
                ROUND(POWER(tpos * 1.0 / (n_docs * 3.0), 2)
                      + POWER(1.0 - tpos * 1.0 / (n_docs * 3.0), 2), 6) AS p_e,
                CASE WHEN POWER(tpos * 1.0 / (n_docs * 3.0), 2)
                          + POWER(1.0 - tpos * 1.0 / (n_docs * 3.0), 2) < 1.0
-                    THEN ROUND((spi / n_docs
+                    THEN ROUND((spi / (6.0 * n_docs)
                                 - (POWER(tpos * 1.0 / (n_docs * 3.0), 2)
                                    + POWER(1.0 - tpos * 1.0 / (n_docs * 3.0), 2)))
                                / (1.0 - (POWER(tpos * 1.0 / (n_docs * 3.0), 2)

@@ -741,7 +741,20 @@ def label_propagation(
         votes = (
             edges.join(lab, "src")
             .groupBy("dst", "label")
-            .agg(F.round(F.sum("w"), round_dp).alias("v"))
+            # sorted fold, not F.sum: a vote group holds up to k 6dp
+            # weights, and the rounded sum DECIDES the argmax label — the
+            # rrf_fuse convention (IEEE addition only commutes pairwise),
+            # cheap here because groups are k-bounded
+            .agg(
+                F.round(
+                    F.aggregate(
+                        F.array_sort(F.collect_list("w")),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    round_dp,
+                ).alias("v")
+            )
         )
         best = (
             votes.groupBy("dst")

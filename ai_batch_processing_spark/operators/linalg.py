@@ -57,81 +57,31 @@ def pca_top_component(
     reproduces every iterate bit-for-bit; ``None`` skips rounding for
     callers that just want the direction.
     """
-    if n_iter < 1:
-        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    vecs = emb.select(F.col(vec_col).alias("v"))
-    first = vecs.select(F.size("v").alias("d")).first()
-    if first is None:
-        raise ValueError("pca_top_component: empty corpus")
-    dim = int(first.d)
+    mu, comps = pca_components(
+        emb, n_components=1, n_iter=n_iter, vec_col=vec_col, round_dp=round_dp
+    )
+    v = comps[0]
+    dim = len(mu)
 
     def _rnd(x):
-        return np.asarray(x, dtype=np.float64) if round_dp is None else _round_half_up(x, round_dp)
-
-    def _mat(pdf: pd.DataFrame) -> np.ndarray:
-        return np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-
-    # pass 1: column means --------------------------------------------------
-    def mean_partials(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = _mat(pdf)
-            yield pd.DataFrame(
-                {
-                    "pos": np.arange(dim, dtype=np.int32),
-                    "s": m.sum(axis=0),
-                    "n": np.full(dim, len(m), dtype=np.int64),
-                }
-            )
-
-    mu = np.zeros(dim)
-    for r in (
-        vecs.mapInPandas(mean_partials, "pos int, s double, n long")
-        .groupBy("pos")
-        .agg((F.sum("s") / F.sum("n")).alias("m"))
-        .collect()
-    ):
-        mu[r.pos] = float(_rnd(r.m))
-
-    # power iterations --------------------------------------------------------
-    v = np.full(dim, float(_rnd(1.0 / np.sqrt(dim))))
-    for _ in range(n_iter):
-
-        def it_partials(batches, _mu=mu, _v=v, _r=_rnd):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                c = _mat(pdf) - _mu
-                d = _r(c @ _v)  # per-doc dot, rounded like the oracle's d CTE
-                yield pd.DataFrame(
-                    {"pos": np.arange(dim, dtype=np.int32), "w": d @ c}
-                )
-
-        w = np.zeros(dim)
-        for r in (
-            vecs.mapInPandas(it_partials, "pos int, w double")
-            .groupBy("pos")
-            .agg(F.sum("w").alias("w"))
-            .collect()
-        ):
-            w[r.pos] = float(_rnd(r.w))
-        nrm = float(np.sqrt((w * w).sum()))
-        if nrm == 0.0:
-            raise ValueError("pca_top_component: zero covariance iterate (constant corpus?)")
-        v = np.asarray(_rnd(w / nrm), dtype=np.float64)
+        return (
+            np.asarray(x, dtype=np.float64)
+            if round_dp is None
+            else _round_half_up(x, round_dp)
+        )
 
     # final pass: variance captured by v vs total centered variance ----------
     def var_partials(batches, _mu=mu, _v=v, _r=_rnd):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            c = _mat(pdf) - _mu
+            c = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]]) - _mu
             d = _r(c @ _v)
             yield pd.DataFrame({"d2": [float((d * d).sum())], "c2": [float((c * c).sum())]})
 
     tot = (
-        vecs.mapInPandas(var_partials, "d2 double, c2 double")
+        emb.select(F.col(vec_col).alias("v"))
+        .mapInPandas(var_partials, "d2 double, c2 double")
         .agg(F.sum("d2").alias("d2"), F.sum("c2").alias("c2"))
         .first()
     )
@@ -195,7 +145,20 @@ def _pca_oracle_sql(n_iter: int, dim: int) -> str:
 
 
 _PCA_ITERS = 3
-_PCA_DIM = 64  # embeddings table dim (TESTDATA.md); validated at runtime
+_PCA_DIM = 64  # embeddings table dim (TESTDATA.md); _require_dim enforces it
+
+
+def _require_dim(emb: DataFrame, dim: int, vec_col: str = "embedding") -> None:
+    """Fail fast if the corpus dimension differs from the one the
+    registered oracles baked into their v0 = round(1/sqrt(dim), 6) SQL
+    literal at import time — a mismatch would otherwise surface as a
+    confusing hash divergence instead of an error."""
+    got = emb.select(F.size(vec_col).alias("d")).first()
+    if got is None or int(got.d) != dim:
+        raise ValueError(
+            f"embeddings dimension {None if got is None else got.d} != {dim} "
+            "baked into the registered PCA oracles (_PCA_DIM)"
+        )
 
 
 @register(
@@ -214,6 +177,7 @@ _PCA_DIM = 64  # embeddings table dim (TESTDATA.md); validated at runtime
 )
 def q230_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    _require_dim(emb, _PCA_DIM)
     emb = emb.persist()
     try:
         out = pca_top_component(emb, n_iter=_PCA_ITERS)
@@ -495,7 +459,9 @@ def _pca2_outliers_oracle_sql(n_iter: int, dim: int, top_n: int) -> str:
     tags=("linalg", "embedding", "iterative"),
 )
 def q236_pca_top2_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].persist()
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    _require_dim(emb, _PCA_DIM)
+    emb = emb.persist()
     try:
         mu, comps = pca_components(emb, n_components=2, n_iter=_PCA_ITERS)
         out = pca_project(emb, mu, comps)
@@ -523,7 +489,9 @@ _PCA_OUTLIER_TOPN = 20
     tags=("linalg", "embedding", "qa", "iterative"),
 )
 def q237_pca_reconstruction_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].persist()
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    _require_dim(emb, _PCA_DIM)
+    emb = emb.persist()
     try:
         mu, comps = pca_components(emb, n_components=2, n_iter=_PCA_ITERS)
         out = (

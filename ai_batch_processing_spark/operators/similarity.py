@@ -3618,12 +3618,16 @@ def margin_best_pairs(
     b = side_b.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("_bv"), _norm(F.col(vec_col)).alias("_bn")
     )
-    pairs = b.join(F.broadcast(a), F.lit(True)).select(
-        "id_a",
-        "id_b",
-        F.round(_dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")), 6).alias(
-            "cosine"
-        ),
+    pairs = (
+        b.join(F.broadcast(a), F.lit(True))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")), 6
+            ).alias("cosine"),
+        )
+        .persist()  # scored ONCE: ka, kb, and the final join all reuse it
     )
     wa = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     wb = Window.partitionBy("id_b").orderBy(F.desc("cosine"), F.asc("id_a"))
@@ -3667,11 +3671,16 @@ def margin_best_pairs(
     wbest = Window.partitionBy("id_a").orderBy(
         F.desc_nulls_last("margin"), F.asc("id_b")
     )
-    return (
+    out = (
         scored.withColumn("_rn", F.row_number().over(wbest))
         .filter(F.col("_rn") == 1)
         .select("id_a", "id_b", "cosine", "margin")
     )
+    # materialize while the pair cache is alive, then release it (the
+    # q236/q237 persist-checkpoint-unpersist shape)
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    return out
 
 
 _MM_CAP_A = 50

@@ -1662,19 +1662,23 @@ def rle_compressibility(
     "q229_rle_compressibility",
     oracle=r"""
         WITH cs AS (
-            SELECT doc_id, string_split(text, '') AS c FROM documents
+            -- guard on length(text), NOT len(c): string_split('', '')
+            -- returns [''] (len 1), which would score an empty document
+            -- as one run where the Spark side scores 0
+            SELECT doc_id,
+                   COALESCE(length(text), 0) AS n,
+                   string_split(text, '') AS c
+            FROM documents
         )
         SELECT doc_id,
-               CAST(COALESCE(len(c), 0) AS BIGINT) AS n_chars,
-               CAST(CASE WHEN c IS NULL OR len(c) = 0 THEN 0
-                    ELSE 1 + len(list_filter(range(2, len(c) + 1),
+               CAST(n AS BIGINT) AS n_chars,
+               CAST(CASE WHEN n = 0 THEN 0
+                    ELSE 1 + len(list_filter(range(2, n + 1),
                                              i -> c[i] != c[i - 1]))
                     END AS BIGINT) AS n_runs,
-               ROUND(CASE WHEN COALESCE(len(c), 0) > 0
-                     THEN (CASE WHEN len(c) = 0 THEN 0
-                           ELSE 1 + len(list_filter(range(2, len(c) + 1),
-                                                    i -> c[i] != c[i - 1]))
-                           END) * 1.0 / len(c)
+               ROUND(CASE WHEN n > 0
+                     THEN (1 + len(list_filter(range(2, n + 1),
+                                               i -> c[i] != c[i - 1]))) * 1.0 / n
                      ELSE 0.0 END, 6) AS ratio
         FROM cs ORDER BY doc_id
     """,

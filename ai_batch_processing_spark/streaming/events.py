@@ -494,8 +494,13 @@ def stream_cusum_drift(
     ) -> Iterator[pd.DataFrame]:
         pf, minpf = state.get if state.exists else (0.0, 0.0)
         out: list[dict[str, Any]] = []
-        for pdf in pdfs:
-            for r in pdf.sort_values("hour").itertuples():
+        # pdfs is an iterator of ARROW CHUNKS of one group's micro-batch —
+        # a key spanning multiple chunks would otherwise be folded in
+        # chunk-arrival order; collect and sort the whole batch once
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            whole = pd.concat(frames, ignore_index=True).sort_values("hour")
+            for r in whole.itertuples():
                 pf += float(r.z) - k
                 minpf = min(minpf, pf)
                 s = round(pf - min(0.0, minpf), 4)
