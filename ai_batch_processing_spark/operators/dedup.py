@@ -1490,3 +1490,91 @@ def q234_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(corpus, "id", "text", k=5, threshold=0.8).orderBy(
         "id_a", "id_b"
     )
+
+
+def containment_dedup_survivors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Documents that survive subset-pruning: drop every doc whose shingle
+    set is ≥``threshold`` contained in a LONGER document (ties on length
+    keep the smaller id). The dedup rule resemblance-based pipelines
+    bolt on after Jaccard: a quote, excerpt, or boilerplate-wrapped copy
+    adds no information when its container is kept, but Jaccard never
+    flags the pair. One containment pass + one length-keyed anti join;
+    output (id, n_chars), the survivor set.
+    """
+    pairs = containment_pairs(df, id_col, text_col, k=k, threshold=threshold)
+    lens = df.select(
+        F.col(id_col).alias("id"), F.length(F.col(text_col)).alias("n_chars")
+    )
+    la = lens.select(F.col("id").alias("id_a"), F.col("n_chars").alias("_na"))
+    lb = lens.select(F.col("id").alias("id_b"), F.col("n_chars").alias("_nb"))
+    # a is dropped if contained in a strictly longer b, or an equal-length
+    # b with a smaller id (deterministic keep-one among mutual containers)
+    dropped = (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(
+            (F.col("_nb") > F.col("_na"))
+            | ((F.col("_nb") == F.col("_na")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+    )
+    return lens.join(dropped, "id", "left_anti")
+
+
+_CONTAINMENT_DEDUP_SQL = """
+        WITH corpus AS ({corpus_sql}),
+        docs AS (SELECT id, text FROM corpus WHERE length(text) >= 5),
+        sh AS (
+            SELECT DISTINCT id, substring(text, CAST(i AS INT), 5) AS s
+            FROM docs, unnest(generate_series(1, length(text) - 4)) AS t(i)
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   COUNT(*) * 1.0 / MIN(na.n) AS cont
+            FROM sh a
+            JOIN sh b ON a.s = b.s AND a.id <> b.id
+            JOIN sizes na ON na.id = a.id
+            GROUP BY 1, 2
+        ),
+        lens AS (SELECT id, length(text) AS n_chars FROM corpus),
+        dropped AS (
+            SELECT DISTINCT p.id_a AS id
+            FROM pairs p
+            JOIN lens la ON la.id = p.id_a
+            JOIN lens lb ON lb.id = p.id_b
+            WHERE p.cont >= 0.9
+              AND (lb.n_chars > la.n_chars
+                   OR (lb.n_chars = la.n_chars AND p.id_b < p.id_a))
+        )
+        SELECT l.id, CAST(l.n_chars AS BIGINT) AS n_chars
+        FROM lens l LEFT JOIN dropped d ON l.id = d.id
+        WHERE d.id IS NULL
+        ORDER BY l.id
+    """
+
+
+@register(
+    "q241_containment_dedup_survivors",
+    oracle=_CONTAINMENT_DEDUP_SQL.format(corpus_sql=_DUP_CORPUS_SQL),
+    doc=(
+        "subset-pruning dedup survivors on the planted-dup corpus: drop "
+        "every document >= 0.9 shingle-contained in a longer one (equal "
+        "lengths keep the smaller id) — the keep-the-container rule that "
+        "removes quotes/excerpts resemblance dedup (q41/q62) leaves "
+        "behind. One containment pass + one length-keyed anti join."
+    ),
+    tags=("dedup", "containment", "curation"),
+)
+def q241_containment_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return containment_dedup_survivors(corpus, "id", "text", k=5, threshold=0.9).orderBy(
+        "id"
+    )

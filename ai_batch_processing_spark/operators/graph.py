@@ -874,3 +874,67 @@ def q231_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         emb.unpersist()
     return out.select(F.col("id").alias("vec_id"), "label").orderBy("vec_id")
+
+
+def _label_prop_eval_oracle() -> str:
+    from ai_batch_processing_spark.registry import registered_oracle
+
+    q231 = registered_oracle("q231_label_propagation")
+    return f"""
+        WITH prop AS ({q231})
+        SELECT e.label,
+               CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM(CASE WHEN p.label = e.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN p.label IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unlabeled,
+               ROUND(SUM(CASE WHEN p.label = e.label THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) AS accuracy
+        FROM embeddings e
+        JOIN prop p ON p.vec_id = e.vec_id
+        WHERE e.vec_id < {_PR_CAP} AND e.vec_id % {_LP_SEED_MOD} <> 0
+        GROUP BY e.label ORDER BY e.label
+    """
+
+
+@register(
+    "q242_label_prop_accuracy",
+    oracle=_label_prop_eval_oracle(),
+    doc=(
+        "held-out accuracy of label propagation (q231): the 2/3 of nodes "
+        "that started UNLABELED are scored against their true labels, per "
+        "class — the go/no-go eval run before trusting spread labels as "
+        "training signal (the q219/q221/q224 eval-family pattern: the "
+        "approximate operator and its quality measurement both gated). "
+        "Oracle embeds q231's unrolled twin verbatim via registered_oracle."
+    ),
+    tags=("graph", "eval", "labels"),
+)
+def q242_label_prop_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prop = q231_label_propagation(spark, sf_dir).select(
+        "vec_id", F.col("label").alias("_plabel")
+    )
+    truth = (
+        load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        .filter((F.col("vec_id") < _PR_CAP) & (F.col("vec_id") % _LP_SEED_MOD != 0))
+        .select("vec_id", "label")
+    )
+    j = truth.join(prop, "vec_id")
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum((F.col("_plabel") == F.col("label")).cast("int"))
+            .cast("long")
+            .alias("n_correct"),
+            F.sum(F.col("_plabel").isNull().cast("int"))
+            .cast("long")
+            .alias("n_unlabeled"),
+            F.round(
+                F.sum((F.col("_plabel") == F.col("label")).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

@@ -121,6 +121,8 @@ _PRIORITY = [
     "q238_fleiss_kappa",
     "q239_cusum_drift",
     "q240_embedding_qa_report",
+    "q241_containment_dedup_survivors",
+    "q242_label_prop_accuracy",
     # Then every oracle-backed query no driver round has gated yet
     # (rounds 1-5 union): the q194-q202 tail of the round-4 batches and
     # the q162-q169 round-5 block that the 50-row cap cut off.

@@ -592,3 +592,22 @@ def test_containment_pairs_asymmetric_subset_detection(spark):
     assert (1, 2) in cont and cont[(1, 2)] > 0.95  # short contained in long
     assert (2, 1) not in cont  # not symmetric: long is NOT contained in short
     assert (1, 2) not in jac  # resemblance misses the subset pair
+
+
+def test_containment_dedup_keeps_container_drops_quote(spark):
+    from ai_batch_processing_spark.operators.dedup import containment_dedup_survivors
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    container = quote + " plus a long original continuation that dwarfs it " + "y" * 100
+    rows = [
+        (1, quote),  # contained in 2 → dropped
+        (2, container),  # the container → kept
+        (3, "entirely unrelated text about parquet shuffles and joins"),
+        (4, quote),  # identical twin of 1: mutual containment, smaller id kept
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    kept = sorted(r.id for r in containment_dedup_survivors(df, "id", "text").collect())
+    # 1 and 4 are both contained in the longer 2 → dropped (4 is ALSO
+    # dropped by the equal-length tie against the smaller id 1, but the
+    # container path alone suffices); 2 and the unrelated 3 survive
+    assert kept == [2, 3]
