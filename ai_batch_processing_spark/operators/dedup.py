@@ -1503,9 +1503,18 @@ def containment_dedup_survivors(
     set is ≥``threshold`` contained in a LONGER document (ties on length
     keep the smaller id). The dedup rule resemblance-based pipelines
     bolt on after Jaccard: a quote, excerpt, or boilerplate-wrapped copy
-    adds no information when its container is kept, but Jaccard never
-    flags the pair. One containment pass + one length-keyed anti join;
-    output (id, n_chars), the survivor set.
+    is usually redundant given its container, but Jaccard never flags
+    the pair. One containment pass + one length-keyed anti join; output
+    (id, n_chars), the survivor set.
+
+    Survivorship is NOT closed under containment: each doc is judged
+    against its own containers only, so in a chain A⊆B⊆C both A and B
+    drop even though A's container B was itself dropped — if A's direct
+    containment in the surviving C is below ``threshold``, A's content
+    may leave the kept set. This is the standard one-pass rule (cheap,
+    deterministic, matches the SQL twin); a closure-preserving variant
+    would iterate "dropped only if a SURVIVING container exists" to a
+    fixed point, which is order-dependent and quadratic in chain depth.
     """
     pairs = containment_pairs(df, id_col, text_col, k=k, threshold=threshold)
     lens = df.select(

@@ -722,15 +722,20 @@ def label_propagation(
     currently-labeled in-neighbors (Zhu & Ghahramani's hard-clamp form:
     seeds never change; unlabeled nodes with no labeled in-neighbor keep
     their previous state, NULL until reached). Ties break to the smallest
-    label. Votes are ROUND(SUM(w), round_dp)ed so the vote comparison —
-    the only decision — depends on 6dp constants a SQL twin reproduces,
-    making the fixed-iteration loop hash-checkable against an unrolled
-    DuckDB CTE chain (the q122 recipe).
+    label. Weights are round_dp-decimal constants, so each vote is the
+    exact integer SUM(w·10^round_dp) (the Fleiss convention: a sum of
+    scaled-integer longs is order-free, unlike IEEE doubles) — the vote
+    comparison, the only decision, is integer arithmetic both engines
+    reproduce, making the fixed-iteration loop hash-checkable against an
+    unrolled DuckDB CTE chain (the q122 recipe).
 
     Scale shape: each step is one edges⋈labels join (shuffle on src) +
     one (dst,label) aggregate + one dst argmax — edges shuffle once per
     round, labels are node-sized, and lineage is truncated per round with
-    a lazy localCheckpoint so the plan doesn't double per iteration.
+    a lazy localCheckpoint so the plan doesn't double per iteration. The
+    integer vote sum is a plain partial-aggregating F.sum: safe for hub
+    dsts whose in-degree (unbounded in a directed k-NN graph — only
+    OUT-degree is k-bounded) would make a collect_list fold corpus-sized.
     """
     seeds = nodes.select("id", F.col("seed_label").cast("int").alias("seed_label"))
     labels = seeds.select("id", F.col("seed_label").alias("label"))
@@ -740,19 +745,14 @@ def label_propagation(
         )
         votes = (
             edges.join(lab, "src")
+            # w is a round_dp-decimal constant: w·10^round_dp rounds to an
+            # exact long, and the long sum DECIDES the argmax label —
+            # order-free (unlike an IEEE double fold) and in-degree-safe
+            # (a hub dst may receive votes from nearly every node)
             .groupBy("dst", "label")
-            # sorted fold, not F.sum: a vote group holds up to k 6dp
-            # weights, and the rounded sum DECIDES the argmax label — the
-            # rrf_fuse convention (IEEE addition only commutes pairwise),
-            # cheap here because groups are k-bounded
             .agg(
-                F.round(
-                    F.aggregate(
-                        F.array_sort(F.collect_list("w")),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    round_dp,
+                F.sum(
+                    F.round(F.col("w") * F.lit(10.0**round_dp), 0).cast("long")
                 ).alias("v")
             )
         )
@@ -803,7 +803,8 @@ def _label_prop_oracle_sql(iterations: int, cap: int, k: int, seed_mod: int) -> 
         steps.append(
             f"""
         , v{i + 1} AS (
-            SELECT e.dst, l.label, ROUND(SUM(e.w), 6) AS v
+            SELECT e.dst, l.label,
+                   SUM(CAST(ROUND(e.w * 1000000, 0) AS BIGINT)) AS v
             FROM edges e JOIN l{i} l ON e.src = l.id
             WHERE l.label IS NOT NULL
             GROUP BY e.dst, l.label

@@ -81,10 +81,18 @@ def register(
 
 
 def registered_oracle(name: str) -> str:
-    """Oracle SQL of an ALREADY-REGISTERED query — for composed capstones
-    whose DuckDB twin embeds the sub-queries' twins verbatim (the oracle
-    stays derived from the gated source, never a drifting copy). Only
-    valid for names registered earlier in import order."""
+    """Oracle SQL of a registered query — for composed capstones whose
+    DuckDB twin embeds the sub-queries' twins verbatim (the oracle stays
+    derived from the gated source, never a drifting copy). On a miss the
+    owning module is imported lazily (in _QUERY_MODULES order, stopping
+    as soon as the name appears), so a caller's import-time composition
+    does not depend on incidental top-level imports having already
+    registered the dependency."""
+    if name not in _REGISTRY:
+        for mod in _QUERY_MODULES:
+            importlib.import_module(mod)
+            if name in _REGISTRY:
+                break
     spec = _REGISTRY[name]
     if spec.oracle is None:
         raise ValueError(f"{name} has no oracle")

@@ -499,11 +499,15 @@ def stream_cusum_drift(
         # chunk-arrival order; collect and sort the whole batch once
         frames = [pdf for pdf in pdfs if len(pdf)]
         if frames:
+            from ai_batch_processing_spark.operators.similarity import _round_half_up
+
             whole = pd.concat(frames, ignore_index=True).sort_values("hour")
             for r in whole.itertuples():
                 pf += float(r.z) - k
                 minpf = min(minpf, pf)
-                s = round(pf - min(0.0, minpf), 4)
+                # HALF_UP like the batch q239's F.round — Python round()
+                # is half-even, the exact divergence class on .5e-4 ties
+                s = float(_round_half_up(pf - min(0.0, minpf), 4))
                 out.append(
                     {
                         "event_type": key[0],
