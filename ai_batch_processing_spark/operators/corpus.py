@@ -1950,3 +1950,141 @@ def q226_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in ("added", "removed", "changed", "unchanged")
     ]
     return d.groupBy("source").agg(*agg).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap confidence intervals (hash-Poisson resampling)
+# ---------------------------------------------------------------------------
+def bootstrap_mean_ci(
+    docs: DataFrame,
+    value_col,
+    id_col: str = "doc_id",
+    n_replicates: int = 200,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """One row: (n_rows, point_mean, n_replicates, ci_lo, ci_hi) — a
+    percentile-bootstrap CI for the corpus mean of an INTEGER statistic,
+    with zero randomness.
+
+    Poisson bootstrap (the streaming-friendly form: each replicate draws
+    every row Poisson(1) times, no global n needed), derandomized: the
+    draw count for (row, replicate) comes from an md5 bucket in [0,1000)
+    → {0, 1, 2} with Poisson(1)-matched mass (368/368/264‰, the ≥2 tail
+    lumped at 2). Every replicate sum is integer-exact, each replicate
+    mean is one 6dp division, and the percentile endpoints are
+    row_number picks at ceil(α/2·B) / ceil((1−α/2)·B) with the replicate
+    id as tiebreak — fully reproducible in any engine, so the whole CI
+    hash-gates.
+
+    Scale shape: ONE pass — explode rows × B (B map-combinable partial
+    sums per partition), shuffle B rows, a B-row window, two rank picks.
+    At 100 TB this is the textbook way to get error bars without a
+    second scan or a driver-side sample.
+    """
+    import math
+
+    b_lo = max(1, math.ceil(alpha / 2 * n_replicates))
+    b_hi = math.ceil((1 - alpha / 2) * n_replicates)
+    vals = docs.select(
+        F.col(id_col).alias("_id"), F.col(value_col).cast("long").alias("x")
+    )
+    point = vals.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("x") * 1.0 / F.count(F.lit(1)), 6).alias("point_mean"),
+    )
+    drawn = vals.select(
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("b"),
+        "_id",
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("_id").cast("string"), F.lit(":"), F.col("b").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000,
+    ).withColumn(
+        "c",
+        F.when(F.col("u") < 368, 0).when(F.col("u") < 736, 1).otherwise(2).cast("long"),
+    )
+    reps = (
+        drawn.groupBy("b")
+        .agg(F.sum(F.col("c") * F.col("x")).alias("sx"), F.sum("c").alias("sc"))
+        .select(
+            "b", F.round(F.col("sx") * 1.0 / F.col("sc"), 6).alias("m")
+        )
+    )
+    w = Window.orderBy("m", "b")
+    ranked = reps.select("m", F.row_number().over(w).alias("rn"))
+    ci = ranked.agg(
+        F.sum(F.when(F.col("rn") == b_lo, F.col("m"))).alias("ci_lo"),
+        F.sum(F.when(F.col("rn") == b_hi, F.col("m"))).alias("ci_hi"),
+    )
+    return point.crossJoin(
+        ci.select(F.lit(n_replicates).cast("long").alias("n_replicates"), "ci_lo", "ci_hi")
+    ).select("n_rows", "point_mean", "n_replicates", "ci_lo", "ci_hi")
+
+
+_BOOT_B = 200
+
+
+@register(
+    "q249_bootstrap_token_mean_ci",
+    oracle=rf"""
+        WITH vals AS MATERIALIZED (
+            SELECT doc_id AS id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> t <> '')) AS BIGINT) AS x
+            FROM documents
+        ),
+        point AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(SUM(x) * 1.0 / COUNT(*), 6) AS point_mean
+            FROM vals
+        ),
+        drawn AS (
+            SELECT v.x, CAST(b.range AS BIGINT) AS b,
+                   CAST(('0x' || substr(md5(CAST(v.id AS VARCHAR) || ':' ||
+                                            CAST(b.range AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000 AS u
+            FROM vals v, range({_BOOT_B}) b
+        ),
+        reps AS (
+            SELECT b,
+                   ROUND(SUM(CASE WHEN u < 368 THEN 0
+                                  WHEN u < 736 THEN 1 ELSE 2 END * x) * 1.0
+                         / SUM(CASE WHEN u < 368 THEN 0
+                                    WHEN u < 736 THEN 1 ELSE 2 END), 6) AS m
+            FROM drawn GROUP BY b
+        ),
+        ranked AS (
+            SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM reps
+        ),
+        ci AS (
+            SELECT SUM(CASE WHEN rn = {max(1, (_BOOT_B * 5 + 199) // 200)} THEN m END) AS ci_lo,
+                   SUM(CASE WHEN rn = {(_BOOT_B * 195 + 199) // 200} THEN m END) AS ci_hi
+            FROM ranked
+        )
+        SELECT p.n_rows, p.point_mean,
+               CAST({_BOOT_B} AS BIGINT) AS n_replicates, c.ci_lo, c.ci_hi
+        FROM point p, ci c
+    """,
+    doc=(
+        "derandomized Poisson-bootstrap 95% CI for the corpus mean token "
+        "count: 200 replicates whose per-(doc,replicate) draw count is an "
+        "md5 bucket mapped to {0,1,2} with Poisson(1) mass — integer "
+        "replicate sums, one 6dp division each, percentile endpoints by "
+        "row_number. Error bars for any corpus statistic in ONE pass, "
+        "no RNG, no second scan, reproducible across engines."
+    ),
+    tags=("corpus", "stats", "bootstrap", "eval"),
+)
+def q249_bootstrap_token_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    vals = docs.select("doc_id", F.size(tokens_expr("text")).alias("ntok"))
+    return bootstrap_mean_ci(vals, "ntok", id_col="doc_id", n_replicates=_BOOT_B)

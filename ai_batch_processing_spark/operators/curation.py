@@ -3282,3 +3282,278 @@ def q238_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fleiss_kappa_cells(votes, n_raters=3)
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear classifier TRAINING (closes q208's "the training happens
+# elsewhere": the weight table is learned in-engine, then plugs straight
+# into linear_text_classifier for the inference scan)
+# ---------------------------------------------------------------------------
+def _hashed_feature_counts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    method: str,
+    include_bigrams: bool,
+) -> DataFrame:
+    """(doc_id, b, c): the q208 hashed unigram(+bigram) bag, PLUS one bias
+    row per doc at bucket -1 with c = 1, so the bias trains and scores
+    through exactly the same join/aggregate path as every other weight."""
+    base = docs.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("ts"))
+    ts = F.col("ts")
+    feats = ts
+    if include_bigrams:
+        bigrams = F.when(
+            F.size(ts) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - 1),
+                lambda i: F.concat(
+                    F.element_at(ts, i), F.lit(" "), F.element_at(ts, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(ts, bigrams)
+    counts = (
+        base.select("doc_id", F.explode(feats).alias("f"))
+        .select("doc_id", _feature_bucket(F.col("f"), n_buckets, method).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bias = base.select(
+        "doc_id", F.lit(-1).cast("long").alias("b"), F.lit(1).cast("long").alias("c")
+    )
+    return counts.unionAll(bias)
+
+
+def perceptron_train_hashed(
+    docs: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    epochs: int = 5,
+    method: str = "xxhash64",
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Learned (b, w) integer weight table for the fastText-shape hashed
+    linear classifier — batch-perceptron training run entirely in-engine.
+
+    ``label_col`` holds y ∈ {+1, −1}. Each epoch is one synchronous
+    batch update: margins m_d = Σ_b c_db·w_b (the bias rides along as
+    bucket −1), every doc with y_d·m_d ≤ 0 is misclassified, and
+    w_b += Σ_misclassified y_d·c_db. All state is INTEGER (counts,
+    weights, margins), so every decision — the ≤ 0 test and the final
+    weights — is exact in any engine and the fixed-epoch loop
+    hash-matches an unrolled DuckDB CTE chain; there is no learning rate
+    because perceptron updates are scale-invariant. Overflow headroom:
+    |w| grows ≤ Σ_d c_db per epoch (~corpus tokens / n_buckets), margins
+    ≤ doc_tokens · max|w| — int64 holds past billions of documents.
+
+    Scale shape: the feature bag is built ONCE (one explode + one
+    map-combinable (doc,b) count, persisted and pre-partitioned on
+    doc_id); each epoch joins the ≤ n_buckets+1-row weight table in as a
+    broadcast (margins need no shuffle beyond the persisted layout), the
+    misclassified-doc join is doc_id-co-partitioned, and the weight
+    update aggregates to n_buckets rows. Per-epoch lineage is cut with a
+    lazy localCheckpoint. Epochs are Spark jobs only at the end — the
+    whole loop stays lazy until the caller materializes.
+    """
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    sess = docs.sparkSession
+    feats = _hashed_feature_counts(
+        docs, id_col, text_col, n_buckets, method, include_bigrams
+    )
+    from ai_batch_processing_spark.session import shuffle_partitions
+
+    n = min(shuffle_partitions(sess), max(2 * sess.sparkContext.defaultParallelism, 16))
+    feats = feats.repartition(n, "doc_id").persist()
+    labels = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(label_col).cast("long").alias("y")
+    )
+    wt = sess.range(-1, n_buckets).select(
+        F.col("id").alias("b"), F.lit(0).cast("long").alias("w")
+    )
+    for e in range(epochs):
+        margins = (
+            feats.join(F.broadcast(wt), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("c") * F.col("w")).alias("m"))
+        )
+        miscl = (
+            margins.join(labels, "doc_id")
+            .filter(F.col("y") * F.col("m") <= 0)
+            .select("doc_id", "y")
+        )
+        upd = (
+            feats.join(miscl, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("y") * F.col("c")).alias("dw"))
+        )
+        wt = (
+            wt.join(upd, "b", "left")
+            .select(
+                "b",
+                (F.col("w") + F.coalesce(F.col("dw"), F.lit(0)))
+                .cast("long")
+                .alias("w"),
+            )
+            .localCheckpoint(eager=(e == epochs - 1))
+        )
+    feats.unpersist()
+    return wt
+
+
+_PERC_BUCKETS = 256
+_PERC_EPOCHS = 5
+# integer alpha-ratio label at the corpus median (ratio >= 0.82) — exact
+# in both engines, no division
+_PERC_LABEL_SPARK = None  # built in the query (needs F)
+_PERC_LABEL_SQL = (
+    "CASE WHEN 50 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+    ">= 41 * length(text) THEN 1 ELSE -1 END"
+)
+
+
+def _perceptron_oracle(n_buckets: int, epochs: int, tail: str) -> str:
+    head = rf"""
+        WITH base AS MATERIALIZED (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts,
+                   {_PERC_LABEL_SQL} AS y
+            FROM documents
+        ),
+        uni AS (SELECT doc_id, unnest(ts) AS f FROM base),
+        bi AS (
+            SELECT doc_id,
+                   ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS f
+            FROM base, unnest(generate_series(1, len(ts) - 1)) u(i)
+            WHERE len(ts) >= 2
+        ),
+        feats AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % {n_buckets} AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) allf
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT doc_id, CAST(-1 AS BIGINT) AS b, CAST(1 AS BIGINT) AS c FROM base
+        ),
+        labels AS MATERIALIZED (SELECT doc_id, y FROM base),
+        w0 AS (
+            SELECT r.range AS b, CAST(0 AS BIGINT) AS w FROM range(-1, {n_buckets}) r
+        )
+    """
+    steps = []
+    for i in range(1, epochs + 1):
+        steps.append(
+            f"""
+        , m{i} AS (
+            SELECT f.doc_id, SUM(f.c * w.w) AS m
+            FROM feats f JOIN w{i - 1} w USING (b) GROUP BY 1
+        ),
+        u{i} AS (
+            SELECT f.b, SUM(l.y * f.c) AS dw
+            FROM feats f
+            JOIN m{i} m ON m.doc_id = f.doc_id
+            JOIN labels l ON l.doc_id = f.doc_id
+            WHERE l.y * m.m <= 0
+            GROUP BY 1
+        ),
+        w{i} AS MATERIALIZED (
+            SELECT w.b, CAST(w.w + COALESCE(u.dw, 0) AS BIGINT) AS w
+            FROM w{i - 1} w LEFT JOIN u{i} u USING (b)
+        )"""
+        )
+    return head + "".join(steps) + tail
+
+
+def _perc_labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    return docs.withColumn(
+        "y", F.when(alpha * 50 >= F.length("text") * 41, 1).otherwise(-1)
+    )
+
+
+@register(
+    "q243_perceptron_train",
+    oracle=_perceptron_oracle(
+        _PERC_BUCKETS,
+        _PERC_EPOCHS,
+        f"\n        SELECT b, w FROM w{_PERC_EPOCHS} ORDER BY b\n    ",
+    ),
+    doc=(
+        "in-engine training of the q208 hashed linear classifier: 5 "
+        "batch-perceptron epochs over the unigram+bigram md5-bucket bag "
+        "(bias as bucket -1), labels = integer alpha-ratio median rule. "
+        "All-integer state makes every epoch exact; hash-matched against "
+        "the 5 epochs unrolled as a DuckDB CTE chain. The learned (b, w) "
+        "table plugs straight into linear_text_classifier for inference."
+    ),
+    tags=("curation", "classifier", "training", "iterative"),
+)
+def q243_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled = _perc_labeled_docs(spark, sf_dir)
+    wt = perceptron_train_hashed(
+        labeled, "y", n_buckets=_PERC_BUCKETS, epochs=_PERC_EPOCHS, method="md5"
+    )
+    return wt.orderBy("b")
+
+
+@register(
+    "q244_perceptron_train_eval",
+    oracle=_perceptron_oracle(
+        _PERC_BUCKETS,
+        _PERC_EPOCHS,
+        f"""
+        , mf AS (
+            SELECT f.doc_id, SUM(f.c * w.w) AS m
+            FROM feats f JOIN w{_PERC_EPOCHS} w USING (b) GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN m.m > 0 AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN m.m > 0 AND l.y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN m.m <= 0 AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN m.m <= 0 AND l.y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+               ROUND(SUM(CASE WHEN (m.m > 0) = (l.y = 1) THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS accuracy
+        FROM mf m JOIN labels l ON l.doc_id = m.doc_id
+    """,
+    ),
+    doc=(
+        "training-set confusion matrix + accuracy of the q243-trained "
+        "perceptron: the trained weights scored back over the same "
+        "integer feature bag (one broadcast join + per-doc sum). Oracle "
+        "re-derives the identical weights via the shared unrolled-epoch "
+        "builder, so the eval can never drift from the trainer."
+    ),
+    tags=("curation", "classifier", "training", "eval"),
+)
+def q244_perceptron_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled = _perc_labeled_docs(spark, sf_dir)
+    wt = perceptron_train_hashed(
+        labeled, "y", n_buckets=_PERC_BUCKETS, epochs=_PERC_EPOCHS, method="md5"
+    )
+    feats = _hashed_feature_counts(
+        labeled, "doc_id", "text", _PERC_BUCKETS, "md5", include_bigrams=True
+    )
+    margins = (
+        feats.join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("w")).alias("m"))
+    )
+    j = margins.join(labeled.select("doc_id", "y"), "doc_id")
+    pred_pos = F.col("m") > 0
+    actual_pos = F.col("y") == 1
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((pred_pos & actual_pos).cast("int")).cast("long").alias("tp"),
+        F.sum((pred_pos & ~actual_pos).cast("int")).cast("long").alias("fp"),
+        F.sum((~pred_pos & actual_pos).cast("int")).cast("long").alias("fn"),
+        F.sum((~pred_pos & ~actual_pos).cast("int")).cast("long").alias("tn"),
+        F.round(
+            F.sum((pred_pos == actual_pos).cast("int")) / F.count(F.lit(1)), 6
+        ).alias("accuracy"),
+    )

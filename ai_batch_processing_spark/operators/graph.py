@@ -939,3 +939,173 @@ def q242_label_prop_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS (Kleinberg): hubs & authorities over the directed k-NN graph
+# ---------------------------------------------------------------------------
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(id, authority, hub) after ``iterations`` synchronous HITS rounds
+    on the unweighted directed graph ``edges`` (src, dst).
+
+    Scores live on the 6dp grid as SCALED LONGS: each half-step is an
+    exact integer vote sum (a_i = Σ_{j→i} h_j — order-free, hub-safe,
+    the label-prop convention) followed by ONE L1 normalization division
+    (raw·scale / Σraw, identical IEEE doubles in any engine, HALF_UP
+    back to the grid). That makes the fixed-iteration loop hash-exact
+    against an unrolled DuckDB CTE chain — no sqrt, no float sums.
+
+    Scale shape: per round, two edges⋈scores joins (shuffle on src then
+    dst), two node-sized aggregates, and two scalar totals broadcast
+    back; lineage is cut once per round with a lazy localCheckpoint.
+    Nodes without in-edges (authority) or out-edges (hub) hold 0.
+    """
+    h = nodes.select("id", F.lit(scale).cast("long").alias("h"))
+    a = None
+    for i in range(iterations):
+        ar = (
+            edges.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("raw"))
+        )
+        na = ar.agg(F.sum("raw").alias("s"))
+        a = (
+            nodes.join(ar.withColumnRenamed("dst", "id"), "id", "left")
+            .crossJoin(F.broadcast(na))
+            .select(
+                "id",
+                F.round(
+                    F.coalesce(F.col("raw"), F.lit(0)) * F.lit(float(scale)) / F.col("s"),
+                    0,
+                )
+                .cast("long")
+                .alias("a"),
+            )
+        )
+        hr = (
+            edges.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("raw"))
+        )
+        nh = hr.agg(F.sum("raw").alias("s"))
+        h = (
+            nodes.join(hr.withColumnRenamed("src", "id"), "id", "left")
+            .crossJoin(F.broadcast(nh))
+            .select(
+                "id",
+                F.round(
+                    F.coalesce(F.col("raw"), F.lit(0)) * F.lit(float(scale)) / F.col("s"),
+                    0,
+                )
+                .cast("long")
+                .alias("h"),
+            )
+            .localCheckpoint(eager=(i == iterations - 1))
+        )
+    return (
+        nodes.join(a, "id", "left")
+        .join(h, "id", "left")
+        .select(
+            "id",
+            F.round(F.col("a") / F.lit(float(scale)), 6).alias("authority"),
+            F.round(F.col("h") / F.lit(float(scale)), 6).alias("hub"),
+        )
+    )
+
+
+def _hits_oracle_sql(iterations: int, cap: int, k: int, scale: int = 1_000_000) -> str:
+    head = f"""
+        WITH emb AS MATERIALIZED (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {cap}
+        ),
+        scored AS (
+            SELECT a.id AS src, b.id AS dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC, b.id
+                   ) AS rnk
+            FROM emb a JOIN emb b ON a.id <> b.id
+        ),
+        edges AS MATERIALIZED (SELECT src, dst FROM scored WHERE rnk <= {k}),
+        nodes AS MATERIALIZED (SELECT id FROM emb),
+        h0 AS (SELECT id, CAST({scale} AS BIGINT) AS h FROM nodes)
+    """
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""
+        , ar{i} AS (
+            SELECT e.dst AS id, SUM(h.h) AS raw
+            FROM edges e JOIN h{i - 1} h ON h.id = e.src GROUP BY 1
+        ),
+        an{i} AS (SELECT SUM(raw) AS s FROM ar{i}),
+        a{i} AS MATERIALIZED (
+            SELECT n.id,
+                   CAST(ROUND(COALESCE(ar.raw, 0) * {scale}.0 / an.s, 0) AS BIGINT) AS a
+            FROM nodes n LEFT JOIN ar{i} ar ON ar.id = n.id CROSS JOIN an{i} an
+        ),
+        hr{i} AS (
+            SELECT e.src AS id, SUM(a.a) AS raw
+            FROM edges e JOIN a{i} a ON a.id = e.dst GROUP BY 1
+        ),
+        hn{i} AS (SELECT SUM(raw) AS s FROM hr{i}),
+        h{i} AS MATERIALIZED (
+            SELECT n.id,
+                   CAST(ROUND(COALESCE(hr.raw, 0) * {scale}.0 / hn.s, 0) AS BIGINT) AS h
+            FROM nodes n LEFT JOIN hr{i} hr ON hr.id = n.id CROSS JOIN hn{i} hn
+        )"""
+        )
+    tail = f"""
+        SELECT n.id AS vec_id,
+               ROUND(a{iterations}.a / {scale}.0, 6) AS authority,
+               ROUND(h{iterations}.h / {scale}.0, 6) AS hub
+        FROM nodes n
+        LEFT JOIN a{iterations} ON a{iterations}.id = n.id
+        LEFT JOIN h{iterations} ON h{iterations}.id = n.id
+        ORDER BY vec_id
+    """
+    return head + "".join(steps) + tail
+
+
+_HITS_ITERS = 5
+
+
+@register(
+    "q247_hits_knn_graph",
+    oracle=_hits_oracle_sql(_HITS_ITERS, _PR_CAP, _PR_K),
+    doc=(
+        "HITS hubs & authorities over the embedding k-NN graph (300 "
+        "nodes, k=5, 5 synchronous rounds): the asymmetric centrality "
+        "pagerank (q122) can't give — a vector that many neighborhoods "
+        "POINT AT (authority) vs one whose OWN neighborhood covers "
+        "well-cited vectors (hub). Integer vote sums + one L1 "
+        "normalization division per half-step keep every score on the "
+        "6dp grid; hash-matched against the rounds unrolled in DuckDB."
+    ),
+    tags=("graph", "similarity", "iterative", "centrality"),
+)
+def q247_hits_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.similarity import cosine_topk
+
+    emb = (
+        load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        .filter(F.col("vec_id") < _PR_CAP)
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    try:
+        nodes = emb.select(F.col("vec_id").alias("id"))
+        edges = cosine_topk(emb, emb, k=_PR_K).select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+        out = hits(nodes, edges, iterations=_HITS_ITERS)
+        out.count()
+    finally:
+        emb.unpersist()
+    return out.select(F.col("id").alias("vec_id"), "authority", "hub").orderBy("vec_id")

@@ -2220,3 +2220,348 @@ def q202_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return normalize_unicode(salted).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BLEU (Papineni et al. 2002) at corpus scale — generation-eval for the
+# reference/candidate text pairs a training pipeline produces (distilled
+# rewrites, augmentations, round-trip translations)
+# ---------------------------------------------------------------------------
+def _arr_ngrams(arr: Column, n: int) -> Column:
+    """Array of space-joined token n-grams (empty when len(arr) < n)."""
+    if n == 1:
+        return arr
+    return F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _bleu_pair_counts(
+    pairs: DataFrame,
+    id_col: str,
+    ref_col: str,
+    cand_col: str,
+    max_n: int,
+) -> DataFrame:
+    """(pid, ref_len, cand_len, clip1..N, tot1..N): the integer sufficient
+    statistics of BLEU — clipped (modified-precision) and total candidate
+    n-gram counts per order, plus token lengths. Everything downstream
+    (p_n, brevity penalty, the geometric mean) is a pure projection over
+    these exact integers, which is what makes BLEU hash-gateable."""
+    base = pairs.select(
+        F.col(id_col).alias("pid"),
+        tokens_expr(ref_col).alias("rt"),
+        tokens_expr(cand_col).alias("ct"),
+    )
+
+    def stream(tok_col: str) -> DataFrame:
+        parts = [
+            base.select(
+                "pid",
+                F.lit(n).alias("n"),
+                F.explode(_arr_ngrams(F.col(tok_col), n)).alias("g"),
+            )
+            for n in range(1, max_n + 1)
+        ]
+        return functools.reduce(DataFrame.unionAll, parts)
+
+    cc = stream("ct").groupBy("pid", "n", "g").agg(F.count(F.lit(1)).alias("cc"))
+    rc = stream("rt").groupBy("pid", "n", "g").agg(F.count(F.lit(1)).alias("rc"))
+    pern = (
+        cc.join(rc, ["pid", "n", "g"], "left")
+        .groupBy("pid", "n")
+        .agg(
+            F.sum(F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0)))).alias(
+                "clip"
+            ),
+            F.sum("cc").alias("tot"),
+        )
+    )
+    wide = pern.groupBy("pid").agg(
+        *[
+            c
+            for n in range(1, max_n + 1)
+            for c in (
+                F.sum(F.when(F.col("n") == n, F.col("clip")))
+                .cast("long")
+                .alias(f"clip{n}"),
+                F.sum(F.when(F.col("n") == n, F.col("tot")))
+                .cast("long")
+                .alias(f"tot{n}"),
+            )
+        ]
+    )
+    lens = base.select(
+        "pid",
+        F.size("rt").cast("long").alias("ref_len"),
+        F.size("ct").cast("long").alias("cand_len"),
+    )
+    return lens.join(wide, "pid", "left")
+
+
+def _bleu_from_counts(max_n: int):
+    """(bp_expr, bleu_expr) over clip1..N/tot1..N/ref_len/cand_len columns.
+    The log-sum runs in one fixed-order expression (never an aggregate
+    over the n rows), so the IEEE evaluation order is identical in both
+    engines; ln/exp on identical doubles agree far below the 6dp round."""
+    bp = F.when(F.col("cand_len") >= F.col("ref_len"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - F.col("ref_len") / F.col("cand_len"))
+    )
+    logsum = None
+    nonzero = F.lit(True)
+    for n in range(1, max_n + 1):
+        term = F.log(F.col(f"clip{n}") / F.col(f"tot{n}"))
+        logsum = term if logsum is None else logsum + term
+        nonzero = nonzero & (F.coalesce(F.col(f"clip{n}"), F.lit(0)) > 0)
+    bleu = F.when(
+        nonzero, F.round(bp * F.exp(F.lit(1.0 / max_n) * logsum), 6)
+    ).otherwise(F.lit(0.0))
+    return F.round(bp, 6), bleu
+
+
+def bleu_pairs(
+    pairs: DataFrame,
+    id_col: str = "pid",
+    ref_col: str = "ref",
+    cand_col: str = "cand",
+    max_n: int = 4,
+) -> DataFrame:
+    """Per-pair BLEU-4: (pid, ref_len, cand_len, p1..p4, bp, bleu).
+
+    Modified n-gram precisions p_n = Σ_g min(cand_count, ref_count) /
+    Σ_g cand_count, brevity penalty exp(1 − rl/cl) when the candidate is
+    short, BLEU = bp · exp(¼ Σ ln p_n) (0 when any p_n is 0). Scale
+    shape: one n-gram explode per side (corpus-linear in max_n · tokens),
+    map-combinable counts, one (pid,n,g) join, conditional aggregation to
+    a wide integer row per pair — no windows, no UDFs.
+    """
+    counts = _bleu_pair_counts(pairs, id_col, ref_col, cand_col, max_n)
+    bp, bleu = _bleu_from_counts(max_n)
+    return counts.select(
+        "pid",
+        "ref_len",
+        "cand_len",
+        *[
+            F.round(F.col(f"clip{n}") / F.col(f"tot{n}"), 6).alias(f"p{n}")
+            for n in range(1, max_n + 1)
+        ],
+        bp.alias("bp"),
+        bleu.alias("bleu"),
+    )
+
+
+def bleu_corpus(
+    pairs: DataFrame,
+    id_col: str = "pid",
+    ref_col: str = "ref",
+    cand_col: str = "cand",
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level BLEU summary, one row: micro-BLEU (the standard
+    corpus BLEU — sufficient statistics summed over pairs BEFORE the
+    ratios) plus the macro average of per-pair BLEU (the 6dp per-pair
+    scores summed exactly, the memory-lesson ROUND(SUM) snap, then
+    divided once)."""
+    counts = _bleu_pair_counts(pairs, id_col, ref_col, cand_col, max_n).persist()
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("ref_len").cast("long").alias("ref_len"),
+        F.sum("cand_len").cast("long").alias("cand_len"),
+        *[
+            c
+            for n in range(1, max_n + 1)
+            for c in (
+                F.sum(f"clip{n}").cast("long").alias(f"clip{n}"),
+                F.sum(f"tot{n}").cast("long").alias(f"tot{n}"),
+            )
+        ],
+    )
+    bp, bleu = _bleu_from_counts(max_n)
+    micro = totals.select(
+        "n_pairs",
+        "ref_len",
+        "cand_len",
+        *[
+            F.round(F.col(f"clip{n}") / F.col(f"tot{n}"), 6).alias(f"p{n}")
+            for n in range(1, max_n + 1)
+        ],
+        bp.alias("bp"),
+        bleu.alias("bleu_micro"),
+    )
+    _, pair_bleu = _bleu_from_counts(max_n)
+    macro = counts.select(pair_bleu.alias("b")).agg(
+        F.round(F.round(F.sum("b"), 6) / F.count(F.lit(1)), 6).alias("bleu_macro")
+    )
+    out = micro.crossJoin(macro)
+    counts.unpersist()
+    return out
+
+
+_BLEU_PAIRS_SQL = """
+        SELECT doc_id AS pid, text AS ref,
+               CASE WHEN doc_id % 2 = 0 THEN text || ' tail marker'
+                    ELSE text END AS cand
+        FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT a.doc_id + 100000 AS pid, a.text AS ref, b.text AS cand
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id < 100
+"""
+
+
+def _bleu_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    same = docs.filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("pid"),
+        F.col("text").alias("ref"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(" tail marker"))
+        )
+        .otherwise(F.col("text"))
+        .alias("cand"),
+    )
+    b = docs.select(F.col("doc_id").alias("bid"), F.col("text").alias("cand"))
+    cross = (
+        docs.filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").alias("pid"), F.col("text").alias("ref"))
+        .join(b, F.col("bid") == F.col("pid") + 1)
+        .select((F.col("pid") + 100000).alias("pid"), "ref", "cand")
+    )
+    return same.unionAll(cross)
+
+
+_BLEU_CORE_SQL = r"""
+        base AS MATERIALIZED (
+            SELECT pid,
+                   list_filter(string_split_regex(lower(ref), '\s+'), t -> t <> '') AS rt,
+                   list_filter(string_split_regex(lower(cand), '\s+'), t -> t <> '') AS ct
+            FROM pairs
+        ),
+        cgrams AS (
+            SELECT pid, nn.n,
+                   array_to_string(ct[CAST(i AS INT):CAST(i AS INT) + nn.n - 1], ' ') AS g
+            FROM base, (VALUES (1), (2), (3), (4)) nn(n),
+                 unnest(generate_series(1, len(ct) - nn.n + 1)) u(i)
+            WHERE len(ct) >= nn.n
+        ),
+        rgrams AS (
+            SELECT pid, nn.n,
+                   array_to_string(rt[CAST(i AS INT):CAST(i AS INT) + nn.n - 1], ' ') AS g
+            FROM base, (VALUES (1), (2), (3), (4)) nn(n),
+                 unnest(generate_series(1, len(rt) - nn.n + 1)) u(i)
+            WHERE len(rt) >= nn.n
+        ),
+        cc AS (SELECT pid, n, g, COUNT(*) AS cc FROM cgrams GROUP BY 1, 2, 3),
+        rc AS (SELECT pid, n, g, COUNT(*) AS rc FROM rgrams GROUP BY 1, 2, 3),
+        pern AS (
+            SELECT cc.pid, cc.n,
+                   SUM(LEAST(cc.cc, COALESCE(rc.rc, 0))) AS clip,
+                   SUM(cc.cc) AS tot
+            FROM cc LEFT JOIN rc ON rc.pid = cc.pid AND rc.n = cc.n AND rc.g = cc.g
+            GROUP BY 1, 2
+        ),
+        wide AS MATERIALIZED (
+            SELECT l.pid,
+                   CAST(len(l.rt) AS BIGINT) AS ref_len,
+                   CAST(len(l.ct) AS BIGINT) AS cand_len,
+                   CAST(SUM(CASE WHEN p.n = 1 THEN p.clip END) AS BIGINT) AS clip1,
+                   CAST(SUM(CASE WHEN p.n = 1 THEN p.tot END) AS BIGINT) AS tot1,
+                   CAST(SUM(CASE WHEN p.n = 2 THEN p.clip END) AS BIGINT) AS clip2,
+                   CAST(SUM(CASE WHEN p.n = 2 THEN p.tot END) AS BIGINT) AS tot2,
+                   CAST(SUM(CASE WHEN p.n = 3 THEN p.clip END) AS BIGINT) AS clip3,
+                   CAST(SUM(CASE WHEN p.n = 3 THEN p.tot END) AS BIGINT) AS tot3,
+                   CAST(SUM(CASE WHEN p.n = 4 THEN p.clip END) AS BIGINT) AS clip4,
+                   CAST(SUM(CASE WHEN p.n = 4 THEN p.tot END) AS BIGINT) AS tot4
+            FROM base l LEFT JOIN pern p ON p.pid = l.pid
+            GROUP BY l.pid, len(l.rt), len(l.ct)
+        )
+"""
+
+_BLEU_BP_SQL = (
+    "CASE WHEN cand_len >= ref_len THEN 1.0 "
+    "ELSE exp(1.0 - ref_len * 1.0 / cand_len) END"
+)
+_BLEU_VAL_SQL = (
+    "CASE WHEN COALESCE(clip1, 0) > 0 AND COALESCE(clip2, 0) > 0 "
+    "AND COALESCE(clip3, 0) > 0 AND COALESCE(clip4, 0) > 0 "
+    f"THEN ROUND(({_BLEU_BP_SQL}) * exp(0.25 * ("
+    "ln(clip1 * 1.0 / tot1) + ln(clip2 * 1.0 / tot2) "
+    "+ ln(clip3 * 1.0 / tot3) + ln(clip4 * 1.0 / tot4))), 6) "
+    "ELSE 0.0 END"
+)
+
+
+@register(
+    "q245_bleu_pairs",
+    oracle=f"""
+        WITH pairs AS MATERIALIZED ({_BLEU_PAIRS_SQL}),
+        {_BLEU_CORE_SQL}
+        SELECT pid, ref_len, cand_len,
+               ROUND(clip1 * 1.0 / tot1, 6) AS p1,
+               ROUND(clip2 * 1.0 / tot2, 6) AS p2,
+               ROUND(clip3 * 1.0 / tot3, 6) AS p3,
+               ROUND(clip4 * 1.0 / tot4, 6) AS p4,
+               ROUND({_BLEU_BP_SQL}, 6) AS bp,
+               {_BLEU_VAL_SQL} AS bleu
+        FROM wide ORDER BY pid
+    """,
+    doc=(
+        "per-pair BLEU-4 (Papineni et al. 2002) over a deterministic "
+        "ref/cand pair table (identity pairs, tail-extended copies, "
+        "mismatched neighbors): modified n-gram precisions from integer "
+        "clipped counts, brevity penalty, geometric mean in one "
+        "fixed-order expression. The generation-eval metric run over "
+        "distilled/augmented text at corpus scale — no UDFs, no windows."
+    ),
+    tags=("text", "eval", "bleu"),
+)
+def q245_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _bleu_pairs_spark(spark, sf_dir)
+    return bleu_pairs(pairs).orderBy("pid")
+
+
+@register(
+    "q246_bleu_corpus",
+    oracle=f"""
+        WITH pairs AS MATERIALIZED ({_BLEU_PAIRS_SQL}),
+        {_BLEU_CORE_SQL},
+        totals AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(ref_len) AS BIGINT) AS ref_len,
+                   CAST(SUM(cand_len) AS BIGINT) AS cand_len,
+                   CAST(SUM(clip1) AS BIGINT) AS clip1, CAST(SUM(tot1) AS BIGINT) AS tot1,
+                   CAST(SUM(clip2) AS BIGINT) AS clip2, CAST(SUM(tot2) AS BIGINT) AS tot2,
+                   CAST(SUM(clip3) AS BIGINT) AS clip3, CAST(SUM(tot3) AS BIGINT) AS tot3,
+                   CAST(SUM(clip4) AS BIGINT) AS clip4, CAST(SUM(tot4) AS BIGINT) AS tot4
+            FROM wide
+        ),
+        macro AS (
+            SELECT ROUND(ROUND(SUM({_BLEU_VAL_SQL}), 6) / COUNT(*), 6) AS bleu_macro
+            FROM wide
+        )
+        SELECT t.n_pairs, t.ref_len, t.cand_len,
+               ROUND(clip1 * 1.0 / tot1, 6) AS p1,
+               ROUND(clip2 * 1.0 / tot2, 6) AS p2,
+               ROUND(clip3 * 1.0 / tot3, 6) AS p3,
+               ROUND(clip4 * 1.0 / tot4, 6) AS p4,
+               ROUND({_BLEU_BP_SQL}, 6) AS bp,
+               {_BLEU_VAL_SQL} AS bleu_micro,
+               m.bleu_macro
+        FROM totals t, macro m
+    """,
+    doc=(
+        "corpus BLEU summary, one row: micro-BLEU (integer sufficient "
+        "statistics summed across pairs before the ratios — the standard "
+        "corpus BLEU) and the macro mean of per-pair 6dp BLEU scores "
+        "(ROUND(SUM)/n, the exact-decimal snap). Same counting plan as "
+        "q245; the reduction is two tiny aggregates."
+    ),
+    tags=("text", "eval", "bleu"),
+)
+def q246_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _bleu_pairs_spark(spark, sf_dir)
+    return bleu_corpus(pairs)

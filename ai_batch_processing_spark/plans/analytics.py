@@ -2100,3 +2100,120 @@ def q239_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum",
         (F.col("cusum") > _CUSUM_H).alias("drifting"),
     ).orderBy("event_type", "hour")
+
+
+# --- q248: dyadic EWMA drift over hourly event rates -------------------------
+# The EWMA companion to CUSUM (q239): CUSUM accumulates a one-sided sum
+# and is reset-prone; an exponentially weighted moving average tracks the
+# CURRENT level with geometric memory and catches slow drifts in either
+# direction. α = 1/2 makes every weight a power of two, so the weighted
+# sum over the trailing 16 present hours is EXACT integer arithmetic on
+# the 4dp z grid (z·10⁴ longs × 2^(15−d) weights — no float recurrence,
+# no summation-order sensitivity), normalized by the present weights once.
+_EWMA_WINDOW = 16
+_EWMA_H = 1.0  # |ewma z| above this = sustained ~1σ shift
+
+
+@register(
+    "q248_ewma_drift",
+    oracle=rf"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type, AVG(c) AS mu, STDDEV_SAMP(c) AS sd
+            FROM hourly GROUP BY event_type
+        ),
+        z AS (
+            SELECT h.event_type, h.h, h.c,
+                   ROUND((h.c - s.mu) / s.sd, 4) AS z
+            FROM hourly h JOIN stats s USING (event_type)
+            WHERE s.sd > 0
+        ),
+        zi AS (SELECT event_type, h, c, z,
+                      CAST(ROUND(z * 10000, 0) AS BIGINT) AS z4
+               FROM z),
+        win AS (
+            SELECT a.event_type, a.h, a.c, a.z,
+                   SUM(b.z4 * (1 << ({_EWMA_WINDOW - 1} - date_diff('hour', b.h, a.h))))
+                       AS num,
+                   SUM(CAST(1 << ({_EWMA_WINDOW - 1} - date_diff('hour', b.h, a.h))
+                       AS BIGINT)) AS den
+            FROM zi a
+            JOIN zi b
+              ON b.event_type = a.event_type
+             AND b.h <= a.h
+             AND b.h > a.h - INTERVAL {_EWMA_WINDOW} HOUR
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT event_type, h AS hour, CAST(c AS BIGINT) AS n_events, z,
+               ROUND(num * 1.0 / (den * 10000.0), 6) AS ewma_z,
+               ABS(num * 1.0 / (den * 10000.0)) > {_EWMA_H} AS drifting
+        FROM win ORDER BY event_type, hour
+    """,
+    doc=(
+        "dyadic EWMA drift detector over hourly event rates: alpha = 1/2 "
+        "exponential smoothing of the q239 4dp z-scores across the "
+        "trailing 16 present hours — every weight a power of two, so the "
+        "smoothed level is an exact integer dot product (z·10^4 longs x "
+        "2^(15-d)) with ONE normalizing division; flags |ewma z| > 1 "
+        "(sustained ~1 sigma shifts in either direction, the level-shift "
+        "signal CUSUM's one-sided reset form reports differently). The "
+        "16x bounded self-join is event_type-co-partitioned."
+    ),
+    tags=("analytics", "events", "qa", "drift"),
+)
+def q248_ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("c").alias("mu"), F.stddev_samp("c").alias("sd")
+    )
+    zi = (
+        hourly.join(stats, "event_type")
+        .filter(F.col("sd") > 0)
+        .select(
+            "event_type",
+            "h",
+            "c",
+            F.round((F.col("c") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+        )
+        .withColumn("z4", F.round(F.col("z") * 10000, 0).cast("long"))
+    )
+    a = zi.alias("a")
+    b = zi.select(
+        F.col("event_type").alias("bet"), F.col("h").alias("bh"), F.col("z4").alias("bz4")
+    )
+    win = (
+        a.join(
+            b,
+            (F.col("bet") == F.col("a.event_type"))
+            & (F.col("bh") <= F.col("a.h"))
+            & (F.col("bh") > F.col("a.h") - F.expr(f"INTERVAL {_EWMA_WINDOW} HOURS")),
+        )
+        .withColumn(
+            "wt",
+            F.expr(
+                f"CAST(shiftleft(1, {_EWMA_WINDOW - 1} - "
+                f"CAST((unix_timestamp(a.h) - unix_timestamp(bh)) / 3600 AS INT)) AS BIGINT)"
+            ),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), F.col("a.h").alias("hour"),
+                 F.col("a.c").alias("c"), F.col("a.z").alias("z"))
+        .agg(
+            F.sum(F.col("bz4") * F.col("wt")).alias("num"),
+            F.sum(F.col("wt")).alias("den"),
+        )
+    )
+    ewma = F.col("num") * 1.0 / (F.col("den") * 10000.0)
+    return win.select(
+        "event_type",
+        "hour",
+        F.col("c").cast("long").alias("n_events"),
+        "z",
+        F.round(ewma, 6).alias("ewma_z"),
+        (F.abs(ewma) > _EWMA_H).alias("drifting"),
+    ).orderBy("event_type", "hour")

@@ -110,7 +110,65 @@ def registered_oracle(name: str) -> str:
 # order after the listed ones. All queries stay registered either way —
 # this only biases WHICH subset a capped driver proves.
 _PRIORITY = [
-    # ---- round-6 gate prefix (the driver caps at ~50 rows) ----
+    # ---- round-7 gate prefix (the driver caps at ~50 rows) ----
+    # New round-7 operators first: in-engine perceptron training of the
+    # q208 hashed classifier (+ its confusion-matrix eval), BLEU-4
+    # per-pair and corpus forms, HITS hubs/authorities, dyadic EWMA
+    # drift, and the derandomized Poisson-bootstrap CI.
+    "q243_perceptron_train",
+    "q244_perceptron_train_eval",
+    "q245_bleu_pairs",
+    "q246_bleu_corpus",
+    "q247_hits_knn_graph",
+    "q248_ewma_drift",
+    "q249_bootstrap_token_mean_ci",
+    # Rotation: with every registered query driver-gated at least once
+    # (rounds 1-6 union), re-verify the rows whose last gate is OLDEST —
+    # the whole remaining round-1 cohort, then the round-2 block head.
+    "q04_semi_join_urgent_customers",
+    "q05_anti_join_idle_customers",
+    "q06_top_orders",
+    "q10_cube",
+    "q11_grouping_sets",
+    "q15_window_running",
+    "q17_window_distribution",
+    "q18_window_share",
+    "q20_intersect",
+    "q21_except",
+    "q22_union_all_counted",
+    "q24_date_funcs",
+    "q25_math_funcs",
+    "q27_array_funcs",
+    "q28_null_handling",
+    "q29_map_funcs",
+    "q35_exists_subquery",
+    "q36_scalar_subquery",
+    "q37_not_in_subquery",
+    "q39_unpivot_part_measures",
+    "q55_percentiles",
+    "q56_systematic_sample",
+    "q57_token_explode_counts",
+    "q58_topk_per_group",
+    "q59_mode_per_group",
+    "q63_funnel_interval_join",
+    "q64_collapse_consecutive",
+    "q81_regex_extract",
+    "q82_higher_order_array_funcs",
+    "q89_multiset_setops",
+    "q100_product_profit",
+    "q101_decontaminate_ngram",
+    "q102_pii_redaction",
+    "q103_sequence_packing",
+    "q104_mixture_reweighting",
+    "q108_chunk_documents",
+    "q109_split_assignment",
+    "q110_repetition_metrics",
+    "q111_cross_doc_ngram_overlap",
+    "q112_tfidf_top_terms",
+    "q113_vocab_zipf_stats",
+    "q114_unigram_surprise",
+    "q115_incremental_dedup",
+    # ---- round-6 gate prefix (history below; driver gated these r6) ----
     # New round-6 operators first: the q176 verify twin (RLE
     # compressibility — the SQL-expressible compressor), portable PCA
     # power iteration + top-2 projection + reconstruction outliers +

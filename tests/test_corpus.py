@@ -500,3 +500,17 @@ def test_rrf_fuse_three_lists_order_free_scores(spark):
     assert {d: r.rrf_score for d, r in fused.items()} == {
         d: r.rrf_score for d, r in fused2.items()
     }
+
+
+def test_bootstrap_ci_brackets_point_mean_and_is_deterministic(spark):
+    from ai_batch_processing_spark.operators.corpus import bootstrap_mean_ci
+
+    rows = [(i, 100 + (i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, x long")
+    r1 = bootstrap_mean_ci(df, "x", n_replicates=100).collect()[0]
+    r2 = bootstrap_mean_ci(df, "x", n_replicates=100).collect()[0]
+    assert r1 == r2  # zero randomness: identical CI on re-run
+    assert r1.n_rows == 300 and r1.n_replicates == 100
+    assert r1.ci_lo <= r1.point_mean <= r1.ci_hi
+    # a tight-variance corpus gives a tight interval
+    assert r1.ci_hi - r1.ci_lo < 1.0

@@ -1014,3 +1014,53 @@ def test_fleiss_kappa_textbook_properties(spark):
     v3 = spark.createDataFrame([(1, 3), (2, 3)], "id long, n_pos int")
     row3 = fleiss_kappa_cells(v3, 3).collect()[0]
     assert row3.p_e == 1.0 and row3.kappa is None
+
+
+def test_perceptron_learns_separable_labels(spark):
+    from ai_batch_processing_spark.operators.curation import (
+        perceptron_train_hashed,
+        _hashed_feature_counts,
+    )
+    from pyspark.sql import functions as F
+
+    # perfectly separable: positive docs contain the token "good",
+    # negative docs the token "bad" — the trained weight table must
+    # classify the training set perfectly within a few epochs
+    rows = []
+    for i in range(20):
+        word = "good" if i % 2 == 0 else "bad"
+        rows.append((i, f"{word} filler{i % 5} text", 1 if i % 2 == 0 else -1))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    wt = perceptron_train_hashed(docs, "y", n_buckets=64, epochs=10)
+    feats = _hashed_feature_counts(docs, "doc_id", "text", 64, "xxhash64", True)
+    margins = (
+        feats.join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("w")).alias("m"))
+    )
+    got = {r.doc_id: r.m for r in margins.collect()}
+    for i in range(20):
+        if i % 2 == 0:
+            assert got[i] > 0, f"doc {i} should be positive, margin {got[i]}"
+        else:
+            assert got[i] <= 0, f"doc {i} should be negative, margin {got[i]}"
+
+
+def test_perceptron_weights_plug_into_linear_classifier(spark):
+    from ai_batch_processing_spark.operators.curation import (
+        perceptron_train_hashed,
+        linear_text_classifier,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", 1), (1, "gamma delta", -1), (2, "alpha gamma", 1)],
+        "doc_id long, text string, y int",
+    )
+    wt = perceptron_train_hashed(docs, "y", n_buckets=32, epochs=3)
+    # bias row (bucket -1) must be dropped for the inference-only API,
+    # which scores the pure feature bag
+    out = linear_text_classifier(
+        docs, wt.filter(F.col("b") >= 0), n_buckets=32
+    ).collect()
+    assert len(out) == 3 and all(r.margin is not None for r in out)

@@ -281,3 +281,34 @@ def test_label_propagation_tie_breaks_to_smallest_label(spark):
     )
     out = {r.id: r.label for r in label_propagation(nodes, edges, iterations=1).collect()}
     assert out[2] == 4
+
+
+def test_hits_star_graph_center_is_authority(spark):
+    from ai_batch_processing_spark.operators.graph import hits
+
+    # 4 spokes all point at node 0; node 0 points at node 1. Node 0 must
+    # dominate authority; the spokes (whose only out-edge hits the top
+    # authority) must dominate hubs over node 0 (whose out-edge hits a
+    # weak authority).
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)], "src long, dst long"
+    )
+    out = {r.id: (r.authority, r.hub) for r in hits(nodes, edges, iterations=5).collect()}
+    assert out[0][0] > 0.8  # center holds nearly all authority mass
+    assert all(out[i][0] < 0.2 for i in (2, 3, 4))
+    assert out[1][1] > out[0][1]  # spoke hub > center hub
+    # L1 discipline: scores stay on [0,1] and roughly sum to 1
+    assert abs(sum(a for a, _ in out.values()) - 1.0) < 0.01
+    assert abs(sum(h for _, h in out.values()) - 1.0) < 0.01
+
+
+def test_hits_no_inedge_node_zero_authority(spark):
+    from ai_batch_processing_spark.operators.graph import hits
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    edges = spark.createDataFrame([(0, 1), (2, 1)], "src long, dst long")
+    out = {r.id: (r.authority, r.hub) for r in hits(nodes, edges, iterations=3).collect()}
+    assert out[0][0] == 0.0 and out[2][0] == 0.0  # nothing points at 0/2
+    assert out[1][0] == 1.0  # all authority mass on node 1
+    assert out[1][1] == 0.0  # node 1 has no out-edge
