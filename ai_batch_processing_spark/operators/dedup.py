@@ -1587,3 +1587,107 @@ def q241_containment_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFr
     return containment_dedup_survivors(corpus, "id", "text", k=5, threshold=0.9).orderBy(
         "id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernández & Stolfo's merge/purge) — the
+# third blocking strategy next to LSH buckets and containment inverted
+# index: sort once on a cheap key, compare only a sliding window
+# ---------------------------------------------------------------------------
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    key_len: int = 12,
+    max_dist_ratio: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate pairs from sorted-neighborhood blocking:
+    (id_a, id_b, dist) with id_a < id_b ordering within each pair not
+    guaranteed — pairs are emitted in sort order (a before b).
+
+    Rows sort by (prefix key, id); only rows within ``window`` positions
+    compare, by edit distance, keeping pairs with
+    dist · round(1/max_dist_ratio) ≤ min(len_a, len_b) (an integer
+    comparison — no float threshold). The classic record-linkage
+    blocking when a sort key clusters duplicates (exact copies and
+    shared-prefix variants land adjacent); complements LSH (q42), which
+    needs no sort but pays hashing, and catches prefix-preserving edits
+    cheaply.
+
+    Scale shape: the global row index comes from ``with_row_index`` —
+    a RANGE-partitioned distributed sort with per-partition offsets,
+    never a single-reducer window. The band |rn_b − rn_a| ≤ window is
+    turned into an EQUI-join by exploding each b row into its ``window``
+    predecessor positions — a band-predicate join would plan as a
+    cartesian product with the edit distance inside the join condition
+    (measured: 159 s on 300 docs vs 6 s for this form), while the
+    explode gives a hash join on the exact row index and the O(len²)
+    edit distance runs only on the window·n candidates.
+    """
+    from ai_batch_processing_spark.operators.template import with_row_index
+
+    inv = round(1.0 / max_dist_ratio)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.substring(F.col(text_col), 1, key_len).alias("k"),
+    )
+    idx = with_row_index(base, order_by=["k", "id"], col="rn")
+    a = idx.select(
+        F.col("id").alias("id_a"), F.col("t").alias("ta"), F.col("rn").alias("ra")
+    )
+    b = idx.select(
+        F.col("id").alias("id_b"),
+        F.col("t").alias("tb"),
+        F.explode(
+            F.array(*[F.col("rn") - F.lit(k) for k in range(1, window + 1)])
+        ).alias("ra"),
+    ).filter(F.col("ra") >= 0)
+    cand = a.join(b, "ra")
+    dist = F.levenshtein(F.col("ta"), F.col("tb"))
+    return (
+        cand.withColumn("dist", dist)
+        .filter(
+            F.col("dist") * F.lit(int(inv))
+            <= F.least(F.length("ta"), F.length("tb"))
+        )
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+_SNM_SQL = """
+        WITH corpus AS ({corpus_sql}),
+        idx AS (
+            SELECT id, text AS t,
+                   ROW_NUMBER() OVER (ORDER BY substring(text, 1, 12), id) AS rn
+            FROM corpus
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        FROM idx a
+        JOIN idx b ON b.rn > a.rn AND b.rn <= a.rn + 4
+        WHERE levenshtein(a.t, b.t) * 5 <= LEAST(length(a.t), length(b.t))
+        ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "q251_sorted_neighborhood_dedup",
+    oracle=_SNM_SQL.format(corpus_sql=_DUP_CORPUS_SQL),
+    doc=(
+        "sorted-neighborhood near-dup blocking (Hernandez & Stolfo "
+        "merge/purge) on the planted-dup corpus: one distributed sort on "
+        "a 12-char prefix key, a window-4 band join on the range-"
+        "partitioned row index, edit distance only on the window*n "
+        "candidates, integer ratio gate (dist*5 <= min length). The "
+        "third blocking family next to LSH buckets (q42) and the "
+        "containment inverted index (q234)."
+    ),
+    tags=("dedup", "blocking", "levenshtein"),
+)
+def q251_sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return sorted_neighborhood_pairs(
+        corpus, "id", "text", window=4, key_len=12, max_dist_ratio=0.2
+    ).orderBy("id_a", "id_b")

@@ -1109,3 +1109,138 @@ def q247_hits_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         emb.unpersist()
     return out.select(F.col("id").alias("vec_id"), "authority", "hub").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity — does the k-NN graph have hub-attracts-hub
+# structure? (one corr over the edge list)
+# ---------------------------------------------------------------------------
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One row: (n_edges, n_nodes, avg_in_degree, assortativity) — the
+    Pearson correlation of (out-degree of src, in-degree of dst) across
+    directed edges. Positive = hubs link to hubs (rich-club), negative =
+    hubs link to the periphery (star-like). In a k-NN graph out-degree
+    is constant k, so the informative direction correlates src IN-degree
+    with dst IN-degree (used here): do heavily-cited vectors cite each
+    other? Two degree aggregates + two broadcast joins + one moment
+    aggregate. The correlation is assembled EXPLICITLY from the six
+    moments (n, Σx, Σy, Σxx, Σyy, Σxy) rather than F.corr: degrees are
+    small integers so every moment is an exact double and the formula is
+    bit-identical across engines (no kernel drift, no 1e-9 idiom) — and
+    Spark's Corr aggregate throws DIVIDE_BY_ZERO under ANSI on a
+    zero-variance side where this form returns NULL like SQL corr.
+    """
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    e = (
+        edges.join(
+            indeg.select(F.col("dst").alias("src"), F.col("d").alias("dsrc")),
+            "src",
+            "left",
+        )
+        .join(indeg.select("dst", F.col("d").alias("ddst")), "dst", "left")
+        .select(
+            F.coalesce("dsrc", F.lit(0)).cast("double").alias("x"),
+            F.coalesce("ddst", F.lit(0)).cast("double").alias("y"),
+        )
+    )
+    nodes = edges.select(F.col("src").alias("id")).unionAll(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    moments = e.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        moments.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n").cast("long").alias("n_edges"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.round(F.col("sy") / F.col("n"), 6).alias("avg_in_degree"),
+            F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)).alias(
+                "assortativity"
+            ),
+        )
+    )
+
+
+@register(
+    "q252_degree_assortativity",
+    oracle=f"""
+        WITH emb AS MATERIALIZED (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {_PR_CAP}
+        ),
+        scored AS (
+            SELECT a.id AS src, b.id AS dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC, b.id
+                   ) AS rnk
+            FROM emb a JOIN emb b ON a.id <> b.id
+        ),
+        edges AS MATERIALIZED (SELECT src, dst FROM scored WHERE rnk <= {_PR_K}),
+        indeg AS (SELECT dst, COUNT(*) AS d FROM edges GROUP BY dst),
+        e AS (
+            SELECT CAST(COALESCE(s.d, 0) AS DOUBLE) AS x,
+                   CAST(COALESCE(t.d, 0) AS DOUBLE) AS y
+            FROM edges
+            LEFT JOIN indeg s ON s.dst = edges.src
+            LEFT JOIN indeg t ON t.dst = edges.dst
+        ),
+        nn AS (
+            SELECT COUNT(*) AS n_nodes FROM (
+                SELECT src AS id FROM edges UNION SELECT dst FROM edges
+            ) u
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+            FROM e
+        )
+        SELECT CAST(n AS BIGINT) AS n_edges,
+               CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+               ROUND(sy / n, 6) AS avg_in_degree,
+               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                    THEN ROUND((n * sxy - sx * sy)
+                               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               END AS assortativity
+        FROM mom, nn
+    """,
+    doc=(
+        "degree assortativity of the embedding k-NN graph: Pearson corr "
+        "of (src in-degree, dst in-degree) over directed edges — the "
+        "one-number hub-structure diagnostic (rich-club vs star) read "
+        "before trusting pagerank/HITS centralities. Two degree "
+        "aggregates + broadcast joins + one moment aggregate; the corr "
+        "assembled explicitly from exact integer moments (engine-"
+        "bit-identical, NULL on zero variance)."
+    ),
+    tags=("graph", "similarity", "stats"),
+)
+def q252_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.similarity import cosine_topk
+
+    emb = (
+        load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        .filter(F.col("vec_id") < _PR_CAP)
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    try:
+        edges = cosine_topk(emb, emb, k=_PR_K).select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+        out = degree_assortativity(edges)
+        out.count()
+    finally:
+        emb.unpersist()
+    return out

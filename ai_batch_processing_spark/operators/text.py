@@ -2565,3 +2565,168 @@ def q245_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q246_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _bleu_pairs_spark(spark, sf_dir)
     return bleu_corpus(pairs)
+
+
+# ---------------------------------------------------------------------------
+# chrF (Popović 2015): character n-gram F-score — BLEU's recall-aware
+# companion (the standard pairing in MT/generation eval)
+# ---------------------------------------------------------------------------
+def chrf_pairs(
+    pairs: DataFrame,
+    id_col: str = "pid",
+    ref_col: str = "ref",
+    cand_col: str = "cand",
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """Per-pair chrF: (pid, chrp, chrr, chrf) over whitespace-stripped
+    lowercase char n-grams, n = 1..``max_n``.
+
+    chrP/chrR are the arithmetic means over n of matched/total candidate
+    (resp. reference) gram counts — matches are min(count_cand,
+    count_ref) per gram, all integers; the means and the F_β combination
+    run in one fixed-order expression. β=2 weights recall twice, the
+    published default. Same counting plan as BLEU (explode → counts →
+    one (pid,n,g) join → wide integer row); the gram alphabet is chars,
+    so the stream is max_n·chars rows — corpus-linear.
+    """
+    strip = lambda c: F.regexp_replace(F.lower(F.col(c)), r"\s+", "")  # noqa: E731
+    base = pairs.select(
+        F.col(id_col).alias("pid"), strip(ref_col).alias("rs"), strip(cand_col).alias("cs")
+    )
+
+    def stream(side: str) -> DataFrame:
+        parts = []
+        for n in range(1, max_n + 1):
+            parts.append(
+                base.filter(F.length(side) >= n)
+                .select(
+                    "pid",
+                    F.lit(n).alias("n"),
+                    F.col(side).alias("_s"),
+                    F.explode(
+                        F.sequence(F.lit(1), F.length(side) - (n - 1))
+                    ).alias("pos"),
+                )
+                .select("pid", "n", F.expr("substring(_s, pos, n)").alias("g"))
+            )
+        return functools.reduce(DataFrame.unionAll, parts)
+
+    cc = stream("cs").groupBy("pid", "n", "g").agg(F.count(F.lit(1)).alias("cc"))
+    rc = stream("rs").groupBy("pid", "n", "g").agg(F.count(F.lit(1)).alias("rc"))
+    mt = (
+        cc.join(rc, ["pid", "n", "g"])
+        .groupBy("pid", "n")
+        .agg(F.sum(F.least(F.col("cc"), F.col("rc"))).alias("m"))
+    )
+    tc = cc.groupBy("pid", "n").agg(F.sum("cc").alias("tc"))
+    tr = rc.groupBy("pid", "n").agg(F.sum("rc").alias("tr"))
+    pern = tc.join(tr, ["pid", "n"], "full").join(mt, ["pid", "n"], "left")
+    wide = pern.groupBy("pid").agg(
+        *[
+            c
+            for n in range(1, max_n + 1)
+            for c in (
+                F.sum(F.when(F.col("n") == n, F.coalesce(F.col("m"), F.lit(0))))
+                .cast("long")
+                .alias(f"m{n}"),
+                F.sum(F.when(F.col("n") == n, F.col("tc"))).cast("long").alias(f"tc{n}"),
+                F.sum(F.when(F.col("n") == n, F.col("tr"))).cast("long").alias(f"tr{n}"),
+            )
+        ]
+    )
+    p = None
+    r = None
+    for n in range(1, max_n + 1):
+        tp = F.col(f"m{n}") / F.col(f"tc{n}")
+        tn = F.col(f"m{n}") / F.col(f"tr{n}")
+        p = tp if p is None else p + tp
+        r = tn if r is None else r + tn
+    p = p / max_n
+    r = r / max_n
+    b2 = beta * beta
+    f = F.when(
+        (p + r) > 0, F.round((1 + b2) * p * r / (b2 * p + r), 6)
+    ).otherwise(F.lit(0.0))
+    return wide.select(
+        "pid", F.round(p, 6).alias("chrp"), F.round(r, 6).alias("chrr"), f.alias("chrf")
+    )
+
+
+def _chrf_oracle(pairs_sql: str, max_n: int = 6) -> str:
+    nvals = ", ".join(f"({n})" for n in range(1, max_n + 1))
+    mcols = ",\n                   ".join(
+        f"CAST(SUM(CASE WHEN n = {n} THEN COALESCE(m, 0) END) AS BIGINT) AS m{n},\n"
+        f"                   CAST(SUM(CASE WHEN n = {n} THEN tc END) AS BIGINT) AS tc{n},\n"
+        f"                   CAST(SUM(CASE WHEN n = {n} THEN tr END) AS BIGINT) AS tr{n}"
+        for n in range(1, max_n + 1)
+    )
+    psum = " + ".join(f"(m{n} * 1.0 / tc{n})" for n in range(1, max_n + 1))
+    rsum = " + ".join(f"(m{n} * 1.0 / tr{n})" for n in range(1, max_n + 1))
+    return rf"""
+        WITH pairs AS MATERIALIZED ({pairs_sql}),
+        base AS MATERIALIZED (
+            SELECT pid,
+                   regexp_replace(lower(ref), '\s+', '', 'g') AS rs,
+                   regexp_replace(lower(cand), '\s+', '', 'g') AS cs
+            FROM pairs
+        ),
+        cg AS (
+            SELECT pid, nn.n, substring(cs, CAST(i AS INT), nn.n) AS g
+            FROM base, (VALUES {nvals}) nn(n),
+                 unnest(generate_series(1, length(cs) - nn.n + 1)) u(i)
+            WHERE length(cs) >= nn.n
+        ),
+        rg AS (
+            SELECT pid, nn.n, substring(rs, CAST(i AS INT), nn.n) AS g
+            FROM base, (VALUES {nvals}) nn(n),
+                 unnest(generate_series(1, length(rs) - nn.n + 1)) u(i)
+            WHERE length(rs) >= nn.n
+        ),
+        cc AS (SELECT pid, n, g, COUNT(*) AS cc FROM cg GROUP BY 1, 2, 3),
+        rc AS (SELECT pid, n, g, COUNT(*) AS rc FROM rg GROUP BY 1, 2, 3),
+        mt AS (
+            SELECT cc.pid, cc.n, SUM(LEAST(cc.cc, rc.rc)) AS m
+            FROM cc JOIN rc ON rc.pid = cc.pid AND rc.n = cc.n AND rc.g = cc.g
+            GROUP BY 1, 2
+        ),
+        tc AS (SELECT pid, n, SUM(cc) AS tc FROM cc GROUP BY 1, 2),
+        tr AS (SELECT pid, n, SUM(rc) AS tr FROM rc GROUP BY 1, 2),
+        pern AS (
+            SELECT COALESCE(tc.pid, tr.pid) AS pid, COALESCE(tc.n, tr.n) AS n,
+                   tc.tc, tr.tr, mt.m
+            FROM tc FULL JOIN tr ON tr.pid = tc.pid AND tr.n = tc.n
+            LEFT JOIN mt ON mt.pid = COALESCE(tc.pid, tr.pid)
+                        AND mt.n = COALESCE(tc.n, tr.n)
+        ),
+        wide AS (
+            SELECT pid,
+                   {mcols}
+            FROM pern GROUP BY pid
+        )
+        SELECT pid,
+               ROUND(({psum}) / {max_n}, 6) AS chrp,
+               ROUND(({rsum}) / {max_n}, 6) AS chrr,
+               CASE WHEN (({psum}) / {max_n} + ({rsum}) / {max_n}) > 0
+                    THEN ROUND(5.0 * (({psum}) / {max_n}) * (({rsum}) / {max_n})
+                               / (4.0 * (({psum}) / {max_n}) + ({rsum}) / {max_n}), 6)
+                    ELSE 0.0 END AS chrf
+        FROM wide ORDER BY pid
+    """
+
+
+@register(
+    "q253_chrf_pairs",
+    oracle=_chrf_oracle(_BLEU_PAIRS_SQL),
+    doc=(
+        "per-pair chrF2 (Popović 2015) over the q245 pair table: char "
+        "1..6-gram precision/recall means from integer matched counts, "
+        "F_beta=2 in one fixed-order expression — the recall-aware "
+        "companion generation-eval metric to BLEU (the published "
+        "standard pairing). Whitespace-stripped lowercase gram alphabet."
+    ),
+    tags=("text", "eval", "chrf"),
+)
+def q253_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _bleu_pairs_spark(spark, sf_dir)
+    return chrf_pairs(pairs).orderBy("pid")

@@ -2217,3 +2217,107 @@ def q248_ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ewma, 6).alias("ewma_z"),
         (F.abs(ewma) > _EWMA_H).alias("drifting"),
     ).orderBy("event_type", "hour")
+
+
+# --- q250: A/B experiment readout (two-proportion z + chi-square) -------------
+# The decision stat for any data-pipeline experiment (new filter recipe,
+# new mixture) once the variants are hash-split: user-level conversion
+# per deterministic variant, lift, Pearson chi-square on the 2x2 table,
+# and the two-proportion pooled z — all from four integer counts, so the
+# readout is engine-exact (the only floats are fixed-order products/
+# divisions of exact integers, ROUND(,6)-snapped).
+@register(
+    "q250_ab_test_readout",
+    oracle="""
+        WITH conv AS (
+            SELECT user_id,
+                   CAST(user_id % 2 AS BIGINT) AS variant,
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= 14
+                        THEN 1 ELSE 0 END AS c
+            FROM events GROUP BY 1, 2
+        ),
+        cells AS (
+            SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN variant = 0 THEN c ELSE 0 END) AS BIGINT) AS conv_a,
+                   CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN variant = 1 THEN c ELSE 0 END) AS BIGINT) AS conv_b
+            FROM conv
+        )
+        SELECT n_a, conv_a, n_b, conv_b,
+               ROUND(conv_a * 1.0 / n_a, 6) AS rate_a,
+               ROUND(conv_b * 1.0 / n_b, 6) AS rate_b,
+               ROUND(conv_b * 1.0 / n_b - conv_a * 1.0 / n_a, 6) AS abs_lift,
+               ROUND(
+                   ((n_a + n_b) * 1.0
+                    * (CAST(conv_a AS DOUBLE) * (n_b - conv_b)
+                       - CAST(conv_b AS DOUBLE) * (n_a - conv_a))
+                    * (CAST(conv_a AS DOUBLE) * (n_b - conv_b)
+                       - CAST(conv_b AS DOUBLE) * (n_a - conv_a)))
+                   / (CAST(n_a AS DOUBLE) * n_b
+                      * (conv_a + conv_b) * ((n_a - conv_a) + (n_b - conv_b))),
+                   6) AS chi2,
+               ROUND(
+                   (conv_b * 1.0 / n_b - conv_a * 1.0 / n_a)
+                   / sqrt((conv_a + conv_b) * 1.0 / (n_a + n_b)
+                          * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b)),
+                   6) AS z
+        FROM cells
+    """,
+    doc=(
+        "A/B experiment readout over a deterministic user_id-parity "
+        "split: user-level conversion (>= 14 purchase events, the "
+        "per-user median at every SF) per variant, absolute "
+        "lift, Pearson chi-square on the 2x2 contingency table, pooled "
+        "two-proportion z — the four integer cells are one user-level "
+        "aggregate + one conditional rollup; every statistic is a "
+        "fixed-order expression over them (sqrt is IEEE-exact; the "
+        "products stay engine-identical doubles)."
+    ),
+    tags=("analytics", "events", "experiment", "stats"),
+)
+def q250_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    conv = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14
+            )
+            .cast("int")
+            .alias("c")
+        )
+        .select((F.col("user_id") % 2).cast("long").alias("variant"), "c")
+    )
+    cells = conv.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    n_a, c_a = F.col("n_a"), F.col("conv_a")
+    n_b, c_b = F.col("n_b"), F.col("conv_b")
+    rate_a = c_a * 1.0 / n_a
+    rate_b = c_b * 1.0 / n_b
+    det = c_a.cast("double") * (n_b - c_b) - c_b.cast("double") * (n_a - c_a)
+    chi2 = ((n_a + n_b) * 1.0 * det * det) / (
+        n_a.cast("double") * n_b * (c_a + c_b) * ((n_a - c_a) + (n_b - c_b))
+    )
+    pp = (c_a + c_b) * 1.0 / (n_a + n_b)
+    z = (rate_b - rate_a) / F.sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))
+    return cells.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(rate_b - rate_a, 6).alias("abs_lift"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(z, 6).alias("z"),
+    )

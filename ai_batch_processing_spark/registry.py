@@ -122,6 +122,10 @@ _PRIORITY = [
     "q247_hits_knn_graph",
     "q248_ewma_drift",
     "q249_bootstrap_token_mean_ci",
+    "q250_ab_test_readout",
+    "q251_sorted_neighborhood_dedup",
+    "q252_degree_assortativity",
+    "q253_chrf_pairs",
     # Rotation: with every registered query driver-gated at least once
     # (rounds 1-6 union), re-verify the rows whose last gate is OLDEST —
     # the whole remaining round-1 cohort, then the round-2 block head.

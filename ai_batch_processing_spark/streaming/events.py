@@ -527,3 +527,79 @@ def stream_cusum_drift(
     return stream.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_ewma_drift(
+    spark: SparkSession,
+    source_dir: str,
+    window: int = 16,
+    threshold: float = 1.0,
+    schema: str = "event_type string, hour timestamp, z double",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of q248's dyadic EWMA drift detector: per event
+    type, the α=1/2 exponentially weighted level of standardized hourly
+    rates over the trailing ``window`` PRESENT hours, carried across
+    micro-batches in bounded state (the ≤window−1 most-recent (hour
+    epoch, z·10⁴) pairs — everything an exact dyadic dot product needs).
+
+    Value-identical to the batch self-join form: for each arriving hour
+    t the emitted level is Σ z4_j·2^(w−1−d_j) / (Σ 2^(w−1−d_j) · 10⁴)
+    over state entries with hour distance d_j < w plus the row itself —
+    integer numerator/denominator, one division, 6dp HALF_UP. Same
+    ordering contract as stream_cusum_drift (batches arrive in hour
+    order per key; each micro-batch is concat+sorted before the fold).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_type string, hour timestamp, z double, ewma_z double, drifting boolean"
+    )
+    state_schema = "hs array<long>, zs array<long>"
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from ai_batch_processing_spark.operators.similarity import _round_half_up
+
+        hs, zs = state.get if state.exists else ([], [])
+        hist = list(zip(list(hs), list(zs)))  # [(epoch_sec, z4)]
+        out: list[dict[str, Any]] = []
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            whole = pd.concat(frames, ignore_index=True).sort_values("hour")
+            for r in whole.itertuples():
+                epoch = int(pd.Timestamp(r.hour).timestamp())
+                z4 = int(_round_half_up(float(r.z) * 10000, 0))
+                hist.append((epoch, z4))
+                # trim to entries within the window of the newest hour
+                hist = [e for e in hist if (epoch - e[0]) // 3600 < window]
+                num = 0
+                den = 0
+                for eh, ez in hist:
+                    d = (epoch - eh) // 3600
+                    w = 1 << (window - 1 - d)
+                    num += ez * w
+                    den += w
+                ew = float(_round_half_up(num * 1.0 / (den * 10000.0), 6))
+                out.append(
+                    {
+                        "event_type": key[0],
+                        "hour": r.hour,
+                        "z": float(r.z),
+                        "ewma_z": ew,
+                        "drifting": abs(num * 1.0 / (den * 10000.0)) > threshold,
+                    }
+                )
+        state.update(([e[0] for e in hist], [e[1] for e in hist]))
+        yield pd.DataFrame(
+            out, columns=["event_type", "hour", "z", "ewma_z", "drifting"]
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

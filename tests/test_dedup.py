@@ -611,3 +611,34 @@ def test_containment_dedup_keeps_container_drops_quote(spark):
     # dropped by the equal-length tie against the smaller id 1, but the
     # container path alone suffices); 2 and the unrelated 3 survive
     assert kept == [2, 3]
+
+
+def test_sorted_neighborhood_finds_planted_near_dups(spark):
+    from ai_batch_processing_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact
+        (2, "the quick brown fox jumps over the lazy dog again and again extra"),  # near
+        (3, "completely different content about spark shuffle partitions here"),
+        (4, "zzz unrelated text that sorts far away from everything else ok"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in sorted_neighborhood_pairs(df, "id", "text", window=3).collect()
+    }
+    assert pairs[(0, 1)] == 0  # exact copy adjacent in sort order
+    assert pairs[(1, 2)] == 6 or pairs[(0, 2)] == 6  # ' extra' = 6 edits
+    assert all(3 not in p and 4 not in p for p in pairs)  # no false pairs
+
+
+def test_sorted_neighborhood_window_bounds_candidates(spark):
+    from ai_batch_processing_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # 10 identical docs: window=2 allows only rn-distance <= 2 pairs —
+    # 9 + 8 = 17 pairs, never the full 45
+    rows = [(i, "same text everywhere repeated identically") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted_neighborhood_pairs(df, "id", "text", window=2).count()
+    assert got == 17

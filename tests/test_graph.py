@@ -312,3 +312,23 @@ def test_hits_no_inedge_node_zero_authority(spark):
     assert out[0][0] == 0.0 and out[2][0] == 0.0  # nothing points at 0/2
     assert out[1][0] == 1.0  # all authority mass on node 1
     assert out[1][1] == 0.0  # node 1 has no out-edge
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    from ai_batch_processing_spark.operators.graph import degree_assortativity
+
+    # star: spokes -> center plus center -> one spoke; spoke in-degree 0/1
+    # vs center in-degree 4 on every edge = anti-correlated endpoints...
+    # a ring in contrast is perfectly uniform (corr undefined -> NULL)
+    star = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r.n_edges == 5 and r.n_nodes == 5
+    assert r.assortativity < 0
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    r2 = degree_assortativity(ring).collect()[0]
+    # constant in-degree 1: zero variance, corr is NULL in both engines
+    assert r2.assortativity is None

@@ -599,3 +599,51 @@ def test_stream_cusum_matches_batch_identity_across_batches(spark, tmp_path):
     for i, z in enumerate(zs):
         S = max(0.0, S + z - k)
         assert got[f"2024-01-01 {i:02d}:00:00"] == (round(S, 4), round(S, 4) > h)
+
+
+def test_stream_ewma_matches_dyadic_reference_across_batches(spark, tmp_path):
+    """stream_ewma_drift carried across micro-batches must emit exactly
+    the trailing-16-hour dyadic weighted level the batch q248 self-join
+    computes (independent Python reference here), including across a
+    batch split and a gap in the hourly grid."""
+    from ai_batch_processing_spark.streaming.events import stream_ewma_drift
+
+    zs = [0.2, -0.1, 1.3, 1.1, 1.2, -2.0, 0.4, 0.9]
+    hours = [0, 1, 2, 3, 4, 5, 7, 8]  # note the gap at hour 6
+    rows = [
+        {"event_type": "click", "hour": f"2024-01-01T{h:02d}:00:00", "z": z}
+        for h, z in zip(hours, zs)
+    ]
+    d = tmp_path / "ewma"
+    d.mkdir()
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in rows[:4]))
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[4:]))
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(d / "b0.json", (now - 60, now - 60))
+    _os.utime(d / "b1.json", (now, now))
+    sdf = stream_ewma_drift(spark, str(d), max_files_per_trigger=1)
+    q = (
+        sdf.writeStream.format("memory").queryName("t_ewma").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_ewma"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r.hour): r.ewma_z for r in spark.sql("SELECT * FROM t_ewma").collect()
+    }
+    # independent dyadic reference (the batch q248 formula)
+    W = 16
+    for i, (h, _z) in enumerate(zip(hours, zs)):
+        num = den = 0
+        for j in range(i + 1):
+            dist = h - hours[j]
+            if dist < W:
+                w = 1 << (W - 1 - dist)
+                num += round(zs[j] * 10000) * w
+                den += w
+        exp = round(num / (den * 10000.0), 6)
+        assert got[f"2024-01-01 {h:02d}:00:00"] == exp, (h, got, exp)
