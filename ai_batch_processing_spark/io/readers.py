@@ -51,7 +51,15 @@ def read_table(spark: SparkSession, path: str, infer_types: bool = False) -> Dat
         # ORC ships with Spark (native vectorized reader, predicate pushdown
         # and column pruning like parquet); no extra packages needed.
         return spark.read.orc(path)
-    raise IngestError(f"Unsupported file format: {ext} (expected .csv/.json/.txt/.parquet/.orc)")
+    if ext == ".avro":
+        # no spark-avro jar in this environment: pure-Python container
+        # decoder over binaryFile (see io/avro.py; one task per file)
+        from ai_batch_processing_spark.io.avro import read_avro
+
+        return read_avro(spark, path)
+    raise IngestError(
+        f"Unsupported file format: {ext} (expected .csv/.json/.txt/.parquet/.orc/.avro)"
+    )
 
 
 def read_csv_strict(spark: SparkSession, path: str, infer_types: bool = False) -> DataFrame:

@@ -59,6 +59,7 @@ _QUERY_MODULES = [
     "ai_batch_processing_spark.operators.sketches",
     "ai_batch_processing_spark.streaming.events",
     "ai_batch_processing_spark.io.writers",
+    "ai_batch_processing_spark.io.avro",
 ]
 
 
@@ -126,6 +127,7 @@ _PRIORITY = [
     "q251_sorted_neighborhood_dedup",
     "q252_degree_assortativity",
     "q253_chrf_pairs",
+    "q254_avro_ingest",
     # Rotation: with every registered query driver-gated at least once
     # (rounds 1-6 union), re-verify the rows whose last gate is OLDEST —
     # the whole remaining round-1 cohort, then the round-2 block head.
