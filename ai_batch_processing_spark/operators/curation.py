@@ -3557,3 +3557,88 @@ def q244_perceptron_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((pred_pos == actual_pos).cast("int")) / F.count(F.lit(1)), 6
         ).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) sharding — stable shard routing:
+# adding a shard moves only ~1/(S+1) of the corpus, never a reshuffle
+# ---------------------------------------------------------------------------
+def rendezvous_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """(id, shard): highest-random-weight assignment — each row goes to
+    argmax_s hash(id ':' s), ties to the smaller shard id.
+
+    The routing rule q182's contiguous manifest can't give: when the
+    shard count changes, ONLY the rows whose winning shard is the new
+    (or removed) one move — ~1/(S+1) of the corpus, proven in the unit
+    test — where modulo sharding reshuffles nearly everything. Pure
+    projection: the S candidate scores unroll into one greatest/argmax
+    expression per row, no explode, no shuffle, no state.
+
+    ``method``: ``xxhash64`` (JVM intrinsic, production) or ``md5``
+    (the SQL-portable gate twin — same _feature_bucket convention).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(id_col).cast("string")
+
+    def score(s: int) -> Column:
+        tag = F.concat(key, F.lit(f":{s}"))
+        if method == "xxhash64":
+            return F.xxhash64(tag)
+        if method == "md5":
+            return F.conv(F.substring(F.md5(tag), 1, 8), 16, 10).cast("long")
+        raise ValueError(f"method must be xxhash64|md5, got {method!r}")
+
+    # argmax via one lexicographic MAX over (score, -shard) structs —
+    # ties (astronomically rare, but defined) go to the smaller shard
+    best = F.greatest(
+        *[F.struct(score(s).alias("h"), F.lit(-s).alias("ns")) for s in range(n_shards)]
+    )
+    return df.select(
+        F.col(id_col).alias("id"), (-best["ns"]).cast("long").alias("shard")
+    )
+
+
+def _rendezvous_oracle(n_shards: int) -> str:
+    # DuckDB GREATEST is scalar-only (no struct lexicographic form), so
+    # the twin expresses the same argmax relationally: 8 candidate rows
+    # per doc, ROW_NUMBER ordered by (score DESC, shard ASC), keep rn=1.
+    return f"""
+        SELECT id, shard FROM (
+            SELECT doc_id AS id, CAST(s.s AS BIGINT) AS shard,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                      || ':' || CAST(s.s AS VARCHAR)), 1, 8))
+                                AS BIGINT) DESC,
+                                s.s ASC
+                   ) AS rn
+            FROM documents, unnest(generate_series(0, {n_shards - 1})) AS s(s)
+        ) q WHERE rn = 1
+        ORDER BY id
+    """
+
+
+_HRW_SHARDS = 8
+
+
+@register(
+    "q256_rendezvous_sharding",
+    oracle=_rendezvous_oracle(_HRW_SHARDS),
+    doc=(
+        "rendezvous / highest-random-weight shard routing over documents "
+        "(8 shards): per-row argmax of md5(id:shard) scores as ONE "
+        "lexicographic greatest-of-structs projection — no shuffle, no "
+        "explode. The stable-routing property (changing S moves only "
+        "~1/(S+1) of rows, vs modulo's full reshuffle) is unit-pinned."
+    ),
+    tags=("curation", "sharding", "routing"),
+)
+def q256_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return rendezvous_assign(docs, "doc_id", _HRW_SHARDS, method="md5").orderBy("id")

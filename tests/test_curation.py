@@ -1064,3 +1064,31 @@ def test_perceptron_weights_plug_into_linear_classifier(spark):
         docs, wt.filter(F.col("b") >= 0), n_buckets=32
     ).collect()
     assert len(out) == 3 and all(r.margin is not None for r in out)
+
+
+def test_rendezvous_stability_adding_a_shard(spark):
+    from ai_batch_processing_spark.operators.curation import rendezvous_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a8 = {r.id: r.shard for r in rendezvous_assign(df, "doc_id", 8).collect()}
+    a9 = {r.id: r.shard for r in rendezvous_assign(df, "doc_id", 9).collect()}
+    moved = {i for i in a8 if a8[i] != a9[i]}
+    # THE rendezvous property: every moved row moved TO the new shard,
+    # and roughly 1/9 of rows moved (binomial around 222 of 2000)
+    assert all(a9[i] == 8 for i in moved)
+    assert 130 <= len(moved) <= 330
+    # balance: each of the 8 original shards holds roughly 1/8
+    from collections import Counter
+
+    c = Counter(a8.values())
+    assert set(c) == set(range(8))
+    assert min(c.values()) > 150
+
+
+def test_rendezvous_md5_and_xxhash_forms_both_assign(spark):
+    from ai_batch_processing_spark.operators.curation import rendezvous_assign
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    for m in ("md5", "xxhash64"):
+        got = rendezvous_assign(df, "doc_id", 4, method=m).collect()
+        assert len(got) == 50 and all(0 <= r.shard < 4 for r in got)
