@@ -2088,3 +2088,262 @@ def q249_bootstrap_token_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     vals = docs.select("doc_id", F.size(tokens_expr("text")).alias("ntok"))
     return bootstrap_mean_ci(vals, "ntok", id_col="doc_id", n_replicates=_BOOT_B)
+
+
+# ---------------------------------------------------------------------------
+# "Fightin' words" (Monroe, Colaresi & Quinn 2008): what vocabulary makes
+# each source DIFFERENT — log-odds with an informative Dirichlet prior
+# ---------------------------------------------------------------------------
+def fightin_words(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a0: float = 1000.0,
+    top_k: int = 5,
+) -> DataFrame:
+    """(group, term, n_in_group, z, rnk): the ``top_k`` most
+    group-distinctive terms by prior-regularized log-odds z-score —
+    δ = ln[(y_gw + a_w)/(n_g + a0 − y_gw − a_w)] − ln[(y_rw + a_w)/(n_r + a0 − y_rw − a_w)],
+    z = δ/√(1/(y_gw+a_w) + 1/(y_rw+a_w)), with the informative prior
+    a_w = a0·y_w/N (corpus frequencies). Unlike raw TF-IDF or KL terms,
+    the prior shrinks rare-word noise and the variance normalizes for
+    frequency — the published standard for "what words distinguish
+    corpus A from B".
+
+    Scale shape: one token explode → one (group, term) count → one
+    term-marginal aggregate joined back (vocabulary-sized) → per-row
+    closed-form z → top-k window over groups·vocab rows. Ranking uses
+    the ROUNDED z (plus the term as tiebreak) so the cut is
+    engine-stable.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("g"), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    ygw = toks.groupBy("g", "term").agg(F.count(F.lit(1)).alias("ygw")).persist()
+    yw = ygw.groupBy("term").agg(F.sum("ygw").alias("yw"))
+    ng = ygw.groupBy("g").agg(F.sum("ygw").alias("ng"))
+    tot = ygw.agg(F.sum("ygw").alias("nn"))
+    j = (
+        ygw.join(yw, "term")
+        .join(ng, "g")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("aw", F.lit(a0) * F.col("yw") / F.col("nn"))
+        .withColumn("yrw", F.col("yw") - F.col("ygw"))
+        .withColumn("nr", F.col("nn") - F.col("ng"))
+    )
+    delta = F.log(
+        (F.col("ygw") + F.col("aw"))
+        / (F.col("ng") + F.lit(a0) - F.col("ygw") - F.col("aw"))
+    ) - F.log(
+        (F.col("yrw") + F.col("aw"))
+        / (F.col("nr") + F.lit(a0) - F.col("yrw") - F.col("aw"))
+    )
+    var = 1.0 / (F.col("ygw") + F.col("aw")) + 1.0 / (F.col("yrw") + F.col("aw"))
+    scored = j.select(
+        "g", "term", F.col("ygw").cast("long").alias("n_in_group"),
+        F.round(delta / F.sqrt(var), 6).alias("z"),
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("z"), F.asc("term"))
+    out = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            F.col("g").alias(group_col),
+            "term",
+            "n_in_group",
+            "z",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+    ygw.unpersist()
+    return out
+
+
+@register(
+    "q259_fightin_words",
+    oracle=r"""
+        WITH toks AS (
+            SELECT source AS g, unnest(
+                list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+            ) AS term
+            FROM documents
+        ),
+        ygw AS (SELECT g, term, COUNT(*) AS ygw FROM toks GROUP BY 1, 2),
+        yw AS (SELECT term, SUM(ygw) AS yw FROM ygw GROUP BY term),
+        ng AS (SELECT g, SUM(ygw) AS ng FROM ygw GROUP BY g),
+        tot AS (SELECT SUM(ygw) AS nn FROM ygw),
+        scored AS (
+            SELECT y.g, y.term, CAST(y.ygw AS BIGINT) AS n_in_group,
+                   ROUND(
+                       (ln((y.ygw + 1000.0 * w.yw / t.nn)
+                           / (n.ng + 1000.0 - y.ygw - 1000.0 * w.yw / t.nn))
+                        - ln(((w.yw - y.ygw) + 1000.0 * w.yw / t.nn)
+                             / ((t.nn - n.ng) + 1000.0 - (w.yw - y.ygw)
+                                - 1000.0 * w.yw / t.nn)))
+                       / sqrt(1.0 / (y.ygw + 1000.0 * w.yw / t.nn)
+                              + 1.0 / ((w.yw - y.ygw) + 1000.0 * w.yw / t.nn)),
+                       6) AS z
+            FROM ygw y JOIN yw w USING (term) JOIN ng n USING (g) CROSS JOIN tot t
+        )
+        SELECT g AS source, term, n_in_group, z, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY g ORDER BY z DESC, term ASC
+            ) AS rnk
+            FROM scored
+        ) q WHERE rnk <= 5
+        ORDER BY source, rnk
+    """,
+    doc=(
+        "fightin' words (Monroe et al. 2008): top-5 most distinctive "
+        "terms per source by Dirichlet-prior log-odds z-score — the "
+        "published corpus-comparison statistic (prior shrinks rare-word "
+        "noise, variance normalizes frequency) behind 'what is source X "
+        "full of?'. One token explode, vocab-sized joins, closed-form z, "
+        "rank on the rounded value."
+    ),
+    tags=("corpus", "stats", "comparison"),
+)
+def q259_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return fightin_words(docs).orderBy("source", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Held-out perplexity: the train/eval-split form of the q168 bigram LM —
+# generalization, not memorization
+# ---------------------------------------------------------------------------
+def heldout_bigram_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    holdout_mod: int = 7,
+    k: float = 0.5,
+) -> DataFrame:
+    """(group, n_docs, n_bigrams, bits_per_bigram, oov_bigram_rate): the
+    add-k bigram LM trained on doc_id % holdout_mod != 0 and SCORED on
+    the held-out rest — q168 measures self-surprise (memorization);
+    this measures generalization, the number a mixture/filter decision
+    should read. Unseen held-out bigrams fall back to the smoothing
+    floor (c=0 in both counts), and their rate is reported as
+    oov_bigram_rate. V = distinct TRAIN tokens (the model's vocabulary).
+    """
+    toks_arr = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("g"),
+        tokens_expr(text_col).alias("ts"),
+    )
+    is_held = (F.col("doc_id") % holdout_mod) == 0
+    bigr = (
+        toks_arr.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            "g",
+            is_held.alias("held"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2),"
+                    " i -> struct(ts[i] AS w1, ts[i+1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "g", "held", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    train = bigr.filter(~F.col("held"))
+    bc = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).persist()
+    cc = bc.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    vocab = (
+        toks_arr.filter(~is_held)
+        .select(F.explode("ts").alias("term"))
+        .agg(F.count_distinct("term").cast("double").alias("v"))
+    )
+    held = (
+        bigr.filter(F.col("held"))
+        .join(bc, ["w1", "w2"], "left")
+        .join(cc, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "g",
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+            F.coalesce(F.col("cw"), F.lit(0)).alias("cw"),
+            "v",
+        )
+    )
+    p = (F.col("cb") + F.lit(k)) / (F.col("cw") + F.lit(k) * F.col("v"))
+    out = held.groupBy("g").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg(-F.log2(p)), 6).alias("bits_per_bigram"),
+        F.round(
+            F.sum((F.col("cb") == 0).cast("long")) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("oov_bigram_rate"),
+    )
+    bc.unpersist()
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_docs",
+        "n_bigrams",
+        "bits_per_bigram",
+        "oov_bigram_rate",
+    )
+
+
+@register(
+    "q260_heldout_perplexity",
+    oracle=r"""
+        WITH toks_arr AS (
+            SELECT doc_id, source AS g, doc_id % 7 = 0 AS held,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+            FROM documents
+        ),
+        bigr AS (
+            SELECT doc_id, g, held,
+                   ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+            FROM toks_arr, unnest(generate_series(1, len(ts) - 1)) u(i)
+            WHERE len(ts) >= 2
+        ),
+        bc AS (
+            SELECT w1, w2, COUNT(*) AS cb FROM bigr WHERE NOT held GROUP BY 1, 2
+        ),
+        cc AS (SELECT w1, SUM(cb) AS cw FROM bc GROUP BY w1),
+        vv AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+            FROM (SELECT unnest(ts) AS tok FROM toks_arr WHERE NOT held)
+        ),
+        held AS (
+            SELECT b.doc_id, b.g,
+                   COALESCE(bc.cb, 0) AS cb, COALESCE(cc.cw, 0) AS cw, vv.v
+            FROM bigr b
+            LEFT JOIN bc USING (w1, w2)
+            LEFT JOIN cc USING (w1)
+            CROSS JOIN vv
+            WHERE b.held
+        )
+        SELECT g AS source,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(-log2((cb + 0.5) / (cw + 0.5 * v))), 6) AS bits_per_bigram,
+               ROUND(SUM(CASE WHEN cb = 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+                   AS oov_bigram_rate
+        FROM held
+        GROUP BY g
+        ORDER BY source
+    """,
+    doc=(
+        "held-out bigram perplexity per source: the q168 add-k LM "
+        "trained on the doc_id%7!=0 split and scored on the held-out "
+        "rest (7 is coprime with the source cycle, so every source "
+        "contributes held docs) "
+        "— generalization bits (not self-surprise/memorization) "
+        "plus the unseen-bigram rate, the numbers a mixture or filter "
+        "decision should actually read. Unseen transitions fall to the "
+        "smoothing floor; V = train vocabulary."
+    ),
+    tags=("corpus", "eval", "lm", "quality"),
+)
+def q260_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return heldout_bigram_report(docs).orderBy("source")

@@ -2730,3 +2730,104 @@ def _chrf_oracle(pairs_sql: str, max_n: int = 6) -> str:
 def q253_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _bleu_pairs_spark(spark, sf_dir)
     return chrf_pairs(pairs).orderBy("pid")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by source — the acceptance metric for a trained BPE
+# ---------------------------------------------------------------------------
+def _bpe_fertility_oracle_sql(n_merges: int) -> str:
+    o, c = "chr(1)", "chr(2)"
+    m_cols = ",\n            ".join(
+        f'(SELECT COALESCE({o} || "left" || {c} || {o} || "right" || {c}, chr(3)) FROM t{i}) AS p{i},'
+        f"\n            (SELECT COALESCE({o} || merged || {c}, '')  FROM t{i}) AS r{i}"
+        for i in range(n_merges)
+    )
+    repl = "w"
+    for i in range(n_merges):
+        repl = f"replace({repl}, m.p{i}, m.r{i})"
+    return (
+        _bpe_train_ctes(n_merges)
+        + f"""
+        , m AS (
+            SELECT {m_cols}
+        ),
+        doc_toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS tok
+                FROM documents
+            )
+            WHERE NOT contains(tok, {o}) AND NOT contains(tok, {c})
+        ),
+        wrapped AS (
+            SELECT doc_id, length(tok) AS n_sym,
+                   array_to_string(list_transform(range(length(tok)),
+                                   i -> {o} || substring(tok, i + 1, 1) || {c}),
+                                   '') AS w
+            FROM doc_toks
+        ),
+        enc AS (
+            SELECT doc_id, n_sym, {repl} AS w
+            FROM wrapped CROSS JOIN m
+        ),
+        percounts AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_words,
+                   SUM(n_sym) AS n_base,
+                   SUM(len(string_split(substring(w, 2, length(w) - 2),
+                                        {c} || {o}))) AS n_bpe
+            FROM enc GROUP BY doc_id
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+               CAST(SUM(p.n_base) AS BIGINT) AS n_base_symbols,
+               CAST(SUM(p.n_bpe) AS BIGINT) AS n_bpe_tokens,
+               ROUND(SUM(p.n_bpe) * 1.0 / SUM(p.n_words), 6) AS fertility,
+               ROUND(SUM(p.n_bpe) * 1.0 / SUM(p.n_base), 6) AS compression
+        FROM percounts p JOIN documents d USING (doc_id)
+        GROUP BY d.source
+        ORDER BY d.source
+    """
+    )
+
+
+@register(
+    "q261_bpe_fertility_by_source",
+    oracle=_bpe_fertility_oracle_sql(_BPE_MERGES),
+    doc=(
+        "tokenizer fertility per source under the q151-trained BPE: "
+        "BPE tokens per whitespace word (the acceptance metric a "
+        "tokenizer ships on — high-fertility sources train slower and "
+        "truncate harder) plus symbol-level compression, rolled up per "
+        "source. Train (batched merge loop) + encode (one chained-"
+        "replace projection) + one rollup; the oracle re-learns the "
+        "merges via the unrolled CTE chain and re-derives both counts."
+    ),
+    tags=("text", "tokenizer", "eval"),
+)
+def q261_bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    trained = bpe_train(docs, n_merges=_BPE_MERGES).orderBy("step").collect()
+    merges = [(r.left, r.right) for r in trained]
+    counts = bpe_encode_counts(docs, merges)
+    words = docs.select(
+        "doc_id", "source", F.size(_bpe_clean_tokens_expr("text")).alias("nw")
+    )
+    return (
+        words.join(counts, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nw").cast("long").alias("n_words"),
+            F.sum("n_tokens_base").cast("long").alias("n_base_symbols"),
+            F.sum("n_tokens_bpe").cast("long").alias("n_bpe_tokens"),
+            F.round(F.sum("n_tokens_bpe") * 1.0 / F.sum("nw"), 6).alias("fertility"),
+            F.round(
+                F.sum("n_tokens_bpe") * 1.0 / F.sum("n_tokens_base"), 6
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )

@@ -132,6 +132,9 @@ _PRIORITY = [
     "q256_rendezvous_sharding",
     "q257_benford_audit",
     "q258_leadlag_xcorr",
+    "q259_fightin_words",
+    "q260_heldout_perplexity",
+    "q261_bpe_fertility_by_source",
     # Rotation: with every registered query driver-gated at least once
     # (rounds 1-6 union), re-verify the rows whose last gate is OLDEST —
     # the whole remaining round-1 cohort, then the round-2 block head.

@@ -514,3 +514,40 @@ def test_bootstrap_ci_brackets_point_mean_and_is_deterministic(spark):
     assert r1.ci_lo <= r1.point_mean <= r1.ci_hi
     # a tight-variance corpus gives a tight interval
     assert r1.ci_hi - r1.ci_lo < 1.0
+
+
+def test_fightin_words_separates_planted_vocab(spark):
+    from ai_batch_processing_spark.operators.corpus import fightin_words
+
+    rows = []
+    for i in range(40):
+        g = "a" if i % 2 == 0 else "b"
+        extra = "apple" if g == "a" else "banana"
+        rows.append((i, g, f"common words here {extra} {extra} filler"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = fightin_words(df, top_k=2).collect()
+    top = {(r.source, r.rnk): r.term for r in out}
+    assert top[("a", 1)] == "apple"
+    assert top[("b", 1)] == "banana"
+    za = {r.term: r.z for r in out if r.source == "a"}
+    assert za["apple"] > 0
+
+
+def test_heldout_perplexity_unseen_bigrams_cost_more(spark):
+    from ai_batch_processing_spark.operators.corpus import heldout_bigram_report
+
+    # held doc 0 of group 'b' uses transitions never seen in training;
+    # group 'a' held doc repeats the trained phrase exactly
+    rows = [
+        (0, "a", "the cat sat on the mat"),        # held (0 % 7 == 0)
+        (7, "b", "zig zag zig zag zig unseen"),    # held
+        (1, "a", "the cat sat on the mat"),
+        (2, "a", "the cat sat on the mat"),
+        (3, "b", "completely different training text"),
+        (4, "b", "more training text here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in heldout_bigram_report(df).collect()}
+    assert out["a"].oov_bigram_rate == 0.0
+    assert out["b"].oov_bigram_rate == 1.0
+    assert out["b"].bits_per_bigram > out["a"].bits_per_bigram

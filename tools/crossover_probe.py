@@ -89,6 +89,18 @@ QUERIES = [
     "q229_rle_compressibility",
     "q230_pca_power_iteration",
     "q235_quality_auc",
+    # round-7 additions, unbounded over documents:
+    # q243 is the in-engine classifier trainer — Spark's 5-epoch
+    # relational loop touches the persisted feature bag 3x per epoch
+    # while the DuckDB twin walks the 5x unrolled CTE chain over the
+    # re-derived bag (the q151/q230 iterative regime); q249 is the
+    # 200-replicate bootstrap (a 200x explode folded map-side to 200
+    # partial sums — pure partial-aggregation bandwidth); q256 is the
+    # rendezvous-routing projection (8 md5 scores + argmax per row, the
+    # pure scan-expression regime).
+    "q243_perceptron_train",
+    "q249_bootstrap_token_mean_ci",
+    "q256_rendezvous_sharding",
 ]
 
 # LLM-pipeline heavies (round-2 verdict item 8) need crossover-SPECIFIC
