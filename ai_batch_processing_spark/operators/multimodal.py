@@ -493,3 +493,134 @@ def q146_media_phash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_near_dup_pairs(
         corpus, max_hamming=3, bits=32, hasher=portable
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Audio waveform statistics — the audio half of the multimodal surface:
+# binary payload → uint8 sample vector → vectorized frame stats
+# ---------------------------------------------------------------------------
+def audio_waveform_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, n_samples, mean_amp, rms, peak_dev, zcr): per-payload
+    waveform statistics treating the binary column as unsigned 8-bit PCM —
+    mean amplitude, population RMS about the mean (the moment form: all
+    integer sums, one sqrt), peak absolute deviation from the integer
+    mean, and the zero-crossing count about that mean (the cheap
+    voiced/unvoiced + silence signals an audio-curation pass gates on).
+
+    The plumbing is the production shape: ``np.frombuffer`` over Arrow
+    batches of the binary column, all stats vectorized per payload, no
+    per-sample Python. With a real audio payload the ONLY change is the
+    decode step (codec → PCM) in front of the same kernel; the synthetic
+    payload (utf-8 text bytes, ASCII by construction) keeps every number
+    oracle-checkable — the SQL twin re-derives the identical samples
+    from the characters.
+    """
+    import numpy as np
+
+    from ai_batch_processing_spark.operators.similarity import _round_half_up
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[payload_col]):
+                s = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+                n = int(s.size)
+                if n == 0:
+                    continue
+                tot = int(s.sum())
+                ss = int((s * s).sum())
+                m = tot // n
+                var_num = n * ss - tot * tot  # n² · population variance
+                rms = float(
+                    np.sqrt(np.float64(var_num) / (np.float64(n) * np.float64(n)))
+                )
+                peak = int(np.abs(s - m).max())
+                above = s >= m
+                zcr = int(np.sum(above[:-1] != above[1:])) if n > 1 else 0
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": n,
+                        # HALF_UP: doc lengths hit powers of two, where
+                        # tot/n lands EXACTLY on the .5e-6 grid and
+                        # Python's half-even round diverges from SQL ROUND
+                        # (observed at sf0.1: 93.7265625 -> ...62 vs ...63)
+                        "mean_amp": float(_round_half_up(tot / n, 6)),
+                        "rms": float(_round_half_up(rms, 6)),
+                        "peak_dev": peak,
+                        "zcr": zcr,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_samples", "mean_amp", "rms", "peak_dev", "zcr"],
+            )
+
+    schema = (
+        "doc_id long, n_samples long, mean_amp double, rms double, "
+        "peak_dev long, zcr long"
+    )
+    return df.select("doc_id", payload_col).mapInPandas(run, schema)
+
+
+@register(
+    "q262_audio_waveform_stats",
+    oracle="""
+        WITH samples AS (
+            SELECT doc_id, CAST(i AS INT) AS i,
+                   ascii(substring(text, CAST(i AS INT), 1)) AS s
+            FROM documents, unnest(generate_series(1, length(text))) t(i)
+            WHERE length(text) >= 1
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n, SUM(s) AS tot,
+                   SUM(s * s) AS ss
+            FROM samples GROUP BY doc_id
+        ),
+        m AS (SELECT doc_id, n, tot, ss, tot // n AS mean_i FROM agg),
+        dev AS (
+            SELECT s.doc_id, MAX(ABS(s.s - m.mean_i)) AS peak
+            FROM samples s JOIN m ON m.doc_id = s.doc_id
+            GROUP BY s.doc_id
+        ),
+        zc AS (
+            SELECT q.doc_id,
+                   SUM(CASE WHEN (q.s >= q.mean_i) <> (q.nx >= q.mean_i)
+                            THEN 1 ELSE 0 END) AS zcr
+            FROM (
+                SELECT s.doc_id, s.s, m.mean_i,
+                       LEAD(s.s) OVER (PARTITION BY s.doc_id ORDER BY s.i) AS nx
+                FROM samples s JOIN m ON m.doc_id = s.doc_id
+            ) q
+            WHERE q.nx IS NOT NULL
+            GROUP BY q.doc_id
+        )
+        SELECT m.doc_id,
+               CAST(m.n AS BIGINT) AS n_samples,
+               ROUND(m.tot * 1.0 / m.n, 6) AS mean_amp,
+               ROUND(sqrt((m.n * m.ss - m.tot * m.tot) * 1.0 / (m.n * m.n)), 6)
+                   AS rms,
+               CAST(d.peak AS BIGINT) AS peak_dev,
+               CAST(COALESCE(z.zcr, 0) AS BIGINT) AS zcr
+        FROM m
+        JOIN dev d ON d.doc_id = m.doc_id
+        LEFT JOIN zc z ON z.doc_id = m.doc_id
+        ORDER BY m.doc_id
+    """,
+    doc=(
+        "audio waveform statistics over synthesized uint8-PCM payloads "
+        "(the audio half of the multimodal surface): mean amplitude, "
+        "population RMS (exact integer moments, one sqrt), peak "
+        "deviation, zero-crossing count about the integer mean — the "
+        "silence/voicing signals an audio-curation gate reads. "
+        "np.frombuffer over Arrow batches, all-vectorized; a real codec "
+        "just swaps in a decode step ahead of the same kernel, and the "
+        "SQL twin re-derives the identical samples from the characters."
+    ),
+    tags=("multimodal", "audio", "stats"),
+)
+def q262_audio_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].filter(F.length("text") >= 1).select("doc_id", "text")
+    corpus = attach_payload(docs, media_type="audio/pcm-u8-fake")
+    return audio_waveform_stats(corpus).orderBy("doc_id")

@@ -2505,3 +2505,140 @@ def q258_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_hours"),
         F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)).alias("r"),
     ).orderBy("type_x", "type_y", "lag")
+
+
+# --- q263: Kaplan-Meier survival (time to first error, right-censored) -------
+# The product-limit estimator over per-user durations: survival analysis
+# is the correct tool when observations are CENSORED (a user with no
+# error yet isn't error-free forever — they just haven't converted), and
+# nothing else in the engine handles censoring. Durations are integer
+# hours; risk sets come from one cumulative window over the duration
+# histogram (never a correlated subquery); the cumulative product is
+# exp(running Σ ln(1 − d/n)), 6dp-rounded.
+@register(
+    "q263_kaplan_meier_error",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(ts) AS t0,
+                   MIN(CASE WHEN event_type = 'error' THEN ts END) AS terr,
+                   MAX(ts) AS tlast
+            FROM events GROUP BY user_id
+        ),
+        durations AS (
+            -- elapsed-hours FLOOR at microsecond precision: date_diff
+            -- ('hour') counts boundary CROSSINGS (00:59->01:01 = 1) and
+            -- second-truncated epochs drop the fractional seconds these
+            -- timestamps carry — integer floor division of epoch_us is
+            -- the one form both engines reproduce exactly
+            SELECT user_id,
+                   CASE WHEN terr IS NOT NULL
+                        THEN (epoch_us(terr) - epoch_us(t0)) // 3600000000
+                        ELSE (epoch_us(tlast) - epoch_us(t0)) // 3600000000
+                   END AS t,
+                   CASE WHEN terr IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM per_user
+        ),
+        hist AS (
+            SELECT t, COUNT(*) AS c, SUM(ev) AS d
+            FROM durations GROUP BY t
+        ),
+        risk AS (
+            SELECT t, c, d,
+                   (SELECT COUNT(*) FROM durations)
+                   - COALESCE(SUM(c) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS n_at_risk
+            FROM hist
+        ),
+        terms AS (
+            SELECT t, n_at_risk, d,
+                   CASE WHEN d < n_at_risk THEN ln(1.0 - d * 1.0 / n_at_risk)
+                        ELSE 0.0 END AS lnterm,
+                   CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS zflag
+            FROM risk
+        )
+        SELECT CAST(t AS BIGINT) AS t_hours,
+               CAST(n_at_risk AS BIGINT) AS at_risk,
+               CAST(d AS BIGINT) AS events,
+               -- the last risk set can be fully consumed (d = n): that
+               -- factor is exactly 0 and S stays 0 from there on
+               CASE WHEN SUM(zflag) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+                    THEN 0.0
+                    ELSE ROUND(exp(SUM(lnterm) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+               END AS survival
+        FROM terms
+        WHERE d > 0
+        ORDER BY t_hours
+    """,
+    doc=(
+        "Kaplan-Meier product-limit survival of time-to-first-error per "
+        "user (right-censored at last activity): the correct estimator "
+        "when observations are censored — at-risk counts from one "
+        "cumulative window over the integer-hour duration histogram, "
+        "survival as exp(running sum of ln(1 - d/n)). The reliability "
+        "curve behind 'how long until a producer degrades'."
+    ),
+    tags=("analytics", "events", "survival", "stats"),
+)
+def q263_kaplan_meier_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias("terr"),
+        F.max("ts").alias("tlast"),
+    )
+    # elapsed-hours floor at microsecond precision (see the oracle note);
+    # events.ts is TIMESTAMP_NTZ and unix_micros wants TIMESTAMP — the
+    # session-tz cast shifts both endpoints identically, differences are
+    # unaffected
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    hours = lambda a, b: (  # noqa: E731
+        F.floor((us(b) - us(a)) / F.lit(3600000000))
+    ).cast("long")
+    durations = per_user.select(
+        F.when(F.col("terr").isNotNull(), hours(F.col("t0"), F.col("terr")))
+        .otherwise(hours(F.col("t0"), F.col("tlast")))
+        .alias("t"),
+        F.when(F.col("terr").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    hist = durations.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("ev").alias("d")
+    )
+    total = durations.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_total") - F.coalesce(F.sum("c").over(w_prev), F.lit(0)),
+        )
+    )
+    terms = risk.withColumn(
+        "lnterm",
+        F.when(
+            F.col("d") < F.col("n_at_risk"),
+            F.log(F.lit(1.0) - F.col("d") * 1.0 / F.col("n_at_risk")),
+        ).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "zflag", F.when(F.col("d") >= F.col("n_at_risk"), 1).otherwise(0)
+    )
+    # the last risk set can be fully consumed (d = n): that factor is
+    # exactly 0 and S stays 0 from there on — ln(0) is guarded out
+    survival = F.when(F.sum("zflag").over(w_run) > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum("lnterm").over(w_run)), 6)
+    )
+    return (
+        terms.withColumn("survival", survival)
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("t").cast("long").alias("t_hours"),
+            F.col("n_at_risk").cast("long").alias("at_risk"),
+            F.col("d").cast("long").alias("events"),
+            "survival",
+        )
+        .orderBy("t_hours")
+    )

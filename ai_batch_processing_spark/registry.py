@@ -135,6 +135,8 @@ _PRIORITY = [
     "q259_fightin_words",
     "q260_heldout_perplexity",
     "q261_bpe_fertility_by_source",
+    "q262_audio_waveform_stats",
+    "q263_kaplan_meier_error",
     # Rotation: with every registered query driver-gated at least once
     # (rounds 1-6 union), re-verify the rows whose last gate is OLDEST —
     # the whole remaining round-1 cohort, then the round-2 block head.
