@@ -2642,3 +2642,156 @@ def q263_kaplan_meier_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_hours")
     )
+
+
+# --- q264: seasonal-profile anomalies (hour-of-day baseline) ------------------
+# q197's z-gate scores each hour against the event type's GLOBAL mean, so
+# a perfectly healthy daily rhythm (busy noons, quiet nights) looks like
+# two anomalies a day. The seasonal form compares each hour against the
+# (event_type, hour-of-day) profile — integer moments per cell, exact
+# variance, flag |x - mu_cell| > 2 sd_cell.
+@register(
+    "q264_seasonal_anomalies",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS c
+            FROM events GROUP BY 1, 2, 3
+        ),
+        prof AS (
+            SELECT event_type, hod,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   SUM(c) AS sx, SUM(c * c) AS sxx
+            FROM hourly GROUP BY 1, 2
+        )
+        SELECT h.event_type, h.h AS hour, h.hod,
+               CAST(h.c AS BIGINT) AS n_events,
+               ROUND(p.sx / p.n, 6) AS cell_mean,
+               ROUND(CASE WHEN p.n > 1
+                          THEN (h.c - p.sx / p.n)
+                               / sqrt((p.n * p.sxx - p.sx * p.sx) / (p.n * (p.n - 1)))
+                     END, 4) AS z_seasonal
+        FROM hourly h
+        JOIN prof p ON p.event_type = h.event_type AND p.hod = h.hod
+        WHERE p.n > 1
+          AND (p.n * p.sxx - p.sx * p.sx) > 0
+          AND ABS((h.c - p.sx / p.n)
+                  / sqrt((p.n * p.sxx - p.sx * p.sx) / (p.n * (p.n - 1)))) > 2.0
+        ORDER BY h.event_type, hour
+    """,
+    doc=(
+        "seasonal anomaly detection over hourly event rates: each hour "
+        "scored against its (event_type, hour-of-day) profile instead of "
+        "the global mean (q197), so daily rhythm stops reading as "
+        "anomalous and genuine same-hour deviations surface. Sample "
+        "variance assembled from exact integer moments; |z| > 2 rows "
+        "emitted with the profile mean."
+    ),
+    tags=("analytics", "events", "qa", "seasonal"),
+)
+def q264_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    prof = hourly.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+    )
+    j = hourly.join(prof, ["event_type", "hod"])
+    var_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    sd = F.sqrt(var_num / (F.col("n") * (F.col("n") - 1)))
+    z = (F.col("c") - F.col("sx") / F.col("n")) / sd
+    return (
+        j.filter((F.col("n") > 1) & (var_num > 0) & (F.abs(z) > 2.0))
+        .select(
+            "event_type",
+            "hour",
+            "hod",
+            F.col("c").cast("long").alias("n_events"),
+            F.round(F.col("sx") / F.col("n"), 6).alias("cell_mean"),
+            F.round(z, 4).alias("z_seasonal"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+# --- q265: Gini concentration of corpus contribution ---------------------------
+# How concentrated is the training corpus across sources / the revenue
+# across customers? The Gini coefficient via the sorted-rank identity
+# G = (2·Σ i·x_(i)) / (n·Σx) − (n+1)/n — with integer x and integer
+# ranks the double products are exact, so the statistic is
+# engine-bit-identical. One rank window per dimension.
+@register(
+    "q265_gini_concentration",
+    oracle="""
+        WITH src AS (
+            SELECT source AS k, SUM(n_chars) AS x
+            FROM documents GROUP BY source
+        ),
+        cust AS (
+            SELECT o_custkey AS k, COUNT(*) AS x
+            FROM orders GROUP BY o_custkey
+        ),
+        g1 AS (
+            SELECT 'doc_chars_by_source' AS dimension,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(2.0 * SUM(rnk * x) / (COUNT(*) * SUM(x))
+                         - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+            FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY x, k) AS rnk FROM src) q
+        ),
+        g2 AS (
+            SELECT 'orders_by_customer' AS dimension,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(2.0 * SUM(rnk * x) / (COUNT(*) * SUM(x))
+                         - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+            FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY x, k) AS rnk FROM cust) q
+        )
+        SELECT * FROM g1 UNION ALL SELECT * FROM g2
+        ORDER BY dimension
+    """,
+    doc=(
+        "Gini concentration, one row per dimension: how unequal is the "
+        "corpus across sources (chars) and the order book across "
+        "customers — the rebalancing trigger a mixture pass reads. "
+        "Sorted-rank identity G = 2·Sigma(i·x_i)/(n·Sigma x) - (n+1)/n "
+        "over integer values and ranks (exact doubles, bit-identical); "
+        "ranks from the distributed range-partitioned row index (no "
+        "single-reducer window), deterministic (value, key) order."
+    ),
+    tags=("analytics", "corpus", "stats", "concentration"),
+)
+def q265_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents", "orders"])
+
+    from ai_batch_processing_spark.operators.template import with_row_index
+
+    def gini(df: DataFrame, label: str) -> DataFrame:
+        # distributed rank: range-partitioned sort + per-partition offsets
+        # (with_row_index), never a global single-reducer window — the key
+        # side can be customer-sized
+        ranked = with_row_index(df, order_by=["x", "k"], col="_ri").withColumn(
+            "rnk", F.col("_ri") + 1
+        )
+        return ranked.agg(
+            F.lit(label).alias("dimension"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                2.0 * F.sum(F.col("rnk") * F.col("x"))
+                / (F.count(F.lit(1)) * F.sum("x"))
+                - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+                6,
+            ).alias("gini"),
+        )
+    src = t["documents"].groupBy(F.col("source").alias("k")).agg(
+        F.sum("n_chars").alias("x")
+    )
+    cust = t["orders"].groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return gini(src, "doc_chars_by_source").unionAll(
+        gini(cust, "orders_by_customer")
+    ).orderBy("dimension")

@@ -137,6 +137,8 @@ _PRIORITY = [
     "q261_bpe_fertility_by_source",
     "q262_audio_waveform_stats",
     "q263_kaplan_meier_error",
+    "q264_seasonal_anomalies",
+    "q265_gini_concentration",
     # Rotation: with every registered query driver-gated at least once
     # (rounds 1-6 union), re-verify the rows whose last gate is OLDEST —
     # the whole remaining round-1 cohort, then the round-2 block head.
