@@ -2101,6 +2101,7 @@ def fightin_words(
     text_col: str = "text",
     a0: float = 1000.0,
     top_k: int = 5,
+    materialize: bool = False,
 ) -> DataFrame:
     """(group, term, n_in_group, z, rnk): the ``top_k`` most
     group-distinctive terms by prior-regularized log-odds z-score —
@@ -2156,8 +2157,7 @@ def fightin_words(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
-    ygw.unpersist()
-    return out
+    return _finish(out, [ygw], materialize)
 
 
 @register(
@@ -2207,7 +2207,7 @@ def fightin_words(
 )
 def q259_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return fightin_words(docs).orderBy("source", "rnk")
+    return fightin_words(docs, materialize=True).orderBy("source", "rnk")
 
 
 # ---------------------------------------------------------------------------
@@ -2221,6 +2221,7 @@ def heldout_bigram_report(
     group_col: str = "source",
     holdout_mod: int = 7,
     k: float = 0.5,
+    materialize: bool = False,
 ) -> DataFrame:
     """(group, n_docs, n_bigrams, bits_per_bigram, oov_bigram_rate): the
     add-k bigram LM trained on doc_id % holdout_mod != 0 and SCORED on
@@ -2281,14 +2282,14 @@ def heldout_bigram_report(
             F.sum((F.col("cb") == 0).cast("long")) * 1.0 / F.count(F.lit(1)), 6
         ).alias("oov_bigram_rate"),
     )
-    bc.unpersist()
-    return out.select(
+    out = out.select(
         F.col("g").alias(group_col),
         "n_docs",
         "n_bigrams",
         "bits_per_bigram",
         "oov_bigram_rate",
     )
+    return _finish(out, [bc], materialize)
 
 
 @register(
@@ -2346,4 +2347,4 @@ def heldout_bigram_report(
 )
 def q260_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return heldout_bigram_report(docs).orderBy("source")
+    return heldout_bigram_report(docs, materialize=True).orderBy("source")

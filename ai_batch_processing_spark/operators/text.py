@@ -2396,7 +2396,10 @@ def bleu_corpus(
     macro = counts.select(pair_bleu.alias("b")).agg(
         F.round(F.round(F.sum("b"), 6) / F.count(F.lit(1)), 6).alias("bleu_macro")
     )
-    out = micro.crossJoin(macro)
+    # materialize the 1-row result BEFORE dropping the cache — returning
+    # the lazy plan would recompute the whole counting pipeline twice
+    # (micro + macro) uncached on the caller's action
+    out = micro.crossJoin(macro).localCheckpoint(eager=True)
     counts.unpersist()
     return out
 

@@ -2248,7 +2248,9 @@ def q248_ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(conv_a * 1.0 / n_a, 6) AS rate_a,
                ROUND(conv_b * 1.0 / n_b, 6) AS rate_b,
                ROUND(conv_b * 1.0 / n_b - conv_a * 1.0 / n_a, 6) AS abs_lift,
-               ROUND(
+               CASE WHEN (conv_a + conv_b)
+                         * ((n_a - conv_a) + (n_b - conv_b)) > 0
+                    THEN ROUND(
                    ((n_a + n_b) * 1.0
                     * (CAST(conv_a AS DOUBLE) * (n_b - conv_b)
                        - CAST(conv_b AS DOUBLE) * (n_a - conv_a))
@@ -2256,13 +2258,15 @@ def q248_ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                        - CAST(conv_b AS DOUBLE) * (n_a - conv_a)))
                    / (CAST(n_a AS DOUBLE) * n_b
                       * (conv_a + conv_b) * ((n_a - conv_a) + (n_b - conv_b))),
-                   6) AS chi2,
-               ROUND(
+                   6) END AS chi2,
+               CASE WHEN (conv_a + conv_b)
+                         * ((n_a - conv_a) + (n_b - conv_b)) > 0
+                    THEN ROUND(
                    (conv_b * 1.0 / n_b - conv_a * 1.0 / n_a)
                    / sqrt((conv_a + conv_b) * 1.0 / (n_a + n_b)
                           * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
                           * (1.0 / n_a + 1.0 / n_b)),
-                   6) AS z
+                   6) END AS z
         FROM cells
     """,
     doc=(
@@ -2305,11 +2309,19 @@ def q250_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate_a = c_a * 1.0 / n_a
     rate_b = c_b * 1.0 / n_b
     det = c_a.cast("double") * (n_b - c_b) - c_b.cast("double") * (n_a - c_a)
-    chi2 = ((n_a + n_b) * 1.0 * det * det) / (
-        n_a.cast("double") * n_b * (c_a + c_b) * ((n_a - c_a) + (n_b - c_b))
+    # degenerate 2x2 guard (all/none convert): ANSI mode makes the raw
+    # division THROW rather than return inf/NULL — emit NULL like SQL
+    marg = (c_a + c_b) * ((n_a - c_a) + (n_b - c_b))
+    chi2 = F.when(
+        marg > 0,
+        ((n_a + n_b) * 1.0 * det * det)
+        / (n_a.cast("double") * n_b * (c_a + c_b) * ((n_a - c_a) + (n_b - c_b))),
     )
     pp = (c_a + c_b) * 1.0 / (n_a + n_b)
-    z = (rate_b - rate_a) / F.sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))
+    z = F.when(
+        marg > 0,
+        (rate_b - rate_a) / F.sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)),
+    )
     return cells.select(
         "n_a",
         "conv_a",
