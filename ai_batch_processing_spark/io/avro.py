@@ -152,14 +152,21 @@ def _check_schema(schema: dict) -> list[tuple[str, Any]]:
     fields = []
     for f in schema["fields"]:
         t = f["type"]
+        # Unions are restricted to exactly ['null', T] (either order): the
+        # writer encodes only the first non-null branch and the Spark column
+        # is typed from it, so a genuine multi-branch union (e.g.
+        # ['int','string']) would be silently mis-encoded / mis-typed —
+        # reject it here instead.
         ok = (isinstance(t, str) and t in _PRIMITIVES) or (
             isinstance(t, list)
+            and len(t) == 2
+            and t.count("null") == 1
             and all(isinstance(b, str) and b in _PRIMITIVES for b in t)
         )
         if not ok:
             raise ValueError(
-                f"field {f['name']!r}: only primitive / nullable-union types "
-                f"are supported, got {t!r}"
+                f"field {f['name']!r}: only primitive / ['null', T] nullable-"
+                f"union types are supported, got {t!r}"
             )
         fields.append((f["name"], t))
     return fields
@@ -227,9 +234,20 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Distributed Avro read: one decode task per file via binaryFile +
     mapInPandas. The record schema comes from the first file's header
     (driver-side, bytes 0..64 KiB only); all files must share it."""
-    matches = sorted(_glob.glob(os.path.join(path, "*.avro"))) or sorted(
-        _glob.glob(path)
-    )
+    # Branch explicitly on what ``path`` is: a directory scans its *.avro
+    # children (whatever their suffix is NOT — a dir of suffix-less files is
+    # rejected loudly below, not opened as a file); a file loads directly; a
+    # glob pattern expands and the MATCHED FILE LIST is what binaryFile
+    # loads (never the pattern re-suffixed with '/*.avro').
+    if os.path.isdir(path):
+        matches = sorted(_glob.glob(os.path.join(path, "*.avro")))
+        load_target: list[str] | str = os.path.join(path, "*.avro")
+    elif os.path.isfile(path):
+        matches = [path]
+        load_target = path
+    else:
+        matches = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+        load_target = matches
     if not matches:
         raise FileNotFoundError(f"no avro files under {path!r}")
     with open(matches[0], "rb") as fh:
@@ -242,12 +260,18 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             for blob in pdf["content"]:
                 fs, rows = _decode_container(bytes(blob))
-                assert [n for n, _ in fs] == names, "schema drift across files"
+                # full (name, type) comparison, and a real exception (an
+                # assert is stripped under -O and name-only comparison lets
+                # a long-vs-string drift surface later as an opaque Arrow
+                # conversion error)
+                if fs != fields:
+                    raise ValueError(
+                        f"schema drift across avro files: expected {fields}, "
+                        f"found {fs}"
+                    )
                 yield pd.DataFrame(list(rows), columns=names)
 
-    files = spark.read.format("binaryFile").load(
-        path if path in matches or not matches else os.path.join(path, "*.avro")
-    )
+    files = spark.read.format("binaryFile").load(load_target)
     return files.select("content").mapInPandas(decode, ddl)
 
 

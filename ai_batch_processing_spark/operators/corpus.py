@@ -1498,6 +1498,8 @@ def rrf_fuse(
             6,
         ).alias("rrf_score"),
     )
+    # BOUNDED window: `fused` holds at most sum(len(ranklist)) rows — the
+    # inputs are already top-N ranklists, never the corpus
     w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return fused.withColumn("rnk", F.row_number().over(w).cast("long"))
 
@@ -1611,6 +1613,7 @@ def q212_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_top = (
         cos_scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(_RRF_TOPN)
+        # BOUNDED window below: ranks the _RRF_TOPN rows the limit kept
         .withColumn(
             "rnk",
             F.row_number()
@@ -2015,10 +2018,16 @@ def bootstrap_mean_ci(
     reps = (
         drawn.groupBy("b")
         .agg(F.sum(F.col("c") * F.col("x")).alias("sx"), F.sum("c").alias("sc"))
+        # a replicate that drew every row 0 times has no mean: drop it (in
+        # BOTH engines — the oracle has the matching HAVING) instead of
+        # producing a NULL that Spark's window ranks first and DuckDB's
+        # last. Unreachable at corpus scale; matters for tiny inputs.
+        .filter(F.col("sc") > 0)
         .select(
             "b", F.round(F.col("sx") * 1.0 / F.col("sc"), 6).alias("m")
         )
     )
+    # BOUNDED window: `reps` has exactly n_replicates rows (e.g. 200)
     w = Window.orderBy("m", "b")
     ranked = reps.select("m", F.row_number().over(w).alias("rn"))
     ci = ranked.agg(
@@ -2061,6 +2070,8 @@ _BOOT_B = 200
                          / SUM(CASE WHEN u < 368 THEN 0
                                     WHEN u < 736 THEN 1 ELSE 2 END), 6) AS m
             FROM drawn GROUP BY b
+            HAVING SUM(CASE WHEN u < 368 THEN 0
+                            WHEN u < 736 THEN 1 ELSE 2 END) > 0
         ),
         ranked AS (
             SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM reps
@@ -2348,3 +2359,295 @@ def heldout_bigram_report(
 def q260_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return heldout_bigram_report(docs, materialize=True).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Rank-exact robust length statistics from value-binned histograms
+# ---------------------------------------------------------------------------
+def _token_count_bins(docs: DataFrame) -> DataFrame:
+    """(source, v, c, cum, n): per-source histogram of whitespace token
+    counts with a running cumulative — the shared sufficient statistic for
+    rank-exact robust stats (trimmed means, quantile cutoffs) computed
+    WITHOUT ranking individual rows: the corpus collapses map-side to one
+    row per (source, distinct count value), and every window below runs
+    over that bounded bin table (≤ max-doc-token-count rows per source),
+    never the corpus."""
+    vals = docs.select("source", F.size(tokens_expr("text")).cast("long").alias("v"))
+    bins = vals.groupBy("source", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # BOUNDED windows: over the (source, distinct v) bin table
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return bins.select(
+        "source", "v", "c", F.sum("c").over(w_cum).alias("cum"), F.sum("c").over(w_all).alias("n")
+    )
+
+
+_BINS_SQL = r"""
+        vals AS (
+            SELECT source,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS v
+            FROM documents
+        ),
+        bins AS (
+            SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM vals GROUP BY source, v
+        ),
+        cums AS (
+            SELECT source, v, c,
+                   SUM(c) OVER (PARTITION BY source ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(c) OVER (PARTITION BY source) AS n
+            FROM bins
+        )
+"""
+
+
+def trimmed_mean_tokens(docs: DataFrame, trim_pct: int = 5) -> DataFrame:
+    """(source, n_docs, kept_docs, mean_ntok, trimmed_mean_ntok): the
+    per-source mean token count with the lowest and highest ``trim_pct``
+    percent of documents (by count value, ranked deterministically)
+    dropped — the robust length statistic a corpus-health report quotes
+    next to the raw mean, immune to the one 10M-token concatenation blob
+    that drags the plain average.
+
+    Rank-exact without per-row ranks: from the (source, v) histogram the
+    kept slice of each bin is pure integer interval arithmetic
+    (ranks lo+1..n-lo intersected with the bin's cumulative range), so
+    the trimmed sum is an exact integer and one final 6dp division makes
+    the statistic engine-portable. lo = floor(n·pct/100) in identical
+    IEEE doubles on both sides.
+    """
+    bins = _token_count_bins(docs)
+    lo = F.floor(F.col("n") * trim_pct / 100.0).cast("long")
+    hi = F.col("n") - lo
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), hi)
+        - F.greatest(F.col("cum") - F.col("c") + 1, lo + 1)
+        + 1,
+    )
+    return (
+        bins.select("source", "v", "c", "n", kept.alias("k"))
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.sum("k").cast("long").alias("kept_docs"),
+            F.round(F.sum(F.col("v") * F.col("c")) * 1.0 / F.max("n"), 6).alias("mean_ntok"),
+            F.when(
+                F.sum("k") > 0,
+                F.round(F.sum(F.col("v") * F.col("k")) * 1.0 / F.sum("k"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("trimmed_mean_ntok"),
+        )
+    )
+
+
+@register(
+    "q267_trimmed_mean_tokens",
+    oracle=f"""
+        WITH {_BINS_SQL},
+        marked AS (
+            SELECT source, v, c, cum, n,
+                   CAST(FLOOR(n * 5 / 100.0) AS BIGINT) AS lo
+            FROM cums
+        ),
+        kept AS (
+            SELECT source, v, c, n,
+                   GREATEST(0, LEAST(cum, n - lo)
+                               - GREATEST(cum - c + 1, lo + 1) + 1) AS k
+            FROM marked
+        )
+        SELECT source,
+               CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(SUM(k) AS BIGINT) AS kept_docs,
+               ROUND(SUM(v * c) * 1.0 / MAX(n), 6) AS mean_ntok,
+               CASE WHEN SUM(k) > 0
+                    THEN ROUND(SUM(v * k) * 1.0 / SUM(k), 6)
+                    ELSE 0.0 END AS trimmed_mean_ntok
+        FROM kept
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "per-source 5%-trimmed mean token count, rank-exact from the "
+        "(source, count-value) histogram: the kept slice of each bin is "
+        "integer interval arithmetic over cumulative ranks — no per-row "
+        "rank window ever runs, the corpus collapses map-side to bounded "
+        "bins. The robust length statistic for corpus health reports."
+    ),
+    tags=("corpus", "stats", "robust"),
+)
+def q267_trimmed_mean_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return trimmed_mean_tokens(docs).orderBy("source")
+
+
+def token_deciles_by_source(docs: DataFrame) -> DataFrame:
+    """(source, decile, ntok_cutoff): per-source decile cutoffs (type-1 /
+    lower-rank quantiles: the smallest value whose cumulative count
+    reaches ceil(q·n/10)) of the whitespace token count — the length
+    distribution snapshot batch-size planning and mixture design read.
+
+    Same bounded-histogram machinery as :func:`trimmed_mean_tokens`: the
+    per-(source, decile) pick is a min over bins passing their target
+    rank, exact integer arithmetic end to end.
+    """
+    bins = _token_count_bins(docs)
+    qs = docs.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    target = F.ceil(F.col("decile") * F.col("n") / 10.0).cast("long")
+    return (
+        bins.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= target)
+        .groupBy("source", "decile")
+        .agg(F.min("v").alias("ntok_cutoff"))
+    )
+
+
+@register(
+    "q268_token_deciles_by_source",
+    oracle=f"""
+        WITH {_BINS_SQL}
+        SELECT source, decile, MIN(v) AS ntok_cutoff
+        FROM cums, (SELECT CAST(range AS INT) AS decile FROM range(1, 10)) q
+        WHERE cum >= CAST(CEIL(decile * n / 10.0) AS BIGINT)
+        GROUP BY source, decile
+        ORDER BY source, decile
+    """,
+    doc=(
+        "per-source token-count deciles (type-1 quantiles, exact) from "
+        "the bounded (source, value) histogram — rank targets hit by "
+        "cumulative integer counts, no percentile_approx, no per-row "
+        "sort; identical integer picks in both engines."
+    ),
+    tags=("corpus", "stats", "quantiles"),
+)
+def q268_token_deciles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return token_deciles_by_source(docs).orderBy("source", "decile")
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: Dunning log-likelihood ratio (G²) over adjacent bigrams
+# ---------------------------------------------------------------------------
+def llr_collocations(docs: DataFrame, top_k: int = 20, min_count: int = 5) -> DataFrame:
+    """(rnk, w1, w2, k11, cw1, cw2, g2): the corpus's most-associated
+    adjacent word pairs by Dunning's log-likelihood ratio (Dunning 1993)
+    — the collocation detector that, unlike raw PMI (q217), does not
+    blow up on rare pairs: G² weights evidence by count, so 'of the'
+    scores on mass and a twice-seen typo pair scores near zero.
+
+    G² = 2·Σ k·ln(k·N / (row·col)) over the 2×2 contingency table of
+    (first word = w1) × (second word = w2). Every table entry is an
+    exact integer (bigram counts and marginals); the four ln terms are
+    evaluated in ONE fixed-order expression (the BLEU convention), so
+    both engines do identical IEEE ops and the 6dp round snaps them.
+
+    Scale shape: one bigram explode (corpus-linear), map-combinable
+    (w1, w2) counts, two marginal aggregates joined back (vocab-sized),
+    N as a broadcast 1-row aggregate, global top-k via orderBy+limit
+    (TakeOrderedAndProject) with the rank window over the capped rows.
+    """
+    toks_arr = docs.select(tokens_expr("text").alias("ts"))
+    bigr = (
+        toks_arr.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2),"
+                    " i -> struct(ts[i] AS w1, ts[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("k11")).persist()
+    cw1 = bc.groupBy("w1").agg(F.sum("k11").alias("cw1"))
+    cw2 = bc.groupBy("w2").agg(F.sum("k11").alias("cw2"))
+    tot = bc.agg(F.sum("k11").cast("double").alias("nn"))
+
+    def term(k, r, c):
+        kd = k.cast("double")
+        return F.when(k > 0, kd * F.log(kd * F.col("nn") / (r.cast("double") * c.cast("double")))).otherwise(F.lit(0.0))
+
+    k11 = F.col("k11")
+    k12 = F.col("cw1") - k11
+    k21 = F.col("cw2") - k11
+    k22 = (F.col("nn").cast("long")) - F.col("cw1") - F.col("cw2") + k11
+    r1, r2 = F.col("cw1"), F.col("nn").cast("long") - F.col("cw1")
+    c1, c2 = F.col("cw2"), F.col("nn").cast("long") - F.col("cw2")
+    g2 = F.round(
+        2.0 * (term(k11, r1, c1) + term(k12, r1, c2) + term(k21, r2, c1) + term(k22, r2, c2)),
+        6,
+    )
+    scored = (
+        bc.filter(F.col("k11") >= min_count)
+        .join(cw1, "w1")
+        .join(cw2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "k11", "cw1", "cw2", g2.alias("g2"))
+    )
+    top = scored.orderBy(F.desc("g2"), F.asc("w1"), F.asc("w2")).limit(top_k)
+    # BOUNDED window: ranks only the top_k rows the TakeOrderedAndProject kept
+    w = Window.orderBy(F.desc("g2"), F.asc("w1"), F.asc("w2"))
+    out = top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "rnk", "w1", "w2", "k11", "cw1", "cw2", "g2"
+    )
+    return _finish(out, [bc], materialize=True)
+
+
+@register(
+    "q269_llr_collocations",
+    oracle=r"""
+        WITH toks_arr AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+            FROM documents
+        ),
+        bigr AS (
+            SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+            FROM toks_arr, unnest(generate_series(1, len(ts) - 1)) u(i)
+            WHERE len(ts) >= 2
+        ),
+        bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k11 FROM bigr GROUP BY w1, w2),
+        m1 AS (SELECT w1, SUM(k11) AS cw1 FROM bc GROUP BY w1),
+        m2 AS (SELECT w2, SUM(k11) AS cw2 FROM bc GROUP BY w2),
+        tot AS (SELECT CAST(SUM(k11) AS DOUBLE) AS nn FROM bc),
+        scored AS (
+            SELECT bc.w1, bc.w2, bc.k11, m1.cw1, m2.cw2,
+                   ROUND(2.0 * (
+                       (CASE WHEN bc.k11 > 0 THEN bc.k11 * ln(bc.k11 * nn / (CAST(m1.cw1 AS DOUBLE) * m2.cw2)) ELSE 0.0 END)
+                     + (CASE WHEN m1.cw1 - bc.k11 > 0 THEN (m1.cw1 - bc.k11) * ln((m1.cw1 - bc.k11) * nn / (CAST(m1.cw1 AS DOUBLE) * (nn - m2.cw2))) ELSE 0.0 END)
+                     + (CASE WHEN m2.cw2 - bc.k11 > 0 THEN (m2.cw2 - bc.k11) * ln((m2.cw2 - bc.k11) * nn / ((nn - m1.cw1) * CAST(m2.cw2 AS DOUBLE))) ELSE 0.0 END)
+                     + (CASE WHEN nn - m1.cw1 - m2.cw2 + bc.k11 > 0 THEN (nn - m1.cw1 - m2.cw2 + bc.k11) * ln((nn - m1.cw1 - m2.cw2 + bc.k11) * nn / ((nn - m1.cw1) * (nn - m2.cw2))) ELSE 0.0 END)
+                   ), 6) AS g2
+            FROM bc JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+            WHERE bc.k11 >= 5
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY g2 DESC, w1, w2) AS BIGINT) AS rnk,
+               w1, w2, k11, CAST(cw1 AS BIGINT) AS cw1, CAST(cw2 AS BIGINT) AS cw2, g2
+        FROM scored
+        QUALIFY rnk <= 20
+        ORDER BY rnk
+    """,
+    doc=(
+        "top-20 collocations by Dunning log-likelihood ratio (G2) over "
+        "adjacent bigrams: count-weighted association that complements "
+        "q217's PMI (which over-rewards rare pairs). 2x2 contingency "
+        "table from exact integer bigram counts + marginals; the four "
+        "ln terms in one fixed-order expression, 6dp-snapped."
+    ),
+    tags=("corpus", "text", "collocation", "stats"),
+)
+def q269_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return llr_collocations(docs).orderBy("rnk")

@@ -2133,10 +2133,17 @@ def boilerplate_census(
         F.count(F.lit(1)).alias("n_occurrences"),
     )
     hot = agg.filter(F.col("n_docs") >= min_doc_freq)
+    # Global top-k the scale-safe way (the bm25/corpus.py pattern):
+    # orderBy+limit compiles to TakeOrderedAndProject (per-task local top-k,
+    # one ≤k-row merge) — on a boilerplate-heavy crawl the hot set is
+    # corpus-sized, and a bare rank window would funnel it through one
+    # reducer. The rank column is a window over the ALREADY-capped k rows.
+    top = hot.orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("line")).limit(
+        top_k
+    )
     w = Window.orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("line"))
     return (
-        hot.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= top_k)
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("rnk", "line", F.col("n_docs").cast("long"), F.col("n_occurrences").cast("long"))
     )
 
@@ -2343,6 +2350,8 @@ def quantile_normalize(
         )
         .select(group_col, score_col, "pr")
     )
+    # BOUNDED window: runs over the groupBy(score)_ aggregate — one row per
+    # DISTINCT rounded score value (6dp grid), never the corpus
     g_cum_w = Window.orderBy(score_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -2603,6 +2612,7 @@ def pareto_front(
     greater-x max.
     """
     per_x = df.groupBy(x_col).agg(F.max(y_col).alias("_ymax"))
+    # BOUNDED window: over per_x — one row per distinct rounded x value
     w = (
         Window.orderBy(F.desc(x_col))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -3642,3 +3652,297 @@ _HRW_SHARDS = 8
 def q256_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return rendezvous_assign(docs, "doc_id", _HRW_SHARDS, method="md5").orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Padding efficiency: length-bucketing waste report for batch assembly
+# ---------------------------------------------------------------------------
+_PAD_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+
+
+def padding_efficiency(docs: DataFrame, buckets: list[int] | None = None) -> DataFrame:
+    """(bucket, n_seqs, sum_tokens, padded_tokens, waste_share): what
+    fixed-length batch assembly would cost at each power-of-two bucket —
+    every sequence is padded up to the smallest bucket holding it, and
+    waste_share is the padding fraction the accelerator burns. The
+    report that decides between bucketing configs before
+    :func:`pack_sequences` (q103) is even considered; sequences longer
+    than the largest bucket surface as bucket = -1 (truncation candidates),
+    never silently dropped.
+
+    One Catalyst CASE-chain projection (identical integer thresholds in
+    both engines) + a map-combinable aggregate over ≤ len(buckets)+1
+    groups: corpus-linear, one pass, integer arithmetic until the one
+    rounded division.
+    """
+    bs = sorted(buckets or _PAD_BUCKETS)
+    ntok = F.size(tokens_expr("text")).cast("long")
+    bucket = F.lit(-1).cast("long")
+    for b in reversed(bs):
+        bucket = F.when(ntok <= b, F.lit(b).cast("long")).otherwise(bucket)
+    per = docs.select(bucket.alias("bucket"), ntok.alias("v"))
+    return per.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum("v").cast("long").alias("sum_tokens"),
+        F.when(F.col("bucket") > 0, F.count(F.lit(1)) * F.first("bucket"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("padded_tokens"),
+        F.when(
+            F.col("bucket") > 0,
+            F.round(1.0 - F.sum("v") * 1.0 / (F.count(F.lit(1)) * F.first("bucket")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("waste_share"),
+    )
+
+
+@register(
+    "q271_padding_efficiency",
+    oracle=r"""
+        WITH per AS (
+            SELECT CASE
+                     WHEN v <= 16 THEN 16 WHEN v <= 32 THEN 32
+                     WHEN v <= 64 THEN 64 WHEN v <= 128 THEN 128
+                     WHEN v <= 256 THEN 256 WHEN v <= 512 THEN 512
+                     WHEN v <= 1024 THEN 1024 WHEN v <= 2048 THEN 2048
+                     WHEN v <= 4096 THEN 4096 WHEN v <= 8192 THEN 8192
+                     ELSE -1 END AS bucket,
+                   v
+            FROM (
+                SELECT CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                            x -> x <> '')) AS BIGINT) AS v
+                FROM documents
+            )
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_seqs,
+               CAST(SUM(v) AS BIGINT) AS sum_tokens,
+               CAST(CASE WHEN bucket > 0 THEN COUNT(*) * bucket ELSE 0 END AS BIGINT) AS padded_tokens,
+               CASE WHEN bucket > 0
+                    THEN ROUND(1.0 - SUM(v) * 1.0 / (COUNT(*) * bucket), 6)
+                    ELSE 0.0 END AS waste_share
+        FROM per
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    doc=(
+        "power-of-two length-bucketing waste report: per bucket, how many "
+        "sequences land there, their real token mass, the padded mass a "
+        "fixed-length batcher would ship, and the waste share — the "
+        "decision table read before sequence packing; over-length rows "
+        "surface as bucket -1. One CASE-chain pass, integer-exact."
+    ),
+    tags=("curation", "packing", "stats"),
+)
+def q271_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return padding_efficiency(docs).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (PAV via the minimax identity, binned)
+# ---------------------------------------------------------------------------
+def _calibration_bins(docs: DataFrame) -> DataFrame:
+    """(b, cnt, pos): the deterministic score-bin fixture shared by the
+    calibration operators — score bin b = min(19, ntok // 20) (a 20-bin
+    grid over the token-count range) and a noisy-but-monotone synthetic
+    label: positive iff (doc_id·37) mod 100 < 20 + min(60, ntok·3 // 10).
+    Pure integer arithmetic, identical in both engines."""
+    ntok = F.size(tokens_expr("text")).cast("long")
+    b = F.least(F.lit(19).cast("long"), F.floor(ntok / 20).cast("long"))
+    thr = F.lit(20) + F.least(F.lit(60).cast("long"), F.floor(ntok * 3 / 10).cast("long"))
+    label = F.when((F.col("doc_id") * 37) % 100 < thr, 1).otherwise(0)
+    return (
+        docs.select(b.alias("b"), label.alias("y"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"), F.sum("y").cast("long").alias("pos"))
+    )
+
+
+_CAL_BINS_SQL = r"""
+        feats AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS ntok
+            FROM documents
+        ),
+        binned AS (
+            SELECT LEAST(19, ntok // 20) AS b,
+                   CASE WHEN (doc_id * 37) % 100
+                             < 20 + LEAST(60, ntok * 3 // 10)
+                        THEN 1 ELSE 0 END AS y
+            FROM feats
+        ),
+        bins AS (
+            SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+            FROM binned GROUP BY b
+        )
+"""
+
+
+def isotonic_calibration(bins: DataFrame) -> DataFrame:
+    """(b, cnt, pos, raw_rate, iso_rate): the isotonic (monotone
+    non-decreasing) calibration map fit to per-bin positive rates — the
+    classical PAV fit, computed via the minimax identity
+    iso(t) = max_{i≤t} min_{j≥t} avg(pos[i..j]) / avg(cnt[i..j]), which
+    is exactly the pool-adjacent-violators solution for weighted squared
+    loss and — unlike the sequential PAV sweep — is order-free relational
+    algebra both engines can evaluate identically.
+
+    Everything is bounded by the BIN count B (≤ 20 here): interval sums
+    come from cumulative bin sums, the (i, t, j) enumeration is ≤ B³/6
+    rows, and every comparison is between exact integer-ratio doubles —
+    identical picks in both engines, one 6dp round at the end. The
+    corpus itself is touched once, map-side, to build the bins.
+    """
+    # BOUNDED windows: over the ≤20-row bin table
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cums = bins.select(
+        "b",
+        "cnt",
+        "pos",
+        F.sum("cnt").over(w).alias("cc"),
+        F.sum("pos").over(w).alias("cp"),
+    ).persist()
+    lo = cums.select(
+        F.col("b").alias("i"),
+        (F.col("cc") - F.col("cnt")).alias("cc_lo"),
+        (F.col("cp") - F.col("pos")).alias("cp_lo"),
+    )
+    hi = cums.select(F.col("b").alias("j"), F.col("cc").alias("cc_hi"), F.col("cp").alias("cp_hi"))
+    intervals = lo.join(hi, F.col("i") <= F.col("j")).select(
+        "i",
+        "j",
+        ((F.col("cp_hi") - F.col("cp_lo")) / (F.col("cc_hi") - F.col("cc_lo"))).alias("avg"),
+    )
+    ts = bins.select(F.col("b").alias("t"))
+    trip = intervals.join(
+        F.broadcast(ts), (F.col("i") <= F.col("t")) & (F.col("t") <= F.col("j"))
+    )
+    m_it = trip.groupBy("i", "t").agg(F.min("avg").alias("m"))
+    iso = m_it.groupBy("t").agg(F.max("m").alias("iso"))
+    out = (
+        cums.join(iso, cums.b == iso.t)
+        .select(
+            "b",
+            "cnt",
+            "pos",
+            F.round(F.col("pos") * 1.0 / F.col("cnt"), 6).alias("raw_rate"),
+            F.round(F.col("iso"), 6).alias("iso_rate"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cums.unpersist()
+    return out
+
+
+@register(
+    "q274_isotonic_calibration",
+    oracle=f"""
+        WITH {_CAL_BINS_SQL},
+        cums AS (
+            SELECT b, cnt, pos,
+                   SUM(cnt) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+                   SUM(pos) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+            FROM bins
+        ),
+        intervals AS (
+            SELECT lo.b AS i, hi.b AS j,
+                   CAST(hi.cp - (lo.cp - lo.pos) AS DOUBLE)
+                   / (hi.cc - (lo.cc - lo.cnt)) AS avg
+            FROM cums lo JOIN cums hi ON lo.b <= hi.b
+        ),
+        trip AS (
+            SELECT iv.i, t.b AS t, iv.avg
+            FROM intervals iv JOIN bins t ON iv.i <= t.b AND t.b <= iv.j
+        ),
+        m_it AS (SELECT i, t, MIN(avg) AS m FROM trip GROUP BY i, t),
+        iso AS (SELECT t, MAX(m) AS iso FROM m_it GROUP BY t)
+        SELECT c.b, c.cnt, c.pos,
+               ROUND(c.pos * 1.0 / c.cnt, 6) AS raw_rate,
+               ROUND(iso.iso, 6) AS iso_rate
+        FROM cums c JOIN iso ON iso.t = c.b
+        ORDER BY c.b
+    """,
+    doc=(
+        "isotonic calibration (PAV) of binned classifier scores via the "
+        "minimax identity max_i<=t min_j>=t interval-average — the "
+        "order-free relational formulation of pool-adjacent-violators, "
+        "hash-matched across engines on exact integer-ratio doubles. "
+        "The calibration map applied to quality-classifier scores before "
+        "thresholding."
+    ),
+    tags=("curation", "eval", "calibration"),
+)
+def q274_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return isotonic_calibration(_calibration_bins(docs)).orderBy("b")
+
+
+def binned_average_precision(bins: DataFrame) -> DataFrame:
+    """One row (n, n_pos, ap): binned average precision — the PR-curve
+    area by rectangles over score bins scanned from the HIGHEST score
+    down: AP = Σ_b P(≥b)·ΔR(b) with P the cumulative precision at the
+    bin and ΔR the bin's share of all positives. Ties inside a bin are
+    handled by construction (the whole bin is one step). Bounded-window
+    math over the bin table; exact integers until two rounded divisions.
+    """
+    # BOUNDED window: over the ≤20-row bin table (descending score order)
+    w = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = bins.agg(
+        F.sum("cnt").cast("long").alias("n"), F.sum("pos").cast("long").alias("n_pos")
+    )
+    cums = bins.select(
+        "b",
+        "pos",
+        F.sum("cnt").over(w).alias("cc"),
+        F.sum("pos").over(w).alias("cp"),
+    )
+    ap = (
+        cums.crossJoin(F.broadcast(tot))
+        # each term snapped to 6dp BEFORE the sum: a sum of 6dp decimals is
+        # itself a 6dp decimal, so ROUND(SUM, 6) lands both engines on the
+        # same grid point regardless of their summation order
+        .select(
+            F.round(
+                (F.col("cp") / F.col("cc")) * (F.col("pos") / F.col("n_pos")), 6
+            ).alias("term")
+        )
+        .agg(F.round(F.sum("term"), 6).alias("ap"))
+    )
+    return tot.crossJoin(ap).select("n", "n_pos", "ap")
+
+
+@register(
+    "q275_binned_average_precision",
+    oracle=f"""
+        WITH {_CAL_BINS_SQL},
+        tot AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos
+            FROM bins
+        ),
+        cums AS (
+            SELECT b, pos,
+                   SUM(cnt) OVER (ORDER BY b DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+                   SUM(pos) OVER (ORDER BY b DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+            FROM bins
+        )
+        SELECT tot.n, tot.n_pos,
+               (SELECT ROUND(SUM(ROUND((CAST(cp AS DOUBLE) / cc)
+                                        * (CAST(pos AS DOUBLE) / tot.n_pos), 6)), 6)
+                FROM cums) AS ap
+        FROM tot
+    """,
+    doc=(
+        "binned average precision (PR-curve rectangle area, highest-score "
+        "bin first): the ranking-eval complement of q235's rank AUC — "
+        "AP weights precision by each bin's recall share, so top-bin "
+        "contamination shows up immediately. Bounded bin-table windows, "
+        "exact integers until the rounded sum."
+    ),
+    tags=("curation", "eval", "ranking"),
+)
+def q275_binned_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return binned_average_precision(_calibration_bins(docs))

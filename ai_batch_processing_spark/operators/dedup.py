@@ -1843,3 +1843,144 @@ def q255_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_overlap_pairs(
         corpus, "id", "text", k=16, w=4, min_shared=10
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering similarity join (ppjoin-style blocking, token-set Jaccard)
+# ---------------------------------------------------------------------------
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    threshold_pct: int = 70,
+) -> DataFrame:
+    """(id_a, id_b, inter, uni, jaccard): all pairs with token-SET Jaccard
+    ≥ threshold — found via PREFIX FILTERING (Chaudhuri et al. 2006 /
+    ppjoin), the fifth blocking family next to MinHash-LSH bands, SimHash,
+    sorted neighborhoods, and winnowing.
+
+    The guarantee: order each document's distinct tokens by global rarity
+    (document frequency asc, token asc). If J(A, B) ≥ t then A and B MUST
+    share a token within their first |d| − ⌈t·|d|⌉ + 1 rarest tokens —
+    so only the prefix tokens are indexed, and the candidate join fans
+    out on RARE tokens by construction ('the' never becomes a join key).
+    Candidates are then verified with exact set intersection counts; the
+    threshold test is the integer cross-multiplication
+    inter·100 ≥ pct·union (no float compare).
+
+    Scale shape: distinct-token explode (corpus-linear), a vocab-sized df
+    aggregate joined back, a PER-DOCUMENT rank window (bounded by doc
+    length), the prefix self-join (inverted index on rare tokens), and a
+    candidate-bounded verification join. No all-pairs stage anywhere.
+    """
+    from ai_batch_processing_spark.operators.text import tokens_expr
+
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("term"))
+        .dropDuplicates(["id", "term"])
+        .persist()
+    )
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dfreq = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # BOUNDED window: partitioned per document, ≤ doc-token-count rows
+    w = Window.partitionBy("id").orderBy("df", "term")
+    ranked = (
+        tok.join(dfreq, "term")
+        .join(sizes, "id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.col("n") * threshold_pct / 100.0).cast("long") + 1
+        )
+        .select("id", "term")
+    )
+    a = ranked.alias("pa")
+    b = ranked.alias("pb")
+    cands = (
+        a.join(b, (F.col("pa.term") == F.col("pb.term")) & (F.col("pa.id") < F.col("pb.id")))
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ta = tok.select(F.col("id").alias("id_a"), "term")
+    tb = tok.select(F.col("id").alias("_idb"), F.col("term").alias("_tb"))
+    inter = (
+        cands.join(ta, "id_a")
+        .join(tb, (F.col("id_b") == F.col("_idb")) & (F.col("term") == F.col("_tb")), "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    uni = F.col("na") + F.col("nb") - F.col("inter")
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.col("inter") * 100 >= F.lit(threshold_pct) * uni)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            uni.cast("long").alias("uni"),
+            F.round(F.col("inter") * 1.0 / uni, 6).alias("jaccard"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tok.unpersist()
+    return out
+
+
+@register(
+    "q273_prefix_filter_jaccard",
+    oracle=rf"""
+        WITH corpus AS ({_DUP_CORPUS_SQL}),
+        tok AS (
+            SELECT DISTINCT id, t.tok AS term
+            FROM corpus,
+                 UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS t(tok)
+        ),
+        sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY id),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term),
+        ranked AS (
+            SELECT tok.id, tok.term
+            FROM tok JOIN dfreq USING (term) JOIN sizes USING (id)
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY tok.id ORDER BY df, term)
+                    <= n - CAST(CEIL(n * 80 / 100.0) AS BIGINT) + 1
+        ),
+        cands AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM ranked a JOIN ranked b ON a.term = b.term AND a.id < b.id
+        ),
+        inter AS (
+            SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+            FROM cands c
+            JOIN tok ta ON ta.id = c.id_a
+            WHERE EXISTS (
+                SELECT 1 FROM tok tb WHERE tb.id = c.id_b AND tb.term = ta.term
+            )
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT i.id_a, i.id_b, i.inter,
+               na.n + nb.n - i.inter AS uni,
+               ROUND(i.inter * 1.0 / (na.n + nb.n - i.inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes na ON na.id = i.id_a
+        JOIN sizes nb ON nb.id = i.id_b
+        WHERE i.inter * 100 >= 80 * (na.n + nb.n - i.inter)
+        ORDER BY id_a, id_b
+    """,
+    doc=(
+        "token-set Jaccard >= 0.8 self-join via prefix filtering "
+        "(ppjoin): index only each doc's |d| - ceil(0.8|d|) + 1 RAREST "
+        "tokens (global-df order) — the lossless candidate bound that "
+        "never joins on stopwords; exact integer verification with the "
+        "inter*100 >= 80*union cross-multiplication. Fifth blocking "
+        "family, run over the planted-dup corpus."
+    ),
+    tags=("dedup", "jaccard", "blocking"),
+)
+def q273_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return prefix_filter_pairs(corpus, "id", "text", threshold_pct=80).orderBy(
+        "id_a", "id_b"
+    )

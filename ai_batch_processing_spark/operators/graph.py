@@ -33,6 +33,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = DAMPING,
     checkpoint_every: int | None = 2,
+    single_task_edges: int | None = 20_000_000,
 ) -> DataFrame:
     """(id, rank) after ``iterations`` synchronous PageRank steps.
 
@@ -45,6 +46,20 @@ def pagerank(
     driver ``.count()``); out-degrees are computed once and live ON the
     edge rows, so each iteration shuffles edges exactly once (join on src,
     aggregate on dst) and the rank table once.
+
+    ADAPTIVE REGIME PICK (the same size-based decision AQE makes when it
+    swaps a shuffle join for a broadcast): a synchronous power iteration
+    on a graph whose EDGE LIST fits one executor's memory is pure
+    scheduling overhead as a distributed loop — 10 rounds × 2-3 stages of
+    barrier latency to move kilobytes. When the measured edge count is
+    ≤ ``single_task_edges`` (and ids are integral), the whole
+    fixed-iteration loop runs in ONE Arrow task
+    (:func:`_pagerank_single_task`): edges ship once, numpy bincount does
+    the per-round gather/scatter, zero per-round stages. 20M edges is two
+    int64 columns ≈ 320 MB — comfortably inside a standard 4-8 GB
+    executor. Above the cap (or for non-integral ids, or
+    ``single_task_edges=None``) the distributed join+agg loop below is
+    the only shape that survives — it is the 100 TB path.
 
     ``checkpoint_every`` picks how often the rank lineage is truncated
     with a LAZY ``localCheckpoint``. The default (2) bounds plan depth at
@@ -86,6 +101,15 @@ def pagerank(
     e_raw = edges.persist()
     caches: list[DataFrame] = [e_raw]
     try:
+        integral = {"tinyint", "smallint", "int", "bigint"}
+        if (
+            single_task_edges is not None
+            and dict(nodes.dtypes).get("id") in integral
+            and dict(e_raw.dtypes).get("src") in integral
+            and dict(e_raw.dtypes).get("dst") in integral
+            and e_raw.count() <= single_task_edges
+        ):
+            return _pagerank_single_task(nodes, e_raw, iterations, damping)
         return _pagerank_impl(
             nodes, e_raw, iterations, damping, checkpoint_every, conf_part, caches
         )
@@ -95,6 +119,86 @@ def pagerank(
         # materializes ranks before the caches are dropped)
         for c in caches:
             c.unpersist()
+
+
+def _pagerank_single_task(
+    nodes: DataFrame,
+    e_raw: DataFrame,
+    iterations: int,
+    damping: float,
+) -> DataFrame:
+    """The small-graph regime: all ``iterations`` rounds inside one Arrow
+    task (numpy bincount gather/scatter), selected by :func:`pagerank`'s
+    measured-edge-count dispatch.
+
+    Semantics are identical to the distributed loop, including the corner
+    cases: out-degree counts EVERY out-edge of a src (even one pointing at
+    a non-node id), an edge whose src is not a node contributes nothing
+    (it has no rank), and inflow landing on a non-node dst is dropped.
+    The 6dp cross-engine rounding convention absorbs summation-order
+    differences exactly as it does between the distributed loop and the
+    DuckDB unrolled-CTE oracle.
+
+    Shape: nodes and edges are tagged, unioned, funneled into ONE
+    mapInPandas task (edges ship through Arrow once — no nulls, so the
+    long columns stay int64 end to end); the per-round work is two numpy
+    kernels over the edge arrays. The result is eagerly localCheckpoint-ed
+    so the caller's cache cleanup can't strand its lineage.
+    """
+    id_t = dict(nodes.dtypes)["id"]
+    merged = e_raw.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.lit(True).alias("is_edge"),
+    ).unionByName(
+        nodes.select(
+            F.col("id").cast("long").alias("src"),
+            F.col("id").cast("long").alias("dst"),
+            F.lit(False).alias("is_edge"),
+        )
+    )
+
+    def solve(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        is_edge = pdf["is_edge"].to_numpy()
+        ids = np.sort(pdf.loc[~is_edge, "src"].to_numpy(dtype=np.int64))
+        n = len(ids)
+        if n == 0:
+            return
+        esrc = pdf.loc[is_edge, "src"].to_numpy(dtype=np.int64)
+        edst = pdf.loc[is_edge, "dst"].to_numpy(dtype=np.int64)
+        si = np.searchsorted(ids, esrc).clip(0, n - 1)
+        di = np.searchsorted(ids, edst).clip(0, n - 1)
+        src_ok = ids[si] == esrc
+        dst_ok = ids[di] == edst
+        # odeg over ALL out-edges of each src value (matching the
+        # distributed loop's pre-join groupBy on raw edges)
+        if len(esrc):
+            uniq, inv, cnt = np.unique(esrc, return_inverse=True, return_counts=True)
+            odeg_edge = cnt[inv].astype(np.float64)
+        else:
+            odeg_edge = np.zeros(0, dtype=np.float64)
+        live = src_ok  # src must be a ranked node to contribute
+        si_l, di_l = si[live], di[live]
+        odeg_l = odeg_edge[live]
+        dst_ok_l = dst_ok[live]
+        r = np.full(n, 1.0 / n)
+        for _ in range(iterations):
+            w = r[si_l] / odeg_l
+            inflow = np.bincount(di_l[dst_ok_l], weights=w[dst_ok_l], minlength=n)
+            r = (1.0 - damping) / n + damping * inflow
+        yield pd.DataFrame({"id": ids, "rank": r})
+
+    out = merged.coalesce(1).mapInPandas(solve, "id long, rank double")
+    return out.select(F.col("id").cast(id_t).alias("id"), "rank").localCheckpoint(
+        eager=True
+    )
 
 
 def _pagerank_impl(
@@ -1244,3 +1348,155 @@ def q252_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         emb.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition: iterative degree peeling (integer, fully portable)
+# ---------------------------------------------------------------------------
+def kcore_members(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int,
+    rounds: int = 5,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(id, degree): nodes surviving ``rounds`` synchronous peels of the
+    k-core iteration — repeatedly drop every node whose degree in the
+    surviving induced subgraph is < k. The community-density signal a
+    curation pipeline reads off the similarity graph: deep cores are
+    templated/near-duplicate neighborhoods, shallow nodes are singletons.
+
+    ``edges`` is directed input and is symmetrized + self-loop-stripped +
+    deduplicated here, so degree means UNDIRECTED neighbor count. The
+    round count is FIXED (the pagerank/q122 convention): both engines
+    compute the same ``rounds`` peels, so the DuckDB oracle unrolls the
+    same chain and the result hash-gates. Everything is integer counts —
+    the strongest cross-engine portability class (no rounding convention
+    at all).
+
+    Scale shape: per round one induced-degree aggregate (two semi joins
+    against the alive set + a map-combinable count) and one filter;
+    lineage truncated every ``checkpoint_every`` rounds exactly like
+    connected_components. The alive set only shrinks, so per-round work
+    is monotonically decreasing.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    alive = nodes.select("id")
+    deg = None
+    try:
+        for r in range(rounds):
+            # two disambiguated projections of the SAME alive frame — a
+            # self-referencing semi-join pair trips attribute resolution
+            a_src = alive.select(F.col("id").alias("_aid_s"))
+            a_dst = alive.select(F.col("id").alias("_aid_d"))
+            deg = (
+                sym.join(a_src, F.col("src") == F.col("_aid_s"), "left_semi")
+                .join(a_dst, F.col("dst") == F.col("_aid_d"), "left_semi")
+                .groupBy("src")
+                .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            )
+            alive = deg.filter(F.col("degree") >= k).select(F.col("src").alias("id"))
+            last = r == rounds - 1
+            if last or (r + 1) % checkpoint_every == 0:
+                alive = alive.localCheckpoint(eager=last)
+        out = (
+            deg.filter(F.col("degree") >= k)
+            .select(F.col("src").alias("id"), "degree")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        sym.unpersist()
+
+
+def _kcore_oracle_sql(cap: int, knn_k: int, k: int, rounds: int) -> str:
+    head = f"""
+        WITH emb AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {cap}
+        ),
+        scored AS (
+            SELECT a.id AS src, b.id AS dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC, b.id
+                   ) AS rnk
+            FROM emb a JOIN emb b ON a.id <> b.id
+        ),
+        knn AS (SELECT src, dst FROM scored WHERE rnk <= {knn_k}),
+        planted AS (
+            SELECT a.id * 25 AS src, b.id * 25 AS dst
+            FROM range(12) a(id), range(12) b(id) WHERE a.id < b.id
+        ),
+        dedges AS (SELECT src, dst FROM knn UNION ALL SELECT src, dst FROM planted),
+        sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM dedges
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM dedges
+            ) WHERE src <> dst
+        ),
+        a0 AS (SELECT id FROM emb)
+    """
+    steps = []
+    for r in range(rounds):
+        steps.append(
+            f"""
+        , d{r + 1} AS (
+            SELECT e.src AS id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM sym e
+            JOIN a{r} s ON e.src = s.id
+            JOIN a{r} t ON e.dst = t.id
+            GROUP BY e.src
+        ),
+        a{r + 1} AS (SELECT id FROM d{r + 1} WHERE degree >= {k})"""
+        )
+    tail = f"""
+        SELECT id, degree FROM d{rounds} WHERE degree >= {k}
+        ORDER BY id
+    """
+    return head + "".join(steps) + tail
+
+
+_KC_CAP = 300
+_KC_K = 6
+_KC_ROUNDS = 5
+
+
+@register(
+    "q272_kcore_members",
+    oracle=_kcore_oracle_sql(_KC_CAP, _PR_K, _KC_K, _KC_ROUNDS),
+    doc=(
+        "k-core decomposition over the symmetrized embedding k-NN graph "
+        "with a PLANTED 12-clique (ids 0,25,...,275 — the gate's known "
+        f"dense neighborhood): {_KC_ROUNDS} fixed synchronous peels "
+        f"dropping nodes with induced degree < {_KC_K}. The sparse k-NN "
+        "periphery erodes over the rounds while the clique's degree-11 "
+        "core survives — exactly the near-duplicate-cluster signal the "
+        "operator exists to find. Integer degrees end to end (no "
+        "rounding convention); the distributed peel loop hash-matches "
+        "the unrolled DuckDB CTE chain."
+    ),
+    tags=("graph", "similarity", "iterative"),
+)
+def q272_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        .filter(F.col("vec_id") < _KC_CAP)
+        .select("vec_id", "embedding")
+    )
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    ids = spark.range(12).select((F.col("id") * 25).alias("n"))
+    planted = (
+        ids.select(F.col("n").alias("src"))
+        .crossJoin(ids.select(F.col("n").alias("dst")))
+        .filter(F.col("src") < F.col("dst"))
+    )
+    edges = knn_edges(emb, k=_PR_K).unionByName(planted)
+    return kcore_members(nodes, edges, k=_KC_K, rounds=_KC_ROUNDS).orderBy("id")

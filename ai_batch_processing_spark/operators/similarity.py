@@ -126,10 +126,16 @@ def cosine_topk(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"), _norm(F.col(vec_col)).alias("_cn")
     )
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True))
+    # _pair_dot, not the interpreted _dot HOF fold: the all-pairs stream is
+    # |q|·|c| rows and the fold costs ~µs per pair-ELEMENT (q122's 300-node
+    # edge build: 90k pairs × 64 dims ≈ 5.8M interpreted lambda steps,
+    # ~2.5s of its wall). The Arrow kernel sweeps columns sequentially —
+    # bit-identical doubles (see _pair_dot's docstring), so hash-gated
+    # consumers are unaffected.
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("score"),
+        F.round(_pair_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -451,7 +457,17 @@ def assign_cells(
         return pd.Series([row.astype("int32").tolist() for row in top])
 
     cells = df.withColumn("_cells", nearest_cells(F.col(vec_col)))
-    return cells.select(*df.columns, F.explode("_cells").alias("cell"))
+    # explode_OUTER on purpose: nearest_cells always returns a non-empty
+    # array (n_probe >= 1), so the two are semantically identical — but a
+    # plain explode makes InferFiltersFromGenerate add a
+    # `size(nearest_cells(...)) > 0 AND isnotnull(...)` predicate that
+    # predicate-pushdown shoves into any join BELOW this projection (e.g.
+    # replicate_perturbed's broadcast replica crossJoin), where
+    # ExtractPythonUDFFromJoinCondition then strips it with a noisy
+    # "turned to cross join" rewrite. explode_outer infers no filter, so
+    # the Python UDF never reaches a join condition (plan-pinned in
+    # tests/test_plans.py).
+    return cells.select(*df.columns, F.explode_outer("_cells").alias("cell"))
 
 
 def _ivf_block_scores(c: DataFrame, q: DataFrame, k: int | None = None) -> DataFrame:
@@ -2765,12 +2781,13 @@ def embedding_consistency_audit(
     oracle=r"""
         WITH salted AS (
             -- plant known inconsistencies: every 5th doc takes its
-            -- predecessor's text while keeping its OWN embedding row
-            SELECT doc_id,
-                   CASE WHEN doc_id % 5 = 0 AND doc_id > 0
-                        THEN LAG(text) OVER (ORDER BY doc_id)
-                        ELSE text END AS text
-            FROM documents
+            -- predecessor's text (doc_id is dense, so predecessor =
+            -- doc_id - 1 by equi-join) while keeping its OWN embedding row
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 5 = 0 AND d.doc_id > 0
+                        THEN p.text ELSE d.text END AS text
+            FROM documents d
+            LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
         ),
         d AS (
             SELECT doc_id AS id,
@@ -2804,12 +2821,18 @@ def q187_embedding_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFr
     t = load_tables(spark, sf_dir, ["documents", "embeddings"])
     # plant known inconsistencies (the raw synthetic corpus has no exact
     # dups): every 5th doc takes its predecessor's text while keeping its
-    # OWN embedding row — the audit must flag exactly those pairs
-    w = Window.orderBy("doc_id")
-    salted = t["documents"].select(
+    # OWN embedding row — the audit must flag exactly those pairs.
+    # doc_id is dense, so "predecessor" is the doc_id-1 row: derived via a
+    # distributed equi-join, NOT an unpartitioned lag window (which would
+    # funnel the whole corpus through one reducer).
+    docs = t["documents"]
+    pred = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("_prev_text")
+    )
+    salted = docs.join(pred, "doc_id", "left").select(
         "doc_id",
         F.when(
-            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") > 0), F.lag("text").over(w)
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") > 0), F.col("_prev_text")
         )
         .otherwise(F.col("text"))
         .alias("text"),

@@ -2834,3 +2834,237 @@ def q261_bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-1/2: recall-oriented n-gram overlap (summarization / distillation eval)
+# ---------------------------------------------------------------------------
+def rouge_pairs(
+    pairs: DataFrame,
+    id_col: str = "pid",
+    ref_col: str = "ref",
+    cand_col: str = "cand",
+) -> DataFrame:
+    """Per-pair ROUGE-1 and ROUGE-2 (Lin 2004): (pid, ref_len, cand_len,
+    rouge1_p, rouge1_r, rouge1_f, rouge2_p, rouge2_r, rouge2_f).
+
+    The overlap statistic is the CLIPPED n-gram match count
+    Σ_g min(count_cand(g), count_ref(g)) — the same integer sufficient
+    statistics BLEU uses (:func:`_bleu_pair_counts` with max_n=2), read
+    the other way: precision divides by candidate totals, recall by
+    REFERENCE totals (ref unigram total = ref_len; ref bigram total =
+    max(ref_len-1, 0)). F1 is assembled from the ALREADY-6dp-ROUNDED
+    p and r (both engines divide identical snapped doubles — the
+    memory-lesson convention), 0.0 when p+r = 0.
+
+    Scale shape: identical to BLEU — one n-gram explode per side,
+    map-combinable counts, one (pid, n, gram) join, a wide integer row
+    per pair; no windows, no UDFs, corpus-linear.
+    """
+    counts = _bleu_pair_counts(pairs, id_col, ref_col, cand_col, max_n=2)
+    ref1 = F.col("ref_len")
+    ref2 = F.greatest(F.col("ref_len") - 1, F.lit(0))
+
+    def prf(clip: str, tot, ref_tot):
+        c = F.coalesce(F.col(clip), F.lit(0))
+        p = F.when(tot > 0, F.round(c / tot, 6)).otherwise(F.lit(0.0))
+        r = F.when(ref_tot > 0, F.round(c / ref_tot, 6)).otherwise(F.lit(0.0))
+        return p, r
+
+    p1, r1 = prf("clip1", F.coalesce(F.col("tot1"), F.lit(0)), ref1)
+    p2, r2 = prf("clip2", F.coalesce(F.col("tot2"), F.lit(0)), ref2)
+
+    def f1(p, r):
+        return F.when(p + r > 0, F.round(2 * p * r / (p + r), 6)).otherwise(F.lit(0.0))
+
+    return counts.select(
+        "pid",
+        "ref_len",
+        "cand_len",
+        p1.alias("rouge1_p"),
+        r1.alias("rouge1_r"),
+        f1(p1, r1).alias("rouge1_f"),
+        p2.alias("rouge2_p"),
+        r2.alias("rouge2_r"),
+        f1(p2, r2).alias("rouge2_f"),
+    )
+
+
+_ROUGE_CORE_SQL = r"""
+        base AS MATERIALIZED (
+            SELECT pid,
+                   list_filter(string_split_regex(lower(ref), '\s+'), t -> t <> '') AS rt,
+                   list_filter(string_split_regex(lower(cand), '\s+'), t -> t <> '') AS ct
+            FROM pairs
+        ),
+        cgrams AS (
+            SELECT pid, nn.n,
+                   array_to_string(ct[CAST(i AS INT):CAST(i AS INT) + nn.n - 1], ' ') AS g
+            FROM base, (VALUES (1), (2)) nn(n),
+                 unnest(generate_series(1, len(ct) - nn.n + 1)) u(i)
+            WHERE len(ct) >= nn.n
+        ),
+        rgrams AS (
+            SELECT pid, nn.n,
+                   array_to_string(rt[CAST(i AS INT):CAST(i AS INT) + nn.n - 1], ' ') AS g
+            FROM base, (VALUES (1), (2)) nn(n),
+                 unnest(generate_series(1, len(rt) - nn.n + 1)) u(i)
+            WHERE len(rt) >= nn.n
+        ),
+        cc AS (SELECT pid, n, g, COUNT(*) AS cc FROM cgrams GROUP BY 1, 2, 3),
+        rc AS (SELECT pid, n, g, COUNT(*) AS rc FROM rgrams GROUP BY 1, 2, 3),
+        pern AS (
+            SELECT cc.pid, cc.n,
+                   SUM(LEAST(cc.cc, COALESCE(rc.rc, 0))) AS clip,
+                   SUM(cc.cc) AS tot
+            FROM cc LEFT JOIN rc ON rc.pid = cc.pid AND rc.n = cc.n AND rc.g = cc.g
+            GROUP BY 1, 2
+        ),
+        wide AS MATERIALIZED (
+            SELECT l.pid,
+                   CAST(len(l.rt) AS BIGINT) AS ref_len,
+                   CAST(len(l.ct) AS BIGINT) AS cand_len,
+                   CAST(COALESCE(SUM(CASE WHEN p.n = 1 THEN p.clip END), 0) AS BIGINT) AS clip1,
+                   CAST(COALESCE(SUM(CASE WHEN p.n = 1 THEN p.tot END), 0) AS BIGINT) AS tot1,
+                   CAST(COALESCE(SUM(CASE WHEN p.n = 2 THEN p.clip END), 0) AS BIGINT) AS clip2,
+                   CAST(COALESCE(SUM(CASE WHEN p.n = 2 THEN p.tot END), 0) AS BIGINT) AS tot2
+            FROM base l LEFT JOIN pern p ON p.pid = l.pid
+            GROUP BY l.pid, len(l.rt), len(l.ct)
+        ),
+        prf AS (
+            SELECT pid, ref_len, cand_len,
+                   CASE WHEN tot1 > 0 THEN ROUND(clip1 * 1.0 / tot1, 6) ELSE 0.0 END AS rouge1_p,
+                   CASE WHEN ref_len > 0 THEN ROUND(clip1 * 1.0 / ref_len, 6) ELSE 0.0 END AS rouge1_r,
+                   CASE WHEN tot2 > 0 THEN ROUND(clip2 * 1.0 / tot2, 6) ELSE 0.0 END AS rouge2_p,
+                   CASE WHEN GREATEST(ref_len - 1, 0) > 0
+                        THEN ROUND(clip2 * 1.0 / GREATEST(ref_len - 1, 0), 6) ELSE 0.0 END AS rouge2_r
+            FROM wide
+        )
+"""
+
+
+@register(
+    "q266_rouge_pairs",
+    oracle=f"""
+        WITH pairs AS MATERIALIZED ({_BLEU_PAIRS_SQL}),
+        {_ROUGE_CORE_SQL}
+        SELECT pid, ref_len, cand_len,
+               rouge1_p, rouge1_r,
+               CASE WHEN rouge1_p + rouge1_r > 0
+                    THEN ROUND(2 * rouge1_p * rouge1_r / (rouge1_p + rouge1_r), 6)
+                    ELSE 0.0 END AS rouge1_f,
+               rouge2_p, rouge2_r,
+               CASE WHEN rouge2_p + rouge2_r > 0
+                    THEN ROUND(2 * rouge2_p * rouge2_r / (rouge2_p + rouge2_r), 6)
+                    ELSE 0.0 END AS rouge2_f
+        FROM prf ORDER BY pid
+    """,
+    doc=(
+        "per-pair ROUGE-1/ROUGE-2 precision/recall/F1 (Lin 2004) over the "
+        "same deterministic ref/cand pair table as q245 BLEU: clipped "
+        "integer n-gram overlaps read recall-first (divide by REFERENCE "
+        "totals) — the summarization/distillation eval twin of BLEU's "
+        "precision view. F1 assembled from the 6dp-rounded p and r so both "
+        "engines divide identical snapped doubles."
+    ),
+    tags=("text", "eval", "rouge"),
+)
+def q266_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _bleu_pairs_spark(spark, sf_dir)
+    return rouge_pairs(pairs).orderBy("pid")
+
+
+# ---------------------------------------------------------------------------
+# Unicode script-mix census: per-source writing-system composition
+# ---------------------------------------------------------------------------
+def script_mix_census(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, n_docs, n_with_cyrillic, n_with_greek, n_with_cjk,
+    latin_char_share): which writing systems each source actually
+    contains — the pre-language-ID audit that catches mixed-script spam
+    (Cyrillic lookalike injection), mislabeled crawl segments, and CJK
+    contamination in a "Latin-only" source before a tokenizer is trained
+    on it.
+
+    Counts are exact integers from codepoint-range character classes
+    (counted by stripping the complement class — one regexp_replace per
+    script, no explode); the one ratio is a division of two integer sums
+    rounded once. Pure Catalyst projection + map-combinable aggregate:
+    corpus-linear, one pass.
+    """
+    c = F.col(text_col)
+
+    def n_in(pattern: str) -> Column:
+        return (F.length(c) - F.length(F.regexp_replace(c, pattern, ""))).cast("long")
+
+    cyr = n_in("[Ѐ-ӿ]")
+    grk = n_in("[Ͱ-Ͽ]")
+    cjk = n_in("[一-鿿]")
+    lat = n_in("[A-Za-z]")
+    per_doc = docs.select(
+        "source",
+        F.length(c).cast("long").alias("nc"),
+        lat.alias("nlat"),
+        cyr.alias("ncyr"),
+        grk.alias("ngrk"),
+        cjk.alias("ncjk"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("ncyr") > 0, 1).otherwise(0)).cast("long").alias("n_with_cyrillic"),
+        F.sum(F.when(F.col("ngrk") > 0, 1).otherwise(0)).cast("long").alias("n_with_greek"),
+        F.sum(F.when(F.col("ncjk") > 0, 1).otherwise(0)).cast("long").alias("n_with_cjk"),
+        F.round(F.sum("nlat") * 1.0 / F.sum("nc"), 6).alias("latin_char_share"),
+    )
+
+
+@register(
+    "q270_script_mix_census",
+    oracle=r"""
+        WITH salted AS (
+            SELECT source,
+                   text ||
+                   CASE WHEN doc_id % 7 = 0 THEN ' привет мир данные' ELSE '' END ||
+                   CASE WHEN doc_id % 13 = 0 THEN ' 機械学習' ELSE '' END ||
+                   CASE WHEN doc_id % 17 = 0 THEN ' αλφα βητα' ELSE '' END AS text
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT source,
+                   CAST(length(text) AS BIGINT) AS nc,
+                   CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS nlat,
+                   CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS ncyr,
+                   CAST(length(text) - length(regexp_replace(text, '[\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS ngrk,
+                   CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS ncjk
+            FROM salted
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN ncyr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_cyrillic,
+               CAST(SUM(CASE WHEN ngrk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_greek,
+               CAST(SUM(CASE WHEN ncjk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_cjk,
+               ROUND(SUM(nlat) * 1.0 / SUM(nc), 6) AS latin_char_share
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "per-source Unicode script-mix census (Latin/Cyrillic/Greek/CJK "
+        "codepoint-range counts; the gate salts deterministic non-Latin "
+        "suffixes into the ASCII synthetic corpus): the mixed-script "
+        "audit run before language-ID and tokenizer training. Exact "
+        "integer counts via complement-strip regexp_replace, one pass."
+    ),
+    tags=("text", "quality", "unicode"),
+)
+def q270_script_mix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    salted = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" привет мир данные")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" 機械学習")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0, F.lit(" αλφα βητα")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_mix_census(salted).orderBy("source")

@@ -1940,6 +1940,7 @@ def q214_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("cnt").cast("double").alias("mean_cnt"),
     )
     topk = per_key.orderBy(F.desc("cnt"), F.asc("key")).limit(20)
+    # BOUNDED window: ranks only the 20 rows the TakeOrderedAndProject kept
     w = Window.orderBy(F.desc("cnt"), F.asc("key"))
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
@@ -2620,6 +2621,8 @@ def q263_kaplan_meier_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c"), F.sum("ev").alias("d")
     )
     total = durations.agg(F.count(F.lit(1)).alias("n_total"))
+    # BOUNDED windows: they run over `hist`, the per-duration-hour histogram
+    # — at most max-followup-hours rows regardless of corpus size
     w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     risk = (
@@ -2807,3 +2810,143 @@ def q265_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini(src, "doc_chars_by_source").unionAll(
         gini(cust, "orders_by_customer")
     ).orderBy("dimension")
+
+
+# ---------------------------------------------------------------------------
+# Multi-feature OLS via distributed moments + Cramer solve (closed form)
+# ---------------------------------------------------------------------------
+def ols_two_feature(
+    df: DataFrame, y_col: str, x1_col: str, x2_col: str
+) -> DataFrame:
+    """One row (n, b0, b1, b2, r2): ordinary least squares
+    y = b0 + b1·x1 + b2·x2 fit in CLOSED FORM — one distributed moment
+    aggregate (9 integer sums, all map-combinable) and a driver-free
+    Cramer solve of the 3×3 normal equations inside a single projection.
+    The regression a feature-engineering pipeline runs over billions of
+    rows without any iterative training loop.
+
+    Portability: the moments are EXACT integer sums (inputs are integer
+    features); every double op after that happens in one fixed-order
+    expression evaluated identically by both engines, so the 6dp rounds
+    hash-gate. R² comes from the moment identity
+    SSE = Syy − b0·Sy − b1·Sx1y − b2·Sx2y (no second data pass).
+    """
+    y = F.col(y_col).cast("long")
+    x1 = F.col(x1_col).cast("long")
+    x2 = F.col(x2_col).cast("long")
+    m = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(x1 * y).cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    sy, s11, s12 = F.col("sy"), F.col("s11"), F.col("s12")
+    s22, s1y, s2y, syy = F.col("s22"), F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * sy / n
+    r2 = F.lit(1.0) - sse / sst
+    return m.select(
+        n.cast("long").alias("n"),
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+@register(
+    "q276_ols_tokens_model",
+    oracle=r"""
+        WITH feats AS (
+            SELECT CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS y,
+                   CAST(length(text) AS BIGINT) AS x1,
+                   CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS x2
+            FROM documents
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+                   CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+                   CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+                   CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+                   CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+                   CAST(SUM(y * y) AS DOUBLE) AS syy
+            FROM feats
+        ),
+        solved AS (
+            SELECT n,
+                   (n * (s11 * s22 - s12 * s12)
+                    - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2)) AS det,
+                   (sy * (s11 * s22 - s12 * s12)
+                    - s1 * (s1y * s22 - s12 * s2y)
+                    + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+                   (n * (s1y * s22 - s12 * s2y)
+                    - sy * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s2y - s1y * s2)) AS det1,
+                   (n * (s11 * s2y - s1y * s12)
+                    - s1 * (s1 * s2y - s1y * s2)
+                    + sy * (s1 * s12 - s11 * s2)) AS det2,
+                   sy, s1y, s2y, syy
+            FROM m
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               ROUND(det0 / det, 6) AS b0,
+               ROUND(det1 / det, 6) AS b1,
+               ROUND(det2 / det, 6) AS b2,
+               ROUND(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                            - (det2 / det) * s2y)
+                         / (syy - sy * sy / n), 6) AS r2
+        FROM solved
+    """,
+    doc=(
+        "closed-form OLS (token count ~ char count + vowel count) "
+        "via distributed integer moments and a Cramer 3x3 solve in one "
+        "projection — regression over arbitrarily large corpora with ONE "
+        "map-combinable pass and zero training iterations; R2 from the "
+        "SSE moment identity, no residual pass."
+    ),
+    tags=("analytics", "stats", "regression"),
+)
+def q276_ols_tokens_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import tokens_expr
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    c = F.col("text")
+    feats = docs.select(
+        F.size(tokens_expr("text")).cast("long").alias("y"),
+        F.length(c).cast("long").alias("x1"),
+        (F.length(c) - F.length(F.regexp_replace(c, "[aeiou]", ""))).cast("long").alias("x2"),
+    )
+    return ols_two_feature(feats, "y", "x1", "x2")

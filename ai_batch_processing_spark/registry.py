@@ -111,7 +111,64 @@ def registered_oracle(name: str) -> str:
 # order after the listed ones. All queries stay registered either way —
 # this only biases WHICH subset a capped driver proves.
 _PRIORITY = [
-    # ---- round-7 gate prefix (the driver caps at ~50 rows) ----
+    # ---- round-8 gate prefix (the driver caps at ~50 rows) ----
+    # New round-8 operators first (registration order): closed-form OLS,
+    # prefix-filter similarity join, ROUGE-1/2, script-mix census, padding
+    # efficiency, isotonic calibration, binned average precision, trimmed
+    # means, token deciles, LLR collocations, k-core decomposition. Then
+    # the rotation: every query whose last driver gate is OLDEST (the
+    # r1/r2-cohort tail computed from the union of CORRECTNESS_r*.json).
+    "q276_ols_tokens_model",
+    "q273_prefix_filter_jaccard",
+    "q266_rouge_pairs",
+    "q270_script_mix_census",
+    "q271_padding_efficiency",
+    "q274_isotonic_calibration",
+    "q275_binned_average_precision",
+    "q267_trimmed_mean_tokens",
+    "q268_token_deciles_by_source",
+    "q269_llr_collocations",
+    "q272_kcore_members",
+    "q81_regex_extract",
+    "q82_higher_order_array_funcs",
+    "q89_multiset_setops",
+    "q100_product_profit",
+    "q101_decontaminate_ngram",
+    "q102_pii_redaction",
+    "q103_sequence_packing",
+    "q104_mixture_reweighting",
+    "q108_chunk_documents",
+    "q109_split_assignment",
+    "q110_repetition_metrics",
+    "q111_cross_doc_ngram_overlap",
+    "q112_tfidf_top_terms",
+    "q113_vocab_zipf_stats",
+    "q114_unigram_surprise",
+    "q115_incremental_dedup",
+    "q116_embedding_outliers",
+    "q117_bm25_search",
+    "q118_semantic_dedup",
+    "q119_llm_map_prompt_cached",
+    "q120_sample_k_per_group",
+    "q121_curation_v2_splits",
+    "q122_pagerank_knn_graph",
+    "q130_corpus_health_report",
+    "q38_pivot_priority_by_status",
+    "q41_dedup_ngram_jaccard",
+    "q42_dedup_minhash_lsh",
+    "q43_dedup_simhash",
+    "q44_ann_ivf_topk",
+    "q45_ann_bruteforce_topk",
+    "q46_embedding_near_dup",
+    "q47_ann_lsh_topk",
+    "q48_token_stats",
+    "q49_quality_score",
+    "q50_lang_id",
+    "q51_fingerprint_dedup",
+    "q52_tumbling_window",
+    "q53_sliding_window",
+    "q54_session_window",
+    # ---- round-7 gate prefix (history below; driver gated these r7) ----
     # New round-7 operators first: in-engine perceptron training of the
     # q208 hashed classifier (+ its confusion-matrix eval), BLEU-4
     # per-pair and corpus forms, HITS hubs/authorities, dyadic EWMA

@@ -603,3 +603,84 @@ def stream_ewma_drift(
     return stream.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def spacesaving_fold(
+    items: "pd.Series", counters: dict[int, int], m: int
+) -> dict[int, int]:
+    """One deterministic SpaceSaving pass (Metwally et al. 2005): at most
+    ``m`` counters; a new item evicts the current minimum-count counter
+    and inherits its count + 1. Fully specified tie-breaking (evict the
+    LARGEST key among minimum-count counters), so any two executions
+    over the same item order — streaming micro-batches or a single batch
+    sweep — produce byte-identical summaries (test-pinned)."""
+    for it in items:
+        it = int(it)
+        if it in counters:
+            counters[it] += 1
+        elif len(counters) < m:
+            counters[it] = 1
+        else:
+            mn = min(counters.values())
+            victim = max(k for k, v in counters.items() if v == mn)
+            del counters[victim]
+            counters[it] = mn + 1
+    return counters
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    m: int = 8,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Per-event-type heavy hitters under BOUNDED state: a SpaceSaving
+    summary (≤ ``m`` counters per key) maintained across micro-batches
+    with ``applyInPandasWithState`` — the classic answer to "top users
+    per event type over an unbounded stream" when exact per-user counts
+    would mean unbounded state at 100 TB key cardinality. SpaceSaving
+    guarantees every item with true count > N/m is in the summary and
+    each reported count overestimates by ≤ the evicted minimum.
+
+    Output per key per batch: the current summary as
+    (event_type, user_id, cnt) rows. Determinism: the fold order inside
+    a micro-batch is pinned by sorting the batch on (ts, event_id) —
+    ``pdfs`` is an iterator of Arrow CHUNKS, so the chunks are
+    concatenated FIRST and sorted as one frame (the round-6
+    stream_cusum lesson); eviction ties are fully specified in
+    :func:`spacesaving_fold`. Batch parity is pytest-pinned against a
+    single-sweep fold of the same rows.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_type string, user_id long, cnt long"
+    state_schema = "users array<long>, cnts array<long>"
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        counters: dict[int, int] = {}
+        if state.exists:
+            users, cnts = state.get
+            counters = dict(zip(users, cnts))
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            counters = spacesaving_fold(batch["user_id"], counters, m)
+        ks = sorted(counters)
+        state.update(([int(k) for k in ks], [int(counters[k]) for k in ks]))
+        yield pd.DataFrame(
+            [{"event_type": key[0], "user_id": k, "cnt": counters[k]} for k in ks],
+            columns=["event_type", "user_id", "cnt"],
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

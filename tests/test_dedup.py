@@ -642,3 +642,34 @@ def test_sorted_neighborhood_window_bounds_candidates(spark):
     df = spark.createDataFrame(rows, "id long, text string")
     got = sorted_neighborhood_pairs(df, "id", "text", window=2).count()
     assert got == 17
+
+
+def test_prefix_filter_is_lossless_vs_bruteforce(spark):
+    """The prefix-filtering candidate bound must be LOSSLESS: every pair
+    with token-set Jaccard >= t is found (Chaudhuri et al. guarantee),
+    verified against an all-pairs brute force on a small corpus."""
+    from itertools import combinations
+
+    from ai_batch_processing_spark.operators.dedup import prefix_filter_pairs
+
+    texts = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta zeta",
+        3: "alpha beta gamma delta epsilon eta",
+        4: "one two three four five",
+        5: "one two three four five",
+        6: "totally different words here now",
+    }
+    df = spark.createDataFrame([(k, v) for k, v in texts.items()], "id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_pairs(df, "id", "text", threshold_pct=70).collect()
+    }
+    want = {}
+    for a, b in combinations(sorted(texts), 2):
+        sa, sb = set(texts[a].split()), set(texts[b].split())
+        j = len(sa & sb) / len(sa | sb)
+        if j * 100 >= 70 * 1:  # same integer test, unit union scale
+            if len(sa & sb) * 100 >= 70 * len(sa | sb):
+                want[(a, b)] = round(j, 6)
+    assert got == want and (4, 5) in got  # the identical pair is found

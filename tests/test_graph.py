@@ -148,11 +148,43 @@ def test_pagerank_checkpoint_cadence_parity(spark):
         [(i, (i + 1) % 8) for i in range(8)] + [(i, (i + 3) % 8) for i in range(8)],
         "src long, dst long",
     )
-    every = {r.id: r.rank for r in pagerank(nodes, edges, iterations=7, checkpoint_every=1).collect()}
-    cad2 = {r.id: r.rank for r in pagerank(nodes, edges, iterations=7, checkpoint_every=2).collect()}
-    fused = {r.id: r.rank for r in pagerank(nodes, edges, iterations=7, checkpoint_every=None).collect()}
+    # single_task_edges=None: this test pins the DISTRIBUTED loop's cadence
+    # knob — the small-graph fast path would short-circuit all three calls
+    # into the same single-task kernel and test nothing
+    every = {r.id: r.rank for r in pagerank(nodes, edges, iterations=7, checkpoint_every=1, single_task_edges=None).collect()}
+    cad2 = {r.id: r.rank for r in pagerank(nodes, edges, iterations=7, checkpoint_every=2, single_task_edges=None).collect()}
+    fused = {r.id: r.rank for r in pagerank(nodes, edges, iterations=7, checkpoint_every=None, single_task_edges=None).collect()}
     assert every == cad2
     assert every == fused
+
+
+def test_pagerank_single_task_matches_distributed_loop(spark):
+    """The adaptive small-graph kernel and the distributed join+agg loop
+    are the same algorithm: ranks must agree to float noise, including the
+    corner cases (an edge whose dst is not a node is dropped, a src that
+    is not a node contributes nothing but still counts in nothing, and a
+    node with no in-edges gets only teleport mass)."""
+    import pytest as _pt
+
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "id long")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 9) for i in range(9)]
+        + [(i, (i * 2 + 1) % 9) for i in range(9)]
+        + [(3, 999), (999, 4)],  # dst not a node; src not a node
+        "src long, dst long",
+    )
+    fast = {r.id: r.rank for r in pagerank(nodes, edges, iterations=8).collect()}
+    dist = {
+        r.id: r.rank
+        for r in pagerank(nodes, edges, iterations=8, single_task_edges=None).collect()
+    }
+    assert set(fast) == set(dist) == set(range(9))
+    for i in fast:
+        assert fast[i] == _pt.approx(dist[i], abs=1e-12)
+    # mass leaks through the (3, 999) dangling edge in BOTH forms — the
+    # total must be identical across kernels, and strictly below 1
+    assert sum(fast.values()) == _pt.approx(sum(dist.values()), abs=1e-9)
+    assert sum(fast.values()) < 1.0
 
 
 def test_pagerank_edge_cache_partitioning_feeds_join_without_exchange(spark):
@@ -332,3 +364,19 @@ def test_degree_assortativity_star_is_negative(spark):
     r2 = degree_assortativity(ring).collect()[0]
     # constant in-degree 1: zero variance, corr is NULL in both engines
     assert r2.assortativity is None
+
+
+def test_kcore_planted_clique_survives_and_periphery_erodes(spark):
+    """A planted 6-clique must survive any number of k=4 peels while a
+    chain (max degree 2) erodes; every survivor's reported degree is its
+    induced degree, >= k."""
+    from ai_batch_processing_spark.operators.graph import kcore_members
+
+    clique = [(a, b) for a in range(6) for b in range(6) if a < b]
+    chain = [(i, i + 1) for i in range(10, 20)]
+    bridge = [(0, 10)]
+    nodes = spark.createDataFrame([(i,) for i in list(range(6)) + list(range(10, 21))], "id long")
+    edges = spark.createDataFrame(clique + chain + bridge, "src long, dst long")
+    out = {r.id: r.degree for r in kcore_members(nodes, edges, k=4, rounds=6).collect()}
+    assert set(out) == set(range(6))  # the clique, nothing else
+    assert all(d == 5 for d in out.values())  # induced degree inside the clique

@@ -330,3 +330,25 @@ def test_q158_verify_joins_never_broadcast_the_set_sides(spark, sf_dir):
     for ln in plan.splitlines():
         if "BroadcastHashJoin" in ln and ("doc_id" in ln or "bench_id" in ln):
             raise AssertionError(f"broadcast over a set side: {ln.strip()[:120]}")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q149_knn_edges_approx_verified",
+        "q162_pagerank_replicated_verified",
+        "q150_pagerank_approx_knn_graph",
+    ],
+)
+def test_ann_edge_path_no_cartesian(name, spark, sf_dir):
+    """The ANN edge-build path (IVF cells → cell-cogrouped probe) must
+    never degenerate into a cartesian: assign_cells uses explode_outer so
+    InferFiltersFromGenerate can't push a Python-UDF predicate into a join
+    condition (the ExtractPythonUDFFromJoinCondition 'turned to cross
+    join' rewrite). The only nested-loop join ever allowed here is the
+    intended ~replicas-row broadcast replica frame."""
+    plan = _explain(SPECS[name].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name == "q149_knn_edges_approx_verified":
+        # no replica frame in q149 — no nested-loop join of any kind
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -647,3 +647,66 @@ def test_stream_ewma_matches_dyadic_reference_across_batches(spark, tmp_path):
                 den += w
         exp = round(num / (den * 10000.0), 6)
         assert got[f"2024-01-01 {h:02d}:00:00"] == exp, (h, got, exp)
+
+
+def test_stream_heavy_hitters_matches_single_sweep_across_batches(spark, tmp_path):
+    """The SpaceSaving summary carried across micro-batches must equal a
+    single sequential sweep over the same rows in the same (ts, event_id)
+    order — the bounded-state heavy-hitter twin's exactly-once contract,
+    including evictions (m is set below the distinct-user count so the
+    eviction path actually runs)."""
+    from ai_batch_processing_spark.streaming.events import (
+        spacesaving_fold,
+        stream_heavy_hitters,
+    )
+
+    # 20 events over 7 users, skewed toward users 1 and 2; m=4 forces evictions
+    users = [1, 2, 1, 3, 1, 2, 4, 1, 2, 5, 1, 6, 2, 1, 7, 2, 1, 3, 2, 1]
+    rows = [
+        {
+            "event_id": i,
+            "ts": f"2024-01-01T00:{i:02d}:00",
+            "user_id": u,
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+        for i, u in enumerate(users)
+    ]
+    d = tmp_path / "hh"
+    d.mkdir()
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in rows[:7]))
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[7:14]))
+    (d / "b2.json").write_text("\n".join(json.dumps(r) for r in rows[14:]))
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, f in enumerate(["b0.json", "b1.json", "b2.json"]):
+        _os.utime(d / f, (now - 60 * (3 - i), now - 60 * (3 - i)))
+    sdf = stream_heavy_hitters(spark, str(d), m=4, max_files_per_trigger=1)
+    q = (
+        sdf.writeStream.format("memory").queryName("t_hh").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_hh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits the summary per batch; the final state is the
+    # per-user max cnt (counts only grow)
+    final = {}
+    for r in spark.sql("SELECT * FROM t_hh").collect():
+        final[r.user_id] = max(final.get(r.user_id, 0), r.cnt)
+    # but evicted users' stale rows linger in the memory sink — reconstruct
+    # the final summary from the LAST batch only via the reference fold
+    import pandas as pd
+
+    ref = spacesaving_fold(pd.Series(users), {}, 4)
+    # guarantee: the final summary holds every user with true count > N/m
+    # (user 1: 8 > 5, user 2: 6 > 5) with counts >= their true counts
+    assert set(ref) <= set(final)
+    for u, c in ref.items():
+        assert final[u] == c
+    true1, true2 = users.count(1), users.count(2)
+    assert 1 in ref and 2 in ref
+    assert ref[1] >= true1 and ref[2] >= true2
