@@ -2651,3 +2651,139 @@ def llr_collocations(docs: DataFrame, top_k: int = 20, min_count: int = 5) -> Da
 def q269_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return llr_collocations(docs).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit: vocabulary growth V = K·N^beta from one corpus pass
+# ---------------------------------------------------------------------------
+def heaps_law_fit(docs: DataFrame, n_points: int = 20) -> DataFrame:
+    """One row (n_points, beta, k_coeff): the Heaps'-law exponent and
+    coefficient of the corpus's vocabulary-growth curve V(N) = K·N^β —
+    the statistic that predicts how much NEW vocabulary the next 10×
+    of crawl will bring (β ≈ 0.5 for natural text; β near 1 screams
+    boilerplate-free noise, β near 0 a closed template vocabulary) and
+    sizes tokenizer budgets before training.
+
+    The growth curve needs "vocabulary after the first c documents" at
+    ``n_points`` checkpoints — naively n_points corpus scans. Here it is
+    ONE pass each over two bounded reductions: a term's contribution to
+    every checkpoint is determined by its FIRST-occurrence doc
+    (min(doc_id) per term — vocab-sized), and token mass by per-doc
+    counts (doc-sized); both tables join the broadcast checkpoint list
+    and aggregate to n_points rows. The log-log OLS fit runs over those
+    n_points (x, y) pairs with every term 6dp-snapped before summation
+    (ROUND(SUM) exact-decimal convention), closed form — no iterations.
+    """
+    sess = docs.sparkSession
+    toks = docs.select("doc_id", F.explode(tokens_expr("text")).alias("term"))
+    first_seen = toks.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    per_doc = docs.select(
+        "doc_id", F.size(tokens_expr("text")).cast("long").alias("ntok")
+    )
+    n_row = docs.agg(F.count(F.lit(1)).alias("nd"))
+    ck = (
+        sess.range(1, n_points + 1)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(n_row))
+        .select("k", F.floor(F.col("nd") * F.col("k") / n_points).cast("long").alias("cut"))
+    )
+    vocab_k = (
+        first_seen.crossJoin(F.broadcast(ck))
+        .filter(F.col("fd") < F.col("cut"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    tokens_k = (
+        per_doc.crossJoin(F.broadcast(ck))
+        .filter(F.col("doc_id") < F.col("cut"))
+        .groupBy("k")
+        .agg(F.sum("ntok").cast("long").alias("nt"))
+    )
+    pts = (
+        vocab_k.join(tokens_k, "k")
+        .filter((F.col("v") > 0) & (F.col("nt") > 0))
+        .select(
+            F.round(F.log(F.col("nt").cast("double")), 6).alias("x"),
+            F.round(F.log(F.col("v").cast("double")), 6).alias("y"),
+        )
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("np"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.round(F.col("x") * F.col("y"), 6)), 6).alias("sxy"),
+        F.round(F.sum(F.round(F.col("x") * F.col("x"), 6)), 6).alias("sxx"),
+    )
+    beta = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    lnk = (F.col("sy") - beta * F.col("sx")) / F.col("np")
+    return fit.select(
+        F.col("np").cast("long").alias("n_points"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp(lnk), 6).alias("k_coeff"),
+    )
+
+
+@register(
+    "q281_heaps_law_fit",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, t.tok AS term
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS t(tok)
+        ),
+        first_seen AS (SELECT term, MIN(doc_id) AS fd FROM toks GROUP BY term),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS ntok
+            FROM documents
+        ),
+        nd AS (SELECT COUNT(*) AS nd FROM documents),
+        ck AS (
+            SELECT CAST(r.range AS BIGINT) AS k,
+                   CAST(FLOOR(nd.nd * r.range / 20.0) AS BIGINT) AS cut
+            FROM range(1, 21) r CROSS JOIN nd
+        ),
+        vocab_k AS (
+            SELECT ck.k, CAST(COUNT(*) AS BIGINT) AS v
+            FROM first_seen, ck WHERE fd < cut GROUP BY ck.k
+        ),
+        tokens_k AS (
+            SELECT ck.k, CAST(SUM(ntok) AS BIGINT) AS nt
+            FROM per_doc, ck WHERE doc_id < cut GROUP BY ck.k
+        ),
+        pts AS (
+            SELECT ROUND(ln(CAST(nt AS DOUBLE)), 6) AS x,
+                   ROUND(ln(CAST(v AS DOUBLE)), 6) AS y
+            FROM vocab_k JOIN tokens_k USING (k)
+            WHERE v > 0 AND nt > 0
+        ),
+        fit AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS np,
+                   ROUND(SUM(x), 6) AS sx,
+                   ROUND(SUM(y), 6) AS sy,
+                   ROUND(SUM(ROUND(x * y, 6)), 6) AS sxy,
+                   ROUND(SUM(ROUND(x * x, 6)), 6) AS sxx
+            FROM pts
+        )
+        SELECT CAST(np AS BIGINT) AS n_points,
+               ROUND((np * sxy - sx * sy) / (np * sxx - sx * sx), 6) AS beta,
+               ROUND(exp((sy - ((np * sxy - sx * sy) / (np * sxx - sx * sx)) * sx) / np), 6) AS k_coeff
+        FROM fit
+    """,
+    doc=(
+        "Heaps'-law vocabulary-growth fit V = K*N^beta from ONE corpus "
+        "pass: per-term first-occurrence doc + per-doc token counts joined "
+        "to 20 broadcast checkpoints (never 20 scans), then a closed-form "
+        "log-log OLS over the 20 points with 6dp-snapped terms. Predicts "
+        "new-vocabulary yield of the next crawl 10x and sizes tokenizer "
+        "budgets."
+    ),
+    tags=("corpus", "stats", "vocabulary"),
+)
+def q281_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return heaps_law_fit(docs)

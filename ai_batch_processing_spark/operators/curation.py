@@ -3946,3 +3946,223 @@ def binned_average_precision(bins: DataFrame) -> DataFrame:
 def q275_binned_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return binned_average_precision(_calibration_bins(docs))
+
+
+# ---------------------------------------------------------------------------
+# In-engine Naive Bayes training over the hashed bag (closed-form, one pass)
+# ---------------------------------------------------------------------------
+def naive_bayes_train_hashed(
+    docs: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    method: str = "md5",
+) -> DataFrame:
+    """(b, cpos, cneg, llr): multinomial Naive Bayes weights over the q208
+    hashed unigram bag — the CLOSED-FORM classifier trainer next to the
+    iterative perceptron (q243): one pass, no epochs, llr_b =
+    ln((cpos_b+1)/(tot_pos+B)) − ln((cneg_b+1)/(tot_neg+B)) with add-1
+    smoothing. All inputs are exact integer counts; the two ln terms run
+    in one fixed-order expression and the 6dp round snaps both engines.
+
+    Scale shape: one explode + map-combinable (doc, bucket) counts, one
+    label join, a ≤B-row per-class aggregate, totals as a broadcast
+    1-row aggregate. At 100 TB this is a single shuffle on the bucket
+    key — the cheapest trainable text classifier there is.
+    """
+    feats = _hashed_feature_counts(
+        docs, id_col, text_col, n_buckets, method, include_bigrams=False
+    ).filter(F.col("b") >= 0)
+    labels = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(label_col).cast("long").alias("y")
+    )
+    per = (
+        feats.join(labels, "doc_id")
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, F.col("c")).otherwise(0)).cast("long").alias("cpos"),
+            F.sum(F.when(F.col("y") == -1, F.col("c")).otherwise(0)).cast("long").alias("cneg"),
+        )
+    )
+    axis = docs.sparkSession.range(n_buckets).select(F.col("id").alias("b"))
+    dense = axis.join(per, "b", "left").select(
+        "b",
+        F.coalesce("cpos", F.lit(0)).alias("cpos"),
+        F.coalesce("cneg", F.lit(0)).alias("cneg"),
+    )
+    tot = dense.agg(F.sum("cpos").alias("tp"), F.sum("cneg").alias("tn"))
+    llr = F.round(
+        F.log((F.col("cpos") + 1) / (F.col("tp") + F.lit(n_buckets)))
+        - F.log((F.col("cneg") + 1) / (F.col("tn") + F.lit(n_buckets))),
+        6,
+    )
+    return dense.crossJoin(F.broadcast(tot)).select("b", "cpos", "cneg", llr.alias("llr"))
+
+
+def _nb_oracle(n_buckets: int, tail: str) -> str:
+    return rf"""
+        WITH base AS MATERIALIZED (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts,
+                   {_PERC_LABEL_SQL} AS y
+            FROM documents
+        ),
+        feats AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(f.f), 1, 8)) AS BIGINT) % {n_buckets} AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM base, unnest(ts) AS f(f)
+            GROUP BY 1, 2
+        ),
+        labels AS MATERIALIZED (SELECT doc_id, y FROM base),
+        per AS (
+            SELECT f.b,
+                   CAST(SUM(CASE WHEN l.y = 1 THEN f.c ELSE 0 END) AS BIGINT) AS cpos,
+                   CAST(SUM(CASE WHEN l.y = -1 THEN f.c ELSE 0 END) AS BIGINT) AS cneg
+            FROM feats f JOIN labels l USING (doc_id)
+            GROUP BY f.b
+        ),
+        dense AS (
+            SELECT r.range AS b,
+                   COALESCE(per.cpos, 0) AS cpos, COALESCE(per.cneg, 0) AS cneg
+            FROM range({n_buckets}) r LEFT JOIN per ON per.b = r.range
+        ),
+        tot AS (SELECT SUM(cpos) AS tp, SUM(cneg) AS tn FROM dense),
+        wt AS MATERIALIZED (
+            SELECT b, cpos, cneg,
+                   ROUND(ln(CAST(cpos + 1 AS DOUBLE) / (tp + {n_buckets}))
+                         - ln(CAST(cneg + 1 AS DOUBLE) / (tn + {n_buckets})), 6) AS llr
+            FROM dense CROSS JOIN tot
+        )
+    {tail}
+    """
+
+
+@register(
+    "q277_naive_bayes_train",
+    oracle=_nb_oracle(
+        _PERC_BUCKETS, "SELECT b, cpos, cneg, llr FROM wt ORDER BY b"
+    ),
+    doc=(
+        "closed-form multinomial Naive Bayes training over the hashed "
+        "unigram bag (add-1 smoothing, per-bucket log-likelihood ratios): "
+        "the one-pass trainer next to the iterative perceptron q243 — "
+        "exact integer class counts, two ln terms in one fixed-order "
+        "expression, 6dp-snapped weights."
+    ),
+    tags=("curation", "classifier", "training"),
+)
+def q277_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled = _perc_labeled_docs(spark, sf_dir)
+    return naive_bayes_train_hashed(
+        labeled, "y", n_buckets=_PERC_BUCKETS, method="md5"
+    ).orderBy("b")
+
+
+def naive_bayes_eval(
+    docs: DataFrame,
+    label_col: str,
+    wt: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    method: str = "md5",
+) -> DataFrame:
+    """One row (tp, fp, fn, tn, accuracy): the q277 weights scored back
+    over the corpus as SCALED-INTEGER votes — the 6dp llr becomes
+    round(llr·10⁶) as a long, the class prior ln(n_pos/n_neg) likewise,
+    and each doc's score is an exact integer dot product (the q247
+    scaled-vote convention: no float summation order anywhere in the
+    decision). Docs with no hashed features score prior-only through the
+    left join."""
+    feats = _hashed_feature_counts(
+        docs, id_col, text_col, n_buckets, method, include_bigrams=False
+    ).filter(F.col("b") >= 0)
+    labels = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(label_col).cast("long").alias("y")
+    )
+    sw = wt.select("b", F.round(F.col("llr") * 1_000_000, 0).cast("long").alias("w6"))
+    prior = labels.agg(
+        F.round(
+            F.log(
+                F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+                / F.sum(F.when(F.col("y") == -1, 1).otherwise(0))
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("p6")
+    )
+    scores = (
+        feats.join(F.broadcast(sw), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("w6")).alias("s"))
+    )
+    scored = (
+        labels.join(scores, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "y",
+            (F.coalesce(F.col("s"), F.lit(0)) + F.col("p6") > 0).alias("pred_pos"),
+        )
+    )
+    return scored.agg(
+        F.sum(F.when((F.col("y") == 1) & F.col("pred_pos"), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when((F.col("y") == -1) & F.col("pred_pos"), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & ~F.col("pred_pos"), 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when((F.col("y") == -1) & ~F.col("pred_pos"), 1).otherwise(0)).cast("long").alias("tn"),
+        F.round(
+            F.sum(
+                F.when(((F.col("y") == 1) == F.col("pred_pos")), 1).otherwise(0)
+            )
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+@register(
+    "q278_naive_bayes_eval",
+    oracle=_nb_oracle(
+        _PERC_BUCKETS,
+        f"""
+        , sw AS (SELECT b, CAST(ROUND(llr * 1000000, 0) AS BIGINT) AS w6 FROM wt),
+        prior AS (
+            SELECT CAST(ROUND(ln(
+                       CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END)) * 1000000, 0) AS BIGINT) AS p6
+            FROM labels
+        ),
+        scores AS (
+            SELECT f.doc_id, SUM(f.c * sw.w6) AS s
+            FROM feats f JOIN sw USING (b) GROUP BY f.doc_id
+        ),
+        scored AS (
+            SELECT l.y, (COALESCE(s.s, 0) + p.p6 > 0) AS pred_pos
+            FROM labels l LEFT JOIN scores s USING (doc_id) CROSS JOIN prior p
+        )
+        SELECT CAST(SUM(CASE WHEN y = 1 AND pred_pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN y = -1 AND pred_pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN y = 1 AND NOT pred_pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN y = -1 AND NOT pred_pos THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+               ROUND(SUM(CASE WHEN (y = 1) = pred_pos THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS accuracy
+        FROM scored
+    """,
+    ),
+    doc=(
+        "confusion matrix + accuracy of the q277 Naive Bayes weights "
+        "scored back over the corpus with scaled-integer votes "
+        "(round(llr*1e6) longs + integer prior — zero float summation in "
+        "the decision path); the oracle re-derives the weights via the "
+        "shared CTE builder so eval can never drift from the trainer."
+    ),
+    tags=("curation", "classifier", "eval"),
+)
+def q278_naive_bayes_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled = _perc_labeled_docs(spark, sf_dir)
+    wt = naive_bayes_train_hashed(labeled, "y", n_buckets=_PERC_BUCKETS, method="md5")
+    return naive_bayes_eval(labeled, "y", wt, n_buckets=_PERC_BUCKETS, method="md5")

@@ -274,31 +274,110 @@ def knn_edges(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_rows: int | None = 10_000,
+    single_task_rows: int | None = 4096,
 ) -> DataFrame:
     """Directed k-NN edges (src → its k most-cosine-similar neighbors).
 
-    EXACT form: ``cosine_topk(emb, emb)`` broadcasts the whole corpus as
-    the query side — an all-pairs scan, O(n²) work and O(n) broadcast.
-    That is the right verify oracle for bounded corpora and nothing else,
-    so a ``max_rows`` limit-pushdown guard fails fast past the cap
-    (mirroring ``_probe_join``, similarity.py) instead of OOMing a
-    cluster mid-broadcast. For real corpora use
-    :func:`knn_edges_approx` — same output schema, IVF-bucketed
-    candidate generation, corpus-linear per probe.
+    EXACT form: an all-pairs scan, O(n²) work. That is the right verify
+    oracle for bounded corpora and nothing else, so a ``max_rows``
+    limit-pushdown guard fails fast past the cap (mirroring
+    ``_probe_join``, similarity.py) instead of OOMing a cluster
+    mid-broadcast. For real corpora use :func:`knn_edges_approx` — same
+    output schema, IVF-bucketed candidate generation, corpus-linear per
+    probe.
+
+    Regime pick (the pagerank convention): at ≤ ``single_task_rows``
+    rows (and integral ids) the whole n² scoring runs in ONE Arrow task
+    (:func:`_knn_edges_single_task`) — the distributed broadcast
+    nested-loop form pays several stages of scheduling to move an n×d
+    matrix that fits in one task's memory (4096×4096 scores = 128 MB).
+    Above the bound (or non-integral ids) the ``cosine_topk`` broadcast
+    plan runs, still capped by ``max_rows``.
     """
     from ai_batch_processing_spark.operators.similarity import cosine_topk
 
-    if max_rows is not None:
-        n = emb.limit(max_rows + 1).count()
-        if n > max_rows:
-            raise ValueError(
-                f"knn_edges: corpus exceeds max_rows={max_rows}. The exact form "
-                "broadcasts the corpus against itself (O(n²)); use "
-                "knn_edges_approx for large corpora, or pass max_rows=None to "
-                "accept the quadratic scan."
-            )
+    cap = max(max_rows or 0, single_task_rows or 0)
+    n = emb.limit(cap + 1).count() if cap else None
+    if max_rows is not None and n is not None and n > max_rows:
+        raise ValueError(
+            f"knn_edges: corpus exceeds max_rows={max_rows}. The exact form "
+            "broadcasts the corpus against itself (O(n²)); use "
+            "knn_edges_approx for large corpora, or pass max_rows=None to "
+            "accept the quadratic scan."
+        )
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    if (
+        single_task_rows is not None
+        and n is not None
+        and n <= single_task_rows
+        and dict(emb.dtypes).get(id_col) in integral
+    ):
+        return _knn_edges_single_task(emb, k, id_col, vec_col)
     top = cosine_topk(emb, emb, k=k, corpus_id=id_col, query_id=id_col, vec_col=vec_col)
     return top.select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+
+
+def _knn_edges_single_task(
+    emb: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """All-pairs k-NN edges in ONE Arrow task — the small-corpus regime.
+
+    Bit-parity contract with the ``cosine_topk`` plan it replaces: the
+    score matrix accumulates per-DIMENSION column sweeps
+    (``S += x_j ⊗ x_j``), so each pair's dot product adds terms in the
+    same sequential IEEE order as ``_pair_dot``'s fold (and the norms
+    likewise) — identical doubles. Selection ranks on HALF_UP-rounded
+    scores with ascending-id tiebreak, the same (ROUND(score,6) DESC, id)
+    order the window form and the DuckDB oracles use.
+    """
+    id_t = dict(emb.dtypes)[id_col]
+    rows = emb.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+
+    def solve(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ai_batch_processing_spark.operators.similarity import _round_half_up
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf) < 2:
+            return
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="mergesort")
+        ids = ids[order]
+        x = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["v"].iloc[order]]
+        )
+        n, d = x.shape
+        acc = np.zeros(n)
+        s = np.zeros((n, n))
+        for j in range(d):
+            xj = x[:, j]
+            acc = acc + xj * xj
+            s = s + xj[:, None] * xj[None, :]
+        nrm = np.sqrt(acc)
+        sc = _round_half_up(s / (nrm[:, None] * nrm[None, :]), 6)
+        np.fill_diagonal(sc, -np.inf)
+        kk = min(k, n - 1)
+        pos = np.arange(n)
+        srcs, dsts = [], []
+        for i in range(n):
+            idx = np.lexsort((pos, -sc[i]))[:kk]
+            srcs.append(np.full(kk, ids[i], dtype=np.int64))
+            dsts.append(ids[idx])
+        yield pd.DataFrame(
+            {"src": np.concatenate(srcs), "dst": np.concatenate(dsts)}
+        )
+
+    out = rows.coalesce(1).mapInPandas(solve, "src long, dst long")
+    return out.select(
+        F.col("src").cast(id_t).alias("src"), F.col("dst").cast(id_t).alias("dst")
+    )
 
 
 def knn_edges_approx(
@@ -1500,3 +1579,73 @@ def q272_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = knn_edges(emb, k=_PR_K).unionByName(planted)
     return kcore_members(nodes, edges, k=_KC_K, rounds=_KC_ROUNDS).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Mutual k-NN pairs: reciprocal-best-match candidate generation
+# ---------------------------------------------------------------------------
+def mutual_knn_pairs(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(src, dst): unordered pairs where EACH side is in the other's
+    k-nearest neighbors — the reciprocity filter bitext mining and
+    near-duplicate candidate generation use to kill hubness (a hub vector
+    sits in thousands of k-NN lists, but reciprocates almost none of
+    them; mutual pairs are overwhelmingly genuine matches).
+
+    One edge build + a self-join of the edge set against its own swap:
+    edge-set-sized work on top of whatever edge builder ran (the exact
+    small-corpus kernel here; swap in :func:`knn_edges_approx` at scale —
+    the reciprocity join is the same).
+    """
+    e = knn_edges(emb, k=k, id_col=id_col, vec_col=vec_col)
+    fwd = e.filter(F.col("src") < F.col("dst"))
+    rev = e.filter(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return fwd.join(rev, ["src", "dst"], "left_semi")
+
+
+_MKNN_CAP = 300
+
+
+@register(
+    "q282_mutual_knn_pairs",
+    oracle=f"""
+        WITH emb AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {_MKNN_CAP}
+        ),
+        scored AS (
+            SELECT a.id AS src, b.id AS dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC, b.id
+                   ) AS rnk
+            FROM emb a JOIN emb b ON a.id <> b.id
+        ),
+        edges AS (SELECT src, dst FROM scored WHERE rnk <= {_PR_K})
+        SELECT f.src, f.dst
+        FROM edges f JOIN edges r ON r.src = f.dst AND r.dst = f.src
+        WHERE f.src < f.dst
+        ORDER BY f.src, f.dst
+    """,
+    doc=(
+        "mutual (reciprocal) k-NN pairs over the embedding corpus: both "
+        "sides must appear in each other's top-5 — the hubness-killing "
+        "reciprocity filter of bitext mining / near-dup candidate "
+        "generation; one edge build + a semi-join of the edge set against "
+        "its own swap."
+    ),
+    tags=("graph", "similarity", "dedup"),
+)
+def q282_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        .filter(F.col("vec_id") < _MKNN_CAP)
+        .select("vec_id", "embedding")
+    )
+    return mutual_knn_pairs(emb, k=_PR_K).orderBy("src", "dst")

@@ -3775,3 +3775,156 @@ def q232_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     side_a = emb.filter(F.col("vec_id") < _MM_CAP_A)
     side_b = emb.filter(F.col("vec_id") >= _MM_CAP_A)
     return margin_best_pairs(side_a, side_b, k=_MM_K).orderBy("id_a")
+
+
+# ---------------------------------------------------------------------------
+# Clustering agreement: purity + NMI of k-means cells vs external labels
+# ---------------------------------------------------------------------------
+def cluster_purity_nmi(assign: DataFrame, labels: DataFrame) -> DataFrame:
+    """One row (n, purity, h_cluster, h_label, mi, nmi): how well an
+    UNSUPERVISED clustering recovers an external label — purity
+    (majority-label mass per cluster) plus normalized mutual information
+    (arithmetic-mean normalization), the standard pair of clustering-
+    agreement scores an embedding-QA pass reports before anyone trusts
+    cluster-balanced sampling.
+
+    ``assign``: (vec_id, cell); ``labels``: (vec_id, label). Everything
+    reduces to the cluster×label contingency table (integer counts,
+    ≤ cells·labels rows); each entropy / MI term is one fixed-order
+    expression over exact integer-ratio doubles, 6dp-snapped BEFORE the
+    bounded sums (a sum of 6dp decimals is a 6dp decimal — the
+    ROUND(SUM) convention), so the whole report hash-gates.
+    """
+    cont = (
+        assign.join(labels, "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cs"))
+        .persist()
+    )
+    tot = cont.agg(F.sum("n_cs").cast("double").alias("n"))
+    nc = cont.groupBy("cell").agg(F.sum("n_cs").alias("n_c"))
+    ns = cont.groupBy("label").agg(F.sum("n_cs").alias("n_s"))
+
+    def ent(df, cnt_col):
+        t = F.round(
+            (F.col(cnt_col) / F.col("n")) * F.log(F.col(cnt_col) / F.col("n")), 6
+        )
+        return (
+            df.crossJoin(F.broadcast(tot))
+            .select(t.alias("t"))
+            .agg(F.round(-F.sum("t"), 6).alias("h"))
+        )
+    hc = ent(nc, "n_c").select(F.col("h").alias("h_cluster"))
+    hs = ent(ns, "n_s").select(F.col("h").alias("h_label"))
+    mi_t = F.round(
+        (F.col("n_cs") / F.col("n"))
+        * F.log(F.col("n") * F.col("n_cs") / (F.col("n_c") * F.col("n_s"))),
+        6,
+    )
+    mi = (
+        cont.join(nc, "cell")
+        .join(ns, "label")
+        .crossJoin(F.broadcast(tot))
+        .select(mi_t.alias("t"))
+        .agg(F.round(F.sum("t"), 6).alias("mi"))
+    )
+    pur = (
+        cont.groupBy("cell")
+        .agg(F.max("n_cs").alias("mx"))
+        .crossJoin(F.broadcast(tot))
+        .agg(F.round(F.sum("mx") / F.first("n"), 6).alias("purity"))
+    )
+    out = (
+        tot.select(F.col("n").cast("long").alias("n"))
+        .crossJoin(pur)
+        .crossJoin(hc)
+        .crossJoin(hs)
+        .crossJoin(mi)
+        .select(
+            "n",
+            "purity",
+            "h_cluster",
+            "h_label",
+            "mi",
+            F.round(
+                F.col("mi") / ((F.col("h_cluster") + F.col("h_label")) / 2), 6
+            ).alias("nmi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cont.unpersist()
+    return out
+
+
+@register(
+    "q283_cluster_purity_nmi",
+    oracle=f"""
+        WITH {_KM_PORTABLE_CTES.format(
+            a1=_km_assign_sql("cent0", "a1"),
+            c1=_km_update_sql("a1", "cent0", "cent1"),
+            a2=_km_assign_sql("cent1", "a2"),
+            c2=_km_update_sql("a2", "cent1", "cent2"),
+            afinal=_km_assign_sql("cent2", "afinal"),
+        )},
+        cont AS (
+            SELECT a.cell, e2.label, CAST(COUNT(*) AS BIGINT) AS n_cs
+            FROM afinal a JOIN embeddings e2 ON e2.vec_id = a.vec_id
+            GROUP BY a.cell, e2.label
+        ),
+        tot AS (SELECT CAST(SUM(n_cs) AS DOUBLE) AS n FROM cont),
+        nc AS (SELECT cell, SUM(n_cs) AS n_c FROM cont GROUP BY cell),
+        ns AS (SELECT label, SUM(n_cs) AS n_s FROM cont GROUP BY label),
+        hc AS (
+            SELECT ROUND(-SUM(ROUND((n_c / n) * ln(n_c / n), 6)), 6) AS h_cluster
+            FROM nc CROSS JOIN tot
+        ),
+        hs AS (
+            SELECT ROUND(-SUM(ROUND((n_s / n) * ln(n_s / n), 6)), 6) AS h_label
+            FROM ns CROSS JOIN tot
+        ),
+        mi AS (
+            SELECT ROUND(SUM(ROUND((n_cs / n) * ln(n * n_cs / (n_c * n_s)), 6)), 6) AS mi
+            FROM cont JOIN nc USING (cell) JOIN ns USING (label) CROSS JOIN tot
+        ),
+        pur AS (
+            SELECT ROUND(SUM(mx) / MAX(n), 6) AS purity
+            FROM (SELECT cell, MAX(n_cs) AS mx FROM cont GROUP BY cell)
+            CROSS JOIN tot
+        )
+        SELECT CAST(tot.n AS BIGINT) AS n, pur.purity, hc.h_cluster, hs.h_label,
+               mi.mi,
+               ROUND(mi.mi / ((hc.h_cluster + hs.h_label) / 2), 6) AS nmi
+        FROM tot, pur, hc, hs, mi
+    """,
+    doc=(
+        "clustering-agreement report: purity + NMI (arithmetic-mean "
+        "normalization) of the q218 portable k-means cells against the "
+        "embeddings' external labels — the scores an embedding-QA pass "
+        "reports before trusting cluster-balanced sampling. Everything "
+        "reduces to the bounded cluster x label contingency table; each "
+        "entropy/MI term 6dp-snapped before the sum."
+    ),
+    tags=("similarity", "clustering", "eval"),
+)
+def q283_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = kmeans_centroids(
+        emb, nlist=_KM_NLIST, n_iter=_KM_ITER, init="first", round_dp=6
+    )
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell long, cv array<double>",
+    )
+    scored = emb.crossJoin(F.broadcast(cdf)).select(
+        "vec_id",
+        "cell",
+        F.round(cosine(F.col("embedding"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    return cluster_purity_nmi(assign, labels)

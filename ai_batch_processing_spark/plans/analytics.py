@@ -2950,3 +2950,161 @@ def q276_ols_tokens_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(c) - F.length(F.regexp_replace(c, "[aeiou]", ""))).cast("long").alias("x2"),
     )
     return ols_two_feature(feats, "y", "x1", "x2")
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: purchases credited to the latest preceding click
+# ---------------------------------------------------------------------------
+_ATTR_WINDOW_HOURS = 168  # 7 days
+
+
+def last_touch_attribution(events: DataFrame, window_hours: int = _ATTR_WINDOW_HOURS) -> DataFrame:
+    """(lag_hours, n_purchases): every purchase credited to the SAME
+    user's latest click at most ``window_hours`` before it (last-touch
+    attribution, the default model of every marketing-analytics stack),
+    bucketed by the click→purchase lag in whole elapsed hours; purchases
+    with no qualifying click report lag_hours = -1.
+
+    The hour floor runs on MICROSECOND integers (the q263 lesson —
+    date_diff counts boundary crossings, not elapsed time), and the
+    candidate join is user-co-partitioned: a user's clicks × purchases,
+    never a global pairing. The argmax click is MAX(click ts) per
+    purchase — a map-combinable aggregate, no per-user window.
+    """
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pt")
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("ct")
+    )
+    win_us = window_hours * 3_600_000_000
+    # ts is TIMESTAMP_NTZ in the synthetic parquet; unix_micros needs TZ —
+    # the session is pinned UTC, so the cast is the identity epoch mapping
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (us("ct") <= us("pt"))
+        & (us("pt") - us("ct") <= win_us),
+        "left",
+    )
+    best = j.groupBy("pid", "pt").agg(F.max("ct").alias("bct"))
+    lag = F.when(F.col("bct").isNull(), F.lit(-1).cast("long")).otherwise(
+        F.expr(
+            "(unix_micros(cast(pt as timestamp))"
+            " - unix_micros(cast(bct as timestamp))) div 3600000000"
+        )
+    )
+    return (
+        best.select(lag.alias("lag_hours"))
+        .groupBy("lag_hours")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    )
+
+
+@register(
+    "q279_last_touch_attribution",
+    oracle=f"""
+        WITH p AS (
+            SELECT user_id, event_id AS pid, ts AS pt
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, ts AS ct FROM events WHERE event_type = 'click'
+        ),
+        best AS (
+            SELECT p.pid, p.pt, MAX(c.ct) AS bct
+            FROM p LEFT JOIN c
+              ON c.user_id = p.user_id
+             AND epoch_us(c.ct) <= epoch_us(p.pt)
+             AND epoch_us(p.pt) - epoch_us(c.ct) <= {_ATTR_WINDOW_HOURS} * 3600000000
+            GROUP BY p.pid, p.pt
+        )
+        SELECT CASE WHEN bct IS NULL THEN -1
+                    ELSE (epoch_us(pt) - epoch_us(bct)) // 3600000000 END AS lag_hours,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM best
+        GROUP BY 1
+        ORDER BY lag_hours
+    """,
+    doc=(
+        "last-touch attribution: each purchase credited to the same "
+        "user's latest click within 7 days, bucketed by elapsed-hour lag "
+        "(microsecond-integer floor); unattributed purchases surface as "
+        "lag -1. User-co-partitioned candidate join + MAX argmax — no "
+        "per-user window, no global pairing."
+    ),
+    tags=("analytics", "events", "attribution"),
+)
+def q279_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return last_touch_attribution(ev).orderBy("lag_hours")
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day actives + DAU/WAU stickiness
+# ---------------------------------------------------------------------------
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """(day, dau, wau, stickiness): daily actives, trailing-``window_days``
+    distinct actives, and the DAU/WAU stickiness ratio — the product
+    health panel, computed WITHOUT a distinct-over-window (which Spark
+    can't do) by exploding each (user, active-day) pair into the
+    ``window_days`` future days it keeps the user 'recently active' for,
+    then de-duplicating — a bounded ×7 expansion of the already
+    day-deduplicated activity table, all map-combinable counts.
+    """
+    ud = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).dropDuplicates(["user_id", "day"])
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    span = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+            ).alias("d"),
+        )
+        .dropDuplicates(["user_id", "d"])
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return (
+        dau.join(span, dau.day == span.d)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+@register(
+    "q280_rolling_active_users",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+        span AS (
+            SELECT DISTINCT user_id, ud.day + CAST(o.i AS INT) AS d
+            FROM ud, (SELECT range AS i FROM range(7)) o
+        ),
+        wau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS wau FROM span GROUP BY d)
+        SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
+               ROUND(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+        FROM dau JOIN wau ON wau.d = dau.day
+        ORDER BY day
+    """,
+    doc=(
+        "rolling 7-day active users and DAU/WAU stickiness per day: "
+        "trailing distinct actives via the explode-forward trick (each "
+        "(user, day) pair marks the 7 days it keeps the user active for, "
+        "then de-duplicate) — no distinct-over-window, bounded x7 "
+        "expansion of the day-deduplicated table."
+    ),
+    tags=("analytics", "events", "timeseries"),
+)
+def q280_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return rolling_active_users(ev).orderBy("day")

@@ -118,6 +118,13 @@ _PRIORITY = [
     # means, token deciles, LLR collocations, k-core decomposition. Then
     # the rotation: every query whose last driver gate is OLDEST (the
     # r1/r2-cohort tail computed from the union of CORRECTNESS_r*.json).
+    "q282_mutual_knn_pairs",
+    "q283_cluster_purity_nmi",
+    "q277_naive_bayes_train",
+    "q278_naive_bayes_eval",
+    "q279_last_touch_attribution",
+    "q280_rolling_active_users",
+    "q281_heaps_law_fit",
     "q276_ols_tokens_model",
     "q273_prefix_filter_jaccard",
     "q266_rouge_pairs",
