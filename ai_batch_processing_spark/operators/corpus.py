@@ -2787,3 +2787,233 @@ def heaps_law_fit(docs: DataFrame, n_points: int = 20) -> DataFrame:
 def q281_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return heaps_law_fit(docs)
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation from value histograms (tie-averaged, exact)
+# ---------------------------------------------------------------------------
+def spearman_corr(
+    pairs: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """One row ``(n, spearman_rho)``: tie-averaged Spearman rank
+    correlation of two integer features — WITHOUT ranking rows. The
+    average rank of every row with value v is fully determined by the
+    VALUE HISTOGRAM (rank = #{u < v} + (cnt(v)+1)/2, the q267 trick), so
+    ranks come from two bounded histogram passes + two broadcast joins,
+    never a global row sort.
+
+    Exactness: doubled ranks 2r are exact longs; every moment is summed
+    as DECIMAL(38,0) (order-free exact in both engines at any corpus
+    size — a BIGINT sum of rank-cubed-scale products overflows past
+    ~1.5e9 rows); the correlation is assembled in ONE fixed-order IEEE
+    expression on the exact sums (the doubling cancels), rounded 6dp.
+
+    BOUNDED windows: cumulative counts over the two value histograms —
+    rows = distinct feature values (≤ max document length here), not
+    corpus size.
+    """
+    pr = pairs.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+
+    def rank2(vals: DataFrame, col: str) -> DataFrame:
+        h = vals.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        # BOUNDED window: over the distinct-value histogram
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return h.select(
+            col,
+            (2 * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + 1).alias(
+                f"r2{col}"
+            ),
+        )
+
+    rx = rank2(pr.select("x"), "x")
+    ry = rank2(pr.select("y"), "y")
+    ranked = pr.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
+    dec = "decimal(38,0)"
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r2x").cast(dec)).alias("sx"),
+        F.sum(F.col("r2y").cast(dec)).alias("sy"),
+        F.sum((F.col("r2x") * F.col("r2x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("r2y") * F.col("r2y")).cast(dec)).alias("syy"),
+        F.sum((F.col("r2x") * F.col("r2y")).cast(dec)).alias("sxy"),
+    )
+    # every operand cast to double BEFORE any arithmetic — the exact IEEE
+    # op sequence the oracle spells out (a decimal×decimal intermediate
+    # would round at a different point than DuckDB's double multiply)
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    return m.select(
+        "n",
+        F.when(
+            (nd * sxx - sx * sx > 0) & (nd * syy - sy * sy > 0),
+            F.round(
+                (nd * sxy - sx * sy)
+                / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+                6,
+            ),
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "q286_spearman_chars_tokens",
+    oracle=r"""
+        WITH feats AS (
+            SELECT CAST(length(text) AS BIGINT) AS x,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS y
+            FROM documents
+        ),
+        hx AS (
+            SELECT x, COUNT(*) AS cnt FROM feats GROUP BY x
+        ),
+        rx AS (
+            SELECT x, 2 * (SUM(cnt) OVER (ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+                       + cnt + 1 AS r2x
+            FROM hx
+        ),
+        hy AS (
+            SELECT y, COUNT(*) AS cnt FROM feats GROUP BY y
+        ),
+        ry AS (
+            SELECT y, 2 * (SUM(cnt) OVER (ORDER BY y
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+                       + cnt + 1 AS r2y
+            FROM hy
+        ),
+        ranked AS (
+            SELECT f.x, f.y, rx.r2x, ry.r2y
+            FROM feats f JOIN rx USING (x) JOIN ry USING (y)
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(r2x AS DECIMAL(38,0))) AS sx,
+                   SUM(CAST(r2y AS DECIMAL(38,0))) AS sy,
+                   SUM(CAST(r2x * r2x AS DECIMAL(38,0))) AS sxx,
+                   SUM(CAST(r2y * r2y AS DECIMAL(38,0))) AS syy,
+                   SUM(CAST(r2x * r2y AS DECIMAL(38,0))) AS sxy
+            FROM ranked
+        )
+        SELECT n,
+               CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                     AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+                    THEN ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                               / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                               6)
+               END AS spearman_rho
+        FROM m
+    """,
+    doc=(
+        "tie-averaged Spearman rank correlation of (chars, tokens) per "
+        "document WITHOUT ranking rows: average ranks derived from the "
+        "two value histograms (the q267 cumulative-rank trick), moments "
+        "summed as DECIMAL(38,0) (order-free exact at any scale), one "
+        "fixed-order IEEE assembly. The monotone-association companion "
+        "to q96's Pearson — robust to the heavy length tail."
+    ),
+    tags=("corpus", "stats"),
+)
+def q286_spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = docs.select(
+        F.length("text").cast("long").alias("x"),
+        F.size(tokens_expr("text")).cast("long").alias("y"),
+    )
+    return spearman_corr(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator over the token-count distribution
+# ---------------------------------------------------------------------------
+_HILL_K = 100
+
+
+def hill_tail_index(counts: DataFrame, k: int = _HILL_K) -> DataFrame:
+    """One row ``(k, x_kplus1, sum_micro, alpha_hill)``: the Hill
+    estimator of the power-law tail index over positive integer values
+    ``v`` — α̂ = k / Σ_{i=1..k} ln(x_(i)/x_(k+1)) on the k largest
+    values. The heavy-tail sanity check run before trusting mean-based
+    corpus statistics (α ≤ 2 ⇒ infinite variance: means are noise).
+
+    The top-(k+1) selection compiles to TakeOrderedAndProject (no global
+    sort); x_(k+1) is the min of the selected rows, and since
+    ln(x/x) = 0 the boundary row — and ANY row tied with it — contributes
+    nothing, so the result depends only on the selected multiset of
+    VALUES, never on which tied rows an engine picked. Each ln term is
+    snapped to a 6dp scaled long before the exact integer sum.
+    """
+    pos = counts.select(F.col("v").cast("long").alias("v"), "doc_id").where(F.col("v") > 0)
+    top = pos.orderBy(F.desc("v"), "doc_id").limit(k + 1)
+    xk = top.agg(F.min("v").alias("xk"))
+    summed = (
+        top.crossJoin(F.broadcast(xk))
+        .select(
+            F.round(F.log(F.col("v") / F.col("xk")) * 1e6).cast("long").alias("t_micro"),
+            "xk",
+        )
+        .groupBy("xk")
+        .agg(F.sum("t_micro").cast("long").alias("sum_micro"))
+    )
+    return summed.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("xk").alias("x_kplus1"),
+        "sum_micro",
+        F.when(
+            F.col("sum_micro") > 0,
+            F.round(F.lit(k) * 1e6 / F.col("sum_micro"), 6),
+        ).alias("alpha_hill"),
+    )
+
+
+@register(
+    "q287_hill_tail_index",
+    oracle=rf"""
+        WITH cnts AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS v
+            FROM documents
+        ),
+        top AS (
+            SELECT v FROM cnts WHERE v > 0
+            ORDER BY v DESC, doc_id LIMIT {_HILL_K + 1}
+        ),
+        xk AS (SELECT MIN(v) AS xk FROM top),
+        s AS (
+            SELECT xk.xk,
+                   CAST(SUM(CAST(ROUND(LN(CAST(v AS DOUBLE) / xk.xk) * 1e6)
+                                 AS BIGINT)) AS BIGINT) AS sum_micro
+            FROM top, xk GROUP BY xk.xk
+        )
+        SELECT CAST({_HILL_K} AS BIGINT) AS k,
+               xk AS x_kplus1,
+               sum_micro,
+               CASE WHEN sum_micro > 0
+                    THEN ROUND({_HILL_K} * 1e6 / sum_micro, 6)
+               END AS alpha_hill
+        FROM s
+    """,
+    doc=(
+        "Hill tail-index estimator over per-document token counts: "
+        "alpha = k / sum ln(x_i/x_(k+1)) on the top-100 order statistics "
+        "(TakeOrderedAndProject, never a global sort) — the heavy-tail "
+        "audit run before trusting mean token statistics (alpha <= 2 "
+        "means infinite variance). Boundary-tie-proof by construction "
+        "(tied rows contribute ln(1) = 0); ln terms snapped to 6dp longs "
+        "before the exact sum."
+    ),
+    tags=("corpus", "stats"),
+)
+def q287_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    cnts = docs.select("doc_id", F.size(tokens_expr("text")).cast("long").alias("v"))
+    return hill_tail_index(cnts, k=_HILL_K)

@@ -4166,3 +4166,112 @@ def q278_naive_bayes_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = _perc_labeled_docs(spark, sf_dir)
     wt = naive_bayes_train_hashed(labeled, "y", n_buckets=_PERC_BUCKETS, method="md5")
     return naive_bayes_eval(labeled, "y", wt, n_buckets=_PERC_BUCKETS, method="md5")
+
+
+# ---------------------------------------------------------------------------
+# Brier score decomposition (Murphy 1973) over the binned classifier fixture
+# ---------------------------------------------------------------------------
+def brier_decomposition(bins: DataFrame, n_bins: int = 20) -> DataFrame:
+    """One row ``(n, base_rate, reliability, resolution, uncertainty,
+    brier)``: the Murphy decomposition of the Brier score for a binned
+    probabilistic classifier — REL (how far each bin's forecast sits
+    from its observed rate; lower is better-calibrated), RES (how much
+    the bins separate outcomes; higher is more informative), UNC (the
+    outcome's inherent variance), Brier = REL − RES + UNC. The
+    one-glance answer to "is this quality classifier worth its
+    threshold" that q274's isotonic map and q275's AP each show half of.
+
+    The forecast for score-bin b is its center (b + 0.5)/n_bins; per-bin
+    terms are exact-integer-ratio doubles in ONE fixed order, snapped to
+    6dp before the (≤ n_bins-row) sums, so both engines land on the
+    same grid. The corpus is touched once, map-side, to build the bins.
+    """
+    tot = bins.agg(
+        F.sum("cnt").cast("long").alias("n"), F.sum("pos").cast("long").alias("npos")
+    )
+    per = bins.crossJoin(F.broadcast(tot)).select(
+        "cnt",
+        "pos",
+        "n",
+        "npos",
+        ((F.col("b") + 0.5) / n_bins).alias("f"),
+        (F.col("pos") / F.col("cnt")).alias("o"),
+        (F.col("npos") / F.col("n")).alias("obar"),
+    )
+    terms = per.select(
+        "n",
+        "npos",
+        F.round(F.col("cnt") * (F.col("f") - F.col("o")) * (F.col("f") - F.col("o")), 6).alias(
+            "rel_t"
+        ),
+        F.round(
+            F.col("cnt") * (F.col("o") - F.col("obar")) * (F.col("o") - F.col("obar")), 6
+        ).alias("res_t"),
+    )
+    agg = terms.groupBy("n", "npos").agg(
+        F.round(F.sum("rel_t"), 6).alias("rel_s"), F.round(F.sum("res_t"), 6).alias("res_s")
+    )
+    rel = F.round(F.col("rel_s") / F.col("n"), 6)
+    res = F.round(F.col("res_s") / F.col("n"), 6)
+    unc = F.round(
+        (F.col("npos") / F.col("n")) * (1 - F.col("npos") / F.col("n")), 6
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("npos") / F.col("n"), 6).alias("base_rate"),
+        rel.alias("reliability"),
+        res.alias("resolution"),
+        unc.alias("uncertainty"),
+        F.round(rel - res + unc, 6).alias("brier"),
+    )
+
+
+@register(
+    "q288_brier_decomposition",
+    oracle=f"""
+        WITH {_CAL_BINS_SQL},
+        tot AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS npos
+            FROM bins
+        ),
+        per AS (
+            SELECT cnt, pos, n, npos,
+                   (b + 0.5) / 20 AS f,
+                   CAST(pos AS DOUBLE) / cnt AS o,
+                   CAST(npos AS DOUBLE) / n AS obar
+            FROM bins, tot
+        ),
+        terms AS (
+            SELECT n, npos,
+                   ROUND(cnt * (f - o) * (f - o), 6) AS rel_t,
+                   ROUND(cnt * (o - obar) * (o - obar), 6) AS res_t
+            FROM per
+        ),
+        agg AS (
+            SELECT n, npos,
+                   ROUND(SUM(rel_t), 6) AS rel_s, ROUND(SUM(res_t), 6) AS res_s
+            FROM terms GROUP BY n, npos
+        )
+        SELECT n,
+               ROUND(CAST(npos AS DOUBLE) / n, 6) AS base_rate,
+               ROUND(rel_s / n, 6) AS reliability,
+               ROUND(res_s / n, 6) AS resolution,
+               ROUND((CAST(npos AS DOUBLE) / n) * (1 - CAST(npos AS DOUBLE) / n), 6)
+                   AS uncertainty,
+               ROUND(ROUND(rel_s / n, 6) - ROUND(res_s / n, 6)
+                     + ROUND((CAST(npos AS DOUBLE) / n) * (1 - CAST(npos AS DOUBLE) / n), 6),
+                     6) AS brier
+        FROM agg
+    """,
+    doc=(
+        "Murphy decomposition of the Brier score over the shared 20-bin "
+        "classifier fixture (bin-center forecasts): reliability - "
+        "resolution + uncertainty — calibration error, discrimination "
+        "power, and outcome variance in one row. Per-bin terms snapped "
+        "to 6dp before bounded sums; exact integer ratios throughout."
+    ),
+    tags=("curation", "eval", "calibration"),
+)
+def q288_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return brier_decomposition(_calibration_bins(docs), n_bins=20)

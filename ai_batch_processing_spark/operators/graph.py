@@ -1649,3 +1649,147 @@ def q282_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     return mutual_knn_pairs(emb, k=_PR_K).orderBy("src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction: common-neighbor scoring of non-edges
+# ---------------------------------------------------------------------------
+def adamic_adar_topk(edges: DataFrame, top_k: int = 20) -> DataFrame:
+    """(a, b, common_neighbors, aa_micro, aa_score): the ``top_k``
+    NON-adjacent pairs most likely to be true links, scored by
+    Adamic-Adar: AA(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w)) — common
+    neighbors weighted inversely by how promiscuous they are, so a
+    shared rare neighbor says far more than a shared hub. On the
+    document k-NN graph this is the near-duplicate candidate
+    EXPANSION step: pairs the edge builder missed but whose
+    neighborhoods already overlap.
+
+    ``edges`` is directed input; symmetrized/deduplicated here. Scale
+    shape: wedge enumeration is one self-join of the adjacency list on
+    the center node w (Σ deg(w)² wedges — bounded on a k-NN graph where
+    the orientation cap keeps out-degrees ≤ k; a celebrity-hub graph
+    would want the q213 degree-orientation trick first), one anti-join
+    against the edge set to keep non-edges, one aggregate, then a
+    global top-k that compiles to TakeOrderedAndProject. Each 1/ln(deg)
+    term is snapped to a 6dp scaled long BEFORE summation, so the
+    per-pair score is an exact integer sum in both engines (a
+    degree-1 node cannot be a common neighbor, so ln(deg) > 0 always).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).select(
+        F.col("a").alias("w"), F.col("b").alias("x")
+    )
+    deg = sym.groupBy("w").agg(F.count(F.lit(1)).alias("degree"))
+    # per-center weight on the 6dp grid as an exact long: round(1e6/ln(deg)).
+    # A degree-1 node cannot be a common neighbor, and ln(1)=0 would divide
+    # by zero under ANSI — drop it before the weight, not in the expression.
+    wt = deg.where(F.col("degree") >= 2).select(
+        "w",
+        F.round(F.lit(1e6) / F.log(F.col("degree").cast("double")))
+        .cast("long")
+        .alias("w_micro"),
+    )
+    n1 = sym.select("w", F.col("x").alias("x1"))
+    n2 = sym.select("w", F.col("x").alias("x2"))
+    wedges = (
+        n1.join(n2, "w")
+        .where(F.col("x1") < F.col("x2"))
+        .join(wt, "w")
+        .select(F.col("x1").alias("a"), F.col("x2").alias("b"), "w_micro")
+    )
+    non_edges = wedges.join(und, ["a", "b"], "left_anti")
+    scored = non_edges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.sum("w_micro").cast("long").alias("aa_micro"),
+    )
+    out = (
+        scored.orderBy(F.desc("aa_micro"), "a", "b")
+        .limit(top_k)
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            "aa_micro",
+            F.round(F.col("aa_micro") / 1e6, 6).alias("aa_score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    return out
+
+
+_AA_TOPK = 20
+
+
+@register(
+    "q284_adamic_adar_links",
+    oracle=f"""
+        WITH emb AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {_PR_CAP}
+        ),
+        scored AS (
+            SELECT a.id AS src, b.id AS dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC, b.id
+                   ) AS rnk
+            FROM emb a JOIN emb b ON a.id <> b.id
+        ),
+        ed AS (SELECT src, dst FROM scored WHERE rnk <= {_PR_K}),
+        und AS (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ed WHERE src <> dst
+        ),
+        sym AS (
+            SELECT a AS w, b AS x FROM und
+            UNION ALL SELECT b AS w, a AS x FROM und
+        ),
+        wt AS (
+            SELECT w, CAST(ROUND(1e6 / LN(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w_micro
+            FROM sym GROUP BY w HAVING COUNT(*) >= 2
+        ),
+        wedges AS (
+            SELECT n1.x AS a, n2.x AS b, wt.w_micro
+            FROM sym n1 JOIN sym n2 ON n1.w = n2.w AND n1.x < n2.x
+            JOIN wt ON wt.w = n1.w
+        ),
+        nonedge AS (
+            SELECT wg.a, wg.b, wg.w_micro
+            FROM wedges wg ANTI JOIN und ON und.a = wg.a AND und.b = wg.b
+        ),
+        agg AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+                   CAST(SUM(w_micro) AS BIGINT) AS aa_micro
+            FROM nonedge GROUP BY a, b
+        )
+        SELECT a, b, common_neighbors, aa_micro,
+               ROUND(aa_micro / 1e6, 6) AS aa_score
+        FROM agg
+        ORDER BY aa_micro DESC, a, b
+        LIMIT {_AA_TOPK}
+    """,
+    doc=(
+        "Adamic-Adar link prediction over the embedding k-NN graph: the "
+        "top-20 non-adjacent pairs by summed 1/ln(deg) over common "
+        "neighbors — shared rare neighbors outvote shared hubs. The "
+        "near-dup candidate EXPANSION step (pairs the edge builder "
+        "missed whose neighborhoods already overlap); each term snapped "
+        "to a 6dp scaled long before the exact integer sum."
+    ),
+    tags=("graph", "similarity", "ranking"),
+)
+def q284_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        .filter(F.col("vec_id") < _PR_CAP)
+        .select("vec_id", "embedding")
+    )
+    return adamic_adar_topk(knn_edges(emb, k=_PR_K), top_k=_AA_TOPK)

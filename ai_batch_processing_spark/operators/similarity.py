@@ -3928,3 +3928,132 @@ def q283_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = emb.select("vec_id", F.col("label").cast("long").alias("label"))
     return cluster_purity_nmi(assign, labels)
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette: per-cluster cohesion/separation from centroid sims
+# ---------------------------------------------------------------------------
+def simplified_silhouette(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, n_members, mean_sil): the SIMPLIFIED silhouette of a
+    k-means clustering — per point, cohesion a = 1 − sim(own centroid)
+    and separation b = 1 − sim(best OTHER centroid), s = (b−a)/max(a,b)
+    = (s₁−s₂)/(1−s₂) on the 6dp-rounded cosine grid. The O(n·k)
+    centroid form of the O(n²) classical silhouette — the only shape
+    that survives a 100 TB corpus, and the standard fast variant.
+    Cell −1 is the overall row (all points pooled).
+
+    Per-point s is snapped to a 6dp scaled long; per-cluster means are
+    ONE division of exact integer sums. Degenerate guard: a point whose
+    second-best centroid sim is exactly 1.0 (duplicate centroids)
+    contributes s = 0, matching the classical convention for max(a,b)=0.
+    """
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell long, cv array<double>",
+    )
+    sims = emb.crossJoin(F.broadcast(cdf)).select(
+        F.col(id_col).alias("vid"),
+        "cell",
+        F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("sim"), "cell")
+    rn = sims.select("vid", "cell", "sim", F.row_number().over(w).alias("rn"))
+    per = rn.groupBy("vid").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cell"))).alias("cell"),
+        F.max(F.when(F.col("rn") == 1, F.col("sim"))).alias("s1"),
+        F.max(F.when(F.col("rn") == 2, F.col("sim"))).alias("s2"),
+    )
+    scored = per.select(
+        "cell",
+        F.when(
+            F.col("s2") < 1.0,
+            F.round((F.col("s1") - F.col("s2")) / (1.0 - F.col("s2")) * 1e6),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("sil_micro"),
+    )
+    by_cell = scored.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("sil_micro").cast("long").alias("sm"),
+    )
+    overall = scored.agg(
+        F.lit(-1).cast("long").alias("cell"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("sil_micro").cast("long").alias("sm"),
+    )
+    return by_cell.unionByName(overall).select(
+        "cell",
+        "n_members",
+        F.round(F.col("sm").cast("double") / F.col("n_members") / 1e6, 6).alias("mean_sil"),
+    )
+
+
+@register(
+    "q289_kmeans_silhouette",
+    oracle=f"""
+        WITH {_KM_PORTABLE_CTES.format(
+            a1=_km_assign_sql("cent0", "a1"),
+            c1=_km_update_sql("a1", "cent0", "cent1"),
+            a2=_km_assign_sql("cent1", "a2"),
+            c2=_km_update_sql("a2", "cent1", "cent2"),
+            afinal=_km_assign_sql("cent2", "afinal"),
+        )},
+        rnk AS (
+            SELECT vec_id, cell, sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cell
+                   ) AS rn
+            FROM sims_afinal
+        ),
+        per AS (
+            SELECT vec_id,
+                   MAX(CASE WHEN rn = 1 THEN cell END) AS cell,
+                   MAX(CASE WHEN rn = 1 THEN sim END) AS s1,
+                   MAX(CASE WHEN rn = 2 THEN sim END) AS s2
+            FROM rnk GROUP BY vec_id
+        ),
+        scored AS (
+            SELECT cell,
+                   CASE WHEN s2 < 1.0
+                        THEN CAST(ROUND((s1 - s2) / (1.0 - s2) * 1e6) AS BIGINT)
+                        ELSE 0 END AS sil_micro
+            FROM per
+        ),
+        pooled AS (
+            SELECT CAST(cell AS BIGINT) AS cell,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(sil_micro) AS BIGINT) AS sm
+            FROM scored GROUP BY cell
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(sil_micro) AS BIGINT)
+            FROM scored
+        )
+        SELECT cell, n_members,
+               ROUND(CAST(sm AS DOUBLE) / n_members / 1e6, 6) AS mean_sil
+        FROM pooled
+        ORDER BY cell
+    """,
+    doc=(
+        "simplified (centroid-based) silhouette of the q218 k-means "
+        "clustering: s = (s1-s2)/(1-s2) per point on the 6dp cosine "
+        "grid, mean per cluster + pooled overall (cell -1) — the O(n*k) "
+        "cluster-quality readout that scales where the O(n^2) classical "
+        "silhouette cannot; completes the clustering-eval pair with "
+        "q283's external-label NMI (this one needs no labels)."
+    ),
+    tags=("similarity", "clustering", "eval"),
+)
+def q289_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = kmeans_centroids(
+        emb, nlist=_KM_NLIST, n_iter=_KM_ITER, init="first", round_dp=6
+    )
+    return simplified_silhouette(emb, cents).orderBy("cell")

@@ -468,3 +468,145 @@ def q205_count_min_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_est").cast("long").alias("cms_est"),
         (F.col("cms_est") - F.col("true_count")).cast("long").alias("overestimate"),
     ).orderBy(F.desc("true_count"), "bigram")
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog: audit-reproducible registers over the md5 hash
+# ---------------------------------------------------------------------------
+_HLL_B = 8  # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_B
+_HLL_WBITS = 32 - _HLL_B  # 24 bits feed the leading-zero rank
+
+
+def hll_registers(keys: DataFrame, key_col: str) -> DataFrame:
+    """(bucket, r): the occupied HyperLogLog registers of the key stream
+    — bucket = top 8 hash bits, r = max over keys of the 1-based
+    position of the leftmost 1-bit in the remaining 24 bits (25 when
+    they are all zero). Flajolet et al. 2007, m = 256 (stderr ≈
+    1.04/√m ≈ 6.5%).
+
+    The leading-zero rank needs NO libm: length(bin(w)) = ⌊log2 w⌋ + 1
+    exactly, in both engines, so r = 25 − length(bin(w)) is pure integer
+    arithmetic. Duplicates collapse inside the map-side max — the whole
+    corpus reduces to ≤ 256 rows in one combinable aggregate, the same
+    shuffle shape as count-min. The binary ``hll_sketch_agg`` remains
+    the production default (module docstring); THIS variant is the
+    cross-engine audit-reproducible one.
+    """
+    h = portable_hash32(F.col(key_col), method="md5")
+    w = F.pmod(h, F.lit(1 << _HLL_WBITS))
+    rho = F.when(
+        w > 0, F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    ).otherwise(F.lit(_HLL_WBITS + 1))
+    return (
+        keys.select(
+            (h / F.lit(1 << _HLL_WBITS)).cast("long").alias("bucket"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """One row ``(m, n_zero_registers, hll_estimate)`` from the occupied
+    registers. Exactness: each 2^−r term is an exact dyadic double
+    (1.0 / shiftleft — never libm pow), so the 256-term harmonic sum is
+    EXACT and order-free (granularity 2^−25, magnitude ≤ 2^8: every
+    partial sum fits 33 < 53 mantissa bits); the bias constant and the
+    final assembly are one fixed-order literal expression. The
+    small-range (linear-counting) branch snaps its ln to 6dp."""
+    m = float(_HLL_M)
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(m))
+    s = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum(F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))")).alias("inv"),
+    )
+    v = (F.lit(_HLL_M) - F.col("np")).cast("long")
+    est_raw = (alpha * F.lit(m * m)) / (F.col("inv") + v.cast("double"))
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.round(F.lit(m) * F.log(F.lit(m) / v.cast("double")), 6),
+    ).otherwise(F.round(est_raw, 6))
+    return s.select(
+        F.lit(_HLL_M).cast("long").alias("m"),
+        v.alias("n_zero_registers"),
+        est.alias("hll_estimate"),
+    )
+
+
+@register(
+    "q290_hll_vocabulary",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT t.tok AS term
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS t(tok)
+        ),
+        hashed AS (
+            SELECT CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS h
+            FROM toks
+        ),
+        ranked AS (
+            SELECT h // {1 << _HLL_WBITS} AS bucket,
+                   CASE WHEN h % {1 << _HLL_WBITS} > 0
+                        THEN {_HLL_WBITS + 1} - length(bin(h % {1 << _HLL_WBITS}))
+                        ELSE {_HLL_WBITS + 1} END AS rho
+            FROM hashed
+        ),
+        regs AS (SELECT bucket, MAX(rho) AS r FROM ranked GROUP BY bucket),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                   SUM(1.0 / (1 << CAST(r AS INT))) AS inv
+            FROM regs
+        ),
+        est AS (
+            SELECT CAST({_HLL_M} AS BIGINT) AS m,
+                   CAST({_HLL_M} - np AS BIGINT) AS n_zero_registers,
+                   CASE WHEN (0.7213 / (1.0 + 1.079 / {float(_HLL_M)})) * {float(_HLL_M) ** 2}
+                             / (inv + CAST({_HLL_M} - np AS DOUBLE)) <= {2.5 * _HLL_M}
+                             AND {_HLL_M} - np > 0
+                        THEN ROUND({float(_HLL_M)} * LN({float(_HLL_M)}
+                                   / CAST({_HLL_M} - np AS DOUBLE)), 6)
+                        ELSE ROUND((0.7213 / (1.0 + 1.079 / {float(_HLL_M)})) * {float(_HLL_M) ** 2}
+                                   / (inv + CAST({_HLL_M} - np AS DOUBLE)), 6)
+                   END AS hll_estimate
+            FROM s
+        ),
+        ex AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_distinct FROM toks)
+        SELECT est.m, est.n_zero_registers, est.hll_estimate, ex.exact_distinct,
+               ROUND((est.hll_estimate - ex.exact_distinct) * 100.0 / ex.exact_distinct, 6)
+                   AS rel_error_pct
+        FROM est, ex
+    """,
+    doc=(
+        "portable HyperLogLog (m=256, md5 hash) over the corpus term "
+        "stream, audited against the exact distinct count: registers "
+        "via the libm-free length(bin(w)) leading-zero rank, harmonic "
+        "sum of exact dyadic 2^-r terms (order-free), linear-counting "
+        "small-range branch. The cross-engine-reproducible twin of "
+        "hll_sketch_agg, exactly as theta (q203) twins theta_sketch_agg "
+        "— plus the realized relative error as part of the gate."
+    ),
+    tags=("sketch", "corpus", "verify"),
+)
+def q290_hll_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import tokens_expr
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    terms = docs.select(F.explode(tokens_expr("text")).alias("term"))
+    est = hll_estimate(hll_registers(terms, "term"))
+    exact = terms.agg(F.countDistinct("term").cast("long").alias("exact_distinct"))
+    return est.crossJoin(exact).select(
+        "m",
+        "n_zero_registers",
+        "hll_estimate",
+        "exact_distinct",
+        F.round(
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            * 100.0
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_error_pct"),
+    )

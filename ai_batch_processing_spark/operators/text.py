@@ -3068,3 +3068,156 @@ def q270_script_mix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return script_mix_census(salted).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau 2004)
+# ---------------------------------------------------------------------------
+_TR_VOCAB = 300
+_TR_ITERS = 5
+_TR_TOPK = 20
+_TR_DAMPING = 0.85
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = _TR_VOCAB,
+    iterations: int = _TR_ITERS,
+    top_k: int = _TR_TOPK,
+) -> DataFrame:
+    """(term, rank): the ``top_k`` corpus keywords by TextRank — PageRank
+    over the term co-occurrence graph (undirected edges between
+    vocabulary terms appearing within 2 positions of each other in any
+    document). Unlike TF-IDF (q112), a term ranks high for sitting at
+    the CENTER of the corpus's phrase structure, not for being locally
+    frequent — the two lists disagree exactly on boilerplate glue terms.
+
+    Scale shape: the posting stream is vocabulary-filtered BEFORE any
+    join (vocab is a broadcast top-``vocab_size`` selection via
+    TakeOrderedAndProject); co-occurrence is TWO equi-joins on
+    (doc, pos+1) / (doc, pos+2) — never a per-document cartesian with a
+    band filter; the graph itself is vocab-bounded, so the fixed-round
+    PageRank runs in :func:`~...graph.pagerank`'s single-task regime
+    (the distributed loop is the same call at a 100 TB vocabulary).
+    Selection happens on ROUND(rank, 6) with the term as tiebreak — the
+    q122 convention that absorbs float summation order across engines.
+    """
+    from ai_batch_processing_spark.operators.graph import pagerank
+
+    posts = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "term"),
+    )
+    counts = posts.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), "term").limit(vocab_size)
+    # BOUNDED window: ranks the ≤ vocab_size capped rows only
+    wv = Window.orderBy(F.desc("cnt"), "term")
+    vocab = top.select("term", (F.row_number().over(wv) - 1).cast("long").alias("tid"))
+    prs = posts.join(F.broadcast(vocab), "term").select("doc_id", "pos", "tid")
+    a = prs.select("doc_id", "pos", F.col("tid").alias("src"))
+    co = None
+    for gap in (1, 2):
+        b = prs.select(
+            "doc_id", (F.col("pos") - gap).alias("pos"), F.col("tid").alias("dst")
+        )
+        pairs = a.join(b, ["doc_id", "pos"]).where(F.col("src") != F.col("dst"))
+        co = pairs if co is None else co.unionByName(pairs)
+    edges = (
+        co.select("src", "dst")
+        .unionByName(co.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    nodes = vocab.select(F.col("tid").alias("id"))
+    ranks = pagerank(nodes, edges, iterations=iterations, damping=_TR_DAMPING)
+    return (
+        ranks.join(vocab, ranks.id == vocab.tid)
+        .select("term", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "term")
+        .limit(top_k)
+    )
+
+
+def _textrank_oracle_sql(
+    vocab_size: int, iterations: int, top_k: int, damping: float
+) -> str:
+    head = rf"""
+        WITH arrs AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        posts AS (
+            SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+                   arr[CAST(t.i + 1 AS INT)] AS term
+            FROM arrs, unnest(generate_series(0, len(arr) - 1)) t(i)
+        ),
+        vc AS (SELECT term, COUNT(*) AS cnt FROM posts GROUP BY term),
+        vocab AS (
+            SELECT term,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) - 1 AS BIGINT) AS tid
+            FROM (SELECT term, cnt FROM vc ORDER BY cnt DESC, term LIMIT {vocab_size})
+        ),
+        prs AS (
+            SELECT p.doc_id, p.pos, v.tid FROM posts p JOIN vocab v USING (term)
+        ),
+        co AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT a.tid AS src, b.tid AS dst
+                FROM prs a JOIN prs b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND a.tid <> b.tid
+                UNION ALL
+                SELECT a.tid AS src, b.tid AS dst
+                FROM prs a JOIN prs b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 2 AND a.tid <> b.tid
+            )
+        ),
+        edges AS (SELECT src, dst FROM co UNION SELECT dst AS src, src AS dst FROM co),
+        cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vocab),
+        odeg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+        e AS (SELECT edges.src, edges.dst, odeg.odeg FROM edges JOIN odeg USING (src)),
+        r0 AS (SELECT tid AS id, 1.0 / cnt.n AS rank FROM vocab CROSS JOIN cnt)
+    """
+    steps = []
+    for i in range(iterations):
+        steps.append(
+            f"""
+        , c{i} AS (
+            SELECT e.dst, SUM(r{i}.rank / e.odeg) AS inflow
+            FROM e JOIN r{i} ON e.src = r{i}.id GROUP BY e.dst
+        ),
+        r{i + 1} AS (
+            SELECT vocab.tid AS id,
+                   (1 - {damping}) / cnt.n
+                   + {damping} * COALESCE(c{i}.inflow, 0) AS rank
+            FROM vocab CROSS JOIN cnt LEFT JOIN c{i} ON vocab.tid = c{i}.dst
+        )"""
+        )
+    tail = f"""
+        SELECT v.term, ROUND(r{iterations}.rank, 6) AS rank
+        FROM r{iterations} JOIN vocab v ON v.tid = r{iterations}.id
+        ORDER BY ROUND(r{iterations}.rank, 6) DESC, v.term
+        LIMIT {top_k}
+    """
+    return head + "".join(steps) + tail
+
+
+@register(
+    "q291_textrank_keywords",
+    oracle=_textrank_oracle_sql(_TR_VOCAB, _TR_ITERS, _TR_TOPK, _TR_DAMPING),
+    doc=(
+        "TextRank corpus keywords: PageRank (5 rounds, d=0.85) over the "
+        "undirected co-occurrence graph of the top-300 vocabulary "
+        "(window 2) — phrase-structure centrality vs TF-IDF's local "
+        "frequency. Vocabulary-filtered postings, two equi-joins for "
+        "co-occurrence (no band scan), vocab-bounded graph through the "
+        "shared pagerank kernel; hash-matched against 5 unrolled DuckDB "
+        "rounds."
+    ),
+    tags=("text", "graph", "ranking", "iterative"),
+)
+def q291_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return textrank_keywords(docs)

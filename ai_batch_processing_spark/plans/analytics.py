@@ -3108,3 +3108,132 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
 def q280_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     return rolling_active_users(ev).orderBy("day")
+
+
+# --- q285: change-point detection (binary segmentation, one split) -----------
+# CUSUM (q239) flags WHEN a drift is in progress; binary segmentation
+# answers the retrospective question "where did the level change?" —
+# the split of the hourly series that maximizes the between-segment
+# variance reduction (the first step of the classical binary-segmentation
+# recursion; one level is where a pipeline alert needs to point).
+def change_point_split(hourly: DataFrame) -> DataFrame:
+    """One row ``(split_hour, n_left, n_right, mean_left, mean_right,
+    gain)``: the boundary AFTER which the hourly count series is best
+    split, maximizing the SSE reduction
+
+        gain(t) = S_L²/n_L + S_R²/n_R − S²/n
+
+    (means-only identity: total SSE minus pooled SSE — no variance pass
+    needed). ``hourly`` has columns (hour, c) with integer counts over
+    the OBSERVED hourly buckets.
+
+    Cross-engine exactness: S_L, S_R, n_L, n_R are exact integers; the
+    gain is ONE fixed-order expression of IEEE divisions/additions on
+    them, so both engines compute bit-identical doubles; the argmax
+    compares round(gain·1e6) longs with the hour as tiebreak.
+
+    BOUNDED window: cumulative sums over the hourly-bucket table — rows
+    = series length in hours (one month ≈ 720), not corpus size; a
+    multi-year 100 TB series is still ≤ tens of thousands of rows after
+    the map-side hourly pre-aggregate.
+    """
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hourly.select(
+        "hour",
+        F.row_number().over(Window.orderBy("hour")).alias("i"),
+        F.sum("c").over(w).alias("sl"),
+    )
+    tot = hourly.agg(
+        F.sum("c").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("t")
+    )
+    # cast to double BEFORE the squares (overflow-safe for series whose
+    # total count exceeds 2^31.5; exact below 2^53 either way) — the same
+    # order of IEEE ops the oracle spells out
+    sl_d = F.col("sl").cast("double")
+    sr_d = (F.col("s") - F.col("sl")).cast("double")
+    s_d = F.col("s").cast("double")
+    gain = (
+        sl_d * F.col("sl") / F.col("i")
+        + sr_d * (F.col("s") - F.col("sl")) / (F.col("t") - F.col("i"))
+        - s_d * F.col("s") / F.col("t")
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("i") < F.col("t"))
+        .select(
+            "hour",
+            "i",
+            "sl",
+            "s",
+            "t",
+            F.round(gain * 1e6).cast("long").alias("gain_micro"),
+        )
+    )
+    return (
+        cand.orderBy(F.desc("gain_micro"), "hour")
+        .limit(1)
+        .select(
+            F.col("hour").alias("split_hour"),
+            F.col("i").alias("n_left"),
+            (F.col("t") - F.col("i")).alias("n_right"),
+            F.round(F.col("sl") / F.col("i"), 6).alias("mean_left"),
+            F.round((F.col("s") - F.col("sl")) / (F.col("t") - F.col("i")), 6).alias(
+                "mean_right"
+            ),
+            F.round(F.col("gain_micro") / 1e6, 6).alias("gain"),
+        )
+    )
+
+
+@register(
+    "q285_change_point_split",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        cum AS (
+            SELECT hour,
+                   ROW_NUMBER() OVER (ORDER BY hour) AS i,
+                   SUM(c) OVER (ORDER BY hour
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl
+            FROM hourly
+        ),
+        tot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS t
+            FROM hourly
+        ),
+        cand AS (
+            SELECT hour, i, sl, s, t,
+                   CAST(ROUND((CAST(sl AS DOUBLE) * sl / i
+                               + CAST(s - sl AS DOUBLE) * (s - sl) / (t - i)
+                               - CAST(s AS DOUBLE) * s / t) * 1e6) AS BIGINT) AS gain_micro
+            FROM cum, tot
+            WHERE i < t
+        )
+        SELECT hour AS split_hour,
+               CAST(i AS BIGINT) AS n_left,
+               CAST(t - i AS BIGINT) AS n_right,
+               ROUND(CAST(sl AS DOUBLE) / i, 6) AS mean_left,
+               ROUND(CAST(s - sl AS DOUBLE) / (t - i), 6) AS mean_right,
+               ROUND(gain_micro / 1e6, 6) AS gain
+        FROM cand
+        ORDER BY gain_micro DESC, hour
+        LIMIT 1
+    """,
+    doc=(
+        "retrospective change-point (binary segmentation, first split) "
+        "over the hourly event series: the boundary maximizing the "
+        "between-segment SSE reduction via the means-only identity "
+        "S_L^2/n_L + S_R^2/n_R - S^2/n — exact integer sums into one "
+        "fixed-order IEEE expression, argmax on round(gain*1e6) longs. "
+        "CUSUM (q239) flags drift live; this pins WHERE the level moved."
+    ),
+    tags=("analytics", "timeseries", "anomaly"),
+)
+def q285_change_point_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return change_point_split(hourly)

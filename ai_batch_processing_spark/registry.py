@@ -112,6 +112,17 @@ def registered_oracle(name: str) -> str:
 # this only biases WHICH subset a capped driver proves.
 _PRIORITY = [
     # ---- round-8 gate prefix (the driver caps at ~50 rows) ----
+    # Second round-8 batch, newest first: Adamic-Adar link prediction,
+    # change-point split, Spearman-from-histograms, Hill tail index,
+    # Brier decomposition, simplified silhouette, portable HLL, TextRank.
+    "q284_adamic_adar_links",
+    "q285_change_point_split",
+    "q286_spearman_chars_tokens",
+    "q287_hill_tail_index",
+    "q288_brier_decomposition",
+    "q289_kmeans_silhouette",
+    "q290_hll_vocabulary",
+    "q291_textrank_keywords",
     # New round-8 operators first (registration order): closed-form OLS,
     # prefix-filter similarity join, ROUGE-1/2, script-mix census, padding
     # efficiency, isotonic calibration, binned average precision, trimmed

@@ -57,3 +57,38 @@ def test_cusum_prefix_sum_identity_matches_sequential_reference(spark):
         S = max(0.0, S + z - k)
         want.append(round(S, 4))
     assert got == [round(x, 4) for x in want]
+
+
+def test_change_point_finds_planted_shift(spark):
+    """A 10->50 level shift between bucket 10 and 11 must be the argmax
+    split, with exact segment means."""
+    import datetime
+
+    from ai_batch_processing_spark.plans.analytics import change_point_split
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(hours=i), 10 if i < 10 else 50) for i in range(20)
+    ]
+    hourly = spark.createDataFrame(rows, "hour timestamp, c long")
+    out = change_point_split(hourly).collect()[0]
+    assert out.split_hour == base + datetime.timedelta(hours=9)
+    assert (out.n_left, out.n_right) == (10, 10)
+    assert (out.mean_left, out.mean_right) == (10.0, 50.0)
+
+
+def test_change_point_flat_series_zero_gain(spark):
+    """A constant series has gain 0 everywhere; the earliest boundary
+    wins the tiebreak."""
+    import datetime
+
+    from ai_batch_processing_spark.plans.analytics import change_point_split
+
+    base = datetime.datetime(2024, 1, 1)
+    hourly = spark.createDataFrame(
+        [(base + datetime.timedelta(hours=i), 7) for i in range(6)],
+        "hour timestamp, c long",
+    )
+    out = change_point_split(hourly).collect()[0]
+    assert out.gain == 0.0
+    assert out.split_hour == base

@@ -551,3 +551,50 @@ def test_heldout_perplexity_unseen_bigrams_cost_more(spark):
     assert out["a"].oov_bigram_rate == 0.0
     assert out["b"].oov_bigram_rate == 1.0
     assert out["b"].bits_per_bigram > out["a"].bits_per_bigram
+
+
+def test_spearman_monotone_and_reversed(spark):
+    """A strictly monotone relationship gives rho=1 regardless of
+    nonlinearity; reversing one side gives -1."""
+    from ai_batch_processing_spark.operators.corpus import spearman_corr
+
+    up = spark.createDataFrame([(i, i * i) for i in range(1, 9)], "x long, y long")
+    assert spearman_corr(up).collect()[0].spearman_rho == 1.0
+    down = spark.createDataFrame([(i, 100 - i * i) for i in range(1, 9)], "x long, y long")
+    assert spearman_corr(down).collect()[0].spearman_rho == -1.0
+
+
+def test_spearman_constant_side_is_null(spark):
+    """Zero rank variance on either side -> rho undefined (NULL), never
+    a divide-by-zero."""
+    from ai_batch_processing_spark.operators.corpus import spearman_corr
+
+    flat = spark.createDataFrame([(i, 5) for i in range(1, 9)], "x long, y long")
+    assert spearman_corr(flat).collect()[0].spearman_rho is None
+
+
+def test_hill_tail_index_geometric_values(spark):
+    """Values 8,4,2,1 with k=2: terms ln(4)+ln(2)=ln(8); alpha =
+    2/ln(8). The k+1-th value contributes ln(1)=0 by construction."""
+    import math
+
+    from ai_batch_processing_spark.operators.corpus import hill_tail_index
+
+    cnts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([8, 4, 2, 1])], "doc_id long, v long"
+    )
+    out = hill_tail_index(cnts, k=2).collect()[0]
+    assert out.x_kplus1 == 2
+    expect_micro = round(math.log(4.0) * 1e6) + round(math.log(2.0) * 1e6)
+    assert out.sum_micro == expect_micro
+    assert abs(out.alpha_hill - round(2e6 / expect_micro, 6)) < 1e-9
+
+
+def test_hill_all_equal_tail_is_null(spark):
+    """A constant tail has zero log-spacing: alpha is NULL, not a
+    division error."""
+    from ai_batch_processing_spark.operators.corpus import hill_tail_index
+
+    cnts = spark.createDataFrame([(i, 7) for i in range(10)], "doc_id long, v long")
+    out = hill_tail_index(cnts, k=3).collect()[0]
+    assert out.sum_micro == 0 and out.alpha_hill is None

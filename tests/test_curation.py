@@ -1092,3 +1092,20 @@ def test_rendezvous_md5_and_xxhash_forms_both_assign(spark):
     for m in ("md5", "xxhash64"):
         got = rendezvous_assign(df, "doc_id", 4, method=m).collect()
         assert len(got) == 50 and all(0 <= r.shard < 4 for r in got)
+
+
+def test_brier_decomposition_identity_and_perfect_bins(spark):
+    """REL - RES + UNC must equal the reported brier; a bin whose
+    observed rate equals its center forecast contributes zero REL."""
+    from ai_batch_processing_spark.operators.curation import brier_decomposition
+
+    # bin 9 center = 0.475: 40 rows, 19 pos -> o = 0.475 exactly
+    bins = spark.createDataFrame(
+        [(9, 40, 19), (0, 10, 0), (19, 10, 10)], "b long, cnt long, pos long"
+    )
+    out = brier_decomposition(bins, n_bins=20).collect()[0]
+    assert out.n == 60
+    assert abs(out.brier - (out.reliability - out.resolution + out.uncertainty)) < 1e-9
+    # REL contributions: bin 9 zero; bin 0 (f=.025, o=0) and 19 (f=.975, o=1)
+    expected_rel = round((round(10 * 0.025**2, 6) + round(10 * 0.025**2, 6)) / 60, 6)
+    assert abs(out.reliability - expected_rel) < 1e-6

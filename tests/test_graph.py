@@ -380,3 +380,45 @@ def test_kcore_planted_clique_survives_and_periphery_erodes(spark):
     out = {r.id: r.degree for r in kcore_members(nodes, edges, k=4, rounds=6).collect()}
     assert set(out) == set(range(6))  # the clique, nothing else
     assert all(d == 5 for d in out.values())  # induced degree inside the clique
+
+
+def test_adamic_adar_path_graph(spark):
+    """On the path a-b-c, the only wedge is (a,c) through b (degree 2):
+    AA = 1/ln(2), micro-scaled 1442695; existing edges never appear."""
+    from ai_batch_processing_spark.operators.graph import adamic_adar_topk
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rows = adamic_adar_topk(edges, top_k=10).collect()
+    assert [(r.a, r.b, r.common_neighbors, r.aa_micro) for r in rows] == [
+        (1, 3, 1, 1442695)
+    ]
+    assert abs(rows[0].aa_score - 1.442695) < 1e-9
+
+
+def test_adamic_adar_prefers_rare_common_neighbor(spark):
+    """Two candidate pairs with one common neighbor each: the pair whose
+    shared neighbor has LOWER degree scores higher (1/ln(deg) falls)."""
+    from ai_batch_processing_spark.operators.graph import adamic_adar_topk
+
+    # rare: 1-2-3 (deg(2)=2). hub: 4-5-6 plus 5 wired to 7,8 (deg(5)=4).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (5, 7), (5, 8)], "src long, dst long"
+    )
+    rows = adamic_adar_topk(edges, top_k=2).collect()
+    pairs = [(r.a, r.b) for r in rows]
+    assert pairs[0] == (1, 3)  # via deg-2 neighbor beats via deg-4 hub
+    assert (4, 6) in pairs or (4, 7) in pairs  # hub wedges rank below
+
+
+def test_textrank_hub_term_wins(spark):
+    """A term adjacent to every other term centers the co-occurrence
+    graph and must take rank 1."""
+    from ai_batch_processing_spark.operators.text import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [(0, "core alpha core beta core gamma"), (1, "core delta core epsilon")],
+        "doc_id long, text string",
+    )
+    rows = textrank_keywords(docs, vocab_size=10, iterations=5, top_k=3).collect()
+    assert rows[0].term == "core"
+    assert rows[0].rank > rows[1].rank

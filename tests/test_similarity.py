@@ -1206,3 +1206,31 @@ def test_margin_best_pairs_partition_invariant(spark):
         for r in margin_best_pairs(a.repartition(5), b.repartition(7), k=3).collect()
     }
     assert r1 == r2
+
+
+def test_simplified_silhouette_separated_clusters(spark):
+    """Points sitting exactly on well-separated centroids: cohesion
+    distance 0 -> s = 1 for every point; pooled row aggregates all."""
+    from ai_batch_processing_spark.operators.similarity import simplified_silhouette
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = {r.cell: r for r in simplified_silhouette(emb, cents).collect()}
+    assert rows[0].n_members == 2 and rows[1].n_members == 1
+    assert rows[0].mean_sil == 1.0 and rows[1].mean_sil == 1.0
+    assert rows[-1].n_members == 3 and rows[-1].mean_sil == 1.0
+
+
+def test_simplified_silhouette_duplicate_centroids_zero(spark):
+    """Duplicate centroids make best and second-best sims equal (s2=1
+    for an on-centroid point): the degenerate guard yields s=0."""
+    from ai_batch_processing_spark.operators.similarity import simplified_silhouette
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = simplified_silhouette(emb, [[1.0, 0.0], [1.0, 0.0]]).collect()
+    assert all(r.mean_sil == 0.0 for r in rows)

@@ -183,3 +183,59 @@ def test_theta_threshold_validates():
         theta_threshold(0.0)
     with _pytest.raises(ValueError):
         theta_threshold(1.5)
+
+
+def test_hll_registers_match_reference_fold(spark):
+    """Registers equal a row-at-a-time python fold of the same md5
+    construction; the estimate reproduces the closed formula."""
+    import hashlib
+
+    from ai_batch_processing_spark.operators.sketches import (
+        _HLL_M,
+        _HLL_WBITS,
+        hll_estimate,
+        hll_registers,
+    )
+
+    keys = [f"key-{i}" for i in range(500)]
+    ref: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(k.encode()).hexdigest()[:8], 16)
+        bucket, w = h >> _HLL_WBITS, h % (1 << _HLL_WBITS)
+        rho = (_HLL_WBITS + 1) - w.bit_length() if w > 0 else _HLL_WBITS + 1
+        ref[bucket] = max(ref.get(bucket, 0), rho)
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    regs = {r.bucket: r.r for r in hll_registers(df, "k").collect()}
+    assert regs == ref
+
+    est = hll_estimate(hll_registers(df, "k")).collect()[0]
+    inv = sum(2.0 ** -r for r in ref.values())
+    v = _HLL_M - len(ref)
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    raw = alpha * _HLL_M * _HLL_M / (inv + v)
+    import math
+
+    expected = (
+        round(_HLL_M * math.log(_HLL_M / v), 6) if (raw <= 2.5 * _HLL_M and v > 0) else round(raw, 6)
+    )
+    assert est.n_zero_registers == v
+    assert abs(est.hll_estimate - expected) < 1e-6
+    # m=256 => stderr ~6.5%; 500 distinct keys must land within ~4 sigma
+    assert abs(est.hll_estimate - 500) / 500 < 0.26
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    """HLL is a pure function of the SET: replicating every key 7x
+    leaves every register (and the estimate) unchanged."""
+    from ai_batch_processing_spark.operators.sketches import hll_estimate, hll_registers
+
+    base = [(f"k{i}",) for i in range(200)]
+    df1 = spark.createDataFrame(base, "k string")
+    df7 = spark.createDataFrame(base * 7, "k string")
+    r1 = sorted((r.bucket, r.r) for r in hll_registers(df1, "k").collect())
+    r7 = sorted((r.bucket, r.r) for r in hll_registers(df7, "k").collect())
+    assert r1 == r7
+    assert (
+        hll_estimate(hll_registers(df1, "k")).collect()[0].hll_estimate
+        == hll_estimate(hll_registers(df7, "k")).collect()[0].hll_estimate
+    )
