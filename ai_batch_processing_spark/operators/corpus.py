@@ -3017,3 +3017,71 @@ def q287_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     cnts = docs.select("doc_id", F.size(tokens_expr("text")).cast("long").alias("v"))
     return hill_tail_index(cnts, k=_HILL_K)
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing unseen-mass estimate (the Heaps-fit q281's companion)
+# ---------------------------------------------------------------------------
+def good_turing_unseen(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row ``(n_tokens, vocab, n1, n2, p_unseen, r1_star)``: the
+    Turing estimate of unseen-vocabulary mass — the probability the NEXT
+    token drawn from this corpus's source is a word never seen here is
+    n₁/N (the singleton share), and the Good-Turing adjusted count for
+    singletons is r₁* = 2·n₂/n₁. q281's Heaps fit extrapolates HOW MANY
+    new types the next crawl adds; this prices how much probability mass
+    they carry — the pair decides whether a corpus is big enough to
+    stop crawling.
+
+    One term-count aggregate, one bounded frequency-of-frequencies
+    aggregate; exact integers to two rounded ratios.
+    """
+    tf = token_stream(docs, text_col=text_col).groupBy("term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return tf.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    ).select(
+        "n_tokens",
+        "vocab",
+        "n1",
+        "n2",
+        F.round(F.col("n1").cast("double") / F.col("n_tokens"), 6).alias("p_unseen"),
+        F.when(
+            F.col("n1") > 0,
+            F.round(2.0 * F.col("n2") / F.col("n1"), 6),
+        ).alias("r1_star"),
+    )
+
+
+@register(
+    "q295_good_turing_unseen",
+    oracle=rf"""
+        WITH {_TOKS_SQL.strip()},
+        tf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term)
+        SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / SUM(c), 6) AS p_unseen,
+               CASE WHEN SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0
+                    THEN ROUND(2.0 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                               / SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 6)
+               END AS r1_star
+        FROM tf
+    """,
+    doc=(
+        "Good-Turing unseen-mass estimate: P(next token is a NEW type) = "
+        "n1/N from the frequency-of-frequencies, plus the adjusted "
+        "singleton count r1* = 2*n2/n1 — prices the probability mass of "
+        "the vocabulary q281's Heaps fit says the next crawl will add. "
+        "One term aggregate + one bounded rollup, integers to two ratios."
+    ),
+    tags=("corpus", "stats"),
+)
+def q295_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return good_turing_unseen(docs)

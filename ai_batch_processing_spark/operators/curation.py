@@ -4275,3 +4275,344 @@ def brier_decomposition(bins: DataFrame, n_bins: int = 20) -> DataFrame:
 def q288_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return brier_decomposition(_calibration_bins(docs), n_bins=20)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifier columns
+# ---------------------------------------------------------------------------
+_KA_THRESHOLD = 10
+
+
+def k_anonymity_audit(
+    rows: DataFrame, qi_cols: list[str], k: int = _KA_THRESHOLD
+) -> DataFrame:
+    """One row ``(n_rows, n_classes, k_anonymity, rows_below_k,
+    share_below_k)``: the k-anonymity of the dataset under the given
+    quasi-identifier columns — the minimum equivalence-class size, plus
+    how much of the corpus sits in classes smaller than ``k`` (the rows
+    a release would need to suppress or generalize). The privacy audit
+    run before publishing per-source statistics of a training corpus.
+
+    ONE map-combinable aggregate to class sizes (bounded by the QI
+    domain), then a bounded aggregate over classes. Pure integer counts
+    except the final 6dp share.
+    """
+    classes = rows.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("sz"))
+    return classes.agg(
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("sz").cast("long").alias("k_anonymity"),
+        F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0)).cast("long").alias(
+            "rows_below_k"
+        ),
+    ).select(
+        "n_rows",
+        "n_classes",
+        "k_anonymity",
+        "rows_below_k",
+        F.round(F.col("rows_below_k").cast("double") / F.col("n_rows"), 6).alias(
+            "share_below_k"
+        ),
+    )
+
+
+@register(
+    "q293_k_anonymity_audit",
+    oracle=rf"""
+        WITH feats AS (
+            SELECT lang, source,
+                   CASE WHEN n_chars <= 128 THEN 128
+                        WHEN n_chars <= 256 THEN 256
+                        WHEN n_chars <= 512 THEN 512
+                        WHEN n_chars <= 1024 THEN 1024
+                        ELSE -1 END AS len_bucket
+            FROM documents
+        ),
+        classes AS (
+            SELECT lang, source, len_bucket, COUNT(*) AS sz
+            FROM feats GROUP BY lang, source, len_bucket
+        )
+        SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+               CAST(SUM(CASE WHEN sz < {_KA_THRESHOLD} THEN sz ELSE 0 END) AS BIGINT)
+                   AS rows_below_k,
+               ROUND(CAST(SUM(CASE WHEN sz < {_KA_THRESHOLD} THEN sz ELSE 0 END) AS DOUBLE)
+                     / SUM(sz), 6) AS share_below_k
+        FROM classes
+    """,
+    doc=(
+        "k-anonymity audit under the (lang, source, length-bucket) "
+        "quasi-identifiers: minimum equivalence-class size plus the row "
+        "mass in classes below k=10 — what a privacy-conscious release "
+        "must suppress or generalize. One map-combinable aggregate to "
+        "class sizes, one bounded rollup; exact integers to one share."
+    ),
+    tags=("curation", "privacy", "stats"),
+)
+def q293_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    bucket = (
+        F.when(F.col("n_chars") <= 128, 128)
+        .when(F.col("n_chars") <= 256, 256)
+        .when(F.col("n_chars") <= 512, 512)
+        .when(F.col("n_chars") <= 1024, 1024)
+        .otherwise(-1)
+        .alias("len_bucket")
+    )
+    rows = docs.select("lang", "source", bucket)
+    return k_anonymity_audit(rows, ["lang", "source", "len_bucket"], k=_KA_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Population stability index: per-source length-distribution drift
+# ---------------------------------------------------------------------------
+def population_stability(
+    rows: DataFrame, group_col: str, bucket_col: str
+) -> DataFrame:
+    """(group, psi): the Population Stability Index of each group's
+    bucket distribution against the REST of the corpus — PSI =
+    Σ_b (p_b − q_b)·ln(p_b/q_b) with add-1 smoothing, the standard
+    "did this slice drift from the portfolio" score (rule of thumb:
+    <0.1 stable, >0.25 action). Run per source before mixing a new
+    crawl snapshot into the training pool.
+
+    Shape: ONE (group, bucket) count aggregate; bucket totals broadcast
+    back; per-bucket terms are smoothed integer-ratio doubles in one
+    fixed-order expression, 6dp-snapped before the (bucket-bounded)
+    per-group sum.
+    """
+    cells = rows.groupBy(group_col, bucket_col).agg(F.count(F.lit(1)).alias("c"))
+    buckets = rows.select(bucket_col).distinct()
+    groups = rows.select(group_col).distinct()
+    full = groups.crossJoin(buckets).join(cells, [group_col, bucket_col], "left").select(
+        group_col, bucket_col, F.coalesce("c", F.lit(0)).alias("c")
+    )
+    tot_b = full.groupBy(bucket_col).agg(F.sum("c").alias("tb"))
+    tot_g = full.groupBy(group_col).agg(F.sum("c").alias("tg"))
+    n_buckets = buckets.agg(F.count(F.lit(1)).alias("nb"))
+    tot = full.agg(F.sum("c").alias("n"))
+    j = (
+        full.join(F.broadcast(tot_b), bucket_col)
+        .join(F.broadcast(tot_g), group_col)
+        .crossJoin(F.broadcast(n_buckets))
+        .crossJoin(F.broadcast(tot))
+    )
+    p = (F.col("c") + 1).cast("double") / (F.col("tg") + F.col("nb"))
+    q = (F.col("tb") - F.col("c") + 1).cast("double") / (
+        F.col("n") - F.col("tg") + F.col("nb")
+    )
+    term = F.round((p - q) * F.log(p / q), 6)
+    return (
+        j.select(F.col(group_col), term.alias("t"))
+        .groupBy(group_col)
+        .agg(F.round(F.sum("t"), 6).alias("psi"))
+    )
+
+
+@register(
+    "q294_psi_source_drift",
+    oracle=r"""
+        WITH feats AS (
+            SELECT source,
+                   CASE WHEN n_chars <= 128 THEN 128
+                        WHEN n_chars <= 256 THEN 256
+                        WHEN n_chars <= 512 THEN 512
+                        WHEN n_chars <= 1024 THEN 1024
+                        ELSE -1 END AS b
+            FROM documents
+        ),
+        cells0 AS (SELECT source, b, COUNT(*) AS c FROM feats GROUP BY source, b),
+        grid AS (
+            SELECT g.source, bk.b, COALESCE(c0.c, 0) AS c
+            FROM (SELECT DISTINCT source FROM feats) g
+            CROSS JOIN (SELECT DISTINCT b FROM feats) bk
+            LEFT JOIN cells0 c0 ON c0.source = g.source AND c0.b = bk.b
+        ),
+        tb AS (SELECT b, SUM(c) AS tb FROM grid GROUP BY b),
+        tg AS (SELECT source, SUM(c) AS tg FROM grid GROUP BY source),
+        nb AS (SELECT COUNT(*) AS nb FROM (SELECT DISTINCT b FROM feats)),
+        tot AS (SELECT SUM(c) AS n FROM grid),
+        terms AS (
+            SELECT f.source,
+                   ROUND((CAST(f.c + 1 AS DOUBLE) / (tg.tg + nb.nb)
+                          - CAST(tb.tb - f.c + 1 AS DOUBLE) / (tot.n - tg.tg + nb.nb))
+                         * LN((CAST(f.c + 1 AS DOUBLE) / (tg.tg + nb.nb))
+                              / (CAST(tb.tb - f.c + 1 AS DOUBLE) / (tot.n - tg.tg + nb.nb))),
+                         6) AS t
+            FROM grid f
+            JOIN tb USING (b) JOIN tg USING (source), nb, tot
+        )
+        SELECT source, ROUND(SUM(t), 6) AS psi
+        FROM terms GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "Population Stability Index of each source's length distribution "
+        "vs the rest of the corpus (add-1 smoothed, power-of-two "
+        "buckets): the standard slice-drift score read before admitting "
+        "a crawl snapshot to the mix (<0.1 stable, >0.25 action). One "
+        "count aggregate + broadcast totals; 6dp-snapped terms, "
+        "bucket-bounded sums."
+    ),
+    tags=("curation", "stats", "anomaly"),
+)
+def q294_psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    bucket = (
+        F.when(F.col("n_chars") <= 128, 128)
+        .when(F.col("n_chars") <= 256, 256)
+        .when(F.col("n_chars") <= 512, 512)
+        .when(F.col("n_chars") <= 1024, 1024)
+        .otherwise(-1)
+        .alias("b")
+    )
+    rows = docs.select("source", bucket)
+    return population_stability(rows, "source", "b").orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q300: corpus release gate — one row, ship/no-ship
+# ---------------------------------------------------------------------------
+_RG_PSI_MAX = 0.25
+_RG_K_MIN = 2
+_RG_DUP_MAX = 0.2
+
+
+def _release_gate_oracle() -> str:
+    from ai_batch_processing_spark.registry import registered_oracle
+
+    q293 = registered_oracle("q293_k_anonymity_audit")
+    q294 = registered_oracle("q294_psi_source_drift")
+    q295 = registered_oracle("q295_good_turing_unseen")
+    q287 = registered_oracle("q287_hill_tail_index")
+    return f"""
+        WITH base AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_uniq
+            FROM documents
+        ),
+        lc AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+        ln_ AS (SELECT SUM(c) AS n FROM lc),
+        ent AS (
+            SELECT ROUND(SUM(ROUND(-(CAST(c AS DOUBLE) / n)
+                                   * LN(CAST(c AS DOUBLE) / n), 6)), 6) AS lang_entropy
+            FROM lc, ln_
+        ),
+        ka AS ({q293}),
+        psi AS (SELECT MAX(psi) AS psi_max FROM ({q294})),
+        gt AS ({q295}),
+        hill AS ({q287})
+        SELECT base.n_docs,
+               ROUND(1.0 - CAST(base.n_uniq AS DOUBLE) / base.n_docs, 6) AS dup_share,
+               ent.lang_entropy,
+               ka.k_anonymity,
+               ka.share_below_k,
+               psi.psi_max,
+               gt.p_unseen,
+               hill.alpha_hill,
+               (psi.psi_max <= {_RG_PSI_MAX}
+                AND ka.k_anonymity >= {_RG_K_MIN}
+                AND ROUND(1.0 - CAST(base.n_uniq AS DOUBLE) / base.n_docs, 6)
+                    <= {_RG_DUP_MAX}) AS release_ok
+        FROM base, ent, ka, psi, gt, hill
+    """
+
+
+@register(
+    "q300_corpus_release_gate",
+    oracle=_release_gate_oracle(),
+    doc=(
+        "the corpus RELEASE GATE: one ship/no-ship row composing the "
+        "round-8 audit family — exact-duplicate share, language-mix "
+        "entropy, k-anonymity + suppressed mass (q293), max per-source "
+        "PSI drift (q294), Good-Turing unseen mass (q295), Hill tail "
+        "index (q287) — with the boolean verdict evaluated on the SAME "
+        "6dp-snapped values in both engines. Every sub-oracle rides in "
+        "via registered_oracle, so the gate can never drift from the "
+        "operators it audits; every component is one map-combinable "
+        "aggregate or a bounded rollup."
+    ),
+    tags=("curation", "capstone", "quality", "verify"),
+)
+def q300_corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.corpus import (
+        good_turing_unseen,
+        hill_tail_index,
+    )
+    from ai_batch_processing_spark.operators.text import tokens_expr
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].persist()
+    try:
+        base = docs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct(F.md5("text")).cast("long").alias("n_uniq"),
+        )
+        lc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+        ent = (
+            lc.crossJoin(F.broadcast(lc.agg(F.sum("c").alias("n"))))
+            .select(
+                F.round(
+                    -(F.col("c").cast("double") / F.col("n"))
+                    * F.log(F.col("c").cast("double") / F.col("n")),
+                    6,
+                ).alias("t")
+            )
+            .agg(F.round(F.sum("t"), 6).alias("lang_entropy"))
+        )
+        bucket = (
+            F.when(F.col("n_chars") <= 128, 128)
+            .when(F.col("n_chars") <= 256, 256)
+            .when(F.col("n_chars") <= 512, 512)
+            .when(F.col("n_chars") <= 1024, 1024)
+            .otherwise(-1)
+        )
+        ka = k_anonymity_audit(
+            docs.select("lang", "source", bucket.alias("len_bucket")),
+            ["lang", "source", "len_bucket"],
+            k=_KA_THRESHOLD,
+        ).select("k_anonymity", "share_below_k")
+        psi = (
+            population_stability(
+                docs.select("source", bucket.alias("b")), "source", "b"
+            )
+            .agg(F.max("psi").alias("psi_max"))
+        )
+        gt = good_turing_unseen(docs).select("p_unseen")
+        hill = hill_tail_index(
+            docs.select("doc_id", F.size(tokens_expr("text")).cast("long").alias("v"))
+        ).select("alpha_hill")
+        dup_share = F.round(
+            1.0 - F.col("n_uniq").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_share")
+        out = (
+            base.crossJoin(ent)
+            .crossJoin(ka)
+            .crossJoin(psi)
+            .crossJoin(gt)
+            .crossJoin(hill)
+            .select(
+                "n_docs",
+                dup_share,
+                "lang_entropy",
+                "k_anonymity",
+                "share_below_k",
+                "psi_max",
+                "p_unseen",
+                "alpha_hill",
+                (
+                    (F.col("psi_max") <= _RG_PSI_MAX)
+                    & (F.col("k_anonymity") >= _RG_K_MIN)
+                    & (
+                        F.round(
+                            1.0 - F.col("n_uniq").cast("double") / F.col("n_docs"), 6
+                        )
+                        <= _RG_DUP_MAX
+                    )
+                ).alias("release_ok"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        docs.unpersist()
+    return out

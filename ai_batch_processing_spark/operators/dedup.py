@@ -1984,3 +1984,76 @@ def q273_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_pairs(corpus, "id", "text", threshold_pct=80).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings report: what would exact dedup buy?
+# ---------------------------------------------------------------------------
+def dedup_savings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(group_size, n_groups, rows_removable, chars_removable): the
+    duplicate-group size histogram of exact dedup (md5 of the raw text)
+    with, per size, how many rows and how much character mass keeping
+    one representative per group would delete. The capacity-planning
+    readout run BEFORE committing to a dedup pass over 100 TB — q40
+    executes the dedup; this prices it.
+
+    One hash aggregate (map-combinable, the q98 128-bit-key shape) to
+    (key, size, chars), then a size-bounded rollup. Pure integers.
+    """
+    groups = docs.groupBy(F.md5(F.col(text_col)).alias("k")).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum(F.length(text_col)).alias("chars"),
+        F.min(F.length(text_col)).alias("keep_chars"),
+    )
+    return (
+        groups.groupBy(F.col("sz").alias("group_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.col("sz") - 1).cast("long").alias("rows_removable"),
+            # keep ONE representative per group; identical texts, so any
+            # representative has the same length — removable chars =
+            # total minus one copy
+            F.sum(F.col("chars") - F.col("keep_chars")).cast("long").alias(
+                "chars_removable"
+            ),
+        )
+        .orderBy("group_size")
+    )
+
+
+@register(
+    "q303_dedup_savings",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id AS id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id % 3 = 0
+        ),
+        groups AS (
+            SELECT md5(text) AS k, COUNT(*) AS sz,
+                   SUM(length(text)) AS chars, MIN(length(text)) AS keep_chars
+            FROM corpus GROUP BY md5(text)
+        )
+        SELECT CAST(sz AS BIGINT) AS group_size,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(sz - 1) AS BIGINT) AS rows_removable,
+               CAST(SUM(chars - keep_chars) AS BIGINT) AS chars_removable
+        FROM groups
+        GROUP BY sz
+        ORDER BY group_size
+    """,
+    doc=(
+        "dedup savings report: duplicate-group size histogram under "
+        "exact (md5) dedup with removable row and character mass per "
+        "size, over the q40 planted-dup corpus — prices the very dedup "
+        "pass q40 executes, before anyone runs it over 100 TB. One "
+        "map-combinable hash aggregate + a size-bounded rollup; "
+        "pure integers."
+    ),
+    tags=("dedup", "stats", "quality"),
+)
+def q303_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # the q40 planted-dup corpus (one-scan exploded form), so the report
+    # prices the SAME dedup pass the q40 gate executes
+    return dedup_savings(_dup_corpus_one_scan(docs))

@@ -1793,3 +1793,328 @@ def q284_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     return adamic_adar_topk(knn_edges(emb, k=_PR_K), top_k=_AA_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Modularity of a node partition (Newman-Girvan Q)
+# ---------------------------------------------------------------------------
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One row ``(m_edges, n_communities, modularity)``: Newman-Girvan
+    Q = Σ_c [m_c/m − (d_c/2m)²] of the partition ``labels`` (id, label)
+    over the UNDIRECTED simple graph induced by ``edges`` — the
+    one-number answer to "did label propagation find real structure or
+    noise" (Q ≈ 0: no better than random; ≥ 0.3: strong communities).
+
+    All inputs to the per-community term are exact integers (m, m_c,
+    d_c — null labels bucket as community −1); each term is one
+    fixed-order IEEE expression snapped to 6dp before the
+    community-bounded sum. One degree aggregate + two label joins +
+    one within-community edge count; never quadratic.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    lab = labels.select("id", F.coalesce(F.col("label"), F.lit(-1)).alias("label"))
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    d_c = (
+        deg.join(lab, "id")
+        .groupBy("label")
+        .agg(F.sum("degree").cast("long").alias("dc"))
+    )
+    la = lab.select(F.col("id").alias("a"), F.col("label").alias("la"))
+    lb = lab.select(F.col("id").alias("b"), F.col("label").alias("lb"))
+    m_c = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("mc"))
+    )
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    per = (
+        d_c.join(m_c, "label", "left")
+        .select("label", "dc", F.coalesce("mc", F.lit(0)).alias("mc"))
+        .crossJoin(F.broadcast(m))
+    )
+    term = F.round(
+        F.col("mc").cast("double") / F.col("m")
+        - (F.col("dc").cast("double") / (2 * F.col("m")))
+        * (F.col("dc").cast("double") / (2 * F.col("m"))),
+        6,
+    )
+    out = per.select("m", term.alias("t")).groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.round(F.sum("t"), 6).alias("modularity"),
+    ).select(F.col("m").alias("m_edges"), "n_communities", "modularity")
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return out
+
+
+def _modularity_oracle_sql() -> str:
+    from ai_batch_processing_spark.registry import registered_oracle
+
+    q231 = registered_oracle("q231_label_propagation")
+    return f"""
+        WITH prop AS ({q231}),
+        emb2 AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {_PR_CAP}
+        ),
+        scored2 AS (
+            SELECT a.id AS src, b.id AS dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC, b.id
+                   ) AS rnk
+            FROM emb2 a JOIN emb2 b ON a.id <> b.id
+        ),
+        ed2 AS (SELECT src, dst FROM scored2 WHERE rnk <= {_PR_K}),
+        und AS (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ed2 WHERE src <> dst
+        ),
+        lab AS (SELECT vec_id AS id, COALESCE(label, -1) AS label FROM prop),
+        deg AS (
+            SELECT id, COUNT(*) AS degree
+            FROM (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+            GROUP BY id
+        ),
+        dc AS (
+            SELECT lab.label, CAST(SUM(deg.degree) AS BIGINT) AS dc
+            FROM deg JOIN lab USING (id) GROUP BY lab.label
+        ),
+        mc AS (
+            SELECT la.label AS label, CAST(COUNT(*) AS BIGINT) AS mc
+            FROM und
+            JOIN lab la ON la.id = und.a
+            JOIN lab lb ON lb.id = und.b
+            WHERE la.label = lb.label
+            GROUP BY la.label
+        ),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+        per AS (
+            SELECT dc.label, dc.dc, COALESCE(mc.mc, 0) AS mc, m.m
+            FROM dc LEFT JOIN mc USING (label), m
+        ),
+        terms AS (
+            SELECT m,
+                   ROUND(CAST(mc AS DOUBLE) / m
+                         - (CAST(dc AS DOUBLE) / (2 * m)) * (CAST(dc AS DOUBLE) / (2 * m)),
+                         6) AS t
+            FROM per
+        )
+        SELECT m AS m_edges,
+               CAST(COUNT(*) AS BIGINT) AS n_communities,
+               ROUND(SUM(t), 6) AS modularity
+        FROM terms GROUP BY m
+    """
+
+
+@register(
+    "q298_labelprop_modularity",
+    oracle=_modularity_oracle_sql(),
+    doc=(
+        "Newman-Girvan modularity of the q231 label-propagation "
+        "partition over the embedding k-NN graph: Q = sum m_c/m - "
+        "(d_c/2m)^2 — did propagation find real community structure or "
+        "noise (Q~0 random, >=0.3 strong)? Exact integer m/m_c/d_c into "
+        "6dp-snapped fixed-order terms; oracle composes q231's unrolled "
+        "rounds via registered_oracle so the partition can never drift."
+    ),
+    tags=("graph", "eval", "clustering"),
+)
+def q298_labelprop_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.similarity import cosine_topk
+
+    emb = (
+        load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        .filter(F.col("vec_id") < _PR_CAP)
+        .select("vec_id", "embedding", "label")
+        .persist()
+    )
+    try:
+        nodes = emb.select(
+            F.col("vec_id").alias("id"),
+            F.when(F.col("vec_id") % _LP_SEED_MOD == 0, F.col("label")).alias(
+                "seed_label"
+            ),
+        )
+        wedges = cosine_topk(emb, emb, k=_PR_K).select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            F.col("score").alias("w"),
+        )
+        prop = label_propagation(nodes, wedges, iterations=_LP_ITERS).select(
+            "id", "label"
+        )
+        out = modularity(wedges.select("src", "dst"), prop)
+    finally:
+        emb.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank: teleport to a seed set (similar-item expansion)
+# ---------------------------------------------------------------------------
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = DAMPING,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(id, rank) after ``iterations`` personalized-PageRank steps: the
+    teleport vector is uniform over ``seeds`` (column ``id``) instead of
+    all nodes — rᵢ₊₁(v) = (1−d)·p(v) + d·Σ rᵢ(u)/outdeg(u), p = 1/|S|
+    on seeds, 0 elsewhere; r₀ = p. Mass concentrates in the seeds'
+    neighborhood: the similar-item EXPANSION operator (grow a labeled
+    topic slice through the k-NN graph) where global pagerank (q122)
+    ranks everything.
+
+    Same scale shape as :func:`pagerank`'s distributed loop — out-degree
+    lives on the edge rows, one edge shuffle + one rank shuffle per
+    round, lineage cut every ``checkpoint_every`` rounds. Non-seed sinks
+    simply decay (no dangling redistribution, the q122 convention).
+    """
+    e_raw = edges.persist()
+    caches: list[DataFrame] = [e_raw]
+    try:
+        odeg = e_raw.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+        e = e_raw.join(odeg, "src").persist()
+        caches.append(e)
+        scnt = seeds.agg(F.count(F.lit(1)).cast("double").alias("ns"))
+        p = (
+            nodes.join(seeds.select(F.col("id").alias("_sid")), nodes.id == F.col("_sid"), "left")
+            .crossJoin(F.broadcast(scnt))
+            .select(
+                "id",
+                F.when(F.col("_sid").isNotNull(), 1.0 / F.col("ns"))
+                .otherwise(0.0)
+                .alias("p"),
+            )
+            .persist()
+        )
+        caches.append(p)
+        ranks = p.select("id", F.col("p").alias("rank"))
+        for i in range(iterations):
+            inflow = (
+                e.join(ranks, e.src == ranks.id)
+                .select(e.dst.alias("id"), (F.col("rank") / F.col("odeg")).alias("c"))
+                .groupBy("id")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            ranks = (
+                p.join(inflow, "id", "left")
+                .select(
+                    "id",
+                    (
+                        (1 - damping) * F.col("p")
+                        + damping * F.coalesce("inflow", F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+            last = i == iterations - 1
+            if last or (i + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint(eager=last)
+        return ranks
+    finally:
+        # the eager final checkpoint materializes ranks BEFORE the caches
+        # drop (the module-wide storage contract)
+        for c in caches:
+            c.unpersist()
+
+
+_PPR_SEED_MOD = 50
+_PPR_ITERS = 5
+_PPR_TOPK = 20
+
+
+def _ppr_oracle_sql(iterations: int, cap: int, k: int, damping: float, seed_mod: int, top_k: int) -> str:
+    head = f"""
+        WITH emb AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {cap}
+        ),
+        scored AS (
+            SELECT a.id AS src, b.id AS dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC, b.id
+                   ) AS rnk
+            FROM emb a JOIN emb b ON a.id <> b.id
+        ),
+        edges AS (SELECT src, dst FROM scored WHERE rnk <= {k}),
+        odeg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+        e AS (SELECT edges.src, edges.dst, odeg.odeg FROM edges JOIN odeg USING (src)),
+        ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM emb WHERE id % {seed_mod} = 0),
+        pv AS (
+            SELECT id, CASE WHEN id % {seed_mod} = 0 THEN 1.0 / ns.ns ELSE 0.0 END AS p
+            FROM emb CROSS JOIN ns
+        ),
+        r0 AS (SELECT id, p AS rank FROM pv)
+    """
+    steps = []
+    for i in range(iterations):
+        steps.append(
+            f"""
+        , c{i} AS (
+            SELECT e.dst, SUM(r{i}.rank / e.odeg) AS inflow
+            FROM e JOIN r{i} ON e.src = r{i}.id GROUP BY e.dst
+        ),
+        r{i + 1} AS (
+            SELECT pv.id,
+                   (1 - {damping}) * pv.p
+                   + {damping} * COALESCE(c{i}.inflow, 0) AS rank
+            FROM pv LEFT JOIN c{i} ON pv.id = c{i}.dst
+        )"""
+        )
+    tail = f"""
+        SELECT id AS vec_id, ROUND(rank, 6) AS rank
+        FROM r{iterations}
+        ORDER BY ROUND(rank, 6) DESC, id
+        LIMIT {top_k}
+    """
+    return head + "".join(steps) + tail
+
+
+@register(
+    "q299_personalized_pagerank",
+    oracle=_ppr_oracle_sql(_PPR_ITERS, _PR_CAP, _PR_K, DAMPING, _PPR_SEED_MOD, _PPR_TOPK),
+    doc=(
+        "personalized PageRank from the vec_id%50==0 seed set over the "
+        "embedding k-NN graph (5 rounds, d=0.85): teleport mass pinned "
+        "to the seeds grows their neighborhood through the graph — the "
+        "similar-item EXPANSION operator (topic-slice growing, labeled- "
+        "set densification) where q122's global walk ranks everything. "
+        "Top-20 on the 6dp grid vs the unrolled DuckDB rounds."
+    ),
+    tags=("graph", "similarity", "iterative", "ranking"),
+)
+def q299_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        .filter(F.col("vec_id") < _PR_CAP)
+        .select("vec_id", "embedding")
+    )
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    seeds = nodes.where(F.col("id") % _PPR_SEED_MOD == 0)
+    ranks = personalized_pagerank(
+        nodes, knn_edges(emb, k=_PR_K), seeds, iterations=_PPR_ITERS
+    )
+    return (
+        ranks.select(F.col("id").alias("vec_id"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "vec_id")
+        .limit(_PPR_TOPK)
+    )

@@ -560,3 +560,142 @@ def q240_embedding_qa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = outl.agg(F.max("resid_norm").alias("max_resid_norm"))
     return a.crossJoin(b).crossJoin(c)
+
+
+# ---------------------------------------------------------------------------
+# Embedding isotropy audit: one-pass mean-pairwise-cosine identity
+# ---------------------------------------------------------------------------
+def embedding_isotropy(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One row ``(n_vecs, dim, mean_norm, mean_sq_norm, mean_pair_dot,
+    anisotropy)``: the isotropy audit of an embedding table WITHOUT any
+    pairwise work — the mean pairwise dot product over all n(n−1)
+    ordered pairs collapses to the moment identity
+
+        E[⟨x_i, x_j⟩] = (‖Σx‖² − Σ‖x‖²) / (n(n−1)),
+
+    and ``anisotropy`` = mean_pair_dot / mean_sq_norm ≈ the expected
+    cosine between random vectors (≈0 for isotropic embeddings; large
+    values mean a dominant common direction — the known failure mode
+    that silently inflates every cosine the ANN/dedup family computes,
+    which is why this audit runs FIRST).
+
+    Portability: each component is snapped to a 6dp micro-long at
+    explode time, so all corpus sums are exact integers (DECIMAL(38,0)
+    accumulators — no float summation order anywhere); per-dim and
+    per-vector squares are fixed-order IEEE on those exact longs. One
+    explode pass, map-side combinable, dim-bounded rollup.
+    """
+    vals = emb.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "x")
+    ).select("dim", F.round(F.col("x") * 1e6).cast("long").alias("xm"))
+    dec = "decimal(38,0)"
+    # per-dim component sums (exact longs) -> ||sum v||^2 term per dim
+    sd = vals.groupBy("dim").agg(F.sum(F.col("xm").cast(dec)).alias("sdm"))
+    sum_sq = sd.agg(
+        F.count(F.lit(1)).cast("long").alias("dim"),
+        F.sum(
+            F.round(
+                (F.col("sdm").cast("double") / 1e6)
+                * (F.col("sdm").cast("double") / 1e6)
+                * 1e6
+            )
+            .cast(dec)
+        ).alias("s2m"),  # ||sum v||^2 in micro units, dim-bounded exact sum
+    )
+    # per-vector squared norms from the same micro grid
+    pervec = emb.select(
+        F.aggregate(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x * 1e6).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, xm: acc + xm * xm,
+        ).alias("n2m")  # sum xm^2 (micro^2 units), exact per row
+    )
+    norms = pervec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.col("n2m").cast(dec)).alias("ssqm"),  # sum ||v||^2 micro^2
+        F.sum(
+            F.round(F.sqrt(F.col("n2m").cast("double")) / 1e6 * 1e6).cast(dec)
+        ).alias("snm"),  # sum ||v|| in micro units (6dp-snapped per vec)
+    )
+    j = norms.crossJoin(sum_sq)
+    nd = F.col("n_vecs").cast("double")
+    mean_sq = F.col("ssqm").cast("double") / 1e12 / nd
+    mean_pair = (
+        (F.col("s2m").cast("double") / 1e6 - F.col("ssqm").cast("double") / 1e12)
+        / (nd * (nd - 1))
+    )
+    return j.select(
+        "n_vecs",
+        "dim",
+        F.round(F.col("snm").cast("double") / 1e6 / nd, 6).alias("mean_norm"),
+        F.round(mean_sq, 6).alias("mean_sq_norm"),
+        F.round(mean_pair, 6).alias("mean_pair_dot"),
+        F.round(mean_pair / mean_sq, 6).alias("anisotropy"),
+    )
+
+
+@register(
+    "q301_embedding_isotropy",
+    oracle="""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        vals AS (
+            SELECT CAST(t.i AS BIGINT) AS dim,
+                   CAST(ROUND(v[CAST(t.i + 1 AS INT)] * 1e6) AS BIGINT) AS xm
+            FROM emb, unnest(generate_series(0, len(v) - 1)) t(i)
+        ),
+        sd AS (
+            SELECT dim, SUM(CAST(xm AS DECIMAL(38,0))) AS sdm
+            FROM vals GROUP BY dim
+        ),
+        sum_sq AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS dim,
+                   SUM(CAST(ROUND((CAST(sdm AS DOUBLE) / 1e6)
+                                  * (CAST(sdm AS DOUBLE) / 1e6) * 1e6)
+                            AS DECIMAL(38,0))) AS s2m
+            FROM sd
+        ),
+        pervec AS (
+            SELECT list_sum(list_transform(v,
+                       x -> CAST(ROUND(x * 1e6) AS BIGINT)
+                            * CAST(ROUND(x * 1e6) AS BIGINT))) AS n2m
+            FROM emb
+        ),
+        norms AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   SUM(CAST(n2m AS DECIMAL(38,0))) AS ssqm,
+                   SUM(CAST(ROUND(sqrt(CAST(n2m AS DOUBLE)) / 1e6 * 1e6)
+                            AS DECIMAL(38,0))) AS snm
+            FROM pervec
+        )
+        SELECT n_vecs,
+               sum_sq.dim,
+               ROUND(CAST(snm AS DOUBLE) / 1e6 / CAST(n_vecs AS DOUBLE), 6) AS mean_norm,
+               ROUND(CAST(ssqm AS DOUBLE) / 1e12 / CAST(n_vecs AS DOUBLE), 6) AS mean_sq_norm,
+               ROUND((CAST(s2m AS DOUBLE) / 1e6 - CAST(ssqm AS DOUBLE) / 1e12)
+                     / (CAST(n_vecs AS DOUBLE) * (CAST(n_vecs AS DOUBLE) - 1)), 6)
+                   AS mean_pair_dot,
+               ROUND(((CAST(s2m AS DOUBLE) / 1e6 - CAST(ssqm AS DOUBLE) / 1e12)
+                      / (CAST(n_vecs AS DOUBLE) * (CAST(n_vecs AS DOUBLE) - 1)))
+                     / (CAST(ssqm AS DOUBLE) / 1e12 / CAST(n_vecs AS DOUBLE)), 6)
+                   AS anisotropy
+        FROM norms, sum_sq
+    """,
+    doc=(
+        "embedding isotropy audit in ONE pass: mean pairwise dot over "
+        "all n(n-1) pairs via the moment identity (||sum v||^2 - "
+        "sum ||v||^2)/(n(n-1)) — no pairwise work at any corpus size; "
+        "anisotropy = expected random-pair cosine share (a dominant "
+        "common direction inflates every ANN/dedup cosine, so this runs "
+        "FIRST). Components 6dp-micro-snapped at explode time, all "
+        "corpus sums exact DECIMAL(38,0) integers."
+    ),
+    tags=("linalg", "similarity", "stats", "quality"),
+)
+def q301_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return embedding_isotropy(emb)

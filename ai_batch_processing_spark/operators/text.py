@@ -3221,3 +3221,138 @@ def _textrank_oracle_sql(
 def q291_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return textrank_keywords(docs)
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between frequency and TextRank keyword rankings
+# ---------------------------------------------------------------------------
+_RBO_P = 0.9
+_RBO_DEPTH = 20
+# p^(d-1) precomputed in Python and injected as LITERALS into both
+# engines: repr round-trips the exact double, so neither engine's libm
+# pow() is in the comparison path at all.
+_RBO_WEIGHTS = [(d, _RBO_P ** (d - 1)) for d in range(1, _RBO_DEPTH + 1)]
+
+
+def rank_biased_overlap(
+    r1: DataFrame, r2: DataFrame, p: float = _RBO_P, depth: int = _RBO_DEPTH
+) -> DataFrame:
+    """One row ``(depth, overlap_at_depth, rbo)``: truncated rank-biased
+    overlap (Webber et al. 2010, RBO_min without the residual) between
+    two rankings given as ``(term, r)`` frames with 1-based ranks —
+    RBO = (1−p)·Σ_{d=1..depth} p^{d−1}·|A_d ∩ B_d|/d. The top-weighted
+    agreement score for comparing keyword/retrieval rankings where
+    plain set overlap ignores order.
+
+    Everything is bounded by ``depth``: one inner join of the two
+    ranked lists, a depth×pairs prefix count, 6dp-snapped terms. The
+    geometric weights ride in as Python-computed literals (no libm).
+    """
+    spark = r1.sparkSession
+    wdf = spark.createDataFrame(
+        [(d, w) for d, w in _RBO_WEIGHTS[:depth]], "d long, w double"
+    )
+    pairs = r1.select("term", F.col("r").alias("ra")).join(
+        r2.select("term", F.col("r").alias("rb")), "term"
+    )
+    xd = (
+        F.broadcast(wdf)
+        .join(pairs, (F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")), "left")
+        .groupBy("d", "w")
+        .agg(F.count("term").cast("long").alias("x"))
+    )
+    terms = xd.select(
+        "d",
+        "x",
+        F.round(F.lit(1.0 - p) * F.col("w") * F.col("x") / F.col("d"), 6).alias("t"),
+    )
+    return terms.agg(
+        F.lit(depth).cast("long").alias("depth"),
+        F.max(F.when(F.col("d") == depth, F.col("x"))).cast("long").alias(
+            "overlap_at_depth"
+        ),
+        F.round(F.sum("t"), 6).alias("rbo"),
+    )
+
+
+def _rbo_oracle_sql() -> str:
+    from ai_batch_processing_spark.registry import registered_oracle
+
+    tr = registered_oracle("q291_textrank_keywords")
+    weights = ", ".join(f"({d}, {w!r})" for d, w in _RBO_WEIGHTS)
+    return rf"""
+        WITH arrs AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        posts AS (
+            SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+                   arr[CAST(t.i + 1 AS INT)] AS term
+            FROM arrs, unnest(generate_series(0, len(arr) - 1)) t(i)
+        ),
+        vc AS (SELECT term, COUNT(*) AS cnt FROM posts GROUP BY term),
+        freq AS (
+            SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS ra
+            FROM (SELECT term, cnt FROM vc ORDER BY cnt DESC, term LIMIT {_RBO_DEPTH})
+        ),
+        tr AS ({tr}),
+        trr AS (
+            SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, term) AS BIGINT) AS rb
+            FROM tr
+        ),
+        pairs AS (SELECT f.term, f.ra, t.rb FROM freq f JOIN trr t USING (term)),
+        wts(d, w) AS (VALUES {weights}),
+        xd AS (
+            SELECT wts.d, wts.w, CAST(COUNT(pairs.term) AS BIGINT) AS x
+            FROM wts LEFT JOIN pairs ON pairs.ra <= wts.d AND pairs.rb <= wts.d
+            GROUP BY wts.d, wts.w
+        ),
+        terms AS (
+            SELECT d, x, ROUND({1.0 - _RBO_P!r} * w * x / d, 6) AS t FROM xd
+        )
+        SELECT CAST({_RBO_DEPTH} AS BIGINT) AS depth,
+               CAST(MAX(CASE WHEN d = {_RBO_DEPTH} THEN x END) AS BIGINT)
+                   AS overlap_at_depth,
+               ROUND(SUM(t), 6) AS rbo
+        FROM terms
+    """
+
+
+@register(
+    "q297_rbo_freq_vs_textrank",
+    # q291 registers earlier in THIS module, so its oracle is resolvable
+    # at decoration time (and registered_oracle falls back to a lazy
+    # module import if registration order ever changes)
+    oracle=_rbo_oracle_sql(),
+    doc=(
+        "rank-biased overlap (p=0.9, depth 20) between the raw-frequency "
+        "top-20 and the TextRank top-20 keyword rankings: the "
+        "top-weighted agreement score quantifying exactly how much "
+        "phrase-structure centrality (q291) disagrees with frequency — "
+        "the two rankings' glue-term divergence in one number. "
+        "Depth-bounded joins; geometric weights injected as Python "
+        "literals so no libm pow enters the comparison."
+    ),
+    tags=("text", "ranking", "eval"),
+)
+def q297_rbo_freq_vs_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    posts = docs.select(F.posexplode(tokens_expr("text")).alias("pos", "term"))
+    counts = posts.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), "term").limit(_RBO_DEPTH)
+    # BOUNDED window: ranks the 20 capped rows
+    freq = top.select(
+        "term",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), "term")).cast("long").alias("r"),
+    )
+    tr = textrank_keywords(docs)
+    trr = tr.select(
+        "term",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rank"), "term"))
+        .cast("long")
+        .alias("r"),
+    )
+    return rank_biased_overlap(freq, trr, p=_RBO_P, depth=_RBO_DEPTH)

@@ -3237,3 +3237,277 @@ def q285_change_point_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("c")
     )
     return change_point_split(hourly)
+
+
+# --- q292: session path mining (top entry paths) ------------------------------
+# q67 assigns session ids; this asks the product question those ids
+# exist for: WHICH opening sequences dominate? Path = the first 3 event
+# types of each session in (ts, event_id) order, joined by '>'.
+@register(
+    "q292_session_paths",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             <= INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS is_new
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM flagged
+        ),
+        paths AS (
+            SELECT user_id, session_id,
+                   array_to_string((list(event_type ORDER BY ts, event_id))[1:3], '>') AS path
+            FROM sess GROUP BY user_id, session_id
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM paths
+        GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 10
+    """,
+    doc=(
+        "top-10 session entry paths: first 3 event types per 30-min-gap "
+        "session (q67's boundaries), '>'-joined — the onboarding-funnel "
+        "readout. Per-user windows (partitioned), per-session ordered "
+        "collect via array_sort on (ts, event_id) structs (deterministic "
+        "under any partitioning), global top-10 via TakeOrderedAndProject."
+    ),
+    tags=("analytics", "session", "events"),
+)
+def q292_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return session_paths(ev)
+
+
+def session_paths(ev: DataFrame, top_k: int = 10) -> DataFrame:
+    """(path, n_sessions): the ``top_k`` session opening paths — see
+    :func:`q292_session_paths` for the contract."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = F.col("ts") <= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(gap_ok, 0).otherwise(1).alias("is_new"),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum("is_new").over(wsum).alias("session_id"),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s.event_type,
+                ),
+                1,
+                3,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(top_k)
+    )
+
+
+# --- q296: burstiness (Fano factor) per event type ----------------------------
+# Is traffic Poisson or bursty? The index of dispersion of hourly counts
+# (variance-to-mean, 1 for Poisson) separates steady telemetry from
+# thundering herds BEFORE capacity planning trusts the mean rate. The
+# CUSUM/EWMA pair flags WHEN rates move; this scores HOW spiky a type is
+# in steady state.
+@register(
+    "q296_event_burstiness",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        mom AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS s,
+                   CAST(SUM(c * c) AS BIGINT) AS ss
+            FROM hourly GROUP BY event_type
+        )
+        SELECT event_type, n,
+               ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_hourly,
+               CASE WHEN n >= 2 AND s > 0
+                    THEN ROUND(((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                                / (CAST(n AS DOUBLE) * (n - 1)))
+                               / (CAST(s AS DOUBLE) / n), 6)
+               END AS fano
+        FROM mom
+        ORDER BY event_type
+    """,
+    doc=(
+        "burstiness (Fano factor / index of dispersion) of hourly counts "
+        "per event type: sample variance over mean, 1 under Poisson — "
+        "assembled in ONE fixed-order IEEE expression from exact integer "
+        "moments (n, S, SS), so both engines agree bit-for-bit before "
+        "the 6dp round. The steady-state spikiness score next to "
+        "CUSUM/EWMA's level-shift detectors."
+    ),
+    tags=("analytics", "timeseries", "stats"),
+)
+def q296_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    mom = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    fano = F.when(
+        (F.col("n") >= 2) & (F.col("s") > 0),
+        F.round(
+            ((nd * F.col("ss") - sd * F.col("s")) / (nd * (F.col("n") - 1)))
+            / (sd / F.col("n")),
+            6,
+        ),
+    )
+    return mom.select(
+        "event_type",
+        "n",
+        F.round(sd / F.col("n"), 6).alias("mean_hourly"),
+        fano.alias("fano"),
+    ).orderBy("event_type")
+
+
+# --- q302: session-basket association (support / confidence / lift) ----------
+# Market-basket analysis at session granularity: which event types
+# co-occur in the same session beyond what their base rates predict?
+# Lift > 1 = genuine association — the cross-sell / flow-coupling signal
+# q292's paths show in sequence form and this shows in set form.
+_BASKET_MIN_SUPPORT = 10
+
+
+@register(
+    "q302_session_basket_lift",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             <= INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS is_new
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, event_type,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM flagged
+        ),
+        items AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+        ns AS (SELECT CAST(COUNT(DISTINCT (user_id, session_id)) AS BIGINT) AS n FROM items),
+        single AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM items GROUP BY event_type
+        ),
+        pair AS (
+            SELECT a.event_type AS ta, b.event_type AS tb, CAST(COUNT(*) AS BIGINT) AS cab
+            FROM items a
+            JOIN items b ON a.user_id = b.user_id AND a.session_id = b.session_id
+                         AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.ta, p.tb, p.cab AS n_sessions_both,
+               ROUND(CAST(p.cab AS DOUBLE) / ns.n, 6) AS support,
+               ROUND(CAST(p.cab AS DOUBLE) / sa.c, 6) AS confidence_a_to_b,
+               ROUND(CAST(p.cab AS DOUBLE) * ns.n / (sa.c * sb.c), 6) AS lift
+        FROM pair p
+        JOIN single sa ON sa.event_type = p.ta
+        JOIN single sb ON sb.event_type = p.tb, ns
+        WHERE p.cab >= {_BASKET_MIN_SUPPORT}
+        ORDER BY lift DESC, ta, tb
+    """,
+    doc=(
+        "session-basket association rules: support, confidence, lift "
+        "for every event-type pair co-occurring in a 30-min-gap session "
+        "(q67 boundaries, min support 10) — lift > 1 is coupling beyond "
+        "base rates, the set-form complement of q292's ordered paths. "
+        "Distinct (session, type) items, one self-equi-join on session, "
+        "exact integers into three rounded ratios."
+    ),
+    tags=("analytics", "session", "stats"),
+)
+def q302_session_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = F.col("ts") <= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+    flagged = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.when(gap_ok, 0).otherwise(1).alias("is_new"),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    items = (
+        flagged.select(
+            "user_id", "event_type", F.sum("is_new").over(wsum).alias("session_id")
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        ns = items.select("user_id", "session_id").distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        single = items.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        a = items.select("user_id", "session_id", F.col("event_type").alias("ta"))
+        b = items.select("user_id", "session_id", F.col("event_type").alias("tb"))
+        pair = (
+            a.join(b, ["user_id", "session_id"])
+            .where(F.col("ta") < F.col("tb"))
+            .groupBy("ta", "tb")
+            .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+            .where(F.col("cab") >= _BASKET_MIN_SUPPORT)
+        )
+        sa = single.select(F.col("event_type").alias("ta"), F.col("c").alias("ca"))
+        sb = single.select(F.col("event_type").alias("tb"), F.col("c").alias("cb"))
+        out = (
+            pair.join(F.broadcast(sa), "ta")
+            .join(F.broadcast(sb), "tb")
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "ta",
+                "tb",
+                F.col("cab").alias("n_sessions_both"),
+                F.round(F.col("cab").cast("double") / F.col("n"), 6).alias("support"),
+                F.round(F.col("cab").cast("double") / F.col("ca"), 6).alias(
+                    "confidence_a_to_b"
+                ),
+                F.round(
+                    F.col("cab").cast("double") * F.col("n") / (F.col("ca") * F.col("cb")),
+                    6,
+                ).alias("lift"),
+            )
+            .orderBy(F.desc("lift"), "ta", "tb")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        items.unpersist()
+    return out

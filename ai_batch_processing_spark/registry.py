@@ -115,6 +115,18 @@ _PRIORITY = [
     # Second round-8 batch, newest first: Adamic-Adar link prediction,
     # change-point split, Spearman-from-histograms, Hill tail index,
     # Brier decomposition, simplified silhouette, portable HLL, TextRank.
+    "q300_corpus_release_gate",
+    "q301_embedding_isotropy",
+    "q302_session_basket_lift",
+    "q303_dedup_savings",
+    "q298_labelprop_modularity",
+    "q299_personalized_pagerank",
+    "q292_session_paths",
+    "q293_k_anonymity_audit",
+    "q294_psi_source_drift",
+    "q295_good_turing_unseen",
+    "q296_event_burstiness",
+    "q297_rbo_freq_vs_textrank",
     "q284_adamic_adar_links",
     "q285_change_point_split",
     "q286_spearman_chars_tokens",

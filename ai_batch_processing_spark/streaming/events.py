@@ -684,3 +684,71 @@ def stream_heavy_hitters(
     return stream.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_hll_distinct(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Per-event-type distinct-user estimate under BOUNDED state: the
+    q290 portable HyperLogLog's 256 registers maintained across
+    micro-batches with ``applyInPandasWithState`` — "how many distinct
+    users per event type, forever" in 256 longs per key where an exact
+    streaming distinct would hold every user id. Register max is
+    order-insensitive and idempotent, so the cross-batch fold needs no
+    ordering pin at all (unlike CUSUM/SpaceSaving) and replays merge
+    cleanly — the property that makes HLL THE production streaming
+    cardinality sketch.
+
+    Output per key per batch: ``(event_type, n_occupied, estimate)``
+    with the estimate assembled by the same dyadic-exact formula as the
+    batch :func:`~ai_batch_processing_spark.operators.sketches.hll_estimate`
+    (pytest-pinned parity against the batch registers on the same keys).
+    """
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ai_batch_processing_spark.operators.sketches import _HLL_M, _HLL_WBITS
+
+    out_schema = "event_type string, n_occupied long, estimate double"
+    state_schema = "regs array<long>"
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        regs = list(state.get[0]) if state.exists else [0] * _HLL_M
+        for p in pdfs:
+            for uid in p["user_id"]:
+                h = int(hashlib.md5(str(int(uid)).encode()).hexdigest()[:8], 16)
+                bucket, w = h >> _HLL_WBITS, h % (1 << _HLL_WBITS)
+                rho = (_HLL_WBITS + 1) - w.bit_length() if w > 0 else _HLL_WBITS + 1
+                if rho > regs[bucket]:
+                    regs[bucket] = rho
+        state.update(([int(r) for r in regs],))
+        occupied = [r for r in regs if r > 0]
+        v = _HLL_M - len(occupied)
+        inv = sum(2.0 ** -r for r in occupied)
+        alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+        raw = (alpha * float(_HLL_M) * _HLL_M) / (inv + float(v))
+        import math
+
+        est = (
+            round(_HLL_M * math.log(_HLL_M / float(v)), 6)
+            if (raw <= 2.5 * _HLL_M and v > 0)
+            else round(raw, 6)
+        )
+        yield pd.DataFrame(
+            [{"event_type": key[0], "n_occupied": len(occupied), "estimate": est}],
+            columns=["event_type", "n_occupied", "estimate"],
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

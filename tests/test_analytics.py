@@ -92,3 +92,60 @@ def test_change_point_flat_series_zero_gain(spark):
     out = change_point_split(hourly).collect()[0]
     assert out.gain == 0.0
     assert out.split_hour == base
+
+
+def test_session_paths_gap_split_and_truncation(spark):
+    """One user: 3 quick events, a 2h gap, then 4 quick events -> two
+    sessions with paths 'a>b>c' and 'd>e>f' (first THREE only)."""
+    import datetime
+
+    from ai_batch_processing_spark.plans.analytics import session_paths
+
+    base = datetime.datetime(2024, 1, 1)
+    evs = [
+        (0, base, 1, "a"),
+        (1, base + datetime.timedelta(minutes=5), 1, "b"),
+        (2, base + datetime.timedelta(minutes=10), 1, "c"),
+        (3, base + datetime.timedelta(hours=3), 1, "d"),
+        (4, base + datetime.timedelta(hours=3, minutes=1), 1, "e"),
+        (5, base + datetime.timedelta(hours=3, minutes=2), 1, "f"),
+        (6, base + datetime.timedelta(hours=3, minutes=3), 1, "g"),
+    ]
+    ev = spark.createDataFrame(
+        evs, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = sorted((r.path, r.n_sessions) for r in session_paths(ev).collect())
+    assert got == [("a>b>c", 1), ("d>e>f", 1)]
+
+
+def test_fano_constant_is_zero_bursty_above_one(spark):
+    """Constant hourly counts -> variance 0 -> fano 0; counts {1,7} ->
+    var_samp 18, mean 4 -> fano 4.5. Exercises the registered operator
+    body via a temp-dir events parquet."""
+    import datetime
+
+    from ai_batch_processing_spark.registry import load_all
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(4):
+        for _ in range(4):
+            rows.append((eid, base + datetime.timedelta(hours=h), 1, "steady", 1.0, "{}"))
+            eid += 1
+    for h, c in [(0, 1), (1, 7)]:
+        for _ in range(c):
+            rows.append((eid, base + datetime.timedelta(hours=h), 1, "bursty", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = load_all()["q296_event_burstiness"].fn(spark, d)
+        got = {r.event_type: (r.mean_hourly, r.fano) for r in out.collect()}
+    assert got["steady"] == (4.0, 0.0)
+    assert got["bursty"] == (4.0, 4.5)

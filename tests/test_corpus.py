@@ -598,3 +598,23 @@ def test_hill_all_equal_tail_is_null(spark):
     cnts = spark.createDataFrame([(i, 7) for i in range(10)], "doc_id long, v long")
     out = hill_tail_index(cnts, k=3).collect()[0]
     assert out.sum_micro == 0 and out.alpha_hill is None
+
+
+def test_good_turing_known_frequencies(spark):
+    """'a a a b b c d' -> N=7, vocab 4, n1=2 (c,d), n2=1 (b):
+    p_unseen = 2/7, r1* = 2*1/2 = 1."""
+    from ai_batch_processing_spark.operators.corpus import good_turing_unseen
+
+    docs = spark.createDataFrame([(0, "a a a b b c d")], "doc_id long, text string")
+    out = good_turing_unseen(docs).collect()[0]
+    assert (out.n_tokens, out.vocab, out.n1, out.n2) == (7, 4, 2, 1)
+    assert out.p_unseen == round(2 / 7, 6)
+    assert out.r1_star == 1.0
+
+
+def test_good_turing_no_singletons_null_r1(spark):
+    from ai_batch_processing_spark.operators.corpus import good_turing_unseen
+
+    docs = spark.createDataFrame([(0, "a a b b")], "doc_id long, text string")
+    out = good_turing_unseen(docs).collect()[0]
+    assert out.n1 == 0 and out.r1_star is None

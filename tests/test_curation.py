@@ -1109,3 +1109,41 @@ def test_brier_decomposition_identity_and_perfect_bins(spark):
     # REL contributions: bin 9 zero; bin 0 (f=.025, o=0) and 19 (f=.975, o=1)
     expected_rel = round((round(10 * 0.025**2, 6) + round(10 * 0.025**2, 6)) / 60, 6)
     assert abs(out.reliability - expected_rel) < 1e-6
+
+
+def test_k_anonymity_audit_counts(spark):
+    """Known classes: sizes 1, 2, 12 under QI (g,) -> k=1, 3 rows below
+    k=10 in classes {1,2}, share 3/15."""
+    from ai_batch_processing_spark.operators.curation import k_anonymity_audit
+
+    rows = spark.createDataFrame(
+        [("a",)] * 1 + [("b",)] * 2 + [("c",)] * 12, "g string"
+    )
+    out = k_anonymity_audit(rows, ["g"], k=10).collect()[0]
+    assert (out.n_rows, out.n_classes, out.k_anonymity) == (15, 3, 1)
+    assert out.rows_below_k == 3
+    assert out.share_below_k == 0.2
+
+
+def test_psi_identical_and_shifted_distributions(spark):
+    """A group distributed like the rest scores ~0; a group concentrated
+    in a bucket the rest avoids scores strictly higher."""
+    from ai_batch_processing_spark.operators.curation import population_stability
+
+    same = [("g1", b) for b in [1, 2] * 50] + [("g2", b) for b in [1, 2] * 50]
+    out = {
+        r[0]: r.psi
+        for r in population_stability(
+            spark.createDataFrame(same, "g string, b long"), "g", "b"
+        ).collect()
+    }
+    assert abs(out["g1"]) < 0.01 and abs(out["g2"]) < 0.01
+
+    skew = [("g1", 1)] * 100 + [("g2", 2)] * 100
+    out2 = {
+        r[0]: r.psi
+        for r in population_stability(
+            spark.createDataFrame(skew, "g string, b long"), "g", "b"
+        ).collect()
+    }
+    assert out2["g1"] > 0.25 and out2["g2"] > 0.25

@@ -673,3 +673,19 @@ def test_prefix_filter_is_lossless_vs_bruteforce(spark):
             if len(sa & sb) * 100 >= 70 * len(sa | sb):
                 want[(a, b)] = round(j, 6)
     assert got == want and (4, 5) in got  # the identical pair is found
+
+
+def test_dedup_savings_histogram(spark):
+    """Three copies of one text (4 chars) + two singletons: histogram
+    rows (1, 2 groups, 0 removable) and (3, 1 group, 2 rows, 8 chars)."""
+    from ai_batch_processing_spark.operators.dedup import dedup_savings
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "aaaa"), (2, "aaaa"), (3, "bb"), (4, "c")],
+        "doc_id long, text string",
+    )
+    rows = {r.group_size: r for r in dedup_savings(docs).collect()}
+    assert rows[1].n_groups == 2 and rows[1].rows_removable == 0
+    assert rows[3].n_groups == 1
+    assert rows[3].rows_removable == 2
+    assert rows[3].chars_removable == 8

@@ -422,3 +422,42 @@ def test_textrank_hub_term_wins(spark):
     rows = textrank_keywords(docs, vocab_size=10, iterations=5, top_k=3).collect()
     assert rows[0].term == "core"
     assert rows[0].rank > rows[1].rank
+
+
+def test_modularity_disjoint_triangles_vs_one_blob(spark):
+    """Two disjoint triangles, perfectly labeled: Q = 2*(3/6 - (6/12)^2)
+    = 0.5. The same graph as ONE community: Q = 0 exactly."""
+    from ai_batch_processing_spark.operators.graph import modularity
+
+    tri = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(tri, "src long, dst long")
+    good = spark.createDataFrame(
+        [(i, i // 10) for i in [0, 1, 2, 10, 11, 12]], "id long, label long"
+    )
+    out = modularity(edges, good).collect()[0]
+    assert (out.m_edges, out.n_communities, out.modularity) == (6, 2, 0.5)
+
+    blob = spark.createDataFrame(
+        [(i, 7) for i in [0, 1, 2, 10, 11, 12]], "id long, label long"
+    )
+    out2 = modularity(edges, blob).collect()[0]
+    assert out2.modularity == 0.0
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(spark):
+    """Two disconnected 3-cycles, seed in the first: every node of the
+    seeded component outranks every node of the other (which decays to
+    rank 0 — no teleport mass ever lands there)."""
+    from ai_batch_processing_spark.operators.graph import personalized_pagerank
+
+    cyc = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    edges = spark.createDataFrame(cyc, "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 10, 11, 12]], "id long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    r = {x.id: x.rank for x in personalized_pagerank(nodes, edges, seeds, iterations=5).collect()}
+    assert all(r[i] > 0 for i in (0, 1, 2))
+    assert all(r[i] == 0.0 for i in (10, 11, 12))
+    assert r[0] > r[1]  # the seed keeps the (1-d) teleport share
+    assert abs(sum(r.values()) - 1.0) < 1e-9  # cycle graph conserves mass

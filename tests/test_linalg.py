@@ -129,3 +129,23 @@ def test_pca_residual_norm_flags_planted_off_manifold_outlier(spark):
     proj = pca_project(corpus, mu, comps, residual_norm=True)
     top = proj.orderBy(F.desc("resid_norm")).first()
     assert top.vec_id == 999  # the planted off-manifold row ranks first
+
+
+def test_isotropy_identical_vs_orthogonal(spark):
+    """Identical unit vectors: mean pairwise dot = 1, anisotropy = 1.
+    An orthonormal pair: mean pairwise dot = 0."""
+    from ai_batch_processing_spark.operators.linalg import embedding_isotropy
+
+    same = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    out = embedding_isotropy(same).collect()[0]
+    assert (out.n_vecs, out.dim) == (4, 2)
+    assert out.mean_norm == 1.0 and out.mean_sq_norm == 1.0
+    assert out.mean_pair_dot == 1.0 and out.anisotropy == 1.0
+
+    ortho = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out2 = embedding_isotropy(ortho).collect()[0]
+    assert out2.mean_pair_dot == 0.0 and out2.anisotropy == 0.0

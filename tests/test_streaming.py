@@ -710,3 +710,52 @@ def test_stream_heavy_hitters_matches_single_sweep_across_batches(spark, tmp_pat
     true1, true2 = users.count(1), users.count(2)
     assert 1 in ref and 2 in ref
     assert ref[1] >= true1 and ref[2] >= true2
+
+
+def test_stream_hll_matches_batch_registers_across_batches(spark, tmp_path):
+    """HLL registers carried across micro-batches must equal the batch
+    hll_registers/hll_estimate of the SAME key set — register max is
+    order-insensitive, so the cross-batch fold has no ordering caveat;
+    duplicate users across batches must not move the estimate."""
+    from ai_batch_processing_spark.operators.sketches import hll_estimate, hll_registers
+    from ai_batch_processing_spark.streaming.events import stream_hll_distinct
+
+    users = list(range(40)) + list(range(10))  # 40 distinct, 10 replayed
+    rows = [
+        {
+            "event_id": i,
+            "ts": f"2024-01-01T00:{i % 60:02d}:00",
+            "user_id": u,
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+        for i, u in enumerate(users)
+    ]
+    d = tmp_path / "hll"
+    d.mkdir()
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in rows[:25]))
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[25:]))
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, f in enumerate(["b0.json", "b1.json"]):
+        _os.utime(d / f, (now - 60 * (2 - i), now - 60 * (2 - i)))
+    sdf = stream_hll_distinct(spark, str(d), max_files_per_trigger=1)
+    q = (
+        sdf.writeStream.format("memory").queryName("t_hll").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = spark.sql("SELECT * FROM t_hll").collect()
+    assert len(batches) == 2  # one summary row per micro-batch
+    final = min(batches, key=lambda r: -r.n_occupied)  # registers only grow
+    keys = spark.createDataFrame(
+        [(str(u),) for u in sorted(set(users))], "k string"
+    )
+    ref = hll_estimate(hll_registers(keys, "k")).collect()[0]
+    assert final.n_occupied == 256 - ref.n_zero_registers
+    assert abs(final.estimate - ref.hll_estimate) < 1e-9

@@ -225,3 +225,26 @@ def test_gopher_rules_line_and_symbol_rules(spark):
     assert rows[4].symbol_ratio > 0.1 and not rows[4].r_symbol_ratio
     assert not rows[4].r_alpha_words  # '#' tokens carry no alphabetic char
     assert not rows[5].r_word_count and not rows[5].passes
+
+
+def test_rbo_identical_and_disjoint_rankings(spark):
+    """Identical rankings: X_d = d so rbo = (1-p) * sum p^(d-1) (the
+    truncated geometric mass, -> 1 as depth grows). Disjoint: 0."""
+    from ai_batch_processing_spark.operators.text import (
+        _RBO_WEIGHTS,
+        rank_biased_overlap,
+    )
+
+    r = spark.createDataFrame(
+        [(f"t{i}", i) for i in range(1, 21)], "term string, r long"
+    )
+    out = rank_biased_overlap(r, r).collect()[0]
+    expect = round(sum(round(0.1 * w * d / d, 6) for d, w in _RBO_WEIGHTS), 6)
+    assert out.overlap_at_depth == 20
+    assert abs(out.rbo - expect) < 1e-9
+
+    other = spark.createDataFrame(
+        [(f"u{i}", i) for i in range(1, 21)], "term string, r long"
+    )
+    out2 = rank_biased_overlap(r, other).collect()[0]
+    assert out2.overlap_at_depth == 0 and out2.rbo == 0.0
