@@ -4616,3 +4616,355 @@ def q300_corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         docs.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Blocklist phrase census: multi-pattern content filtering report
+# ---------------------------------------------------------------------------
+_CENSUS_BLOCKLIST = (
+    "hash join",
+    "slow query",
+    "table scan",
+    "window frame",
+)
+
+
+def blocklist_census(
+    docs: DataFrame,
+    phrases: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(phrase, n_docs, n_hits) per blocklist phrase, plus one
+    ``__any__`` row (documents matching at least one phrase, total
+    hits): the safety/policy filtering REPORT run before q102's
+    redaction actually rewrites anything — which rules fire, how often,
+    and what a hard drop would cost.
+
+    Scale shape: the phrase list rides as a broadcast literal frame, so
+    a 100 TB corpus pays ONE scan for the whole list (docs × K rows,
+    map-side) — never a scan per phrase. Per-doc hit counts use the
+    substring-count identity (len(t) − len(replace(t, p, ''))) / len(p)
+    — exact integers, and literal phrases need no regex escaping.
+    """
+    spark = docs.sparkSession
+    pdf = spark.createDataFrame([(p,) for p in phrases], "phrase string")
+    hd = (
+        docs.select(F.col(id_col).alias("did"), F.lower(F.col(text_col)).alias("t"))
+        .crossJoin(F.broadcast(pdf))
+        .select(
+            "did",
+            "phrase",
+            (
+                (F.length("t") - F.length(F.replace(F.col("t"), F.col("phrase"))))
+                / F.length("phrase")
+            )
+            .cast("long")
+            .alias("hits"),
+        )
+        .persist()
+    )
+    per = (
+        hd.where(F.col("hits") > 0)
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("hits").cast("long").alias("n_hits"),
+        )
+    )
+    anyagg = (
+        hd.groupBy("did")
+        .agg(F.sum("hits").alias("h"))
+        .agg(
+            F.lit("__any__").alias("phrase"),
+            F.sum(F.when(F.col("h") > 0, 1).otherwise(0)).cast("long").alias("n_docs"),
+            F.sum("h").cast("long").alias("n_hits"),
+        )
+    )
+    out = per.unionByName(anyagg).orderBy("phrase").localCheckpoint(eager=True)
+    hd.unpersist()
+    return out
+
+
+@register(
+    "q304_blocklist_census",
+    oracle=f"""
+        WITH phrases(phrase) AS (
+            VALUES {", ".join(f"('{p}')" for p in _CENSUS_BLOCKLIST)}
+        ),
+        hd AS (
+            SELECT d.doc_id AS did, p.phrase,
+                   CAST((length(lower(d.text))
+                         - length(replace(lower(d.text), p.phrase, '')))
+                        / length(p.phrase) AS BIGINT) AS hits
+            FROM documents d CROSS JOIN phrases p
+        ),
+        per AS (
+            SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(hits) AS BIGINT) AS n_hits
+            FROM hd WHERE hits > 0 GROUP BY phrase
+        ),
+        anyrow AS (
+            SELECT '__any__' AS phrase,
+                   CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                   CAST(SUM(h) AS BIGINT) AS n_hits
+            FROM (SELECT did, SUM(hits) AS h FROM hd GROUP BY did)
+        )
+        SELECT * FROM per
+        UNION ALL SELECT * FROM anyrow
+        ORDER BY phrase
+    """,
+    doc=(
+        "blocklist phrase census: per-phrase document and occurrence "
+        "counts plus the __any__ roll-up — the policy-filter REPORT run "
+        "before q102's redaction rewrites anything. One corpus scan for "
+        "the WHOLE broadcast phrase list; hit counts from the exact "
+        "substring-count length identity (no per-phrase scans, no regex "
+        "escaping)."
+    ),
+    tags=("curation", "quality", "text"),
+)
+def q304_blocklist_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return blocklist_census(docs, _CENSUS_BLOCKLIST)
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation: variance-proportional stratified sampling plan
+# ---------------------------------------------------------------------------
+_NEYMAN_BUDGET = 200
+
+
+def neyman_allocation(
+    feats: DataFrame,
+    stratum_col: str = "source",
+    value_col: str = "v",
+    budget: int = _NEYMAN_BUDGET,
+) -> DataFrame:
+    """(stratum, n_rows, sd_value, alloc): the Neyman-optimal sample
+    allocation n_h ∝ N_h·S_h for a fixed ``budget`` — the survey-
+    sampling answer to "which sources deserve sample mass" (high-
+    variance strata get more; proportional allocation over-samples big
+    homogeneous sources). The PLAN the deterministic samplers
+    (q120/q178) then execute per stratum.
+
+    Per-stratum stddev comes from exact integer moments in one
+    map-combinable pass, is snapped to 6dp, and the weights N_h·S_h
+    become exact micro-longs — so the integer allocations match across
+    engines bit-for-bit (rounding residue means Σ alloc ≈ budget, the
+    standard Neyman convention; exact-sum variants renormalize after).
+    """
+    mom = feats.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(value_col).cast("long").alias("s"),
+        F.sum(F.col(value_col) * F.col(value_col)).cast("long").alias("ss"),
+    )
+    nd, sd_ = F.col("n").cast("double"), F.col("s").cast("double")
+    sdev = F.when(
+        F.col("n") >= 2,
+        F.round(
+            F.sqrt((nd * F.col("ss") - sd_ * F.col("s")) / (nd * (F.col("n") - 1))), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    w = mom.select(
+        "stratum",
+        "n",
+        sdev.alias("sd"),
+    ).select(
+        "stratum",
+        "n",
+        "sd",
+        F.round(F.col("n") * F.col("sd") * 1e6).cast("long").alias("wm"),
+    )
+    tot = w.agg(F.sum("wm").cast("long").alias("wsum"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            F.col("n").alias("n_rows"),
+            F.col("sd").alias("sd_value"),
+            F.when(
+                F.col("wsum") > 0,
+                F.round(F.lit(float(budget)) * F.col("wm") / F.col("wsum")).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("alloc"),
+        )
+        .orderBy("stratum")
+    )
+
+
+@register(
+    "q305_neyman_allocation",
+    oracle=rf"""
+        WITH feats AS (
+            SELECT source AS stratum,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS v
+            FROM documents
+        ),
+        mom AS (
+            SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss
+            FROM feats GROUP BY stratum
+        ),
+        w AS (
+            SELECT stratum, n,
+                   CASE WHEN n >= 2
+                        THEN ROUND(sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                                        / (CAST(n AS DOUBLE) * (n - 1))), 6)
+                        ELSE 0.0 END AS sd
+            FROM mom
+        ),
+        wm AS (
+            SELECT stratum, n, sd,
+                   CAST(ROUND(n * sd * 1e6) AS BIGINT) AS wm
+            FROM w
+        ),
+        tot AS (SELECT CAST(SUM(wm) AS BIGINT) AS wsum FROM wm)
+        SELECT stratum, n AS n_rows, sd AS sd_value,
+               CASE WHEN wsum > 0
+                    THEN CAST(ROUND({float(_NEYMAN_BUDGET)} * wm / wsum) AS BIGINT)
+                    ELSE 0 END AS alloc
+        FROM wm, tot
+        ORDER BY stratum
+    """,
+    doc=(
+        "Neyman-optimal stratified sampling plan over sources (budget "
+        "200): n_h proportional to N_h*S_h from exact integer token-"
+        "count moments, stddev 6dp-snapped, weights as micro-longs so "
+        "the integer allocations hash-match — the survey-sampling PLAN "
+        "the deterministic samplers (q120/q178) then execute."
+    ),
+    tags=("curation", "sampling", "stats"),
+)
+def q305_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import tokens_expr
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    feats = docs.select(
+        "source", F.size(tokens_expr("text")).cast("long").alias("v")
+    )
+    return neyman_allocation(feats, stratum_col="source", value_col="v")
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: one-pass optimal threshold classifier (third trainer)
+# ---------------------------------------------------------------------------
+def decision_stump(labeled: DataFrame) -> DataFrame:
+    """One row ``(threshold, n, n_pos, err, acc, majority_acc)``: the
+    optimal 1-rule classifier "predict 1 iff v > t" fit over ALL
+    possible thresholds in one pass — the closed-form baseline every
+    quality-classifier report should show next to the perceptron
+    (q243) and Naive Bayes (q277); if the stump matches them, the
+    features are one-dimensional and the models are theater.
+
+    ``labeled`` has integer ``v`` and binary ``y``. Errors for every
+    candidate threshold come from the VALUE HISTOGRAM's cumulative
+    counts (err(t) = pos≤t + neg>t — the q267 bounded-histogram trick,
+    never a per-row scan per threshold); t = min(v)−1 (predict all 1)
+    rides as an extra candidate. Argmin on exact integers with the
+    threshold as tiebreak.
+    """
+    h = labeled.groupBy(F.col("v").alias("t")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    tot = h.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("npos"),
+        (F.min("t") - 1).alias("tmin"),
+    )
+    # BOUNDED window: over the distinct-value histogram
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = h.select("t", F.sum("cnt").over(w).alias("cc"), F.sum("pos").over(w).alias("cp"))
+    base = tot.select(F.col("tmin").alias("t"), F.lit(0).alias("cc"), F.lit(0).alias("cp"))
+    cand = cum.unionByName(base).crossJoin(F.broadcast(tot.select("n", "npos")))
+    scored = cand.select(
+        "t",
+        "n",
+        "npos",
+        # err = positives at/below t (predicted 0) + negatives above t
+        (F.col("cp") + (F.col("n") - F.col("npos")) - (F.col("cc") - F.col("cp")))
+        .cast("long")
+        .alias("err"),
+    )
+    return (
+        scored.orderBy("err", "t")
+        .limit(1)
+        .select(
+            F.col("t").alias("threshold"),
+            "n",
+            F.col("npos").alias("n_pos"),
+            "err",
+            F.round((F.col("n") - F.col("err")).cast("double") / F.col("n"), 6).alias(
+                "acc"
+            ),
+            F.round(
+                F.greatest(F.col("npos"), F.col("n") - F.col("npos")).cast("double")
+                / F.col("n"),
+                6,
+            ).alias("majority_acc"),
+        )
+    )
+
+
+@register(
+    "q308_decision_stump",
+    oracle=r"""
+        WITH feats AS (
+            SELECT CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS v,
+                   CASE WHEN (doc_id * 37) % 100
+                             < 20 + LEAST(60, CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                                                   x -> x <> '')) AS BIGINT) * 3 // 10)
+                        THEN 1 ELSE 0 END AS y
+            FROM documents
+        ),
+        h AS (SELECT v AS t, COUNT(*) AS cnt, SUM(y) AS pos FROM feats GROUP BY v),
+        tot AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS npos,
+                   MIN(t) - 1 AS tmin
+            FROM h
+        ),
+        cum AS (
+            SELECT t,
+                   SUM(cnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+                   SUM(pos) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+            FROM h
+        ),
+        cand AS (
+            SELECT t, cc, cp FROM cum
+            UNION ALL SELECT tmin AS t, 0 AS cc, 0 AS cp FROM tot
+        ),
+        scored AS (
+            SELECT t, n, npos,
+                   CAST(cp + (n - npos) - (cc - cp) AS BIGINT) AS err
+            FROM cand, tot
+        )
+        SELECT t AS threshold, n, npos AS n_pos, err,
+               ROUND(CAST(n - err AS DOUBLE) / n, 6) AS acc,
+               ROUND(CAST(GREATEST(npos, n - npos) AS DOUBLE) / n, 6) AS majority_acc
+        FROM scored
+        ORDER BY err, t
+        LIMIT 1
+    """,
+    doc=(
+        "optimal decision stump (predict 1 iff tokens > t) over the "
+        "shared synthetic label, fit against EVERY candidate threshold "
+        "in one pass via the bounded value-histogram cumulative counts "
+        "— the closed-form 1-rule baseline next to the perceptron "
+        "(q243) and NB (q277) trainers; exact-integer argmin."
+    ),
+    tags=("curation", "training", "eval"),
+)
+def q308_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import tokens_expr
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ntok = F.size(tokens_expr("text")).cast("long")
+    thr = F.lit(20) + F.least(F.lit(60).cast("long"), F.floor(ntok * 3 / 10).cast("long"))
+    labeled = docs.select(
+        ntok.alias("v"),
+        F.when((F.col("doc_id") * 37) % 100 < thr, 1).otherwise(0).alias("y"),
+    )
+    return decision_stump(labeled)

@@ -493,18 +493,22 @@ def hll_registers(keys: DataFrame, key_col: str) -> DataFrame:
     the production default (module docstring); THIS variant is the
     cross-engine audit-reproducible one.
     """
+    return hll_bucket_rho(keys, key_col).groupBy("bucket").agg(F.max("rho").alias("r"))
+
+
+def hll_bucket_rho(keys: DataFrame, key_col: str, *extra_cols: str) -> DataFrame:
+    """(…extra_cols, bucket, rho): the per-key register coordinates —
+    exposed so per-group sketches (and the q310 mergeability audit) can
+    aggregate the same construction along any dimension."""
     h = portable_hash32(F.col(key_col), method="md5")
     w = F.pmod(h, F.lit(1 << _HLL_WBITS))
     rho = F.when(
         w > 0, F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
     ).otherwise(F.lit(_HLL_WBITS + 1))
-    return (
-        keys.select(
-            (h / F.lit(1 << _HLL_WBITS)).cast("long").alias("bucket"),
-            rho.cast("long").alias("rho"),
-        )
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("r"))
+    return keys.select(
+        *extra_cols,
+        (h / F.lit(1 << _HLL_WBITS)).cast("long").alias("bucket"),
+        rho.cast("long").alias("rho"),
     )
 
 
@@ -610,3 +614,93 @@ def q290_hll_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error_pct"),
     )
+
+
+@register(
+    "q310_hll_merge_audit",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT source, t.tok AS term
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS t(tok)
+        ),
+        ranked AS (
+            SELECT source,
+                   CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) // {1 << _HLL_WBITS} AS bucket,
+                   CASE WHEN CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {1 << _HLL_WBITS} > 0
+                        THEN {_HLL_WBITS + 1} - length(bin(CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {1 << _HLL_WBITS}))
+                        ELSE {_HLL_WBITS + 1} END AS rho
+            FROM toks
+        ),
+        per_source AS (
+            SELECT source, bucket, MAX(rho) AS r FROM ranked GROUP BY source, bucket
+        ),
+        merged AS (SELECT bucket, MAX(r) AS r FROM per_source GROUP BY bucket),
+        direct AS (SELECT bucket, MAX(rho) AS r FROM ranked GROUP BY bucket),
+        cmp AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_mismatched_registers
+            FROM merged FULL JOIN direct USING (bucket)
+            WHERE merged.r IS DISTINCT FROM direct.r
+        ),
+        est AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                   SUM(1.0 / (1 << CAST(r AS INT))) AS inv
+            FROM merged
+        )
+        SELECT cmp.n_mismatched_registers,
+               cmp.n_mismatched_registers = 0 AS merge_exact,
+               CAST({_HLL_M} - est.np AS BIGINT) AS n_zero_registers,
+               ROUND((0.7213 / (1.0 + 1.079 / {float(_HLL_M)})) * {float(_HLL_M) ** 2}
+                     / (est.inv + CAST({_HLL_M} - est.np AS DOUBLE)), 6) AS est_merged
+        FROM cmp, est
+    """,
+    doc=(
+        "HLL mergeability audit: per-source register sets merged by "
+        "bucket-max must equal the registers built over the whole "
+        "corpus in one pass — the semilattice property that makes HLL "
+        "shard/replay-safe at 100 TB (shard sketches union losslessly; "
+        "no re-scan for rollups), PROVEN register-by-register on real "
+        "data rather than asserted; plus the merged estimate."
+    ),
+    tags=("sketch", "corpus", "verify"),
+)
+def q310_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import tokens_expr
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    terms = docs.select("source", F.explode(tokens_expr("text")).alias("term"))
+    coords = hll_bucket_rho(terms, "term", "source").persist()
+    per_source = coords.groupBy("source", "bucket").agg(F.max("rho").alias("r"))
+    merged = per_source.groupBy("bucket").agg(F.max("r").alias("r"))
+    direct = coords.groupBy("bucket").agg(F.max("rho").alias("r"))
+    cmp_ = (
+        merged.select("bucket", F.col("r").alias("rm"))
+        .join(direct.select("bucket", F.col("r").alias("rd")), "bucket", "full")
+        .where(~F.col("rm").eqNullSafe(F.col("rd")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_mismatched_registers"))
+    )
+    est = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum(F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))")).alias(
+            "inv"
+        ),
+    )
+    m = float(_HLL_M)
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(m))
+    out = (
+        cmp_.crossJoin(est)
+        .select(
+            "n_mismatched_registers",
+            (F.col("n_mismatched_registers") == 0).alias("merge_exact"),
+            (F.lit(_HLL_M) - F.col("np")).cast("long").alias("n_zero_registers"),
+            F.round(
+                (alpha * F.lit(m * m))
+                / (F.col("inv") + (F.lit(_HLL_M) - F.col("np")).cast("double")),
+                6,
+            ).alias("est_merged"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    coords.unpersist()
+    return out

@@ -3356,3 +3356,118 @@ def q297_rbo_freq_vs_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r"),
     )
     return rank_biased_overlap(freq, trr, p=_RBO_P, depth=_RBO_DEPTH)
+
+
+# ---------------------------------------------------------------------------
+# Character bigram entropy: the compression-rate / gibberish audit
+# ---------------------------------------------------------------------------
+def char_bigram_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row ``(n_bigrams, h_joint, h_first, h_cond)``: Shannon
+    entropies (nats) of the corpus's character-bigram distribution over
+    the normalized [a-z ] alphabet — joint H(ab), first-char H(a), and
+    the conditional H(b|a) = H(ab) − H(a) that prices how predictable
+    the next character is. The cheap gibberish/encrypted-blob detector
+    (natural language sits near 2.3–2.8 nats of joint bigram entropy;
+    random [a-z ] text at ln(729) ≈ 6.6) and a proxy for how well the
+    corpus will compress.
+
+    The bigram stream is corpus-sized but the distribution is BOUNDED
+    (≤ 27² cells), so everything after the one map-combinable count is
+    constant-size; entropy terms are exact-integer-ratio doubles
+    snapped to 6dp before the bounded sums.
+    """
+    t = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
+    grams = (
+        docs.select(t.alias("t"))
+        .where(F.length("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - 1),
+                    lambda i: F.col("t").substr(i, F.lit(2)),
+                )
+            ).alias("g")
+        )
+    )
+    h = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c")).persist()
+    tot = h.agg(F.sum("c").cast("long").alias("n"))
+    joint = (
+        h.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                -(F.col("c").cast("double") / F.col("n"))
+                * F.log(F.col("c").cast("double") / F.col("n")),
+                6,
+            ).alias("term")
+        )
+        .agg(F.round(F.sum("term"), 6).alias("h_joint"))
+    )
+    first = (
+        h.groupBy(F.substring("g", 1, 1).alias("a"))
+        .agg(F.sum("c").alias("ca"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                -(F.col("ca").cast("double") / F.col("n"))
+                * F.log(F.col("ca").cast("double") / F.col("n")),
+                6,
+            ).alias("term")
+        )
+        .agg(F.round(F.sum("term"), 6).alias("h_first"))
+    )
+    out = (
+        tot.crossJoin(joint)
+        .crossJoin(first)
+        .select(
+            F.col("n").alias("n_bigrams"),
+            "h_joint",
+            "h_first",
+            F.round(F.col("h_joint") - F.col("h_first"), 6).alias("h_cond"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    h.unpersist()
+    return out
+
+
+@register(
+    "q309_char_bigram_entropy",
+    oracle=r"""
+        WITH norm AS (
+            SELECT regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT substring(t, CAST(i AS INT), 2) AS g
+            FROM norm, unnest(generate_series(1, length(t) - 1)) u(i)
+            WHERE length(t) >= 2
+        ),
+        h AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+        joint AS (
+            SELECT ROUND(SUM(ROUND(-(CAST(c AS DOUBLE) / n)
+                                   * LN(CAST(c AS DOUBLE) / n), 6)), 6) AS h_joint
+            FROM h, tot
+        ),
+        first AS (
+            SELECT ROUND(SUM(ROUND(-(CAST(ca AS DOUBLE) / n)
+                                   * LN(CAST(ca AS DOUBLE) / n), 6)), 6) AS h_first
+            FROM (SELECT substring(g, 1, 1) AS a, SUM(c) AS ca FROM h GROUP BY 1), tot
+        )
+        SELECT tot.n AS n_bigrams, joint.h_joint, first.h_first,
+               ROUND(joint.h_joint - first.h_first, 6) AS h_cond
+        FROM tot, joint, first
+    """,
+    doc=(
+        "character-bigram entropy over the normalized [a-z ] alphabet: "
+        "joint H(ab), first-char H(a), conditional H(b|a) in nats — the "
+        "cheap gibberish/encrypted-blob detector and compression-rate "
+        "proxy (natural text ~2.3-2.8 nats joint; random ~6.6). "
+        "Corpus-sized stream into a <=729-cell distribution, one "
+        "map-combinable count, 6dp-snapped bounded entropy sums."
+    ),
+    tags=("text", "stats", "quality"),
+)
+def q309_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return char_bigram_entropy(docs)

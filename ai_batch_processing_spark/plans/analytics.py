@@ -3511,3 +3511,450 @@ def q302_session_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         items.unpersist()
     return out
+
+
+# --- q306: strict-order three-step funnel -------------------------------------
+# q63 answers "click then purchase within 30 min" for ONE pair; this is
+# the full ordered funnel: signup -> first click AFTER it -> first
+# purchase AFTER that, each step within 7 days of the previous — the
+# activation readout every growth dashboard leads with. Two
+# user-co-partitioned argmin joins; never a per-user window over all
+# events.
+@register(
+    "q306_ordered_funnel",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+              AND e.ts <= s1.t1 + INTERVAL 7 DAY
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              AND e.ts <= s2.t2 + INTERVAL 7 DAY
+            GROUP BY e.user_id
+        ),
+        u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events)
+        SELECT u.n_users,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_signup,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click_after,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase_after,
+               ROUND((SELECT COUNT(*) FROM s2) * 1.0
+                     / (SELECT COUNT(*) FROM s1), 6) AS conv_step2,
+               ROUND((SELECT COUNT(*) FROM s3) * 1.0
+                     / NULLIF((SELECT COUNT(*) FROM s2), 0), 6) AS conv_step3,
+               ROUND((SELECT COUNT(*) FROM s3) * 1.0
+                     / (SELECT COUNT(*) FROM s1), 6) AS conv_full
+        FROM u
+    """,
+    doc=(
+        "strict-order activation funnel: signup -> first click AFTER it "
+        "-> first purchase AFTER that, each within 7 days of the prior "
+        "step — per-step user counts and conversion rates in one row. "
+        "Two user-co-partitioned argmin joins (the q63 interval-join "
+        "family grown to a full ordered funnel); exact timestamp "
+        "comparisons on microsecond integers."
+    ),
+    tags=("analytics", "funnel", "events"),
+)
+def q306_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .persist()
+    )
+    try:
+        s2 = (
+            ev.where(F.col("event_type") == "click")
+            .join(s1, "user_id")
+            .where(
+                (F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+            .persist()
+        )
+        s3 = (
+            ev.where(F.col("event_type") == "purchase")
+            .join(s2, "user_id")
+            .where(
+                (F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 7 DAYS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t3"))
+        )
+        u = ev.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        c1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+        c2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n_click_after"))
+        c3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_after"))
+        out = (
+            u.crossJoin(c1)
+            .crossJoin(c2)
+            .crossJoin(c3)
+            .select(
+                "n_users",
+                "n_signup",
+                "n_click_after",
+                "n_purchase_after",
+                F.round(F.col("n_click_after") * 1.0 / F.col("n_signup"), 6).alias(
+                    "conv_step2"
+                ),
+                F.round(
+                    F.col("n_purchase_after")
+                    * 1.0
+                    / F.nullif(F.col("n_click_after"), F.lit(0)),
+                    6,
+                ).alias("conv_step3"),
+                F.round(F.col("n_purchase_after") * 1.0 / F.col("n_signup"), 6).alias(
+                    "conv_full"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        s1.unpersist()
+        try:
+            s2.unpersist()
+        except Exception:
+            pass
+    return out
+
+
+# --- q307: split-conformal prediction interval for the q276 model ------------
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10  # 90% target coverage
+
+_OLS_HALF_SQL = r"""
+        feats AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS y,
+                   CAST(length(text) AS BIGINT) AS x1,
+                   CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS x2
+            FROM documents
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+                   CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+                   CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+                   CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+                   CAST(SUM(x2 * y) AS DOUBLE) AS s2y
+            FROM feats WHERE doc_id % 2 = 0
+        ),
+        model AS (
+            SELECT ROUND((sy * (s11 * s22 - s12 * s12)
+                          - s1 * (s1y * s22 - s12 * s2y)
+                          + s2 * (s1y * s12 - s11 * s2y))
+                         / (n * (s11 * s22 - s12 * s12)
+                            - s1 * (s1 * s22 - s12 * s2)
+                            + s2 * (s1 * s12 - s11 * s2)), 6) AS b0,
+                   ROUND((n * (s1y * s22 - s12 * s2y)
+                          - sy * (s1 * s22 - s12 * s2)
+                          + s2 * (s1 * s2y - s1y * s2))
+                         / (n * (s11 * s22 - s12 * s12)
+                            - s1 * (s1 * s22 - s12 * s2)
+                            + s2 * (s1 * s12 - s11 * s2)), 6) AS b1,
+                   ROUND((n * (s11 * s2y - s1y * s12)
+                          - s1 * (s1 * s2y - s1y * s2)
+                          + sy * (s1 * s12 - s11 * s2))
+                         / (n * (s11 * s22 - s12 * s12)
+                            - s1 * (s1 * s22 - s12 * s2)
+                            + s2 * (s1 * s12 - s11 * s2)), 6) AS b2,
+                   CAST(n AS BIGINT) AS n_train
+            FROM m
+        )
+"""
+
+
+@register(
+    "q307_conformal_interval",
+    oracle=rf"""
+        WITH {_OLS_HALF_SQL.strip()},
+        resid AS (
+            SELECT f.doc_id,
+                   ABS(f.y - (model.b0 + model.b1 * f.x1 + model.b2 * f.x2)) AS r
+            FROM feats f, model
+        ),
+        calh AS (
+            SELECT CAST(FLOOR(r * 100) AS BIGINT) AS bkt, COUNT(*) AS cnt
+            FROM resid WHERE doc_id % 4 = 1 GROUP BY 1
+        ),
+        nc AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_cal FROM calh),
+        kk AS (SELECT ({_CONF_ALPHA_NUM} * (n_cal + 1) + {_CONF_ALPHA_DEN - 1})
+                      // {_CONF_ALPHA_DEN} AS k, n_cal FROM nc),
+        cum AS (
+            SELECT bkt,
+                   SUM(cnt) OVER (ORDER BY bkt
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+            FROM calh
+        ),
+        qh AS (
+            SELECT ROUND((MIN(bkt) + 1) / 100.0, 6) AS qhat
+            FROM cum, kk WHERE cc >= kk.k
+        ),
+        ev AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+                   CAST(SUM(CASE WHEN r <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+            FROM resid, qh WHERE doc_id % 4 = 3
+        )
+        SELECT model.n_train, kk.n_cal, qh.qhat, ev.n_eval,
+               ROUND(CAST(ev.n_cov AS DOUBLE) / ev.n_eval, 6) AS coverage
+        FROM model, kk, qh, ev
+    """,
+    doc=(
+        "split-conformal 90% prediction interval for the q276 OLS "
+        "model: train on even doc_ids, calibrate on doc_id%4==1 via the "
+        "ceil(0.9(n+1))-th absolute residual taken RANK-EXACTLY from a "
+        "bounded centi-token residual histogram (the q267 trick — no "
+        "global sort at any corpus size, conservative upper bucket "
+        "edge), then measured coverage on the held-out doc_id%4==3 "
+        "quarter. Distribution-free finite-sample guarantee, verified "
+        "empirically in the same row."
+    ),
+    tags=("analytics", "eval", "regression", "stats"),
+)
+def q307_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import tokens_expr
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    c = F.col("text")
+    feats = docs.select(
+        "doc_id",
+        F.size(tokens_expr("text")).cast("long").alias("y"),
+        F.length(c).cast("long").alias("x1"),
+        (F.length(c) - F.length(F.regexp_replace(c, "[aeiou]", ""))).cast("long").alias(
+            "x2"
+        ),
+    ).persist()
+    resid = None
+    try:
+        model = (
+            ols_two_feature(feats.where(F.col("doc_id") % 2 == 0), "y", "x1", "x2")
+            .select(F.col("n").alias("n_train"), "b0", "b1", "b2")
+        )
+        resid = feats.crossJoin(F.broadcast(model)).select(
+            "doc_id",
+            "n_train",
+            F.abs(
+                F.col("y")
+                - (F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2"))
+            ).alias("r"),
+        ).persist()
+        calh = (
+            resid.where(F.col("doc_id") % 4 == 1)
+            .groupBy(F.floor(F.col("r") * 100).cast("long").alias("bkt"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        nc = calh.agg(F.sum("cnt").cast("long").alias("n_cal"))
+        kk = nc.select(
+            "n_cal",
+            F.expr(
+                f"({_CONF_ALPHA_NUM} * (n_cal + 1) + {_CONF_ALPHA_DEN - 1}) "
+                f"div {_CONF_ALPHA_DEN}"
+            ).alias("k"),
+        )
+        # BOUNDED window: over the centi-token residual histogram (bucket
+        # count <= 100 * max residual in tokens, never corpus-sized)
+        w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cum = calh.select("bkt", F.sum("cnt").over(w).alias("cc"))
+        qh = (
+            cum.crossJoin(F.broadcast(kk))
+            .where(F.col("cc") >= F.col("k"))
+            .agg(F.round((F.min("bkt") + 1) / 100.0, 6).alias("qhat"))
+        )
+        ev = (
+            resid.where(F.col("doc_id") % 4 == 3)
+            .crossJoin(F.broadcast(qh))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_eval"),
+                F.sum(F.when(F.col("r") <= F.col("qhat"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_cov"),
+            )
+        )
+        n_train = resid.select("n_train").limit(1)
+        out = (
+            n_train.crossJoin(kk.select("n_cal"))
+            .crossJoin(qh)
+            .crossJoin(ev)
+            .select(
+                "n_train",
+                "n_cal",
+                "qhat",
+                "n_eval",
+                F.round(F.col("n_cov").cast("double") / F.col("n_eval"), 6).alias(
+                    "coverage"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if resid is not None:
+            resid.unpersist()
+        feats.unpersist()
+    return out
+
+
+# --- q311: input layout audit (files, rows, pruning potential) ----------------
+# The ops-side scale question: how many files back each table, how big,
+# and is the sort-key range per file tight enough for min/max pruning to
+# bite? Reads ONLY scan metadata columns — no data shuffle.
+@register(
+    "q311_input_layout_audit",
+    # The oracle runs on the driver's pre-registered VIEWS, which do not
+    # expose file paths — but every test-fixture table is exactly one
+    # parquet file named '<table>.parquet', so the layout report reduces
+    # to one row per table file. The Spark side stays fully general
+    # (input_file_name over any multi-file layout).
+    oracle="""
+        SELECT 'documents.parquet' AS file_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(doc_id) AS BIGINT) AS min_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_id
+        FROM documents
+    """,
+    doc=(
+        "input layout audit: per-parquet-file row count + doc_id "
+        "min/max over the documents table — the small-files /"
+        " pruning-potential report a 100 TB table gets before anyone "
+        "tunes maxPartitionBytes (tight per-file id ranges = min/max "
+        "skipping works; one giant range = re-layout with q145's "
+        "Z-order). Metadata-shaped aggregate, no data shuffle."
+    ),
+    tags=("analytics", "io", "quality"),
+)
+def q311_input_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        docs.select("doc_id", F.input_file_name().alias("fn"))
+        .select(
+            F.regexp_extract("fn", r"([^/]+)$", 1).alias("file_name"), "doc_id"
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+        .orderBy("file_name")
+    )
+
+
+# --- q312: join-key skew audit ------------------------------------------------
+# The pre-join question that decides broadcast vs salt vs plain shuffle
+# at 100 TB: how skewed is each join key? Group-size distribution
+# statistics computed from the SIZE HISTOGRAM (sizes are few distinct
+# values even when keys are billions), so the audit never sorts rows.
+def key_skew_stats(df: DataFrame, key_col: str, label: str) -> DataFrame:
+    """One row (key, n_rows, n_keys, max_size, max_share_ppm, p50_size,
+    p99_size): group-size distribution of ``key_col``. p50/p99 are
+    exact type-1 quantiles picked from the bounded size-of-size
+    histogram via cumulative ranks (the q268 trick)."""
+    sizes = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("sz"))
+    h = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("k"))
+    tot = h.agg(
+        F.sum(F.col("sz") * F.col("k")).cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("n_keys"),
+        F.max("sz").cast("long").alias("max_size"),
+    )
+    # BOUNDED window: over distinct group SIZES
+    w = Window.orderBy("sz").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = h.select("sz", F.sum("k").over(w).alias("ck"))
+    picks = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(F.col("ck") * 2 >= F.col("n_keys"), F.col("sz"))
+        ).cast("long").alias("p50_size"),
+        F.min(
+            F.when(F.col("ck") * 100 >= F.col("n_keys") * 99, F.col("sz"))
+        ).cast("long").alias("p99_size"),
+    )
+    return (
+        tot.crossJoin(picks)
+        .select(
+            F.lit(label).alias("key"),
+            "n_rows",
+            "n_keys",
+            "max_size",
+            F.expr("(max_size * 1000000) div n_rows").cast("long").alias("max_share_ppm"),
+            "p50_size",
+            "p99_size",
+        )
+    )
+
+
+def _skew_oracle_one(table: str, key: str, label: str) -> str:
+    return f"""
+        SELECT '{label}' AS key,
+               CAST(SUM(sz * k) AS BIGINT) AS n_rows,
+               CAST(SUM(k) AS BIGINT) AS n_keys,
+               CAST(MAX(sz) AS BIGINT) AS max_size,
+               (CAST(MAX(sz) AS BIGINT) * 1000000) // CAST(SUM(sz * k) AS BIGINT)
+                   AS max_share_ppm,
+               (SELECT MIN(sz) FROM (
+                    SELECT sz, SUM(k) OVER (ORDER BY sz
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck
+                    FROM (SELECT sz, COUNT(*) AS k FROM
+                          (SELECT COUNT(*) AS sz FROM {table} GROUP BY {key})
+                          GROUP BY sz)
+                ) x, (SELECT SUM(k) AS nk FROM
+                      (SELECT sz, COUNT(*) AS k FROM
+                       (SELECT COUNT(*) AS sz FROM {table} GROUP BY {key})
+                       GROUP BY sz) h2) t
+                WHERE x.ck * 2 >= t.nk) AS p50_size,
+               (SELECT MIN(sz) FROM (
+                    SELECT sz, SUM(k) OVER (ORDER BY sz
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck
+                    FROM (SELECT sz, COUNT(*) AS k FROM
+                          (SELECT COUNT(*) AS sz FROM {table} GROUP BY {key})
+                          GROUP BY sz)
+                ) x, (SELECT SUM(k) AS nk FROM
+                      (SELECT sz, COUNT(*) AS k FROM
+                       (SELECT COUNT(*) AS sz FROM {table} GROUP BY {key})
+                       GROUP BY sz) h2) t
+                WHERE x.ck * 100 >= t.nk * 99) AS p99_size
+        FROM (SELECT sz, COUNT(*) AS k FROM
+              (SELECT COUNT(*) AS sz FROM {table} GROUP BY {key}) GROUP BY sz)
+    """
+
+
+@register(
+    "q312_join_skew_audit",
+    oracle=(
+        _skew_oracle_one("lineitem", "l_orderkey", "lineitem.l_orderkey")
+        + " UNION ALL "
+        + _skew_oracle_one("orders", "o_custkey", "orders.o_custkey")
+        + " UNION ALL "
+        + _skew_oracle_one("events", "user_id", "events.user_id")
+        + " ORDER BY key"
+    ),
+    doc=(
+        "join-key skew audit for the three hottest join keys: rows, "
+        "distinct keys, max group size + its ppm share, p50/p99 group "
+        "sizes — the numbers that pick broadcast vs AQE-skew-join vs "
+        "salting BEFORE a 100 TB shuffle. Quantiles are exact type-1 "
+        "picks from the bounded size-of-sizes histogram (the q268 "
+        "trick); the audit never sorts or shuffles row data."
+    ),
+    tags=("analytics", "quality", "join", "stats"),
+)
+def q312_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "events"])
+    out = (
+        key_skew_stats(t["lineitem"], "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(key_skew_stats(t["orders"], "o_custkey", "orders.o_custkey"))
+        .unionByName(key_skew_stats(t["events"], "user_id", "events.user_id"))
+    )
+    return out.orderBy("key")

@@ -116,6 +116,15 @@ _PRIORITY = [
     # change-point split, Spearman-from-histograms, Hill tail index,
     # Brier decomposition, simplified silhouette, portable HLL, TextRank.
     "q300_corpus_release_gate",
+    "q311_input_layout_audit",
+    "q312_join_skew_audit",
+    "q307_conformal_interval",
+    "q308_decision_stump",
+    "q309_char_bigram_entropy",
+    "q310_hll_merge_audit",
+    "q304_blocklist_census",
+    "q305_neyman_allocation",
+    "q306_ordered_funnel",
     "q301_embedding_isotropy",
     "q302_session_basket_lift",
     "q303_dedup_savings",

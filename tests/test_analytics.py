@@ -149,3 +149,51 @@ def test_fano_constant_is_zero_bursty_above_one(spark):
         got = {r.event_type: (r.mean_hourly, r.fano) for r in out.collect()}
     assert got["steady"] == (4.0, 0.0)
     assert got["bursty"] == (4.0, 4.5)
+
+
+def test_ordered_funnel_strict_sequence(spark):
+    """User A completes signup->click->purchase in order; user B clicks
+    BEFORE signup (must not count); user C signs up only."""
+    import datetime
+    import tempfile
+
+    from ai_batch_processing_spark.registry import load_all
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def e(i, u, t, mins):
+        return (i, base + datetime.timedelta(minutes=mins), u, t, 1.0, "{}")
+
+    rows = [
+        e(0, 1, "signup", 0), e(1, 1, "click", 10), e(2, 1, "purchase", 20),
+        e(3, 2, "click", 0), e(4, 2, "signup", 10), e(5, 2, "purchase", 20),
+        e(6, 3, "signup", 0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = load_all()["q306_ordered_funnel"].fn(spark, d).collect()[0]
+    assert (out.n_users, out.n_signup) == (3, 3)
+    # user 2's click precedes signup -> only user 1 advances
+    assert out.n_click_after == 1 and out.n_purchase_after == 1
+    assert out.conv_full == round(1 / 3, 6)
+
+
+def test_key_skew_stats_known_distribution(spark):
+    """Sizes {1x90, 10x9, 100x1}: n_keys=100, max 100, p50=1 (90% of
+    keys are singletons), p99=10, max share = 100/280 rows."""
+    from ai_batch_processing_spark.plans.analytics import key_skew_stats
+
+    rows = (
+        [(f"s{i}",) for i in range(90)]
+        + [(f"m{i}",) for i in range(9) for _ in range(10)]
+        + [("big",)] * 100
+    )
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_stats(df, "k", "k").collect()[0]
+    assert (out.n_rows, out.n_keys, out.max_size) == (280, 100, 100)
+    assert out.p50_size == 1 and out.p99_size == 10
+    assert out.max_share_ppm == (100 * 1000000) // 280

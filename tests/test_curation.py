@@ -1147,3 +1147,56 @@ def test_psi_identical_and_shifted_distributions(spark):
         ).collect()
     }
     assert out2["g1"] > 0.25 and out2["g2"] > 0.25
+
+
+def test_blocklist_census_counts_and_any(spark):
+    """Phrase hit counts via the length identity, and the __any__ row
+    counts DOCS (not phrase matches): doc 0 hits 'bad seed' twice and
+    'worse' once -> any row n_docs=2, n_hits=4."""
+    from ai_batch_processing_spark.operators.curation import blocklist_census
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a bad seed and a bad seed again worse"),
+            (1, "clean text here"),
+            (2, "worse still"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.phrase: r for r in blocklist_census(docs, ("bad seed", "worse")).collect()}
+    assert rows["bad seed"].n_docs == 1 and rows["bad seed"].n_hits == 2
+    assert rows["worse"].n_docs == 2 and rows["worse"].n_hits == 2
+    assert rows["__any__"].n_docs == 2 and rows["__any__"].n_hits == 4
+
+
+def test_neyman_gives_variable_stratum_more(spark):
+    """Equal-size strata: the one with higher value variance gets the
+    larger allocation; a constant stratum (sd 0) gets zero."""
+    from ai_batch_processing_spark.operators.curation import neyman_allocation
+
+    rows = (
+        [("wild", v) for v in [1, 100, 1, 100, 1, 100]]
+        + [("tame", v) for v in [50, 51, 50, 51, 50, 51]]
+        + [("flat", 7)] * 6
+    )
+    feats = spark.createDataFrame(rows, "source string, v long")
+    out = {r.stratum: r.alloc for r in neyman_allocation(feats, "source", "v", budget=100).collect()}
+    assert out["wild"] > out["tame"] > out["flat"] == 0
+    assert abs(sum(out.values()) - 100) <= 1  # rounding residue only
+
+
+def test_decision_stump_separable_and_ties(spark):
+    """Perfectly separable data: err 0 at the boundary value; the
+    all-ones candidate (t = min-1) wins when every label is 1."""
+    from ai_batch_processing_spark.operators.curation import decision_stump
+
+    sep = spark.createDataFrame(
+        [(v, 0) for v in [1, 2, 3]] + [(v, 1) for v in [10, 11, 12]], "v long, y long"
+    )
+    out = decision_stump(sep).collect()[0]
+    assert out.err == 0 and out.acc == 1.0
+    assert out.threshold == 3  # smallest zero-error threshold wins ties
+
+    ones = spark.createDataFrame([(v, 1) for v in [5, 6, 7]], "v long, y long")
+    out2 = decision_stump(ones).collect()[0]
+    assert out2.threshold == 4 and out2.err == 0  # predict-all-1 candidate

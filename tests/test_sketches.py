@@ -239,3 +239,26 @@ def test_hll_duplicates_do_not_move_registers(spark):
         hll_estimate(hll_registers(df1, "k")).collect()[0].hll_estimate
         == hll_estimate(hll_registers(df7, "k")).collect()[0].hll_estimate
     )
+
+
+def test_hll_merge_equals_direct_on_partitioned_keys(spark):
+    """Registers built per group then bucket-max-merged equal the
+    single-pass registers — the semilattice property, on disjoint AND
+    overlapping group key sets."""
+    from pyspark.sql import functions as F
+
+    from ai_batch_processing_spark.operators.sketches import hll_bucket_rho
+
+    rows = [(f"g{i % 3}", f"k{i}") for i in range(300)] + [
+        ("g0", "shared"), ("g1", "shared"), ("g2", "shared")
+    ]
+    df = spark.createDataFrame(rows, "g string, k string")
+    coords = hll_bucket_rho(df, "k", "g")
+    merged = (
+        coords.groupBy("g", "bucket").agg(F.max("rho").alias("r"))
+        .groupBy("bucket").agg(F.max("r").alias("r"))
+    )
+    direct = coords.groupBy("bucket").agg(F.max("rho").alias("r"))
+    m = sorted((r.bucket, r.r) for r in merged.collect())
+    d = sorted((r.bucket, r.r) for r in direct.collect())
+    assert m == d

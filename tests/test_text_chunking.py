@@ -248,3 +248,19 @@ def test_rbo_identical_and_disjoint_rankings(spark):
     )
     out2 = rank_biased_overlap(r, other).collect()[0]
     assert out2.overlap_at_depth == 0 and out2.rbo == 0.0
+
+
+def test_char_bigram_entropy_known_distribution(spark):
+    """'ababa' -> bigrams {ab:2, ba:2}: h_joint = ln 2, first chars
+    {a:2, b:2}: h_first = ln 2, so h_cond = 0 (fully deterministic
+    successor)."""
+    import math
+
+    from ai_batch_processing_spark.operators.text import char_bigram_entropy
+
+    docs = spark.createDataFrame([(0, "ababa")], "doc_id long, text string")
+    out = char_bigram_entropy(docs).collect()[0]
+    term = round(-0.5 * math.log(0.5), 6)
+    assert out.n_bigrams == 4
+    assert abs(out.h_joint - round(2 * term, 6)) < 1e-9
+    assert out.h_cond == 0.0
