@@ -3085,3 +3085,201 @@ def good_turing_unseen(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def q295_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return good_turing_unseen(docs)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov from value histograms (exact argmax)
+# ---------------------------------------------------------------------------
+def ks_two_sample(
+    a_vals: DataFrame, b_vals: DataFrame, col: str = "v"
+) -> DataFrame:
+    """One row ``(na, nb, d, at_value)``: the two-sample KS statistic
+    D = max_v |F_a(v) − F_b(v)| with the value where the gap peaks —
+    the strongest distribution-shift test between two corpora's length
+    (or any integer-feature) distributions; PSI (q294) needs binning
+    choices, KS does not.
+
+    Exactness: the argmax compares |ca·nb − cb·na| as EXACT integers
+    (cross-multiplied CDFs — no division until the one reported ratio),
+    over cumulative counts from the two value histograms full-joined on
+    the value domain. BOUNDED windows: rows = distinct feature values.
+    """
+    ha = a_vals.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("ca0"))
+    hb = b_vals.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("cb0"))
+    full = (
+        ha.join(hb, "v", "full")
+        .select(
+            "v",
+            F.coalesce("ca0", F.lit(0)).alias("ca0"),
+            F.coalesce("cb0", F.lit(0)).alias("cb0"),
+        )
+    )
+    # BOUNDED window: over the union value histogram
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = full.select(
+        "v", F.sum("ca0").over(w).alias("ca"), F.sum("cb0").over(w).alias("cb")
+    )
+    tot = full.agg(
+        F.sum("ca0").cast("long").alias("na"), F.sum("cb0").cast("long").alias("nb")
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "na",
+        "nb",
+        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+        .cast("long")
+        .alias("gap"),
+    )
+    return (
+        gaps.orderBy(F.desc("gap"), "v")
+        .limit(1)
+        .select(
+            "na",
+            "nb",
+            F.round(F.col("gap").cast("double") / (F.col("na") * F.col("nb")), 6).alias(
+                "d"
+            ),
+            F.col("v").cast("long").alias("at_value"),
+        )
+    )
+
+
+@register(
+    "q313_ks_source_shift",
+    oracle=r"""
+        WITH feats AS (
+            SELECT source,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS v
+            FROM documents
+        ),
+        ha AS (SELECT v, COUNT(*) AS ca0 FROM feats WHERE source = 'src0' GROUP BY v),
+        hb AS (SELECT v, COUNT(*) AS cb0 FROM feats WHERE source <> 'src0' GROUP BY v),
+        fullh AS (
+            SELECT COALESCE(ha.v, hb.v) AS v,
+                   COALESCE(ca0, 0) AS ca0, COALESCE(cb0, 0) AS cb0
+            FROM ha FULL JOIN hb ON ha.v = hb.v
+        ),
+        cum AS (
+            SELECT v,
+                   SUM(ca0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                   SUM(cb0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+            FROM fullh
+        ),
+        tot AS (
+            SELECT CAST(SUM(ca0) AS BIGINT) AS na, CAST(SUM(cb0) AS BIGINT) AS nb
+            FROM fullh
+        )
+        SELECT na, nb,
+               ROUND(CAST(ABS(ca * nb - cb * na) AS DOUBLE) / (na * nb), 6) AS d,
+               CAST(v AS BIGINT) AS at_value
+        FROM cum, tot
+        ORDER BY ABS(ca * nb - cb * na) DESC, v
+        LIMIT 1
+    """,
+    doc=(
+        "two-sample Kolmogorov-Smirnov between src0's and the rest of "
+        "the corpus's token-count distributions: D and its argmax value "
+        "via EXACT cross-multiplied integer CDFs from the bounded value "
+        "histograms (no division until the one reported ratio, no "
+        "binning choices unlike PSI q294) — the strongest "
+        "distribution-shift audit in the drift family."
+    ),
+    tags=("corpus", "stats", "anomaly"),
+)
+def q313_ks_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    feats = docs.select("source", F.size(tokens_expr("text")).cast("long").alias("v"))
+    return ks_two_sample(
+        feats.where(F.col("source") == "src0").select("v"),
+        feats.where(F.col("source") != "src0").select("v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture (Chapman) vocabulary estimate
+# ---------------------------------------------------------------------------
+def capture_recapture_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row ``(n1, n2, overlap, union_vocab, chapman_estimate,
+    coverage)``: the Chapman capture-recapture estimate of TOTAL
+    vocabulary from two corpus halves (even/odd doc_ids) — treat half A
+    as the tagging pass, half B as the recapture: V̂ = (n1+1)(n2+1)/
+    (m+1) − 1. The third vocabulary-completeness lens next to Heaps
+    (q281, growth-curve fit) and Good-Turing (q295, unseen mass);
+    coverage = observed union / V̂ says how much of the estimated
+    vocabulary this corpus already holds.
+
+    One (term, which-halves) aggregate — bitwise OR of half flags, so
+    the whole estimate reads off four counts; exact integers to two
+    rounded ratios.
+    """
+    ts = token_stream(docs, text_col=text_col)
+    # doc parity rides on the doc_id carried by token_stream
+    flags = (
+        ts.select(
+            "term",
+            F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+            F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0).alias("in_b"),
+        )
+        .groupBy("term")
+        .agg(F.max("in_a").alias("a"), F.max("in_b").alias("b"))
+    )
+    c = flags.agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("b").cast("long").alias("n2"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("overlap"),
+        F.count(F.lit(1)).cast("long").alias("union_vocab"),
+    )
+    chap = (
+        (F.col("n1") + 1).cast("double")
+        * (F.col("n2") + 1)
+        / (F.col("overlap") + 1)
+        - 1
+    )
+    return c.select(
+        "n1",
+        "n2",
+        "overlap",
+        "union_vocab",
+        F.round(chap, 6).alias("chapman_estimate"),
+        F.round(F.col("union_vocab") / chap, 6).alias("coverage"),
+    )
+
+
+@register(
+    "q315_capture_recapture_vocab",
+    oracle=rf"""
+        WITH {_TOKS_SQL.strip()},
+        flags AS (
+            SELECT term,
+                   MAX(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+                   MAX(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS b
+            FROM toks GROUP BY term
+        ),
+        c AS (
+            SELECT CAST(SUM(a) AS BIGINT) AS n1,
+                   CAST(SUM(b) AS BIGINT) AS n2,
+                   CAST(SUM(a * b) AS BIGINT) AS overlap,
+                   CAST(COUNT(*) AS BIGINT) AS union_vocab
+            FROM flags
+        )
+        SELECT n1, n2, overlap, union_vocab,
+               ROUND(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (overlap + 1) - 1, 6)
+                   AS chapman_estimate,
+               ROUND(union_vocab
+                     / (CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (overlap + 1) - 1), 6)
+                   AS coverage
+        FROM c
+    """,
+    doc=(
+        "Chapman capture-recapture estimate of total vocabulary from "
+        "the even/odd corpus halves: V = (n1+1)(n2+1)/(m+1) - 1, plus "
+        "observed-union coverage — the third completeness lens next to "
+        "the Heaps fit (q281) and Good-Turing unseen mass (q295). One "
+        "per-term half-flag aggregate; four counts decide everything."
+    ),
+    tags=("corpus", "stats"),
+)
+def q315_capture_recapture_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return capture_recapture_vocab(docs)

@@ -4968,3 +4968,91 @@ def q308_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("doc_id") * 37) % 100 < thr, 1).otherwise(0).alias("y"),
     )
     return decision_stump(labeled)
+
+
+# ---------------------------------------------------------------------------
+# Bayesian-average shrinkage of per-source rates (the small-slice fix)
+# ---------------------------------------------------------------------------
+_BA_PSEUDO = 50
+
+
+def bayesian_average_rates(
+    labeled: DataFrame, group_col: str, y_col: str = "y", pseudo: int = _BA_PSEUDO
+) -> DataFrame:
+    """(group, n, pos, raw_rate, shrunk_rate): each group's positive
+    rate shrunk toward the corpus rate with ``pseudo`` pseudo-counts —
+    shrunk = (pos + m·p̄)/(n + m), the Bayesian average every ranking
+    of heterogeneous-size slices needs (a 3/3 source must not outrank
+    a 900/1000 one). The q294 PSI flags WHICH slices drifted; this
+    makes their quality rates COMPARABLE.
+
+    One group aggregate + a broadcast global rate; exact integers into
+    two fixed-order rounded ratios per group.
+    """
+    g = labeled.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y_col).cast("long").alias("pos"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("pos").cast("long").alias("pp")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "pos",
+            F.round(F.col("pos").cast("double") / F.col("n"), 6).alias("raw_rate"),
+            F.round(
+                (F.col("pos") + F.lit(float(pseudo)) * F.col("pp") / F.col("nn"))
+                / (F.col("n") + pseudo),
+                6,
+            ).alias("shrunk_rate"),
+        )
+        .orderBy(group_col)
+    )
+
+
+@register(
+    "q314_bayesian_average_rates",
+    oracle=rf"""
+        WITH labeled AS (
+            SELECT source,
+                   CASE WHEN (doc_id * 37) % 100
+                             < 20 + LEAST(60, CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                                                   x -> x <> '')) AS BIGINT) * 3 // 10)
+                        THEN 1 ELSE 0 END AS y
+            FROM documents
+        ),
+        g AS (
+            SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS pos
+            FROM labeled GROUP BY source
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(pos) AS BIGINT) AS pp FROM g)
+        SELECT grp AS source, n, pos,
+               ROUND(CAST(pos AS DOUBLE) / n, 6) AS raw_rate,
+               ROUND((pos + {float(_BA_PSEUDO)} * pp / nn) / (n + {_BA_PSEUDO}), 6)
+                   AS shrunk_rate
+        FROM g, tot
+        ORDER BY source
+    """,
+    doc=(
+        "Bayesian-average shrinkage of per-source positive rates "
+        "(pseudo-count 50 toward the corpus rate): makes quality rates "
+        "of heterogeneous-size slices comparable before any ranking — "
+        "the standard small-slice fix next to q294's drift flags. One "
+        "group aggregate + broadcast global rate, fixed-order ratios."
+    ),
+    tags=("curation", "stats", "quality"),
+)
+def q314_bayesian_average_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import tokens_expr
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ntok = F.size(tokens_expr("text")).cast("long")
+    thr = F.lit(20) + F.least(F.lit(60).cast("long"), F.floor(ntok * 3 / 10).cast("long"))
+    labeled = docs.select(
+        "source", F.when((F.col("doc_id") * 37) % 100 < thr, 1).otherwise(0).alias("y")
+    )
+    return bayesian_average_rates(labeled, "source")

@@ -651,8 +651,14 @@ def q290_hll_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT cmp.n_mismatched_registers,
                cmp.n_mismatched_registers = 0 AS merge_exact,
                CAST({_HLL_M} - est.np AS BIGINT) AS n_zero_registers,
-               ROUND((0.7213 / (1.0 + 1.079 / {float(_HLL_M)})) * {float(_HLL_M) ** 2}
-                     / (est.inv + CAST({_HLL_M} - est.np AS DOUBLE)), 6) AS est_merged
+               CASE WHEN (0.7213 / (1.0 + 1.079 / {float(_HLL_M)})) * {float(_HLL_M) ** 2}
+                         / (est.inv + CAST({_HLL_M} - est.np AS DOUBLE)) <= {2.5 * _HLL_M}
+                         AND {_HLL_M} - est.np > 0
+                    THEN ROUND({float(_HLL_M)} * LN({float(_HLL_M)}
+                               / CAST({_HLL_M} - est.np AS DOUBLE)), 6)
+                    ELSE ROUND((0.7213 / (1.0 + 1.079 / {float(_HLL_M)})) * {float(_HLL_M) ** 2}
+                               / (est.inv + CAST({_HLL_M} - est.np AS DOUBLE)), 6)
+               END AS est_merged
         FROM cmp, est
     """,
     doc=(
@@ -688,17 +694,19 @@ def q310_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = float(_HLL_M)
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(m))
+    v = (F.lit(_HLL_M) - F.col("np")).cast("long")
+    raw = (alpha * F.lit(m * m)) / (F.col("inv") + v.cast("double"))
+    est_col = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.round(F.lit(m) * F.log(F.lit(m) / v.cast("double")), 6),
+    ).otherwise(F.round(raw, 6))
     out = (
         cmp_.crossJoin(est)
         .select(
             "n_mismatched_registers",
             (F.col("n_mismatched_registers") == 0).alias("merge_exact"),
-            (F.lit(_HLL_M) - F.col("np")).cast("long").alias("n_zero_registers"),
-            F.round(
-                (alpha * F.lit(m * m))
-                / (F.col("inv") + (F.lit(_HLL_M) - F.col("np")).cast("double")),
-                6,
-            ).alias("est_merged"),
+            v.alias("n_zero_registers"),
+            est_col.alias("est_merged"),
         )
         .localCheckpoint(eager=True)
     )

@@ -3348,6 +3348,7 @@ def q297_rbo_freq_vs_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.desc("cnt"), "term")).cast("long").alias("r"),
     )
     tr = textrank_keywords(docs)
+    # BOUNDED window: ranks the ≤20-row TextRank output
     trr = tr.select(
         "term",
         F.row_number()

@@ -116,6 +116,9 @@ _PRIORITY = [
     # change-point split, Spearman-from-histograms, Hill tail index,
     # Brier decomposition, simplified silhouette, portable HLL, TextRank.
     "q300_corpus_release_gate",
+    "q313_ks_source_shift",
+    "q314_bayesian_average_rates",
+    "q315_capture_recapture_vocab",
     "q311_input_layout_audit",
     "q312_join_skew_audit",
     "q307_conformal_interval",

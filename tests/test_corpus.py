@@ -618,3 +618,36 @@ def test_good_turing_no_singletons_null_r1(spark):
     docs = spark.createDataFrame([(0, "a a b b")], "doc_id long, text string")
     out = good_turing_unseen(docs).collect()[0]
     assert out.n1 == 0 and out.r1_star is None
+
+
+def test_ks_identical_and_disjoint(spark):
+    """Same distribution -> D=0; fully separated supports -> D=1 at the
+    end of the lower support."""
+    from ai_batch_processing_spark.operators.corpus import ks_two_sample
+
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3] * 10], "v long")
+    out = ks_two_sample(a, a).collect()[0]
+    assert out.d == 0.0
+
+    b = spark.createDataFrame([(v,) for v in [10, 11, 12] * 10], "v long")
+    out2 = ks_two_sample(a, b).collect()[0]
+    assert out2.d == 1.0 and out2.at_value == 3
+
+
+def test_capture_recapture_disjoint_and_identical_halves(spark):
+    """Identical halves: overlap = n1 = n2 -> Chapman = union exactly.
+    Disjoint halves: overlap 0 -> estimate (n1+1)(n2+1) - 1."""
+    from ai_batch_processing_spark.operators.corpus import capture_recapture_vocab
+
+    same = spark.createDataFrame(
+        [(0, "apple banana"), (1, "apple banana")], "doc_id long, text string"
+    )
+    out = capture_recapture_vocab(same).collect()[0]
+    assert (out.n1, out.n2, out.overlap, out.union_vocab) == (2, 2, 2, 2)
+    assert out.chapman_estimate == 2.0 and out.coverage == 1.0
+
+    disj = spark.createDataFrame(
+        [(0, "apple banana"), (1, "cherry date")], "doc_id long, text string"
+    )
+    out2 = capture_recapture_vocab(disj).collect()[0]
+    assert out2.overlap == 0 and out2.chapman_estimate == 8.0

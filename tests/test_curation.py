@@ -1200,3 +1200,19 @@ def test_decision_stump_separable_and_ties(spark):
     ones = spark.createDataFrame([(v, 1) for v in [5, 6, 7]], "v long, y long")
     out2 = decision_stump(ones).collect()[0]
     assert out2.threshold == 4 and out2.err == 0  # predict-all-1 candidate
+
+
+def test_bayesian_average_shrinks_small_groups_more(spark):
+    """A 2-row group at rate 1.0 must land closer to the global rate
+    than a 200-row group at the same raw rate."""
+    from ai_batch_processing_spark.operators.curation import bayesian_average_rates
+
+    rows = (
+        [("small", 1)] * 2
+        + [("large", 1)] * 200
+        + [("bg", 0)] * 200
+    )
+    df = spark.createDataFrame(rows, "source string, y long")
+    out = {r.source: r for r in bayesian_average_rates(df, "source").collect()}
+    assert out["small"].raw_rate == out["large"].raw_rate == 1.0
+    assert out["small"].shrunk_rate < out["large"].shrunk_rate
