@@ -2831,13 +2831,17 @@ def spearman_corr(
     ry = rank2(pr.select("y"), "y")
     ranked = pr.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
     dec = "decimal(38,0)"
+    # cast EACH OPERAND to decimal BEFORE multiplying: a BIGINT product of
+    # rank-squared-scale terms overflows past ~1.5e9 rows (Spark wraps
+    # silently, DuckDB raises) — decimal×decimal keeps the exactness claim
+    d2x, d2y = F.col("r2x").cast(dec), F.col("r2y").cast(dec)
     m = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("r2x").cast(dec)).alias("sx"),
-        F.sum(F.col("r2y").cast(dec)).alias("sy"),
-        F.sum((F.col("r2x") * F.col("r2x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("r2y") * F.col("r2y")).cast(dec)).alias("syy"),
-        F.sum((F.col("r2x") * F.col("r2y")).cast(dec)).alias("sxy"),
+        F.sum(d2x).alias("sx"),
+        F.sum(d2y).alias("sy"),
+        F.sum((d2x * d2x).cast(dec)).alias("sxx"),
+        F.sum((d2y * d2y).cast(dec)).alias("syy"),
+        F.sum((d2x * d2y).cast(dec)).alias("sxy"),
     )
     # every operand cast to double BEFORE any arithmetic — the exact IEEE
     # op sequence the oracle spells out (a decimal×decimal intermediate
@@ -2897,9 +2901,12 @@ def spearman_corr(
             SELECT CAST(COUNT(*) AS BIGINT) AS n,
                    SUM(CAST(r2x AS DECIMAL(38,0))) AS sx,
                    SUM(CAST(r2y AS DECIMAL(38,0))) AS sy,
-                   SUM(CAST(r2x * r2x AS DECIMAL(38,0))) AS sxx,
-                   SUM(CAST(r2y * r2y AS DECIMAL(38,0))) AS syy,
-                   SUM(CAST(r2x * r2y AS DECIMAL(38,0))) AS sxy
+                   SUM(CAST(CAST(r2x AS DECIMAL(38,0)) * CAST(r2x AS DECIMAL(38,0))
+                            AS DECIMAL(38,0))) AS sxx,
+                   SUM(CAST(CAST(r2y AS DECIMAL(38,0)) * CAST(r2y AS DECIMAL(38,0))
+                            AS DECIMAL(38,0))) AS syy,
+                   SUM(CAST(CAST(r2x AS DECIMAL(38,0)) * CAST(r2y AS DECIMAL(38,0))
+                            AS DECIMAL(38,0))) AS sxy
             FROM ranked
         )
         SELECT n,

@@ -4690,7 +4690,7 @@ def blocklist_census(
     "q304_blocklist_census",
     oracle=f"""
         WITH phrases(phrase) AS (
-            VALUES {", ".join(f"('{p}')" for p in _CENSUS_BLOCKLIST)}
+            VALUES {", ".join("('" + p.replace("'", "''") + "')" for p in _CENSUS_BLOCKLIST)}
         ),
         hd AS (
             SELECT d.doc_id AS did, p.phrase,

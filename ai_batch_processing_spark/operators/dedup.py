@@ -339,6 +339,8 @@ def minhash_dedup_pairs(
     seed: int = 42,
     verify_scope: str = "corpus",
     max_bucket: int = 500,
+    sig_mode: str = "classic",
+    oph_probe: int = 8,
 ) -> DataFrame:
     """Scale-path near-dup detection: LSH candidates verified by Jaccard.
 
@@ -386,14 +388,29 @@ def minhash_dedup_pairs(
     """
     if verify_scope not in ("corpus", "candidates"):
         raise ValueError(f"verify_scope must be corpus|candidates, got {verify_scope!r}")
+    if sig_mode not in ("classic", "oph"):
+        raise ValueError(f"sig_mode must be classic|oph, got {sig_mode!r}")
     stream = shingle_hash_stream(df, id_col, text_col, k)
-    rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31)) for _ in range(num_perm)]
     h31 = F.pmod(F.col("h"), F.lit(_MERSENNE31))
-    mins = [
-        F.min(F.pmod(F.lit(a) * h31 + F.lit(b), F.lit(_MERSENNE31))).alias(f"_m{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
+    if sig_mode == "oph":
+        # One-permutation mins (Li et al., NIPS'12): each shingle touches
+        # ONE bin-conditional min instead of num_perm multiply-mods — same
+        # single fused aggregate as classic, ~num_perm× less per-shingle
+        # CPU on the ~100×-exploded stream. Empty bins densify below.
+        mins = [
+            F.min(F.when(F.pmod(F.col("h"), F.lit(num_perm)) == i, h31)).alias(f"_m{i}")
+            for i in range(num_perm)
+        ]
+    else:
+        rng = random.Random(seed)
+        coeffs = [
+            (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+            for _ in range(num_perm)
+        ]
+        mins = [
+            F.min(F.pmod(F.lit(a) * h31 + F.lit(b), F.lit(_MERSENNE31))).alias(f"_m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
     # One full-corpus pass, persisted and computed exactly once. In
     # "corpus" verify scope the 64 signature mins AND the verify stage's
     # collect_set(h) fold into a SINGLE aggregate over the shingle stream —
@@ -405,9 +422,23 @@ def minhash_dedup_pairs(
     one_pass = verify_scope == "corpus"
     extra = [F.collect_set("h").alias("hs")] if one_pass else []
     combined = stream.groupBy("id").agg(*mins, *extra).persist()
-    sigs = combined.select(
-        "id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig")
-    )
+    if sig_mode == "oph":
+        # rotation densification (Shrivastava & Li, ICML'14), bounded
+        # probe; the final fallback is (doc, bin)-seeded so an unfilled
+        # bin can never collide across documents — candidates can only be
+        # lost, never invented, and every survivor is exactly verified.
+        probes = ", ".join(f"_raw[(j + {i}) % {num_perm}]" for i in range(1, oph_probe + 1))
+        dense = F.expr(
+            f"transform(sequence(0, {num_perm - 1}), "
+            f"j -> coalesce(_raw[j], {probes}, xxhash64(id, j)))"
+        )
+        sigs = combined.select(
+            "id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("_raw")
+        ).select("id", dense.alias("sig"))
+    else:
+        sigs = combined.select(
+            "id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig")
+        )
     # distinct=False: the pair dedup shuffle moves AFTER the est filter —
     # multi-band duplicates just re-evaluate the cheap estimate, and the
     # distinct then shuffles the surviving ~10% instead of the full
@@ -733,6 +764,14 @@ def q42_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall at exactly J=threshold pairs — the library DEFAULT stays
     # bands=16 (recall-first); this bench query documents the frontier
     # config. recall_config('minhash', target) picks analytically.
+    #
+    # sig_mode stays "classic": OPH (sig_mode="oph") A/B'd r9 on this
+    # exact corpus — sf0.1 warm 2.49 vs 2.41 s (wash, scheduling floor),
+    # x10 replica warm 6.2 vs 5.1 s (LOSS: the one-aggregate OPH form
+    # still evaluates 64 bin-conditional mins per shingle row, so it
+    # saves nothing over 64 multiply-mods, and its +2% candidate stream
+    # pays extra verify-join work). OPH recall measured HIGHER (0.9997
+    # vs 0.9656) — it's the recall lever, not the wall lever, here.
     return minhash_dedup_pairs(corpus, "id", "text", threshold=0.5, bands=8)
 
 

@@ -3547,11 +3547,11 @@ def q302_session_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click_after,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase_after,
                ROUND((SELECT COUNT(*) FROM s2) * 1.0
-                     / (SELECT COUNT(*) FROM s1), 6) AS conv_step2,
+                     / NULLIF((SELECT COUNT(*) FROM s1), 0), 6) AS conv_step2,
                ROUND((SELECT COUNT(*) FROM s3) * 1.0
                      / NULLIF((SELECT COUNT(*) FROM s2), 0), 6) AS conv_step3,
                ROUND((SELECT COUNT(*) FROM s3) * 1.0
-                     / (SELECT COUNT(*) FROM s1), 6) AS conv_full
+                     / NULLIF((SELECT COUNT(*) FROM s1), 0), 6) AS conv_full
         FROM u
     """,
     doc=(
@@ -3607,16 +3607,27 @@ def q306_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_signup",
                 "n_click_after",
                 "n_purchase_after",
-                F.round(F.col("n_click_after") * 1.0 / F.col("n_signup"), 6).alias(
-                    "conv_step2"
-                ),
+                # every denominator NULLIF-guarded: on a corpus with zero
+                # 'signup' events DuckDB's IEEE division yields inf/NaN
+                # while an unguarded Spark divide yields null — guard both
+                F.round(
+                    F.col("n_click_after")
+                    * 1.0
+                    / F.nullif(F.col("n_signup"), F.lit(0)),
+                    6,
+                ).alias("conv_step2"),
                 F.round(
                     F.col("n_purchase_after")
                     * 1.0
                     / F.nullif(F.col("n_click_after"), F.lit(0)),
                     6,
                 ).alias("conv_step3"),
-                F.round(F.col("n_purchase_after") * 1.0 / F.col("n_signup"), 6).alias(
+                F.round(
+                    F.col("n_purchase_after")
+                    * 1.0
+                    / F.nullif(F.col("n_signup"), F.lit(0)),
+                    6,
+                ).alias(
                     "conv_full"
                 ),
             )
@@ -3815,10 +3826,14 @@ def q307_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q311_input_layout_audit",
     # The oracle runs on the driver's pre-registered VIEWS, which do not
-    # expose file paths — but every test-fixture table is exactly one
-    # parquet file named '<table>.parquet', so the layout report reduces
-    # to one row per table file. The Spark side stays fully general
-    # (input_file_name over any multi-file layout).
+    # expose file paths, so the Spark side NORMALIZES: a part-file
+    # ('part-*.parquet', what coalesce(1).write.parquet produces) reports
+    # its parent directory's name instead of its own, so a table stored as
+    # either a single file 'documents.parquet' OR a directory
+    # 'documents.parquet/part-*.parquet' groups to the same one row and
+    # the same table-level stats the oracle computes. Per-file granularity
+    # over arbitrary layouts lives in input_layout_report() (unit-tested
+    # on a multi-part fixture, not oracle-gated).
     oracle="""
         SELECT 'documents.parquet' AS file_name,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -3838,16 +3853,35 @@ def q307_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q311_input_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    base = F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+    parent = F.regexp_extract(F.input_file_name(), r"([^/]+)/[^/]+$", 1)
+    # part-files report their table directory; standalone files report
+    # themselves — both layouts hash-match the view-level oracle.
+    name = F.when(base.rlike(r"^part-"), parent).otherwise(base)
     return (
-        docs.select("doc_id", F.input_file_name().alias("fn"))
-        .select(
-            F.regexp_extract("fn", r"([^/]+)$", 1).alias("file_name"), "doc_id"
-        )
+        docs.select("doc_id", name.alias("file_name"))
         .groupBy("file_name")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.min("doc_id").cast("long").alias("min_id"),
             F.max("doc_id").cast("long").alias("max_id"),
+        )
+        .orderBy("file_name")
+    )
+
+
+def input_layout_report(df: DataFrame, id_col: str) -> DataFrame:
+    """Per-FILE layout report over any parquet layout (no normalization):
+    one row per physical file with row count + id min/max — the raw form
+    behind q311 for ops use on multi-file tables."""
+    return (
+        df.select(F.col(id_col).alias("_id"), F.input_file_name().alias("fn"))
+        .select(F.regexp_extract("fn", r"([^/]+)$", 1).alias("file_name"), "_id")
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("_id").cast("long").alias("min_id"),
+            F.max("_id").cast("long").alias("max_id"),
         )
         .orderBy("file_name")
     )

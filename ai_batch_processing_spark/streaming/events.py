@@ -721,7 +721,9 @@ def stream_hll_distinct(
     ) -> Iterator[pd.DataFrame]:
         regs = list(state.get[0]) if state.exists else [0] * _HLL_M
         for p in pdfs:
-            for uid in p["user_id"]:
+            # dropna: a null/NaN user_id must be skipped, matching the
+            # batch twin where md5(null key) yields null and the row drops
+            for uid in p["user_id"].dropna():
                 h = int(hashlib.md5(str(int(uid)).encode()).hexdigest()[:8], 16)
                 bucket, w = h >> _HLL_WBITS, h % (1 << _HLL_WBITS)
                 rho = (_HLL_WBITS + 1) - w.bit_length() if w > 0 else _HLL_WBITS + 1

@@ -197,3 +197,66 @@ def test_key_skew_stats_known_distribution(spark):
     assert (out.n_rows, out.n_keys, out.max_size) == (280, 100, 100)
     assert out.p50_size == 1 and out.p99_size == 10
     assert out.max_share_ppm == (100 * 1000000) // 280
+
+
+def test_input_layout_audit_multipart_directory(spark):
+    """A documents table written as a multi-part DIRECTORY (what
+    coalesce-free writes produce) must normalize to ONE row named after
+    the directory, with table-level stats — the same row the view-level
+    oracle computes. Per-file granularity stays available via
+    input_layout_report."""
+    import tempfile
+
+    from ai_batch_processing_spark.plans.analytics import input_layout_report
+    from ai_batch_processing_spark.registry import load_all
+
+    rows = [(i, f"s{i % 3}", f"text {i}") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    with tempfile.TemporaryDirectory() as d:
+        docs.repartition(4).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = load_all()["q311_input_layout_audit"].fn(spark, d).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.file_name == "documents.parquet"
+        assert (r.n_rows, r.min_id, r.max_id) == (100, 0, 99)
+        # the ungated per-file report sees all four part files
+        df = spark.read.parquet(f"{d}/documents.parquet")
+        per = input_layout_report(df, "doc_id").collect()
+        assert len(per) == 4
+        assert sum(p.n_rows for p in per) == 100
+        assert min(p.min_id for p in per) == 0
+        assert max(p.max_id for p in per) == 99
+
+
+def test_ordered_funnel_zero_signups_null_rates(spark, duck):
+    """Zero 'signup' events: every conversion denominator is NULLIF-
+    guarded, so BOTH engines yield NULL rates (not inf/NaN) — the
+    cross-engine divergence ADVICE r8 flagged."""
+    import datetime
+    import tempfile
+
+    from ai_batch_processing_spark.registry import load_all
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "click", 1.0, "{}"),
+        (1, base + datetime.timedelta(minutes=5), 1, "purchase", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import duckdb
+
+    from ai_batch_processing_spark.registry import registered_oracle
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = load_all()["q306_ordered_funnel"].fn(spark, d).collect()[0]
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+        ora = con.execute(registered_oracle("q306_ordered_funnel")).fetchone()
+    assert out.n_signup == 0
+    assert out.conv_step2 is None and out.conv_step3 is None and out.conv_full is None
+    # oracle: same NULLs in the same positions (n_users, n_signup, ..., convs)
+    assert ora[1] == 0 and ora[4] is None and ora[5] is None and ora[6] is None

@@ -1216,3 +1216,30 @@ def test_bayesian_average_shrinks_small_groups_more(spark):
     out = {r.source: r for r in bayesian_average_rates(df, "source").collect()}
     assert out["small"].raw_rate == out["large"].raw_rate == 1.0
     assert out["small"].shrunk_rate < out["large"].shrunk_rate
+
+
+def test_blocklist_census_quoted_phrase_oracle_safe(spark):
+    """A blocklist phrase containing a single quote must work on the
+    Spark side AND survive the oracle's VALUES-literal escaping
+    (p.replace(\"'\", \"''\") — ADVICE r8)."""
+    import duckdb
+
+    from ai_batch_processing_spark.operators.curation import blocklist_census
+
+    docs = spark.createDataFrame(
+        [(1, "don't click here"), (2, "clean text"), (3, "DON'T click twice don't")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.phrase: (r.n_docs, r.n_hits)
+        for r in blocklist_census(docs, ("don't",)).collect()
+    }
+    assert out["don't"] == (2, 3)
+    assert out["__any__"] == (2, 3)
+    # the escaped VALUES literal parses and matches in DuckDB
+    phrases = ("don't",)
+    values = ", ".join("('" + p.replace("'", "''") + "')" for p in phrases)
+    got = duckdb.connect().execute(
+        f"WITH phrases(phrase) AS (VALUES {values}) SELECT phrase FROM phrases"
+    ).fetchone()[0]
+    assert got == "don't"

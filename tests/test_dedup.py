@@ -689,3 +689,25 @@ def test_dedup_savings_histogram(spark):
     assert rows[3].n_groups == 1
     assert rows[3].rows_removable == 2
     assert rows[3].chars_removable == 8
+
+
+def test_minhash_dedup_pairs_oph_mode_recall(spark, sf_dir):
+    """minhash_dedup_pairs(sig_mode='oph') — the one-permutation variant
+    threaded through the full LSH→estimate→verify pipeline — must clear
+    the same ≥90% recall pin as classic at the q42 config (bands=8).
+    Measured r9: recall 0.9997 vs classic's 0.9656 at sf0.1 (OPH is the
+    recall lever; the wall A/B rejected it as the speed lever — see
+    q42's comment)."""
+    from ai_batch_processing_spark.operators.dedup import _dup_corpus
+
+    corpus = _dup_corpus(spark, sf_dir)
+    exact = {(r.id_a, r.id_b) for r in jaccard_pairs(corpus, "id", "text", threshold=0.5).collect()}
+    oph = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            corpus, "id", "text", threshold=0.5, bands=8, sig_mode="oph"
+        ).collect()
+    }
+    assert len(oph & exact) >= 0.90 * len(exact)
+    # precision 1: every returned pair is exactly verified either way
+    assert oph <= exact

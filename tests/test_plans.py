@@ -352,3 +352,19 @@ def test_ann_edge_path_no_cartesian(name, spark, sf_dir):
     if name == "q149_knn_edges_approx_verified":
         # no replica frame in q149 — no nested-loop join of any kind
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q45_bruteforce_plan_pinned(spark, sf_dir):
+    """q45's intended shape: the 8-row QUERY side broadcast into exactly
+    one BroadcastNestedLoopJoin (the != self-pair predicate is non-equi
+    by design, with the corpus STREAMED, never built), no cartesian, and
+    the vec_id<8 filter pushed to the query-side scan. Pins the path the
+    _pair_dot Arrow kernel rides so future drift is diagnosable (r8
+    verdict item 5)."""
+    plan = _explain(SPECS["q45_ann_bruteforce_topk"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    fmt = _explain(SPECS["q45_ann_bruteforce_topk"].fn(spark, sf_dir))
+    assert "LessThan(vec_id,8)" in fmt  # query-side filter reached the scan
+    # the broadcast build side must be the 8-row query frame, not the corpus
+    assert "BuildRight" in fmt

@@ -759,3 +759,43 @@ def test_stream_hll_matches_batch_registers_across_batches(spark, tmp_path):
     ref = hll_estimate(hll_registers(keys, "k")).collect()[0]
     assert final.n_occupied == 256 - ref.n_zero_registers
     assert abs(final.estimate - ref.hll_estimate) < 1e-9
+
+
+def test_stream_hll_skips_null_user_ids(spark, tmp_path):
+    """A null user_id in a micro-batch must be SKIPPED (matching the
+    batch twin, where md5 of a null key is null and the row drops) —
+    not raise and kill the streaming query (ADVICE r8)."""
+    from ai_batch_processing_spark.operators.sketches import hll_estimate, hll_registers
+    from ai_batch_processing_spark.streaming.events import stream_hll_distinct
+
+    rows = []
+    for i in range(20):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": f"2024-01-01T00:{i % 60:02d}:00",
+                "user_id": i if i % 4 else None,  # 5 nulls interleaved
+                "event_type": "click",
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+    d = tmp_path / "hll_null"
+    d.mkdir()
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    sdf = stream_hll_distinct(spark, str(d))
+    q = (
+        sdf.writeStream.format("memory").queryName("t_hll_null").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_hll_null"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None  # the null row must not kill the query
+    final = spark.sql("SELECT * FROM t_hll_null").collect()[0]
+    keys = spark.createDataFrame(
+        [(str(i),) for i in range(20) if i % 4], "k string"
+    )
+    ref = hll_estimate(hll_registers(keys, "k")).collect()[0]
+    assert final.n_occupied == 256 - ref.n_zero_registers
+    assert abs(final.estimate - ref.hll_estimate) < 1e-9
