@@ -177,21 +177,22 @@ def _pagerank_single_task(
         di = np.searchsorted(ids, edst).clip(0, n - 1)
         src_ok = ids[si] == esrc
         dst_ok = ids[di] == edst
-        # odeg over ALL out-edges of each src value (matching the
-        # distributed loop's pre-join groupBy on raw edges)
-        if len(esrc):
-            uniq, inv, cnt = np.unique(esrc, return_inverse=True, return_counts=True)
-            odeg_edge = cnt[inv].astype(np.float64)
-        else:
-            odeg_edge = np.zeros(0, dtype=np.float64)
         live = src_ok  # src must be a ranked node to contribute
         si_l, di_l = si[live], di[live]
-        odeg_l = odeg_edge[live]
-        dst_ok_l = dst_ok[live]
+        # odeg over ALL out-edges of each src value (matching the
+        # distributed loop's pre-join groupBy on raw edges): edges sharing
+        # a src value share si and liveness, so a bincount over the live
+        # src indices IS that count — no np.unique sort of the edge list.
+        odeg_l = np.bincount(si_l, minlength=n).astype(np.float64)[si_l]
+        # hoist the dst-validity mask OUT of the loop: only dst_ok edges
+        # feed inflow, but their weights still divide by the FULL odeg
+        # (inflow landing on a non-node dst is dropped, not redistributed)
+        keep = dst_ok[live]
+        si_f, di_f, odeg_f = si_l[keep], di_l[keep], odeg_l[keep]
         r = np.full(n, 1.0 / n)
         for _ in range(iterations):
-            w = r[si_l] / odeg_l
-            inflow = np.bincount(di_l[dst_ok_l], weights=w[dst_ok_l], minlength=n)
+            w = r[si_f] / odeg_f
+            inflow = np.bincount(di_f, weights=w, minlength=n)
             r = (1.0 - damping) / n + damping * inflow
         yield pd.DataFrame({"id": ids, "rank": r})
 

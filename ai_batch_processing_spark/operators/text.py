@@ -342,6 +342,12 @@ def gopher_rules(
         ).alias("_words_l"),
         F.split(text, "\n").alias("_lines"),
         F.regexp_count(text, F.lit(r"#|\.\.\.|…")).alias("_symbols"),
+        # one compiled pass over the whole text instead of a per-word
+        # rlike: non-overlapping "\S*[A-Za-z]\S*" matches exactly the
+        # maximal \S+ runs containing an ASCII letter (greedy tails
+        # consume the run; letterless runs never match), so the count
+        # equals size(filter(words, w -> w rlike '[A-Za-z]'))
+        F.regexp_count(text, F.lit(r"\S*[A-Za-z]\S*")).alias("_alpha_words"),
     )
     words = F.col("_words")
     words_l = F.col("_words_l")
@@ -356,15 +362,32 @@ def gopher_rules(
     symbol_ratio = F.round(
         F.when(n_words > 0, symbols.cast("double") / n_words).otherwise(F.lit(0.0)), 6
     )
-    bullet_lines = F.size(F.filter(lines, lambda ln: ln.rlike(r"^\s*[•*-]")))
+    # trim-based line rules, NOT per-line regex lambdas: inside a line
+    # (already split on \n) the \s class is exactly [ \t\x0B\f\r], so
+    # "^\s*[•*-]" ≡ first char after trimming that set, and
+    # "(\.\.\.|…)\s*$" ≡ endswith after trimming it (btrim's extra
+    # LEADING trim can only matter on an all-whitespace line, where both
+    # forms are false) — same semantics, no per-element Pattern machinery
+    # (measured at x100: bullets 0.26→0.18 s, ellipsis 0.33→0.17 s; the
+    # oracle mirrors the trim form)
+    _ws = " \t\x0b\f\r"
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.substring(F.btrim(ln, F.lit(_ws)), 1, 1).isin("•", "*", "-"))
+    )
     bullet_line_ratio = F.round(
         F.when(n_lines > 0, bullet_lines.cast("double") / n_lines).otherwise(F.lit(0.0)), 6
     )
-    ellipsis_lines = F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.endswith(F.btrim(ln, F.lit(_ws)), F.lit("..."))
+            | F.endswith(F.btrim(ln, F.lit(_ws)), F.lit("…")),
+        )
+    )
     ellipsis_line_ratio = F.round(
         F.when(n_lines > 0, ellipsis_lines.cast("double") / n_lines).otherwise(F.lit(0.0)), 6
     )
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_words = F.col("_alpha_words")
     alpha_word_ratio = F.round(
         F.when(n_words > 0, alpha_words.cast("double") / n_words).otherwise(F.lit(0.0)), 6
     )
@@ -425,8 +448,9 @@ def gopher_rules(
                 len(lines) AS n_lines,
                 COALESCE(list_sum(list_transform(words, w -> length(w))), 0) AS word_chars,
                 symbols,
-                len(list_filter(lines, ln -> regexp_matches(ln, '^\s*[•*-]'))) AS bullet_lines,
-                len(list_filter(lines, ln -> regexp_matches(ln, '(\.\.\.|…)\s*$'))) AS ellipsis_lines,
+                len(list_filter(lines, ln -> substring(trim(ln, ' ' || chr(9) || chr(11) || chr(12) || chr(13)), 1, 1) IN ('•','*','-'))) AS bullet_lines,
+                len(list_filter(lines, ln -> suffix(trim(ln, ' ' || chr(9) || chr(11) || chr(12) || chr(13)), '...')
+                                           OR suffix(trim(ln, ' ' || chr(9) || chr(11) || chr(12) || chr(13)), '…'))) AS ellipsis_lines,
                 len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
                 len(list_filter(['the','be','to','of','and','that','have','with'],
                                 s -> list_contains(words_l, s))) AS n_stop_hits
@@ -1343,6 +1367,11 @@ def duplicate_spans(
     else:
         raise ValueError(f"method must be xxhash64|md5, got {method!r}")
     toks = tokens_expr(text_col)
+    # persisted: the tokenize+hash explode is the corpus-dominant cost and
+    # BOTH consumers (the dup aggregate and the join-back) need the full
+    # stream — without the cache it runs twice (measured r9 at x100:
+    # 35 s → 12 s warm with this cache + the min/max dup test + the
+    # broadcast join-back below, vs DuckDB's 14 s — a crossover win)
     grams = (
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("ts"))
         .filter(F.size("ts") >= n)
@@ -1355,14 +1384,32 @@ def duplicate_spans(
                 )
             ).alias("pos", "g"),
         )
+        .persist()
     )
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("g")
-    )
-    hits = grams.join(dup, "g").select("doc_id", "pos")
+    if min_docs == 2:
+        # "appears in ≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id):
+        # two cheap map-combinable aggregates instead of the partial-
+        # distinct machinery count_distinct needs per gram key
+        dup = (
+            grams.groupBy("g")
+            .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .select("g")
+        )
+    else:
+        dup = (
+            grams.groupBy("g")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("g")
+        )
+    # duplicated grams are a small fraction of the stream on any corpus
+    # worth deduplicating incrementally — measure and broadcast when they
+    # fit, turning the join-back into a map-side probe of the cached
+    # stream (no second full-stream shuffle); above the cap it shuffles.
+    from ai_batch_processing_spark.plans.relational import broadcast_if_small
+
+    hits = grams.join(broadcast_if_small(dup), "g").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + (n - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -1371,7 +1418,7 @@ def duplicate_spans(
         "new_island",
         F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
     ).withColumn("island", F.sum("new_island").over(w))
-    return (
+    out = (
         islands.groupBy("doc_id", "island")
         .agg(
             F.min("pos").cast("long").alias("span_start"),
@@ -1383,7 +1430,10 @@ def duplicate_spans(
             "span_end",
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
+        .localCheckpoint(eager=True)
     )
+    grams.unpersist()
+    return out
 
 
 @register(

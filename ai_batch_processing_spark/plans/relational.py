@@ -19,6 +19,32 @@ from pyspark.sql import functions as F
 from ai_batch_processing_spark.registry import register
 from ai_batch_processing_spark.session import load_tables
 
+# ~64 MB of (bigint key, short string) pairs — the session's
+# autoBroadcastJoinThreshold expressed in rows.
+_BCAST_ROW_CAP = 2_000_000
+
+
+def broadcast_if_small(df: DataFrame, cap: int = _BCAST_ROW_CAP) -> DataFrame:
+    """Adaptive regime pick for a FILTERED fact-side join input (the
+    pagerank-dispatch pattern: one cheap measured statistic decides the
+    physical shape, the distributed plan stays the scale path).
+
+    Static planning can't see post-filter sizes (a date+dimension filter
+    leaving 6% of orders still carries the full-table size estimate, so
+    Catalyst plans a shuffle join), and AQE's runtime conversion only
+    fires AFTER the probe side's shuffle files are written — the cost the
+    broadcast exists to avoid. So: persist the filtered side, count it
+    once, and broadcast only when it fits comfortably (``cap`` rows ≈ the
+    64 MB session broadcast threshold). Above the cap the frame is
+    unpersisted and returned unhinted — the planner shuffles, which is
+    the only shape that survives when the filtered side is 100 TB-scale.
+    """
+    df = df.persist()
+    if df.count() <= cap:
+        return F.broadcast(df)
+    df.unpersist()
+    return df
+
 
 # --- q01: TPC-H-Q1-shaped pricing summary -----------------------------------
 # Scan + pushed filter + hash agg (partial/final via Catalyst) + small sort.
@@ -149,10 +175,18 @@ def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
     )
+    # join the SELECTIVE side first: date (~30%) × ASIA customers (~20%)
+    # leaves ~6% of orders carrying just (o_orderkey, n_name), and
+    # broadcast_if_small turns the lineitem join into a map-side probe
+    # when that fits (measured x100: 3.1 s → 1.7 s warm); above the cap
+    # the same plan shuffles — the 100 TB path, with 94% less volume on
+    # the orders side than joining lineitem⋈orders first.
+    ords_asia = ords.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "n_name"
+    )
     return (
         t["lineitem"]
-        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast_if_small(ords_asia), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
@@ -511,11 +545,17 @@ def q99_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
         | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
     )
+    # orders meets its customer filter FIRST (2 nations ≈ 8% of orders,
+    # carrying only (o_orderkey, cust_nation)); broadcast_if_small then
+    # makes the lineitem join map-side when that fits, instead of
+    # shuffling the full orders table against supplier-filtered lineitem
+    ords_cust = t["orders"].join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
     return (
         t["lineitem"]
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast_if_small(ords_cust), F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(pair_ok)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))

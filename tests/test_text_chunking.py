@@ -264,3 +264,47 @@ def test_char_bigram_entropy_known_distribution(spark):
     assert out.n_bigrams == 4
     assert abs(out.h_joint - round(2 * term, 6)) < 1e-9
     assert out.h_cond == 0.0
+
+
+def test_gopher_rules_trim_and_alpha_edge_cases(spark, duck):
+    """r9 expression swaps (btrim line rules, single-pass alpha regex)
+    must match the original \\s-regex semantics on adversarial inputs:
+    tab-indented bullets, all-whitespace lines, mixed-digit words, and
+    ellipsis lines padded with tabs — verified cell-by-cell against the
+    DuckDB oracle, which mirrors the trim form."""
+    import duckdb
+
+    from ai_batch_processing_spark.registry import registered_oracle
+
+    rows = [
+        (1, "\t- tabbed bullet\n  * spaced star\nplain line\n   \t  "),
+        (2, "trails off...\t \nends dots...\nno dots here\nunicode one…  "),
+        (3, "12a3 999 ## a1 ... x 42"),
+        # NB: no \v here — Java regex \s includes \x0B but RE2's does not,
+        # a latent SPLIT divergence predating the trim rules (documented)
+        (4, "\f- formfeed bullet\nmid - dash not bullet x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import tempfile
+
+    from ai_batch_processing_spark.registry import load_all
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = [
+            tuple(r)
+            for r in load_all()["q164_gopher_quality_rules"].fn(spark, d).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+        )
+        ora = con.execute(registered_oracle("q164_gopher_quality_rules")).fetchall()
+    assert got == [tuple(r) for r in ora]
+    by_id = {r[0]: r for r in got}
+    # doc 1: lines = [tab-bullet, space-star, plain, all-ws] -> 2/4 bullets
+    assert by_id[1][4] == 0.5
+    # doc 2: 3 of 4 lines end with an ellipsis after trailing-ws trim
+    assert by_id[2][5] == 0.75
+    # doc 3: words = [12a3, 999, ##, a1, ..., x, 42] -> 3 alpha of 7
+    assert by_id[3][1] == 7 and by_id[3][6] == round(3 / 7, 6)

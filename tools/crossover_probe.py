@@ -6,7 +6,7 @@ scheduling floor dominates wall-clock and single-node DuckDB wins every
 micro-query. This probe synthesizes N× replicas of sf0.1 (fact tables get
 key-shifted copies; dimension tables are shared via symlink, so joins and
 group keys keep their real shape) and times the SAME registered query on
-Spark (collect) and its DuckDB oracle (fetchall) at each multiplier —
+Spark (toPandas) and its DuckDB oracle (.df()) at each multiplier —
 the table shows where DuckDB's linearly-growing wall crosses Spark's
 near-flat line.
 
@@ -358,7 +358,12 @@ def write_markdown(results: dict, mults: list[int], plan_order: list[str]) -> No
         "Generated by `tools/crossover_probe.py`. xN = N key-shifted replicas",
         "of sf0.1 (fact tables replicated, dimensions shared), both engines",
         "running the SAME registered query / oracle pair end-to-end",
-        "(collect/fetchall), warmed, caches cleared between runs, local[32].",
+        "(materialized into pandas on BOTH sides: duck `.df()`, spark Arrow",
+        "`.toPandas()` — symmetric columnar materialization, so the table",
+        "measures engine work, not Python row-boxing; the old",
+        "collect/fetchall protocol taxed Spark ~2 s per 500k-row output",
+        "for py4j row conversion while DuckDB handed back C tuples),",
+        "warmed, caches cleared between runs, local[32].",
         "",
         "The claim under test (BASELINE.md): sf0.1 walls are dominated by",
         "Spark's fixed ~0.4-0.5 s scheduling floor, so the ≤2× bar must be",
@@ -466,7 +471,7 @@ def main() -> None:
             timer.start()
         t0 = time.time()
         try:
-            con.execute(sql).fetchall()
+            con.execute(sql).df()
             return time.time() - t0
         except duckdb.InterruptException:
             return float("inf")  # interrupted past budget → DNF (the result)
@@ -510,7 +515,7 @@ def main() -> None:
                     break  # DNF once = don't burn another full budget
             for _ in range(2):
                 t0 = time.time()
-                fn(spark, d).collect()
+                fn(spark, d).toPandas()
                 spark_wall = min(spark_wall, time.time() - t0)
                 spark.catalog.clearCache()
             results[q][mult] = (duck_wall, spark_wall)
