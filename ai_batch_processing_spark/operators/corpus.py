@@ -3290,3 +3290,248 @@ def capture_recapture_vocab(docs: DataFrame, text_col: str = "text") -> DataFram
 def q315_capture_recapture_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return capture_recapture_vocab(docs)
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between per-source unigram distributions
+# ---------------------------------------------------------------------------
+_JSD_VOCAB = 200
+
+
+def js_divergence_sources(
+    docs: DataFrame, vocab_k: int = _JSD_VOCAB, source_col: str = "source"
+) -> DataFrame:
+    """(source_a, source_b, jsd_nats) per source pair, a < b: the
+    Jensen-Shannon divergence between the two sources' unigram
+    distributions over the corpus-global top-``vocab_k`` terms plus one
+    ``__oov__`` bucket absorbing the tail — symmetric, bounded by ln 2,
+    the categorical companion to q294's binned PSI (PSI needs a
+    continuous feature; source drift in TEXT is a distribution over
+    words). Lin (1991).
+
+    Scale shape: (source, term) counts are map-combinable; the vocab is
+    a TakeOrderedAndProject top-k (deterministic term tiebreak) and the
+    probability grid is DENSE over sources × (vocab ∪ oov) — a bounded
+    k·(V+1) frame where absent counts coalesce to 0, so the pair join
+    needs no outer-join null handling. Cross-engine exactness: each
+    term's contribution x·ln(x/m) is snapped to a 1e-9-scaled long and
+    the pair sum is an exact integer fold (float SUMMATION ORDER never
+    reaches the hash), assembled and rounded to 6dp at the end.
+    """
+    toks = docs.select(F.col(source_col).alias("src"), F.explode(tokens_expr("text")).alias("term"))
+    counts = toks.groupBy("src", "term").agg(F.count(F.lit(1)).alias("n")).persist()
+    vocab = (
+        counts.groupBy("term")
+        .agg(F.sum("n").alias("tot"))
+        .orderBy(F.desc("tot"), "term")
+        .limit(vocab_k)
+        .select("term")
+    )
+    in_vocab = counts.join(F.broadcast(vocab), "term")
+    src_tot = counts.groupBy("src").agg(F.sum("n").alias("n_src"))
+    oov = (
+        src_tot.join(
+            in_vocab.groupBy("src").agg(F.sum("n").alias("n_in")), "src", "left"
+        )
+        .select(
+            "src",
+            F.lit("__oov__").alias("term"),
+            (F.col("n_src") - F.coalesce(F.col("n_in"), F.lit(0))).alias("n"),
+        )
+    )
+    cats = vocab.unionByName(
+        docs.sparkSession.createDataFrame([("__oov__",)], "term string")
+    )
+    # dense grid: every (source, category) cell present, zeros included
+    grid = (
+        src_tot.select("src", "n_src")
+        .crossJoin(F.broadcast(cats))
+        .join(in_vocab.unionByName(oov), ["src", "term"], "left")
+        .select(
+            "src",
+            "term",
+            (F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("n_src")).alias("p"),
+        )
+    )
+    a = grid.select(F.col("src").alias("source_a"), "term", F.col("p").alias("pa"))
+    b = grid.select(F.col("src").alias("source_b"), "term", F.col("p").alias("pb"))
+    pairs = a.join(b, "term").filter(F.col("source_a") < F.col("source_b"))
+    m = (F.col("pa") + F.col("pb")) / 2.0
+    term_f = lambda x: F.when(x > 0, x * F.log(x / m)).otherwise(F.lit(0.0))  # noqa: E731
+    contrib = F.round((term_f(F.col("pa")) + term_f(F.col("pb"))) / 2.0 * 1e9).cast("long")
+    out = (
+        pairs.select("source_a", "source_b", contrib.alias("c"))
+        .groupBy("source_a", "source_b")
+        .agg(F.round(F.sum("c") / 1e9, 6).alias("jsd_nats"))
+        .orderBy("source_a", "source_b")
+        .localCheckpoint(eager=True)
+    )
+    counts.unpersist()
+    return out
+
+
+@register(
+    "q317_js_divergence_sources",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT source AS src, t.tok AS term
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS t(tok)
+        ),
+        counts AS (SELECT src, term, COUNT(*) AS n FROM toks GROUP BY src, term),
+        vocab AS (
+            SELECT term FROM (
+                SELECT term, SUM(n) AS tot FROM counts GROUP BY term
+                ORDER BY tot DESC, term LIMIT {_JSD_VOCAB}
+            )
+        ),
+        src_tot AS (SELECT src, SUM(n) AS n_src FROM counts GROUP BY src),
+        in_vocab AS (SELECT c.src, c.term, c.n FROM counts c JOIN vocab USING (term)),
+        oov AS (
+            SELECT s.src, '__oov__' AS term,
+                   s.n_src - COALESCE(iv.n_in, 0) AS n
+            FROM src_tot s LEFT JOIN (
+                SELECT src, SUM(n) AS n_in FROM in_vocab GROUP BY src
+            ) iv USING (src)
+        ),
+        cats AS (SELECT term FROM vocab UNION ALL SELECT '__oov__'),
+        grid AS (
+            SELECT s.src, c.term,
+                   CAST(COALESCE(u.n, 0) AS DOUBLE) / s.n_src AS p
+            FROM src_tot s CROSS JOIN cats c
+            LEFT JOIN (SELECT * FROM in_vocab UNION ALL SELECT * FROM oov) u
+              ON u.src = s.src AND u.term = c.term
+        ),
+        pairs AS (
+            SELECT a.src AS source_a, b.src AS source_b, a.term,
+                   a.p AS pa, b.p AS pb
+            FROM grid a JOIN grid b ON a.term = b.term AND a.src < b.src
+        ),
+        contribs AS (
+            SELECT source_a, source_b,
+                   CAST(ROUND((
+                       (CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2.0)) ELSE 0.0 END)
+                     + (CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2.0)) ELSE 0.0 END)
+                   ) / 2.0 * 1e9) AS BIGINT) AS c
+            FROM pairs
+        )
+        SELECT source_a, source_b, ROUND(SUM(c) / 1e9, 6) AS jsd_nats
+        FROM contribs GROUP BY source_a, source_b
+        ORDER BY source_a, source_b
+    """,
+    doc=(
+        "Jensen-Shannon divergence between every pair of sources' "
+        "unigram distributions (top-200 vocab + __oov__ bucket) — the "
+        "categorical source-drift lens next to q294's binned PSI. Dense "
+        "bounded probability grid, per-term contributions snapped to "
+        "1e-9 longs so the sum is order-free exact."
+    ),
+    tags=("corpus", "stats", "drift"),
+)
+def q317_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return js_divergence_sources(docs)
+
+
+# ---------------------------------------------------------------------------
+# Nucleus vocabulary size (smallest vocab prefix covering p% of tokens)
+# ---------------------------------------------------------------------------
+_NUCLEUS_PCTS = (50, 90, 99)
+
+
+def nucleus_vocab_size(docs: DataFrame, pcts: tuple[int, ...] = _NUCLEUS_PCTS) -> DataFrame:
+    """(p, nucleus_terms, vocab_size, n_tokens) per coverage target p:
+    the smallest number of distinct terms (taken most-frequent-first)
+    whose occurrences cover ≥ p% of all tokens — the "how head-heavy is
+    this corpus" summary between q113's Zipf slope and q290's raw
+    vocabulary count (a tiny nucleus at p=90 means a tokenizer/filter
+    tuned on head terms sees almost everything; a huge one means the
+    tail carries real mass).
+
+    NO vocab-sized sort: terms with equal frequency are interchangeable,
+    so the answer lives in the freq-of-freq histogram. With cum(f) =
+    mass of all strictly-higher frequencies, exactly ONE histogram row
+    straddles the target (cum·100 < T·p ≤ (cum+f·k)·100) and the term
+    count is cum_terms + ceil((T·p − 100·cum)/(100·f)) — all BIGINT
+    (T·p ≤ ~1e16·100 at a 100 TB corpus, inside int64).
+
+    BOUNDED window: cumulative sums over the freq-of-freq histogram —
+    rows = distinct frequency VALUES, never vocab- or corpus-sized.
+    """
+    toks = docs.select(F.explode(tokens_expr("text")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    h = freq.groupBy("f").agg(F.count(F.lit(1)).alias("k"))
+    w = Window.orderBy(F.desc("f")).rowsBetween(Window.unboundedPreceding, -1)
+    cum = h.select(
+        "f",
+        "k",
+        F.coalesce(F.sum(F.col("f") * F.col("k")).over(w), F.lit(0)).alias("cum_mass"),
+        F.coalesce(F.sum("k").over(w), F.lit(0)).alias("cum_terms"),
+    )
+    tot = h.agg(
+        F.sum(F.col("f") * F.col("k")).cast("long").alias("n_tokens"),
+        F.sum("k").cast("long").alias("vocab_size"),
+    )
+    ps = docs.sparkSession.createDataFrame([(p,) for p in pcts], "p long")
+    straddle = (
+        cum.crossJoin(F.broadcast(ps))
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("cum_mass") * 100 < F.col("n_tokens") * F.col("p"))
+            & ((F.col("cum_mass") + F.col("f") * F.col("k")) * 100 >= F.col("n_tokens") * F.col("p"))
+        )
+        .select(
+            "p",
+            # integer `div`, not float `/`: n_tokens·p reaches ~1e18 at a
+            # 100 TB corpus, past double's 2^53 exact-integer range
+            F.expr(
+                "cum_terms + (n_tokens * p - 100 * cum_mass + 100 * f - 1) div (100 * f)"
+            )
+            .cast("long")
+            .alias("nucleus_terms"),
+            "vocab_size",
+            "n_tokens",
+        )
+    )
+    return straddle.orderBy("p")
+
+
+@register(
+    "q320_nucleus_vocab_size",
+    oracle=rf"""
+        WITH {_TOKS_SQL},
+        freq AS (SELECT term, COUNT(*) AS f FROM toks GROUP BY term),
+        h AS (SELECT f, COUNT(*) AS k FROM freq GROUP BY f),
+        cum AS (
+            SELECT f, k,
+                   COALESCE(SUM(f * k) OVER (ORDER BY f DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_mass,
+                   COALESCE(SUM(k) OVER (ORDER BY f DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_terms
+            FROM h
+        ),
+        tot AS (SELECT CAST(SUM(f * k) AS BIGINT) AS n_tokens,
+                       CAST(SUM(k) AS BIGINT) AS vocab_size FROM h),
+        ps(p) AS (VALUES (50), (90), (99))
+        SELECT CAST(p AS BIGINT) AS p,
+               CAST(cum_terms + (n_tokens * p - 100 * cum_mass + 100 * f - 1)
+                    // (100 * f) AS BIGINT) AS nucleus_terms,
+               vocab_size,
+               n_tokens
+        FROM cum CROSS JOIN ps CROSS JOIN tot
+        WHERE cum_mass * 100 < n_tokens * p
+          AND (cum_mass + f * k) * 100 >= n_tokens * p
+        ORDER BY p
+    """,
+    doc=(
+        "nucleus vocabulary size at 50/90/99% token coverage: smallest "
+        "most-frequent-first term count covering p% of occurrences, "
+        "rank-exact from the freq-of-freq histogram (the q268 cumulative "
+        "trick) — no vocab-sized sort anywhere."
+    ),
+    tags=("corpus", "stats"),
+)
+def q320_nucleus_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return nucleus_vocab_size(docs)

@@ -2096,3 +2096,100 @@ def q303_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the q40 planted-dup corpus (one-scan exploded form), so the report
     # prices the SAME dedup pass the q40 gate executes
     return dedup_savings(_dup_corpus_one_scan(docs))
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplicate-leakage matrix
+# --------------------------------------------------------------------------
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source_a, source_b, n_pairs) with a <= b: how many exact-duplicate
+    DOCUMENT PAIRS cross each source boundary (and sit inside each source,
+    on the diagonal) — the leakage report that decides WHICH feed to cut
+    when q303's savings report says dedup pays: duplicates inside one
+    crawl are a re-fetch bug; duplicates ACROSS sources mean the feeds
+    overlap and one is redundant.
+
+    Scale shape: NO document self-join. Per duplicate group (128-bit text
+    hash), count docs per source — group×source rows, each tiny — then
+    the pair counts are pure arithmetic on those counts: c_a·c_b for
+    a < b, C(c,2) on the diagonal, summed over groups. The only shuffle
+    is the (hash, source) aggregate; the per-group source fan-out is
+    bounded by the source count, never by group size.
+    """
+    counts = (
+        docs.select(F.md5(F.col(text_col)).alias("h"), F.col(source_col).alias("src"))
+        .groupBy("h", "src")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = counts.select("h", F.col("src").alias("source_a"), F.col("c").alias("ca"))
+    b = counts.select("h", F.col("src").alias("source_b"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                F.col("ca") * (F.col("ca") - 1) / 2,
+            )
+            .otherwise(F.col("ca") * F.col("cb"))
+            .cast("long")
+            .alias("np"),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum("np").cast("long").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "q318_cross_source_dup_matrix",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id AS id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS id, text, 'mirror' AS source
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        counts AS (
+            SELECT md5(text) AS h, source AS src, COUNT(*) AS c
+            FROM corpus GROUP BY md5(text), source
+        ),
+        pairs AS (
+            SELECT a.src AS source_a, b.src AS source_b,
+                   CAST(CASE WHEN a.src = b.src THEN a.c * (a.c - 1) / 2
+                             ELSE a.c * b.c END AS BIGINT) AS np
+            FROM counts a JOIN counts b ON a.h = b.h AND a.src <= b.src
+        )
+        SELECT source_a, source_b, CAST(SUM(np) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY source_a, source_b
+        HAVING SUM(np) > 0
+        ORDER BY source_a, source_b
+    """,
+    doc=(
+        "cross-source duplicate-leakage matrix on the planted-dup corpus "
+        "(q40's corpus with the copies landing in a 'mirror' source): "
+        "exact-dup pairs per source pair WITHOUT a document self-join — "
+        "per-group source counts, then pure pair arithmetic c_a*c_b / "
+        "C(c,2)."
+    ),
+    tags=("dedup", "quality", "report"),
+)
+def q318_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    corpus = docs.select("doc_id", "text", "source").unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", F.lit("mirror").alias("source")
+        )
+    )
+    return cross_source_dup_matrix(corpus)

@@ -4057,3 +4057,100 @@ def q289_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, nlist=_KM_NLIST, n_iter=_KM_ITER, init="first", round_dp=6
     )
     return simplified_silhouette(emb, cents).orderBy("cell")
+
+
+# --------------------------------------------------------------------------
+# Truncated-embedding retrieval audit (Matryoshka-style prefix quality)
+# --------------------------------------------------------------------------
+def truncated_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dims: int = 16,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, recall_at_k): per query, the fraction of the FULL-
+    vector exact top-k that the PREFIX-truncated vector (first
+    ``prefix_dims`` dims) also retrieves — the audit run before shipping
+    Matryoshka-style truncation (Kusupati et al. 2022) or any dimension-
+    cut compression: 4× smaller vectors are only a win if recall holds.
+
+    Scale shape: two :func:`cosine_topk` passes (query side broadcast,
+    corpus scanned; the truncated pass slices dims IN the scan
+    projection so it reads the same column once) joined on (query,
+    neighbor) — recall is the match count over k. Queries ≪ corpus as
+    in q45; everything downstream of the top-k windows is query-sized.
+    """
+    trunc = lambda df, idc: df.select(  # noqa: E731
+        F.col(idc), F.slice(F.col(vec_col), 1, prefix_dims).alias(vec_col)
+    )
+    full = cosine_topk(corpus, queries, k=k, corpus_id=corpus_id, query_id=query_id, vec_col=vec_col)
+    cut = cosine_topk(
+        trunc(corpus, corpus_id), trunc(queries, query_id), k=k,
+        corpus_id=corpus_id, query_id=query_id, vec_col=vec_col,
+    )
+    hits = full.select("query_id", "neighbor_id").join(
+        cut.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    base = full.select("query_id").distinct()
+    return (
+        base.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _truncated_recall_oracle(lo: int, hi: int, dims: int = 16, k: int = 5) -> str:
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id >= {lo} AND vec_id < {hi}),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        full_r AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC, neighbor_id) AS rnk
+            FROM q JOIN c ON query_id <> neighbor_id
+        ),
+        cut_r AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ROUND(list_cosine_similarity(qv[1:{dims}], cv[1:{dims}]), 6) DESC, neighbor_id) AS rnk
+            FROM q JOIN c ON query_id <> neighbor_id
+        ),
+        hits AS (
+            SELECT f.query_id, COUNT(*) AS n_hit
+            FROM (SELECT query_id, neighbor_id FROM full_r WHERE rnk <= {k}) f
+            JOIN (SELECT query_id, neighbor_id FROM cut_r WHERE rnk <= {k}) t
+              USING (query_id, neighbor_id)
+            GROUP BY f.query_id
+        )
+        SELECT q.query_id, ROUND(COALESCE(h.n_hit, 0) / {float(k)}, 6) AS recall_at_k
+        FROM (SELECT DISTINCT query_id FROM q) q LEFT JOIN hits h USING (query_id)
+        ORDER BY query_id
+    """
+
+
+@register(
+    "q322_truncated_embedding_recall",
+    oracle=_truncated_recall_oracle(0, 8),
+    doc=(
+        "Matryoshka truncation audit: recall@5 of the 16-dim prefix "
+        "vector against the full 64-dim exact top-5, per query — the "
+        "compression-QA gate before shipping dimension-cut embeddings. "
+        "Two broadcast-query exact top-k passes joined on (query, "
+        "neighbor); the truncation is a slice in the scan projection."
+    ),
+    tags=("similarity", "ann", "quality"),
+)
+def q322_truncated_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    return truncated_recall(emb, queries, prefix_dims=16, k=5)

@@ -1501,6 +1501,161 @@ def q171_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, n=8, min_docs=2).orderBy("doc_id", "span_start")
 
 
+def duplicate_char_spans(
+    docs: DataFrame,
+    g: int = 50,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Maximal CHARACTER spans duplicated across documents:
+    (doc_id, span_start, span_end, span_chars) — 0-based char positions,
+    end inclusive. The char-granule form of Lee et al. 2022's
+    ExactSubstr (their threshold is 50 bytes; here 50 chars on the raw
+    text): a position is covered when the ``g``-char window starting
+    there also appears in ≥ ``min_docs`` distinct documents, and
+    overlapping covered windows merge into maximal spans.
+
+    This is the companion q171 (token granule) deliberately does NOT
+    subsume: char granules see through tokenization — a duplicated run
+    that starts or ends MID-TOKEN (splice boundaries, punctuation edits,
+    whitespace changes inside the copy) shifts every token 8-gram and
+    hides from q171, but leaves ≥ g−1 unchanged char windows.
+
+    Scale shape: stride is 1 by necessity — two copies of a run land on
+    arbitrary relative offsets, so any stride > 1 misaligns their window
+    grids and loses the guarantee (the same reason q255's winnowing
+    samples MINIMA, not a fixed grid). The stream is corpus-CHARS-linear
+    (~5× the token-gram stream): windows shuffle as 8-byte hashes, the
+    ≥2-docs test is the min≠max aggregate, the join-back probes the
+    cached stream against the (measured, usually small) duplicated-window
+    set, and the island rollup is a per-doc window. The paper's suffix
+    array finds arbitrary-length matches with a per-node index; this is
+    the one-shuffle relational form that catches every duplicated run
+    ≥ g chars exactly.
+
+    Reference parity: /root/reference has no dedup; this extends the
+    Lee-et-al family (q171/q181) per the r8 verdict's ExactSubstr item.
+    """
+    if g < 1:
+        raise ValueError(f"g must be >= 1, got {g}")
+    if min_docs != 2:
+        raise ValueError("duplicate_char_spans implements the min_docs=2 form")
+    if method == "xxhash64":
+        key = F.xxhash64
+    elif method == "md5":
+        key = F.md5
+    else:
+        raise ValueError(f"method must be xxhash64|md5, got {method!r}")
+    text = F.col(text_col)
+    grams = (
+        docs.select(F.col(id_col).alias("doc_id"), text.alias("_t"))
+        .filter(F.length("_t") >= g)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_t") - (g - 1)),
+                    lambda i: key(F.substring(F.col("_t"), i, g)),
+                )
+            ).alias("pos", "w"),
+        )
+        .persist()
+    )
+    dup = (
+        grams.groupBy("w")
+        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("w")
+    )
+    from ai_batch_processing_spark.plans.relational import broadcast_if_small
+
+    hits = grams.join(broadcast_if_small(dup), "w").select("doc_id", "pos")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (g - 1)).over(
+        win.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(win))
+    out = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (g - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_chars"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grams.unpersist()
+    return out
+
+
+@register(
+    "q316_exact_substr_char_spans",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id,
+                   CAST(i AS BIGINT) - 1 AS pos,
+                   md5(substr(text, CAST(i AS INT), 50)) AS w
+            FROM documents, unnest(generate_series(1, length(text) - 49)) u(i)
+            WHERE length(text) >= 50
+        ),
+        dup AS (
+            SELECT w FROM grams GROUP BY w HAVING MIN(doc_id) <> MAX(doc_id)
+        ),
+        hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (w)),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN MAX(pos + 49) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) IS NULL
+                        OR pos > MAX(pos + 49) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) + 1
+                   THEN 1 ELSE 0 END AS new_island
+            FROM hits
+        ),
+        islands AS (
+            SELECT doc_id, pos,
+                   SUM(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM flagged
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 49 AS BIGINT) AS span_end,
+               CAST(MAX(pos) + 49 - MIN(pos) + 1 AS BIGINT) AS span_chars
+        FROM islands
+        GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
+    """,
+    doc=(
+        "ExactSubstr at the character granule (Lee et al. 2022's 50-char "
+        "threshold): positions whose 50-char window repeats in >=2 docs, "
+        "merged to maximal spans — catches splice boundaries and "
+        "mid-token edits the token-granule q171 misses. Windows shuffle "
+        "as hashes; >=2-docs is the min!=max aggregate; islands merge in "
+        "a per-doc window."
+    ),
+    tags=("text", "dedup", "spans"),
+)
+def q316_exact_substr_char_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return duplicate_char_spans(docs, g=50, min_docs=2).orderBy("doc_id", "span_start")
+
+
 @register(
     "q175_ngram_novelty",
     oracle=r"""
@@ -3522,3 +3677,79 @@ def char_bigram_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def q309_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return char_bigram_entropy(docs)
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability (vowel-run syllable approximation)
+# ---------------------------------------------------------------------------
+def flesch_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch_ease, fk_grade):
+    Flesch Reading Ease 206.835 − 1.015·(W/S) − 84.6·(Syl/W) and the
+    Flesch-Kincaid grade 0.39·(W/S) + 11.8·(Syl/W) − 15.59 (Kincaid et
+    al. 1975) — the classic readability pair, a curation signal next to
+    q49's quality score and q164's Gopher rules (reading level is a
+    TARGETING knob, not a pass/fail rule).
+
+    Deterministic approximations, identical in both engines: sentences =
+    runs of [.!?] (min 1); syllables = vowel runs [aeiouy]+ over the
+    lowercased text — word-boundary whitespace is a non-vowel, so the
+    whole-text count equals the per-word sum with NO per-word pass (a
+    vowel-free word contributes 0, the standard simplification of the
+    dictionary syllabary). One Catalyst projection; ratios are fixed-
+    order IEEE on per-doc integers, rounded 4dp.
+    """
+    text = F.col(text_col)
+    n_words = F.size(tokens_expr(text_col)).cast("long")
+    n_sents = F.greatest(F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1)).cast("long")
+    n_syl = F.regexp_count(F.lower(text), F.lit("[aeiouy]+")).cast("long")
+    wps = n_words.cast("double") / n_sents
+    spw = F.when(n_words > 0, n_syl.cast("double") / n_words).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+    )
+
+
+@register(
+    "q319_flesch_readability",
+    oracle=r"""
+        SELECT
+            doc_id,
+            CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_words,
+            CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+            CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+            ROUND(206.835
+                  - 1.015 * (CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS DOUBLE)
+                             / GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1))
+                  - 84.6 * (CASE WHEN len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) > 0
+                                 THEN CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+                                      / len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))
+                                 ELSE 0.0 END), 4) AS flesch_ease,
+            ROUND(0.39 * (CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS DOUBLE)
+                          / GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1))
+                  + 11.8 * (CASE WHEN len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) > 0
+                                 THEN CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+                                      / len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))
+                                 ELSE 0.0 END)
+                  - 15.59, 4) AS fk_grade
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Flesch Reading Ease + Flesch-Kincaid grade per document "
+        "(vowel-run syllable approximation, sentence = [.!?]+ run): the "
+        "classic readability pair as one Catalyst projection — a "
+        "reading-level TARGETING signal next to q49/q164's pass-fail "
+        "quality rules."
+    ),
+    tags=("text", "quality", "curation"),
+)
+def q319_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return flesch_scores(docs).orderBy("doc_id")

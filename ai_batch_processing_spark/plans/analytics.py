@@ -3992,3 +3992,147 @@ def q312_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(key_skew_stats(t["events"], "user_id", "events.user_id"))
     )
     return out.orderBy("key")
+
+
+# --- q321: Kaplan-Meier time-to-return --------------------------------------
+# Survival analysis done relationally: how long until a user comes back
+# (first -> second event), with users who never return RIGHT-CENSORED at
+# the observation window's end — the estimator every retention team
+# quotes (Kaplan & Meier 1958), computed from bounded day histograms.
+def kaplan_meier_return(events: DataFrame) -> DataFrame:
+    """(day, n_at_risk, n_events, n_censored, survival): KM estimator of
+    the days-to-second-event distribution. Event = the user's second
+    event timestamp; users with one event are censored at max(ts).
+
+    Exactness: risk sets and event/censor counts are pure integers from
+    the day histogram; each day's factor ln(1 − e/n) is snapped to a
+    1e-9-scaled long and the cumulative product runs as an exact integer
+    sum of those logs (cross-engine float product order never matters);
+    a day where e = n zeroes survival from there on (ln 0 guard).
+
+    BOUNDED windows: cumulative sums over the duration-day histogram —
+    rows = distinct day counts (≤ observation window length in days),
+    never user- or event-scale.
+    """
+    ev = events.select("user_id", "ts")
+    t1 = ev.groupBy("user_id").agg(F.min("ts").alias("t1"))
+    t2 = (
+        ev.join(t1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    horizon = ev.agg(F.max("ts").alias("tmax"))
+    per_user = (
+        t1.join(t2, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("t2").isNotNull(),
+                F.datediff(F.col("t2").cast("date"), F.col("t1").cast("date")),
+            )
+            .otherwise(F.datediff(F.col("tmax").cast("date"), F.col("t1").cast("date")))
+            .cast("long")
+            .alias("day"),
+            F.when(F.col("t2").isNotNull(), 1).otherwise(0).alias("is_event"),
+        )
+    )
+    hist = per_user.groupBy("day").agg(
+        F.sum("is_event").cast("long").alias("n_events"),
+        F.sum(1 - F.col("is_event")).cast("long").alias("n_censored"),
+    )
+    n_total = per_user.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # BOUNDED window: over the duration-day histogram
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = (
+        hist.crossJoin(F.broadcast(n_total))
+        .select(
+            "day",
+            "n_events",
+            "n_censored",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum(F.col("n_events") + F.col("n_censored")).over(w), F.lit(0))
+            ).alias("n_at_risk"),
+        )
+    )
+    lnf = F.when(
+        F.col("n_events") < F.col("n_at_risk"),
+        F.round(F.log(1.0 - F.col("n_events").cast("double") / F.col("n_at_risk")) * 1e9).cast("long"),
+    )  # null marks the e = n day (survival hits exactly 0)
+    km = risk.select(
+        "day",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.when(
+            F.max(F.when(lnf.isNull(), 1).otherwise(0)).over(wc) == 1, F.lit(0.0)
+        )
+        .otherwise(F.round(F.exp(F.sum(lnf).over(wc) / 1e9), 6))
+        .alias("survival"),
+    )
+    return km.orderBy("day")
+
+
+@register(
+    "q321_kaplan_meier_return",
+    oracle="""
+        WITH ev AS (SELECT user_id, ts FROM events),
+        t1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev GROUP BY user_id),
+        t2 AS (
+            SELECT ev.user_id, MIN(ev.ts) AS t2
+            FROM ev JOIN t1 ON ev.user_id = t1.user_id
+            WHERE ev.ts > t1.t1 GROUP BY ev.user_id
+        ),
+        horizon AS (SELECT MAX(ts) AS tmax FROM ev),
+        per_user AS (
+            SELECT CAST(CASE WHEN t2.t2 IS NOT NULL
+                        THEN date_diff('day', CAST(t1.t1 AS DATE), CAST(t2.t2 AS DATE))
+                        ELSE date_diff('day', CAST(t1.t1 AS DATE), CAST(h.tmax AS DATE))
+                   END AS BIGINT) AS day,
+                   CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END AS is_event
+            FROM t1 LEFT JOIN t2 USING (user_id) CROSS JOIN horizon h
+        ),
+        hist AS (
+            SELECT day,
+                   CAST(SUM(is_event) AS BIGINT) AS n_events,
+                   CAST(SUM(1 - is_event) AS BIGINT) AS n_censored
+            FROM per_user GROUP BY day
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM per_user),
+        risk AS (
+            SELECT day, n_events, n_censored,
+                   CAST(n_total - COALESCE(SUM(n_events + n_censored) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+            FROM hist CROSS JOIN tot
+        ),
+        lnf AS (
+            SELECT day, n_at_risk, n_events, n_censored,
+                   CASE WHEN n_events < n_at_risk
+                        THEN CAST(ROUND(ln(1.0 - CAST(n_events AS DOUBLE) / n_at_risk) * 1e9) AS BIGINT)
+                   END AS lf
+            FROM risk
+        )
+        SELECT day, n_at_risk, n_events, n_censored,
+               CASE WHEN MAX(CASE WHEN lf IS NULL THEN 1 ELSE 0 END) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                    THEN 0.0
+                    ELSE ROUND(exp(SUM(lf) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1e9), 6)
+               END AS survival
+        FROM lnf
+        ORDER BY day
+    """,
+    doc=(
+        "Kaplan-Meier survival of days-to-second-event with right-"
+        "censoring at the window end: risk sets from the bounded "
+        "duration-day histogram; per-day ln factors snapped to 1e-9 "
+        "longs so the cumulative product is an exact integer log-sum "
+        "in both engines; e=n days zero survival exactly."
+    ),
+    tags=("analytics", "events", "stats"),
+)
+def q321_kaplan_meier_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return kaplan_meier_return(ev)

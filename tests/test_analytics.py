@@ -260,3 +260,45 @@ def test_ordered_funnel_zero_signups_null_rates(spark, duck):
     assert out.conv_step2 is None and out.conv_step3 is None and out.conv_full is None
     # oracle: same NULLs in the same positions (n_users, n_signup, ..., convs)
     assert ora[1] == 0 and ora[4] is None and ora[5] is None and ora[6] is None
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """4 users: A returns day 1, B returns day 2, C censored day 2,
+    D never (censored at horizon day 3). Hand KM: S(1)=3/4;
+    day 2: risk 3, 1 event -> S(2)=3/4*2/3=1/2; censoring at 2 drops
+    risk but not survival; day 3: risk 1? D censored at 3 -> no events,
+    survival stays 1/2."""
+    import datetime
+
+    from ai_batch_processing_spark.plans.analytics import kaplan_meier_return
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def e(i, u, days):
+        return (i, base + datetime.timedelta(days=days), u, "click", 1.0, "{}")
+
+    rows = [
+        e(0, 1, 0), e(1, 1, 1),          # A: event at day 1
+        e(2, 2, 0), e(3, 2, 2),          # B: event at day 2
+        e(4, 3, 0), e(5, 3, 2), e(6, 3, 2),  # C: second event day 2 too
+        e(7, 4, 0),                      # D: single event -> censored day 3
+        e(8, 5, 3),                      # horizon-setter: first event at day 3
+    ]
+    # user 5's only event is AT the horizon -> censored at day 0
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r.day: r for r in kaplan_meier_return(ev).collect()}
+    # day 0: 5 at risk, 0 events, 1 censored (user 5) -> S=1
+    assert (out[0].n_at_risk, out[0].n_events, out[0].n_censored) == (5, 0, 1)
+    assert out[0].survival == 1.0
+    # day 1: 4 at risk, user A events -> S = 3/4
+    assert (out[1].n_at_risk, out[1].n_events) == (4, 1)
+    assert out[1].survival == 0.75
+    # day 2: 3 at risk, users B and C event -> S = 3/4 * 1/3 = 0.25
+    assert (out[2].n_at_risk, out[2].n_events) == (3, 2)
+    assert out[2].survival == 0.25
+    # day 3: user D censored, no events -> survival unchanged
+    assert (out[3].n_at_risk, out[3].n_events, out[3].n_censored) == (1, 0, 1)
+    assert out[3].survival == 0.25

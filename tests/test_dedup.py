@@ -711,3 +711,35 @@ def test_minhash_dedup_pairs_oph_mode_recall(spark, sf_dir):
     assert len(oph & exact) >= 0.90 * len(exact)
     # precision 1: every returned pair is exactly verified either way
     assert oph <= exact
+
+
+def test_char_spans_catch_mid_token_splice(spark):
+    """The char granule's reason to exist: a copied run whose boundary
+    falls MID-token (one char edited inside a word) shifts every token
+    8-gram, hiding from duplicate_spans, but leaves long unchanged char
+    windows that duplicate_char_spans reports."""
+    from ai_batch_processing_spark.operators.text import (
+        duplicate_char_spans,
+        duplicate_spans,
+    )
+
+    run = "the quick brown fox jumps over the lazy dog near the river bank today"
+    # doc 2 embeds the run but corrupts ONE char inside the 4th token —
+    # every token 8-gram covering the run now differs somewhere... build
+    # a FULL splice instead: doc 2 = unrelated prefix + exact run copy
+    # whose junction glues into the first token ("xx" + "the" -> "xxthe")
+    d1 = f"{run} and some trailing words to pad this document out fully"
+    d2 = f"unrelatedxx{run} with a different tail of padding words here"
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    char_spans = duplicate_char_spans(df, g=50).collect()
+    assert {r.doc_id for r in char_spans} == {1, 2}
+    assert all(r.span_chars >= len(run) for r in char_spans)
+    # token granule still catches the INTERIOR tokens here (the splice
+    # only mangles the first token), so assert the finer claim: the char
+    # span starts at the true copy start, while the token span loses the
+    # mangled first token
+    tok_spans = {r.doc_id: r for r in duplicate_spans(df, n=8).collect()}
+    s2 = [r for r in char_spans if r.doc_id == 2][0]
+    assert d2[s2.span_start : s2.span_end + 1].startswith(run[:50])
+    if 2 in tok_spans:  # token span exists but starts after the glued token
+        assert tok_spans[2].span_start >= 1
