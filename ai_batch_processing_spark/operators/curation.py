@@ -5056,3 +5056,295 @@ def q314_bayesian_average_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.when((F.col("doc_id") * 37) % 100 < thr, 1).otherwise(0).alias("y")
     )
     return bayesian_average_rates(labeled, "source")
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated PII audit (card-number candidates that pass the checksum)
+# ---------------------------------------------------------------------------
+def luhn_pii_audit(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_candidates, n_luhn_valid) for documents containing
+    card-shaped digit runs: every maximal 13-19-digit run is a candidate,
+    and a candidate is REAL-risk only if it passes the Luhn checksum
+    (ISO/IEC 7812) — the validation step production PII scanners run so
+    order ids and timestamps don't flood the redaction queue q102 feeds.
+
+    Cross-engine care: candidates are MAXIMAL digit runs (extract [0-9]+
+    then filter length — RE2 has no lookbehind, so a bounded {13,19}
+    pattern would mis-split longer runs); the checksum is exact integer
+    arithmetic over the reversed digit string via an indexed transform.
+    One projection + explode bounded by candidates-per-doc; no shuffle
+    before the per-doc re-aggregate.
+    """
+    runs = F.filter(
+        F.regexp_extract_all(F.col(text_col), F.lit("[0-9]+"), 0),
+        lambda r: (F.length(r) >= 13) & (F.length(r) <= 19),
+    )
+    cand = docs.select(F.col(id_col), F.explode(runs).alias("run"))
+    digits = F.split(F.reverse(F.col("run")), "")
+    # doubled-digit digit sum via the classic 2d-9 identity (2d ≤ 18, so
+    # sum-of-digits(2d) = 2d when 2d ≤ 9 else 2d − 9) — pure integers
+    term = lambda c, i: F.when(  # noqa: E731
+        i % 2 == 1,
+        F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9).otherwise(c.cast("int") * 2),
+    ).otherwise(c.cast("int"))
+    luhn_sum = F.aggregate(
+        F.transform(digits, lambda c, i: term(c, i).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    flagged = cand.select(
+        id_col, F.when(luhn_sum % 10 == 0, 1).otherwise(0).alias("ok")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum("ok").cast("long").alias("n_luhn_valid"),
+        )
+        .orderBy(id_col)
+    )
+
+
+@register(
+    "q323_luhn_pii_audit",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' ref ' || lpad(CAST(doc_id * 104729 + 12345 AS VARCHAR), 16, '0')
+                        ELSE text END AS text
+            FROM documents
+        ),
+        cand AS (
+            SELECT doc_id, r.run
+            FROM corpus,
+                 UNNEST(list_filter(regexp_extract_all(text, '[0-9]+'),
+                                    x -> length(x) BETWEEN 13 AND 19)) AS r(run)
+        ),
+        checked AS (
+            SELECT doc_id,
+                   CASE WHEN list_sum(list_transform(generate_series(1, length(run)),
+                        i -> CASE WHEN i % 2 = 0
+                                  THEN CASE WHEN CAST(substr(reverse(run), CAST(i AS INT), 1) AS INT) * 2 > 9
+                                            THEN CAST(substr(reverse(run), CAST(i AS INT), 1) AS INT) * 2 - 9
+                                            ELSE CAST(substr(reverse(run), CAST(i AS INT), 1) AS INT) * 2 END
+                                  ELSE CAST(substr(reverse(run), CAST(i AS INT), 1) AS INT) END
+                        )) % 10 = 0 THEN 1 ELSE 0 END AS ok
+            FROM cand
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(ok) AS BIGINT) AS n_luhn_valid
+        FROM checked
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Luhn-validated PII audit on a corpus with planted card-shaped "
+        "refs (every 7th doc gets a deterministic 16-digit run): maximal "
+        "digit runs 13-19 long, ISO/IEC 7812 checksum via indexed "
+        "transform over the reversed digits — the validation that keeps "
+        "order ids out of q102's redaction queue."
+    ),
+    tags=("curation", "pii", "quality"),
+)
+def q323_luhn_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" ref "),
+                F.lpad((F.col("doc_id") * 104729 + 12345).cast("string"), 16, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return luhn_pii_audit(planted)
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between two in-engine quality raters
+# ---------------------------------------------------------------------------
+def _kappa_oracle() -> str:
+    from ai_batch_processing_spark.registry import registered_oracle
+
+    q49 = registered_oracle("q49_quality_score")
+    q319 = registered_oracle("q319_flesch_readability")
+    return f"""
+        WITH ra AS (
+            SELECT doc_id, CASE WHEN quality_score >= 0.6 THEN 1 ELSE 0 END AS pa
+            FROM ({q49})
+        ),
+        rb AS (
+            SELECT doc_id, CASE WHEN flesch_ease >= 50.0 THEN 1 ELSE 0 END AS pb
+            FROM ({q319})
+        ),
+        j AS (SELECT pa, pb FROM ra JOIN rb USING (doc_id)),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(pa * pb) AS BIGINT) AS n11,
+                   CAST(SUM(pa * (1 - pb)) AS BIGINT) AS n10,
+                   CAST(SUM((1 - pa) * pb) AS BIGINT) AS n01,
+                   CAST(SUM((1 - pa) * (1 - pb)) AS BIGINT) AS n00
+            FROM j
+        )
+        SELECT n, n11, n10, n01, n00,
+               ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS p_observed,
+               ROUND((CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                      + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                     / (CAST(n AS DOUBLE) * n), 6) AS p_expected,
+               CASE WHEN CAST(n AS DOUBLE) * n
+                         - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                            + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) <> 0
+                    THEN ROUND((CAST(n11 + n00 AS DOUBLE) * n
+                                - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                                   + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
+                               / (CAST(n AS DOUBLE) * n
+                                  - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                                     + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))), 6)
+               END AS kappa
+        FROM m
+    """
+
+
+@register(
+    "q324_quality_rater_agreement",
+    oracle=_kappa_oracle(),
+    doc=(
+        "Cohen's kappa between two independent in-engine quality raters "
+        "(q49's feature score >= 0.6 vs q319's Flesch ease >= 50): the "
+        "chance-corrected agreement readout that says whether two "
+        "curation signals measure the SAME thing (composable rules) or "
+        "different things (keep both). Confusion counts are exact "
+        "integers; kappa is one fixed-order IEEE assembly, kappa = "
+        "(po*n^2 - pe_num) / (n^2 - pe_num) computed on integer moments. "
+        "Composed from the registered q49/q319 oracles so the raters "
+        "cannot drift from their gated definitions (the q300 pattern)."
+    ),
+    tags=("curation", "quality", "eval"),
+)
+def q324_quality_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import flesch_scores, quality_features
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ra = quality_features(docs).select(
+        "doc_id", F.when(F.col("quality_score") >= 0.6, 1).otherwise(0).alias("pa")
+    )
+    rb = flesch_scores(docs).select(
+        "doc_id", F.when(F.col("flesch_ease") >= 50.0, 1).otherwise(0).alias("pb")
+    )
+    j = ra.join(rb, "doc_id")
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("pa") * F.col("pb")).cast("long").alias("n11"),
+        F.sum(F.col("pa") * (1 - F.col("pb"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("pa")) * F.col("pb")).cast("long").alias("n01"),
+        F.sum((1 - F.col("pa")) * (1 - F.col("pb"))).cast("long").alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    pe_num = (F.col("n11") + F.col("n10")).cast("double") * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ).cast("double") * (F.col("n10") + F.col("n00"))
+    return m.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round((F.col("n11") + F.col("n00")).cast("double") / F.col("n"), 6).alias("p_observed"),
+        F.round(pe_num / (nd * F.col("n")), 6).alias("p_expected"),
+        F.when(
+            nd * F.col("n") - pe_num != 0,
+            F.round(
+                ((F.col("n11") + F.col("n00")).cast("double") * F.col("n") - pe_num)
+                / (nd * F.col("n") - pe_num),
+                6,
+            ),
+        ).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-sample with uniformity audit
+# ---------------------------------------------------------------------------
+_SAMPLE_BUCKETS = 20
+
+
+def hash_sample_audit(
+    docs: DataFrame,
+    n_buckets: int = _SAMPLE_BUCKETS,
+    id_col: str = "doc_id",
+    method: str = "md5",
+) -> DataFrame:
+    """(bucket, n_docs, n_tokens_approx..., chisq contribution) — the
+    audit behind reproducible hash sampling: bucket docs by a
+    deterministic hash of their id (bucket < k ⟺ "in the k/n sample"),
+    then report how UNIFORM the buckets actually are, with each bucket's
+    χ² contribution (obs − exp)²/exp against the uniform expectation.
+    A skewed bucket histogram means hash sampling is silently biased
+    (correlated ids, bad hash) — the check run BEFORE trusting any
+    "deterministic 5% sample" downstream.
+
+    One map-side bucket projection + a k-row aggregate; the χ² pieces
+    are assembled per bucket from exact counts (exp is rational: n/k
+    carried as integers, contribution = (k·obs − n)² / (k·n) in one
+    fixed-order IEEE step, rounded 6dp).
+    """
+    b = _feature_bucket(F.col(id_col).cast("string"), n_buckets, method=method)
+    counts = (
+        docs.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_docs",
+            F.round(
+                (F.lit(n_buckets) * F.col("n_docs") - F.col("n_total"))
+                * (F.lit(n_buckets) * F.col("n_docs") - F.col("n_total"))
+                / (F.lit(float(n_buckets)) * F.col("n_total")),
+                6,
+            ).alias("chisq_part"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q325_hash_sample_audit",
+    oracle=f"""
+        WITH b AS (
+            SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % {_SAMPLE_BUCKETS} AS bucket
+            FROM documents
+        ),
+        counts AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM b GROUP BY bucket),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts)
+        SELECT bucket, n_docs,
+               ROUND(CAST(({_SAMPLE_BUCKETS} * n_docs - n_total)
+                          * ({_SAMPLE_BUCKETS} * n_docs - n_total) AS DOUBLE)
+                     / ({_SAMPLE_BUCKETS}.0 * n_total), 6) AS chisq_part
+        FROM counts CROSS JOIN tot
+        ORDER BY bucket
+    """,
+    doc=(
+        "reproducible-sampling uniformity audit: md5 id-buckets (the "
+        "portable _feature_bucket), per-bucket doc counts and chi-square "
+        "contributions vs uniform — run before trusting a deterministic "
+        "hash sample. Map-side bucketing, k-row aggregate, integer-exact "
+        "chi-square numerators."
+    ),
+    tags=("curation", "sampling", "quality"),
+)
+def q325_hash_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return hash_sample_audit(docs)

@@ -1243,3 +1243,27 @@ def test_blocklist_census_quoted_phrase_oracle_safe(spark):
         f"WITH phrases(phrase) AS (VALUES {values}) SELECT phrase FROM phrases"
     ).fetchone()[0]
     assert got == "don't"
+
+
+def test_luhn_audit_known_numbers(spark):
+    """4111111111111111 is the canonical Luhn-valid test PAN;
+    4111111111111112 fails; a 12-digit run is not a candidate; a
+    20-digit run is a (single, invalid-length-excluded) maximal run."""
+    from ai_batch_processing_spark.operators.curation import luhn_pii_audit
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay with 4111111111111111 now"),
+            (2, "bad card 4111111111111112 here"),
+            (3, "short 123456789012 run"),
+            (4, "long 41111111111111110000 run"),
+            (5, "two cards 4111111111111111 and 5500005555555559"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_candidates, r.n_luhn_valid) for r in luhn_pii_audit(df).collect()}
+    assert out[1] == (1, 1)
+    assert out[2] == (1, 0)
+    assert 3 not in out  # 12 digits: below the candidate window
+    assert 4 not in out  # 20 digits: one maximal run, too long
+    assert out[5] == (2, 2)  # both canonical test PANs validate
