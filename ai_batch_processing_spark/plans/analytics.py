@@ -4136,3 +4136,109 @@ def kaplan_meier_return(events: DataFrame) -> DataFrame:
 def q321_kaplan_meier_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     return kaplan_meier_return(ev)
+
+
+# --- q326: portable log-bucket quantiles (the bounded-state quantile) ---------
+# The quantile shape that SURVIVES streaming: exact percentiles need all
+# values; approx_percentile's sketch isn't cross-engine; but a power-of-2
+# bucket histogram is BOUNDED (<= 64 buckets), libm-free (bucket = bit
+# length of the centi-scaled integer — no log() whose last ULP differs
+# between engines), mergeable across batches, and answers "which order of
+# magnitude is p99 in", which is what latency/size dashboards actually ask.
+def log_bucket_quantiles(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """(event_type, n, p50_bucket, p50_lo, p50_hi, p99_bucket, p99_lo,
+    p99_hi): per event type, the power-of-2 bucket holding the type-1
+    p50/p99 of ``value``, with the bucket's [lo, hi] value bounds.
+    Bucket = length(bin(round(value·100))) — pure integer ops, identical
+    in any engine; a bucket b covers [2^(b−1), 2^b − 1] centi-units.
+
+    BOUNDED window: cumulative counts over the per-type bucket histogram
+    (≤ 64 rows per type). The same histogram is what
+    :func:`~ai_batch_processing_spark.streaming.events.stream_log_bucket_quantiles`
+    carries as per-key state across micro-batches — this is its
+    hash-gated batch twin.
+    """
+    scaled = F.round(F.col(value_col) * 100).cast("long")
+    b = (
+        events.select("event_type", scaled.alias("s"))
+        .filter(F.col("s") > 0)
+        .select("event_type", F.length(F.bin(F.col("s"))).cast("long").alias("bucket"))
+    )
+    h = b.groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("k"))
+    # BOUNDED window: over the per-type power-of-2 bucket histogram
+    w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = h.select("event_type", "bucket", F.sum("k").over(w).alias("ck"))
+    tot = h.groupBy("event_type").agg(F.sum("k").cast("long").alias("n"))
+    picks = (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.min(F.when(F.col("ck") * 100 >= F.col("n") * 50, F.col("bucket"))).alias("p50_bucket"),
+            F.min(F.when(F.col("ck") * 100 >= F.col("n") * 99, F.col("bucket"))).alias("p99_bucket"),
+        )
+    )
+    # shiftleft needs a literal bit count in the Column API — F.expr for
+    # the column-valued shift (integer-exact at any bucket, unlike pow)
+    lo = lambda c: F.round(F.expr(f"shiftleft(1L, cast({c} - 1 as int))") / 100.0, 6)  # noqa: E731
+    hi = lambda c: F.round((F.expr(f"shiftleft(1L, cast({c} as int))") - 1) / 100.0, 6)  # noqa: E731
+    return picks.select(
+        "event_type",
+        "n",
+        "p50_bucket",
+        lo("p50_bucket").alias("p50_lo"),
+        hi("p50_bucket").alias("p50_hi"),
+        "p99_bucket",
+        lo("p99_bucket").alias("p99_lo"),
+        hi("p99_bucket").alias("p99_hi"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q326_log_bucket_quantiles",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   CAST(length(bin(CAST(ROUND(value * 100) AS BIGINT))) AS BIGINT) AS bucket
+            FROM events
+            WHERE CAST(ROUND(value * 100) AS BIGINT) > 0
+        ),
+        h AS (SELECT event_type, bucket, COUNT(*) AS k FROM b GROUP BY event_type, bucket),
+        cum AS (
+            SELECT event_type, bucket,
+                   SUM(k) OVER (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck
+            FROM h
+        ),
+        tot AS (SELECT event_type, CAST(SUM(k) AS BIGINT) AS n FROM h GROUP BY event_type),
+        picks AS (
+            SELECT c.event_type, t.n,
+                   MIN(CASE WHEN c.ck * 100 >= t.n * 50 THEN c.bucket END) AS p50_bucket,
+                   MIN(CASE WHEN c.ck * 100 >= t.n * 99 THEN c.bucket END) AS p99_bucket
+            FROM cum c JOIN tot t USING (event_type)
+            GROUP BY c.event_type, t.n
+        )
+        SELECT event_type, n,
+               p50_bucket,
+               ROUND((1::BIGINT << CAST(p50_bucket - 1 AS INT)) / 100.0, 6) AS p50_lo,
+               ROUND(((1::BIGINT << CAST(p50_bucket AS INT)) - 1) / 100.0, 6) AS p50_hi,
+               p99_bucket,
+               ROUND((1::BIGINT << CAST(p99_bucket - 1 AS INT)) / 100.0, 6) AS p99_lo,
+               ROUND(((1::BIGINT << CAST(p99_bucket AS INT)) - 1) / 100.0, 6) AS p99_hi
+        FROM picks
+        ORDER BY event_type
+    """,
+    doc=(
+        "portable log-bucket p50/p99 per event type: power-of-2 value "
+        "buckets via bit length of the centi-scaled integer (libm-free, "
+        "bounded <=64 buckets, mergeable) — the quantile representation "
+        "whose state survives streaming; stream_log_bucket_quantiles "
+        "carries the identical histogram across micro-batches "
+        "(pytest-pinned parity)."
+    ),
+    tags=("analytics", "events", "stats", "sketch"),
+)
+def q326_log_bucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return log_bucket_quantiles(ev)

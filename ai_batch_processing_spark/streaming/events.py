@@ -754,3 +754,74 @@ def stream_hll_distinct(
     return stream.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_log_bucket_quantiles(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Per-event-type p50/p99 log-buckets under BOUNDED state: the q326
+    power-of-2 histogram (≤ 64 long counters per key) maintained across
+    micro-batches with ``applyInPandasWithState`` — "which order of
+    magnitude is p99 in, forever" where an exact streaming percentile
+    would hold every value. Bucket counts are commutative sums, so the
+    cross-batch fold needs no ordering pin (the HLL property) and the
+    final batch's output equals the batch twin on the same rows
+    (pytest-pinned parity including the null/NaN/<=0 drop rule).
+
+    Output per key per batch mirrors q326's row:
+    ``(event_type, n, p50_bucket, p50_lo, p50_hi, p99_bucket, p99_lo,
+    p99_hi)``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_type string, n long, p50_bucket long, p50_lo double, p50_hi double, "
+        "p99_bucket long, p99_lo double, p99_hi double"
+    )
+    state_schema = "buckets array<long>"
+    NB = 64
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        counts = list(state.get[0]) if state.exists else [0] * NB
+        for p in pdfs:
+            for v in p["value"].dropna():
+                s = int(round(v * 100))
+                if s <= 0:
+                    continue
+                counts[min(s.bit_length(), NB) - 1] += 1
+        state.update(([int(c) for c in counts],))
+        n = sum(counts)
+        if n == 0:
+            return
+        def pick(p: int) -> int:
+            ck = 0
+            for i, c in enumerate(counts):
+                ck += c
+                if ck * 100 >= n * p:
+                    return i + 1
+            return NB
+        b50, b99 = pick(50), pick(99)
+        row = {
+            "event_type": key[0],
+            "n": n,
+            "p50_bucket": b50,
+            "p50_lo": round((1 << (b50 - 1)) / 100.0, 6),
+            "p50_hi": round(((1 << b50) - 1) / 100.0, 6),
+            "p99_bucket": b99,
+            "p99_lo": round((1 << (b99 - 1)) / 100.0, 6),
+            "p99_hi": round(((1 << b99) - 1) / 100.0, 6),
+        }
+        yield pd.DataFrame([row], columns=list(row))
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

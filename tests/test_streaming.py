@@ -799,3 +799,55 @@ def test_stream_hll_skips_null_user_ids(spark, tmp_path):
     ref = hll_estimate(hll_registers(keys, "k")).collect()[0]
     assert final.n_occupied == 256 - ref.n_zero_registers
     assert abs(final.estimate - ref.hll_estimate) < 1e-9
+
+
+def test_stream_log_bucket_quantiles_matches_batch(spark, tmp_path):
+    """The per-key power-of-2 histogram carried across micro-batches must
+    yield the SAME (n, buckets, bounds) row as q326's batch twin on the
+    same rows — bucket counts are commutative sums, so batch boundaries
+    cannot move the result."""
+    from ai_batch_processing_spark.plans.analytics import log_bucket_quantiles
+    from ai_batch_processing_spark.streaming.events import stream_log_bucket_quantiles
+
+    vals = [0.01, 0.05, 0.2, 0.5, 1.0, 1.27, 1.28, 3.0, 7.5, 100.0, 250.0, 0.0]
+    rows = [
+        {
+            "event_id": i,
+            "ts": f"2024-01-01T00:{i % 60:02d}:00",
+            "user_id": i,
+            "event_type": "lat",
+            "value": v,
+            "props": "{}",
+        }
+        for i, v in enumerate(vals)
+    ]
+    d = tmp_path / "lbq"
+    d.mkdir()
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in rows[:6]))
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[6:]))
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, f in enumerate(["b0.json", "b1.json"]):
+        _os.utime(d / f, (now - 60 * (2 - i), now - 60 * (2 - i)))
+    sdf = stream_log_bucket_quantiles(spark, str(d), max_files_per_trigger=1)
+    q = (
+        sdf.writeStream.format("memory").queryName("t_lbq").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_lbq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    batches = spark.sql("SELECT * FROM t_lbq").collect()
+    final = max(batches, key=lambda r: r.n)  # last batch has the full n
+    ev = spark.createDataFrame(
+        [(i, r["ts"], r["user_id"], r["event_type"], r["value"], "{}") for i, r in enumerate(rows)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ref = log_bucket_quantiles(ev).collect()[0]
+    assert (final.n, final.p50_bucket, final.p99_bucket) == (ref.n, ref.p50_bucket, ref.p99_bucket)
+    assert (final.p50_lo, final.p50_hi, final.p99_lo, final.p99_hi) == (
+        ref.p50_lo, ref.p50_hi, ref.p99_lo, ref.p99_hi,
+    )
