@@ -5348,3 +5348,108 @@ def hash_sample_audit(
 def q325_hash_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return hash_sample_audit(docs)
+
+
+# ---------------------------------------------------------------------------
+# Curation attrition funnel (why did the corpus shrink?)
+# ---------------------------------------------------------------------------
+def curation_attrition(docs: DataFrame) -> DataFrame:
+    """(stage, n_reaching, n_dropped, drop_pct) for the ordered filter
+    chain min-tokens → alpha-ratio → readability → quality-score, plus a
+    ``z_survived`` row — the attrition report that answers "why did my
+    corpus shrink 40%" BEFORE anyone re-runs the pipeline with logging
+    bolted on. Each document is charged to the FIRST stage it fails
+    (stages are cheap projections, so one pass computes every verdict).
+
+    Scale shape: one Catalyst projection per doc → a ≤5-row first-fail
+    histogram; the funnel's cumulative "reaching" counts are a window
+    over that histogram. BOUNDED window: 5 stage rows, never corpus-
+    sized. Thresholds mirror q49/q319's gated definitions.
+    """
+    from ai_batch_processing_spark.operators.text import flesch_scores, quality_features
+
+    qf = quality_features(docs).select("doc_id", "n_tokens", "alpha_ratio", "quality_score")
+    fl = flesch_scores(docs).select("doc_id", "flesch_ease")
+    j = qf.join(fl, "doc_id")
+    first_fail = (
+        F.when(F.col("n_tokens") < 40, "a_min_tokens")
+        .when(F.col("alpha_ratio") < 0.6, "b_alpha_ratio")
+        .when(F.col("flesch_ease") < 30.0, "c_readability")
+        .when(F.col("quality_score") < 0.6, "d_quality_score")
+        .otherwise("z_survived")
+    )
+    h = j.select(first_fail.alias("stage")).groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped")
+    )
+    tot = h.agg(F.sum("n_dropped").cast("long").alias("n_total"))
+    # BOUNDED window: over the <=5-row stage histogram
+    w = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, -1)
+    funnel = (
+        h.crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            (F.col("n_total") - F.coalesce(F.sum("n_dropped").over(w), F.lit(0)))
+            .cast("long")
+            .alias("n_reaching"),
+            F.when(F.col("stage") == "z_survived", F.lit(0).cast("long"))
+            .otherwise(F.col("n_dropped"))
+            .alias("n_dropped"),
+        )
+        .select(
+            "stage",
+            "n_reaching",
+            "n_dropped",
+            F.round(F.col("n_dropped") / F.col("n_reaching").cast("double"), 6).alias("drop_pct"),
+        )
+    )
+    return funnel.orderBy("stage")
+
+
+def _attrition_oracle() -> str:
+    from ai_batch_processing_spark.registry import registered_oracle
+
+    q49 = registered_oracle("q49_quality_score")
+    q319 = registered_oracle("q319_flesch_readability")
+    return f"""
+        WITH qf AS (SELECT doc_id, n_tokens, alpha_ratio, quality_score FROM ({q49})),
+        fl AS (SELECT doc_id, flesch_ease FROM ({q319})),
+        j AS (SELECT qf.*, fl.flesch_ease FROM qf JOIN fl USING (doc_id)),
+        ff AS (
+            SELECT CASE WHEN n_tokens < 40 THEN 'a_min_tokens'
+                        WHEN alpha_ratio < 0.6 THEN 'b_alpha_ratio'
+                        WHEN flesch_ease < 30.0 THEN 'c_readability'
+                        WHEN quality_score < 0.6 THEN 'd_quality_score'
+                        ELSE 'z_survived' END AS stage
+            FROM j
+        ),
+        h AS (SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_dropped FROM ff GROUP BY stage),
+        tot AS (SELECT CAST(SUM(n_dropped) AS BIGINT) AS n_total FROM h),
+        funnel AS (
+            SELECT stage,
+                   CAST(n_total - COALESCE(SUM(n_dropped) OVER (ORDER BY stage
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_reaching,
+                   CAST(CASE WHEN stage = 'z_survived' THEN 0 ELSE n_dropped END AS BIGINT) AS n_dropped
+            FROM h CROSS JOIN tot
+        )
+        SELECT stage, n_reaching, n_dropped,
+               ROUND(n_dropped / CAST(n_reaching AS DOUBLE), 6) AS drop_pct
+        FROM funnel
+        ORDER BY stage
+    """
+
+
+@register(
+    "q327_curation_attrition",
+    oracle=_attrition_oracle(),
+    doc=(
+        "curation attrition funnel: each doc charged to the FIRST filter "
+        "it fails (min-tokens -> alpha -> readability -> quality), "
+        "per-stage reaching/dropped/drop-rate plus the survivor row — "
+        "one projection pass, a <=5-row histogram, a bounded funnel "
+        "window. Thresholds composed from the gated q49/q319 oracles."
+    ),
+    tags=("curation", "quality", "report"),
+)
+def q327_curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return curation_attrition(docs)

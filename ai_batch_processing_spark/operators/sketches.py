@@ -712,3 +712,97 @@ def q310_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     coords.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# Join-size estimation from count-min sketches (AMS inner product)
+# --------------------------------------------------------------------------
+def cms_join_size(
+    cms_a: DataFrame, cms_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """One row ``(est)``: the count-min join-size estimate — min over the
+    ``depth`` hash rows of the row-wise counter inner product
+    Σ_col a[r,c]·b[r,c] (Alon-Matias-Szegedy sketch inner product in its
+    CM form; one-sided: est ≥ true join size, like every CM read).
+    Sketch-sized work only: the join touches ≤ depth·width cells.
+    """
+    a = cms_a.select("row_idx", "col_idx", F.col("counter").alias("ca"))
+    b = cms_b.select("row_idx", "col_idx", F.col("counter").alias("cb"))
+    return (
+        a.join(b, ["row_idx", "col_idx"])
+        .groupBy("row_idx")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("est"))
+    )
+
+
+@register(
+    "q328_join_size_estimate",
+    oracle="""
+        WITH keys_o AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+        keys_c AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+        cells_o AS (
+            SELECT d.r AS row_idx,
+                   CAST(('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' || k), 1, 8))
+                        AS BIGINT) % 256 AS col_idx
+            FROM keys_o, range(4) d(r)
+        ),
+        cells_c AS (
+            SELECT d.r AS row_idx,
+                   CAST(('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' || k), 1, 8))
+                        AS BIGINT) % 256 AS col_idx
+            FROM keys_c, range(4) d(r)
+        ),
+        cms_o AS (SELECT row_idx, col_idx, COUNT(*) AS ca FROM cells_o GROUP BY 1, 2),
+        cms_c AS (SELECT row_idx, col_idx, COUNT(*) AS cb FROM cells_c GROUP BY 1, 2),
+        ip AS (
+            SELECT o.row_idx, SUM(o.ca * c.cb) AS ip
+            FROM cms_o o JOIN cms_c c USING (row_idx, col_idx)
+            GROUP BY o.row_idx
+        ),
+        est AS (SELECT CAST(MIN(ip) AS BIGINT) AS cms_estimate FROM ip),
+        act AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT exact_join_rows, cms_estimate,
+               ROUND((cms_estimate - exact_join_rows) * 1.0
+                     / exact_join_rows, 6) AS overestimate_frac
+        FROM act CROSS JOIN est
+    """,
+    doc=(
+        "join-size estimation BEFORE the join: count-min sketches of "
+        "orders.o_custkey and customer.c_custkey, AMS inner product "
+        "(min over hash rows of the counter dot product) vs the exact "
+        "join count — the sketch a planner consults to pick "
+        "broadcast/shuffle/salt when statistics are stale. One-sided "
+        "error pinned in the overestimate_frac column."
+    ),
+    tags=("sketch", "join", "scale"),
+)
+def q328_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    co = count_min(
+        t["orders"].select(F.col("o_custkey").cast("string").alias("k")),
+        "k", depth=4, width=256, method="md5",
+    )
+    cc = count_min(
+        t["customer"].select(F.col("c_custkey").cast("string").alias("k")),
+        "k", depth=4, width=256, method="md5",
+    )
+    est = cms_join_size(co, cc).select(F.col("est").alias("cms_estimate"))
+    act = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_join_rows"))
+    )
+    return act.crossJoin(F.broadcast(est)).select(
+        "exact_join_rows",
+        "cms_estimate",
+        F.round(
+            (F.col("cms_estimate") - F.col("exact_join_rows"))
+            * 1.0
+            / F.col("exact_join_rows"),
+            6,
+        ).alias("overestimate_frac"),
+    )
