@@ -111,6 +111,70 @@ def registered_oracle(name: str) -> str:
 # order after the listed ones. All queries stay registered either way —
 # this only biases WHICH subset a capped driver proves.
 _PRIORITY = [
+    # ---- round-9 gate prefix (the driver caps at ~50 rows) ----
+    # New round-9 operators first: char-granule ExactSubstr, JS divergence,
+    # cross-source dup matrix, Flesch, nucleus vocab, Kaplan-Meier,
+    # truncated-embedding recall, Luhn PII, Cohen's kappa, hash-sample
+    # audit, log-bucket quantiles, attrition funnel, CM join-size.
+    "q316_exact_substr_char_spans",
+    "q317_js_divergence_sources",
+    "q318_cross_source_dup_matrix",
+    "q319_flesch_readability",
+    "q320_nucleus_vocab_size",
+    "q321_kaplan_meier_return",
+    "q322_truncated_embedding_recall",
+    "q323_luhn_pii_audit",
+    "q324_quality_rater_agreement",
+    "q325_hash_sample_audit",
+    "q326_log_bucket_quantiles",
+    "q327_curation_attrition",
+    "q328_join_size_estimate",
+    # r8-verdict item 1: the adaptive pagerank/k-NN kernels and _pair_dot
+    # changed these queries' execution paths AFTER their last driver gate —
+    # re-prove them with fresh CORRECTNESS_r09 rows.
+    "q122_pagerank_knn_graph",
+    "q149_knn_edges_approx_verified",
+    "q150_pagerank_approx_knn_graph",
+    "q162_pagerank_replicated_verified",
+    "q272_kcore_members",
+    "q282_mutual_knn_pairs",
+    "q291_textrank_keywords",
+    "q298_labelprop_modularity",
+    "q299_personalized_pagerank",
+    "q45_ann_bruteforce_topk",
+    # queries whose code or oracle changed in round 9 (gopher trim rules,
+    # duplicate-span caching, q03/q99 gated-broadcast reorder, spearman
+    # decimal operands, layout-audit normalization, blocklist escaping,
+    # funnel NULLIF guards, minhash sig_mode threading):
+    "q164_gopher_quality_rules",
+    "q171_duplicate_spans",
+    "q03_region_revenue",
+    "q99_nation_trade_volume",
+    "q286_spearman_chars_tokens",
+    "q311_input_layout_audit",
+    "q304_blocklist_census",
+    "q306_ordered_funnel",
+    "q42_dedup_minhash_lsh",
+    "q131_minhash_jaccard_verified",
+    # rotation: the oldest-gated tail (last driver rows r1/r2; computed
+    # from the union of CORRECTNESS_r1-r8).
+    "q81_regex_extract",
+    "q82_higher_order_array_funcs",
+    "q89_multiset_setops",
+    "q100_product_profit",
+    "q101_decontaminate_ngram",
+    "q102_pii_redaction",
+    "q103_sequence_packing",
+    "q104_mixture_reweighting",
+    "q108_chunk_documents",
+    "q109_split_assignment",
+    "q110_repetition_metrics",
+    "q111_cross_doc_ngram_overlap",
+    "q112_tfidf_top_terms",
+    "q113_vocab_zipf_stats",
+    "q114_unigram_surprise",
+    "q115_incremental_dedup",
+    "q116_embedding_outliers",
     # ---- round-8 gate prefix (the driver caps at ~50 rows) ----
     # Second round-8 batch, newest first: Adamic-Adar link prediction,
     # change-point split, Spearman-from-histograms, Hill tail index,
