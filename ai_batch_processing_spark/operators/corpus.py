@@ -3535,3 +3535,226 @@ def nucleus_vocab_size(docs: DataFrame, pcts: tuple[int, ...] = _NUCLEUS_PCTS) -
 def q320_nucleus_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return nucleus_vocab_size(docs)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) two-sample test from histograms
+# ---------------------------------------------------------------------------
+def mann_whitney_u(a_vals: DataFrame, b_vals: DataFrame, col: str = "v") -> DataFrame:
+    """One row ``(na, nb, u2x, auc, z)``: the Mann-Whitney U test between
+    two integer-feature samples — the rank companion to q313's KS (KS
+    sees the worst single gap; U sees the whole-distribution shift and
+    doubles as AUC: P(X > Y) + ½P(X = Y)). Mann & Whitney 1947.
+
+    NO row ranking: with value histograms c_a(v), c_b(v),
+    2·U_a = Σ_v c_a(v)·(2·C_b(<v) + c_b(v)) — exact BIGINT throughout
+    (the doubling absorbs the ½ tie credit, the q286 doubled-rank
+    trick). The normal approximation uses the tie-corrected variance
+    σ² = (na·nb/12)·((n+1) − Σ(t³−t)/(n(n−1))) with every moment an
+    exact integer sum; z is ONE fixed-order IEEE assembly, 6dp. auc =
+    U_a/(na·nb), the probability a random a-value exceeds a random
+    b-value (ties half-credited).
+
+    BOUNDED windows: cumulative counts over the union value histogram —
+    rows = distinct feature values, never corpus-sized.
+    """
+    ha = a_vals.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("ca"))
+    hb = b_vals.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("cb"))
+    full = ha.join(hb, "v", "full").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    # BOUNDED window: over the union value histogram
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = full.select(
+        "v",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(w), F.lit(0)).alias("cb_lt"),
+        (F.col("ca") + F.col("cb")).alias("t"),
+    )
+    m = cum.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("cb_lt") + F.col("cb"))).cast("long").alias("u2x"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("long").alias("tie3"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    n = na + nb
+    u = F.col("u2x").cast("double") / 2.0
+    var = (na * nb / 12.0) * ((n + 1.0) - F.col("tie3").cast("double") / (n * (n - 1.0)))
+    return m.select(
+        "na",
+        "nb",
+        "u2x",
+        F.round(u / (na * nb), 6).alias("auc"),
+        F.when(
+            var > 0, F.round((u - na * nb / 2.0) / F.sqrt(var), 6)
+        ).alias("z"),
+    )
+
+
+@register(
+    "q329_mann_whitney_sources",
+    oracle=r"""
+        WITH feats AS (
+            SELECT source,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS v
+            FROM documents
+        ),
+        ha AS (SELECT v, COUNT(*) AS ca FROM feats WHERE source = 'src0' GROUP BY v),
+        hb AS (SELECT v, COUNT(*) AS cb FROM feats WHERE source <> 'src0' GROUP BY v),
+        full_h AS (
+            SELECT COALESCE(ha.v, hb.v) AS v,
+                   COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+            FROM ha FULL JOIN hb ON ha.v = hb.v
+        ),
+        cum AS (
+            SELECT v, ca, cb,
+                   COALESCE(SUM(cb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb_lt,
+                   ca + cb AS t
+            FROM full_h
+        ),
+        m AS (
+            SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb,
+                   CAST(SUM(ca * (2 * cb_lt + cb)) AS BIGINT) AS u2x,
+                   CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+            FROM cum
+        )
+        SELECT na, nb, u2x,
+               ROUND((u2x / 2.0) / (CAST(na AS DOUBLE) * nb), 6) AS auc,
+               CASE WHEN (CAST(na AS DOUBLE) * nb / 12.0)
+                         * ((CAST(na AS DOUBLE) + nb + 1.0)
+                            - tie3 / ((CAST(na AS DOUBLE) + nb)
+                                      * (CAST(na AS DOUBLE) + nb - 1.0))) > 0
+                    THEN ROUND((u2x / 2.0 - CAST(na AS DOUBLE) * nb / 2.0)
+                               / sqrt((CAST(na AS DOUBLE) * nb / 12.0)
+                                      * ((CAST(na AS DOUBLE) + nb + 1.0)
+                                         - tie3 / ((CAST(na AS DOUBLE) + nb)
+                                                   * (CAST(na AS DOUBLE) + nb - 1.0)))), 6)
+               END AS z
+        FROM m
+    """,
+    doc=(
+        "Mann-Whitney U / rank-sum test of src0 vs the rest on token "
+        "counts WITHOUT ranking rows: 2U from the doubled-tie identity "
+        "over the union value histogram (exact BIGINT), tie-corrected "
+        "normal z in one fixed-order assembly, plus the AUC reading "
+        "P(X>Y)+half-ties — the whole-shift companion to q313's "
+        "worst-gap KS."
+    ),
+    tags=("corpus", "stats", "drift"),
+)
+def q329_mann_whitney_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    feats = docs.select("source", F.size(tokens_expr("text")).cast("long").alias("v"))
+    return mann_whitney_u(
+        feats.where(F.col("source") == "src0").select("v"),
+        feats.where(F.col("source") != "src0").select("v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (lang × source contingency)
+# ---------------------------------------------------------------------------
+def chi_square_independence(
+    docs: DataFrame, row_col: str = "lang", col_col: str = "source"
+) -> DataFrame:
+    """One row ``(n, n_row_cats, n_col_cats, dof, chi2)``: Pearson's
+    chi-square test of independence over the ``row_col`` × ``col_col``
+    contingency table — "is language mix independent of source?", the
+    census-level audit run before stratifying anything on either field
+    (Pearson 1900).
+
+    Exactness: each cell's term is (o·n − r·c)²/(n·r·c) with the square
+    taken in DECIMAL(38,0) (o·n reaches ~1e24 at a 100 TB corpus — past
+    BIGINT), one IEEE division per cell snapped to a 1e-6-scaled long,
+    then an exact integer sum. The table is category-bounded (langs ×
+    sources), so every frame past the first aggregate is tiny.
+    """
+    sparse = docs.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = sparse.groupBy("r").agg(F.sum("o").alias("rt"))
+    cols = sparse.groupBy("c").agg(F.sum("o").alias("ct"))
+    tot = sparse.agg(F.sum("o").cast("long").alias("n"))
+    # DENSE grid: an absent (r, c) cell is an OBSERVED ZERO and still
+    # contributes rt·ct/n to chi-square — the sparse groupBy alone
+    # undercounts (a diagonal-only 2×2 would read 20, not 40)
+    cells = (
+        rows.crossJoin(cols)
+        .join(sparse, ["r", "c"], "left")
+        .select("r", "c", "rt", "ct", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    dec = "decimal(38,0)"
+    j = cells.crossJoin(F.broadcast(tot))
+    num = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast(dec)
+    term = (num * num).cast(dec).cast("double") / (
+        F.col("n").cast("double") * F.col("rt") * F.col("ct")
+    )
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.count_distinct("r").cast("long").alias("n_row_cats"),
+        F.count_distinct("c").cast("long").alias("n_col_cats"),
+        F.sum(F.round(term * 1e6).cast("long")).alias("chi2_micro"),
+    )
+    return agg.select(
+        "n",
+        "n_row_cats",
+        "n_col_cats",
+        ((F.col("n_row_cats") - 1) * (F.col("n_col_cats") - 1)).alias("dof"),
+        F.round(F.col("chi2_micro") / 1e6, 6).alias("chi2"),
+    )
+
+
+@register(
+    "q330_chi_square_lang_source",
+    oracle="""
+        WITH cells AS (
+            SELECT lang AS r, source AS c, COUNT(*) AS o
+            FROM documents GROUP BY lang, source
+        ),
+        rows_t AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY r),
+        cols_t AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY c),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        dense AS (
+            SELECT rows_t.r, cols_t.c, rt, ct, COALESCE(cells.o, 0) AS o
+            FROM rows_t CROSS JOIN cols_t
+            LEFT JOIN cells ON cells.r = rows_t.r AND cells.c = cols_t.c
+        ),
+        j AS (SELECT o, rt, ct, n FROM dense CROSS JOIN tot),
+        terms AS (
+            SELECT n, rt, ct,
+                   CAST(ROUND(CAST(CAST(CAST(o * n - rt * ct AS DECIMAL(38,0))
+                                        * CAST(o * n - rt * ct AS DECIMAL(38,0))
+                                   AS DECIMAL(38,0)) AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * rt * ct) * 1e6) AS BIGINT) AS t_micro
+            FROM j
+        ),
+        m AS (
+            SELECT MAX(n) AS n,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_t) AS n_row_cats,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM cols_t) AS n_col_cats,
+                   SUM(t_micro) AS chi2_micro
+            FROM terms
+        )
+        SELECT n, n_row_cats, n_col_cats,
+               (n_row_cats - 1) * (n_col_cats - 1) AS dof,
+               ROUND(chi2_micro / 1e6, 6) AS chi2
+        FROM m
+    """,
+    doc=(
+        "Pearson chi-square independence of lang x source: contingency "
+        "cells, DECIMAL(38,0) squared numerators (o*n overflows BIGINT "
+        "at 100 TB), per-cell terms snapped to 1e-6 longs for an "
+        "order-free exact sum — the stratification-sanity audit."
+    ),
+    tags=("corpus", "stats", "quality"),
+)
+def q330_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return chi_square_independence(docs)

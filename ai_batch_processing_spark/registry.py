@@ -129,6 +129,8 @@ _PRIORITY = [
     "q326_log_bucket_quantiles",
     "q327_curation_attrition",
     "q328_join_size_estimate",
+    "q329_mann_whitney_sources",
+    "q330_chi_square_lang_source",
     # r8-verdict item 1: the adaptive pagerank/k-NN kernels and _pair_dot
     # changed these queries' execution paths AFTER their last driver gate —
     # re-prove them with fresh CORRECTNESS_r09 rows.

@@ -651,3 +651,40 @@ def test_capture_recapture_disjoint_and_identical_halves(spark):
     )
     out2 = capture_recapture_vocab(disj).collect()[0]
     assert out2.overlap == 0 and out2.chapman_estimate == 8.0
+
+
+def test_mann_whitney_known_small_sample(spark):
+    """a = {1,2,3}, b = {2,3,4}: pairwise comparisons a>b: (2>? no...)
+    count pairs (x from a, y from b): x>y pairs = (2,?):2>? none... hand
+    enumeration: pairs where a>b: (2,?) none vs 2? a=2 > b=? {}; full
+    grid 9 pairs: a1:(<2,<3,<4)=0; a2:(=2 ->0.5, <3, <4)=0.5;
+    a3:(>2 ->1, =3 ->0.5, <4)=1.5. U_a = 2.0 -> 2U = 4. AUC = 2/9."""
+    from ai_batch_processing_spark.operators.corpus import mann_whitney_u
+
+    a = spark.createDataFrame([(1,), (2,), (3,)], "v long")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "v long")
+    r = mann_whitney_u(a, b).collect()[0]
+    assert (r.na, r.nb, r.u2x) == (3, 3, 4)
+    assert r.auc == round(2.0 / 9.0, 6)
+    # symmetry: 2U_a + 2U_b = 2*na*nb = 18, so the swapped side is 14
+    r2 = mann_whitney_u(b, a).collect()[0]
+    assert r2.u2x == 14 and r.u2x + r2.u2x == 18
+
+
+def test_chi_square_independent_and_dependent(spark):
+    """A perfectly proportional 2x2 table has chi2 = 0; a diagonal-only
+    table of n=40 has chi2 = n = 40 (the maximal 2x2 association)."""
+    from ai_batch_processing_spark.operators.corpus import chi_square_independence
+
+    prop = spark.createDataFrame(
+        [("en", "a")] * 10 + [("en", "b")] * 20 + [("fr", "a")] * 5 + [("fr", "b")] * 10,
+        "lang string, source string",
+    )
+    r = chi_square_independence(prop).collect()[0]
+    assert (r.n, r.dof) == (45, 1)
+    assert r.chi2 == 0.0
+    diag = spark.createDataFrame(
+        [("en", "a")] * 20 + [("fr", "b")] * 20, "lang string, source string"
+    )
+    r2 = chi_square_independence(diag).collect()[0]
+    assert r2.chi2 == 40.0
