@@ -55,7 +55,9 @@ def exact_dedup(df: DataFrame, key_cols: list[str], keep_min: str) -> DataFrame:
     )
 
 
-def exact_dedup_hashed(df: DataFrame, key_cols: list[str], keep_min: str) -> DataFrame:
+def exact_dedup_hashed(
+    df: DataFrame, key_cols: list[str], keep_min: str, carry_keys: bool = True
+) -> DataFrame:
     """``exact_dedup`` for PAYLOAD-SIZED keys (document text): group on a
     128-bit content hash instead of the raw key.
 
@@ -77,16 +79,23 @@ def exact_dedup_hashed(df: DataFrame, key_cols: list[str], keep_min: str) -> Dat
     h1 = F.xxhash64(*marked)
     h2 = F.xxhash64(F.lit(0x5F3E), *marked)
     others = [c for c in df.columns if c not in key_cols]
-    packed = F.struct(
-        F.col(keep_min),
-        *[F.col(c) for c in others if c != keep_min],
-        *[F.col(c) for c in key_cols],
-    )
+    carried = [c for c in others if c != keep_min] + (key_cols if carry_keys else [])
+    if not carried:
+        # Nothing rides along but the survivor id: aggregate it directly —
+        # the shuffle then moves (16-byte hash, id, count) and the payload
+        # key (multi-KB text) never leaves the scan stage. This is the
+        # shape a 100 TB dedup COUNT/ID pass should take; set
+        # ``carry_keys=True`` (default) to get the full rows back.
+        agg = df.groupBy(h1.alias("_h1"), h2.alias("_h2")).agg(
+            F.min(keep_min).alias(keep_min), F.count(F.lit(1)).alias("n_copies")
+        )
+        return agg.select(keep_min, "n_copies")
+    packed = F.struct(F.col(keep_min), *[F.col(c) for c in carried])
     agg = df.groupBy(h1.alias("_h1"), h2.alias("_h2")).agg(
         F.min(packed).alias("_rep"), F.count(F.lit(1)).alias("n_copies")
     )
     return agg.select(
-        *[F.col(f"_rep.{c}").alias(c) for c in key_cols],
+        *([F.col(f"_rep.{c}").alias(c) for c in key_cols] if carry_keys else []),
         *[F.col(f"_rep.{c}").alias(c) for c in [keep_min] + [c for c in others if c != keep_min]],
         "n_copies",
     )
@@ -689,7 +698,9 @@ def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q98_dedup_exact_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     corpus = _dup_corpus_one_scan(t["documents"])
-    out = exact_dedup_hashed(corpus, ["text"], "id")
+    # carry_keys=False: the gate only needs (survivor id, copy count), so
+    # the shuffle moves 32 bytes/row instead of the document text
+    out = exact_dedup_hashed(corpus, ["text"], "id", carry_keys=False)
     return out.select(F.col("id").cast("long").alias("id"), "n_copies").orderBy("id")
 
 
