@@ -2536,6 +2536,126 @@ def q268_token_deciles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_deciles_by_source(docs).orderBy("source", "decile")
 
 
+def mad_outlier_audit(docs: DataFrame, z_cut: float = 3.5) -> DataFrame:
+    """(source, n_docs, median_ntok, mad_ntok, n_outliers, outlier_ppm):
+    robust per-source length-outlier report using the median/MAD modified
+    z-score (Iglewicz & Hoaglin 1993): a document is an outlier when
+    0.6745·|v − median| / MAD > ``z_cut`` — the screen that, unlike
+    mean/stddev (q116's embedding form), cannot be dragged by the very
+    blobs it is hunting.
+
+    Rank-exact and sort-free: both medians are type-1 (lower) quantiles
+    read off bounded histograms — token-count bins for the median, then
+    |v − median| deviation bins for the MAD — so every statistic is exact
+    integer arithmetic and the outlier test compares the two products
+    ``0.6745·dev`` vs ``z_cut·MAD`` in one fixed IEEE expression both
+    engines evaluate identically (MAD = 0 degenerates to "any deviation
+    is an outlier", same rule both sides). Nothing row-ranked: the corpus
+    collapses map-side to (source, value) bins and every window runs over
+    those bins.
+    """
+    bins = _token_count_bins(docs)
+    target = F.ceil(F.col("n") / 2.0).cast("long")
+    med = (
+        bins.filter(F.col("cum") >= target)
+        .groupBy("source")
+        .agg(F.min("v").alias("med"), F.max("n").alias("n"))
+    )
+    dev = (
+        bins.select("source", "v", "c")
+        .join(F.broadcast(med), "source")
+        .select("source", F.abs(F.col("v") - F.col("med")).alias("dev"), "c")
+        .groupBy("source", "dev")
+        .agg(F.sum("c").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev_cums = dev.withColumn("cum", F.sum("c").over(w_cum)).join(
+        F.broadcast(med.select("source", "n")), "source"
+    )
+    mad = (
+        dev_cums.filter(F.col("cum") >= target)
+        .groupBy("source")
+        .agg(F.min("dev").alias("mad"))
+    )
+    flagged = dev.join(F.broadcast(mad), "source").select(
+        "source",
+        "c",
+        (F.lit(0.6745) * F.col("dev") > F.lit(z_cut) * F.col("mad")).cast("long").alias("is_out"),
+    )
+    outs = flagged.groupBy("source").agg(F.sum(F.col("c") * F.col("is_out")).alias("n_outliers"))
+    return (
+        med.join(mad, "source")
+        .join(outs, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("med").alias("median_ntok"),
+            F.col("mad").alias("mad_ntok"),
+            "n_outliers",
+            F.expr("CAST(n_outliers * 1000000 DIV n AS BIGINT)").alias("outlier_ppm"),
+        )
+    )
+
+
+@register(
+    "q331_mad_outlier_audit",
+    oracle=f"""
+        WITH {_BINS_SQL},
+        med AS (
+            SELECT source, MIN(v) AS med, MAX(n) AS n
+            FROM cums WHERE cum >= CAST(CEIL(n / 2.0) AS BIGINT)
+            GROUP BY source
+        ),
+        dev AS (
+            SELECT b.source, ABS(b.v - m.med) AS dev, CAST(SUM(b.c) AS BIGINT) AS c
+            FROM bins b JOIN med m ON b.source = m.source
+            GROUP BY b.source, ABS(b.v - m.med)
+        ),
+        dev_cums AS (
+            SELECT d.source, d.dev, d.c, m.n,
+                   SUM(d.c) OVER (PARTITION BY d.source ORDER BY d.dev
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM dev d JOIN med m ON d.source = m.source
+        ),
+        mad AS (
+            SELECT source, MIN(dev) AS mad
+            FROM dev_cums WHERE cum >= CAST(CEIL(n / 2.0) AS BIGINT)
+            GROUP BY source
+        ),
+        outs AS (
+            SELECT d.source,
+                   CAST(SUM(d.c * CASE WHEN 0.6745 * d.dev > 3.5 * a.mad
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev d JOIN mad a ON d.source = a.source
+            GROUP BY d.source
+        )
+        SELECT m.source,
+               CAST(m.n AS BIGINT) AS n_docs,
+               m.med AS median_ntok,
+               a.mad AS mad_ntok,
+               o.n_outliers,
+               CAST(o.n_outliers * 1000000 // m.n AS BIGINT) AS outlier_ppm
+        FROM med m JOIN mad a ON m.source = a.source
+        JOIN outs o ON m.source = o.source
+        ORDER BY m.source
+    """,
+    doc=(
+        "robust length-outlier audit: per-source median + MAD + modified "
+        "z-score outlier counts (Iglewicz-Hoaglin 3.5 cut), rank-exact "
+        "from bounded value histograms — no per-row rank, no global sort, "
+        "immune to the outliers it hunts (unlike mean/stddev screens)."
+    ),
+    tags=("corpus", "stats", "robust", "outliers"),
+)
+def q331_mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return mad_outlier_audit(docs).orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # Collocation mining: Dunning log-likelihood ratio (G²) over adjacent bigrams
 # ---------------------------------------------------------------------------

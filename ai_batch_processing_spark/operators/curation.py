@@ -5467,3 +5467,359 @@ def _attrition_oracle() -> str:
 def q327_curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return curation_attrition(docs)
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox audit: pooled vs stratified pass-rate comparisons
+# ---------------------------------------------------------------------------
+def simpsons_audit(docs: DataFrame, n_bands: int = 5, band_width: int = 200) -> DataFrame:
+    """(source, n_docs, pass_ppm, rest_pass_ppm, pooled_better, bands_better,
+    bands_worse, simpson_flag): for every source, compare its quality
+    pass rate against the rest of the corpus BOTH pooled and within
+    document-length bands — and flag the sources whose pooled comparison
+    points the opposite way from every length band it appears in
+    (Simpson 1951). The audit that runs before anyone reads a per-slice
+    quality league table: a source of mostly-short documents can "beat"
+    the corpus pooled while losing inside every band.
+
+    "Pass" is the exact integer test 10·alpha_chars >= 8·n_chars (the
+    80% alpha-ratio rule, no float division); bands are
+    ``min(n_chars div band_width, n_bands-1)``. Everything downstream of
+    the one corpus scan is arithmetic over the bounded (source x band)
+    grid, and every rate comparison is cross-multiplied integers — no
+    division until the final ppm display columns, so both engines pick
+    identical signs at any corpus size.
+    """
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    cell = (
+        docs.select(
+            "source",
+            F.least(F.floor(F.length("text") / band_width), F.lit(n_bands - 1))
+            .cast("long")
+            .alias("band"),
+            (10 * alpha >= 8 * F.length("text")).cast("long").alias("p"),
+        )
+        .groupBy("source", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("p").alias("k"))
+    )
+    band_tot = cell.groupBy("band").agg(
+        F.sum("n").alias("bn"), F.sum("k").alias("bk")
+    )
+    src_tot = cell.groupBy("source").agg(F.sum("n").alias("sn"), F.sum("k").alias("sk"))
+    all_tot = cell.agg(F.sum("n").alias("tn"), F.sum("k").alias("tk"))
+    # per-(source, band) sign of src-vs-rest via cross-multiplication
+    banded = (
+        cell.join(F.broadcast(band_tot), "band")
+        .select(
+            "source",
+            (F.col("k") * (F.col("bn") - F.col("n")) > (F.col("bk") - F.col("k")) * F.col("n"))
+            .cast("long")
+            .alias("better"),
+            (F.col("k") * (F.col("bn") - F.col("n")) < (F.col("bk") - F.col("k")) * F.col("n"))
+            .cast("long")
+            .alias("worse"),
+            ((F.col("bn") - F.col("n")) > 0).cast("long").alias("valid"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("better") * F.col("valid")).alias("bands_better"),
+            F.sum(F.col("worse") * F.col("valid")).alias("bands_worse"),
+        )
+    )
+    pooled = src_tot.crossJoin(F.broadcast(all_tot)).select(
+        "source",
+        F.col("sn").alias("n_docs"),
+        F.expr("CAST(sk * 1000000 DIV sn AS BIGINT)").alias("pass_ppm"),
+        F.expr("CAST((tk - sk) * 1000000 DIV (tn - sn) AS BIGINT)").alias("rest_pass_ppm"),
+        F.when(F.col("sk") * (F.col("tn") - F.col("sn")) > (F.col("tk") - F.col("sk")) * F.col("sn"), 1)
+        .when(F.col("sk") * (F.col("tn") - F.col("sn")) < (F.col("tk") - F.col("sk")) * F.col("sn"), -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("pooled_better"),
+    )
+    out = pooled.join(banded, "source").withColumn(
+        "simpson_flag",
+        (
+            ((F.col("pooled_better") == 1) & (F.col("bands_better") == 0) & (F.col("bands_worse") > 0))
+            | ((F.col("pooled_better") == -1) & (F.col("bands_worse") == 0) & (F.col("bands_better") > 0))
+        ).cast("long"),
+    )
+    return out.select(
+        "source", "n_docs", "pass_ppm", "rest_pass_ppm",
+        "pooled_better", "bands_better", "bands_worse", "simpson_flag",
+    )
+
+
+@register(
+    "q333_simpsons_audit",
+    oracle="""
+        WITH cell AS (
+            SELECT source,
+                   LEAST(CAST(FLOOR(length(text) / 200) AS BIGINT), 4) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN 10 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                      >= 8 * length(text) THEN 1 ELSE 0 END) AS BIGINT) AS k
+            FROM documents GROUP BY 1, 2
+        ),
+        band_tot AS (SELECT band, SUM(n) AS bn, SUM(k) AS bk FROM cell GROUP BY band),
+        src_tot AS (SELECT source, SUM(n) AS sn, SUM(k) AS sk FROM cell GROUP BY source),
+        all_tot AS (SELECT SUM(n) AS tn, SUM(k) AS tk FROM cell),
+        banded AS (
+            SELECT c.source,
+                   CAST(SUM(CASE WHEN (b.bn - c.n) > 0 AND c.k * (b.bn - c.n) > (b.bk - c.k) * c.n
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS bands_better,
+                   CAST(SUM(CASE WHEN (b.bn - c.n) > 0 AND c.k * (b.bn - c.n) < (b.bk - c.k) * c.n
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS bands_worse
+            FROM cell c JOIN band_tot b USING (band)
+            GROUP BY c.source
+        ),
+        pooled AS (
+            SELECT s.source,
+                   CAST(s.sn AS BIGINT) AS n_docs,
+                   CAST(s.sk * 1000000 // s.sn AS BIGINT) AS pass_ppm,
+                   CAST((a.tk - s.sk) * 1000000 // (a.tn - s.sn) AS BIGINT) AS rest_pass_ppm,
+                   CAST(CASE WHEN s.sk * (a.tn - s.sn) > (a.tk - s.sk) * s.sn THEN 1
+                             WHEN s.sk * (a.tn - s.sn) < (a.tk - s.sk) * s.sn THEN -1
+                             ELSE 0 END AS BIGINT) AS pooled_better
+            FROM src_tot s CROSS JOIN all_tot a
+        )
+        SELECT p.source, p.n_docs, p.pass_ppm, p.rest_pass_ppm, p.pooled_better,
+               b.bands_better, b.bands_worse,
+               CAST(CASE WHEN (p.pooled_better = 1 AND b.bands_better = 0 AND b.bands_worse > 0)
+                           OR (p.pooled_better = -1 AND b.bands_worse = 0 AND b.bands_better > 0)
+                         THEN 1 ELSE 0 END AS BIGINT) AS simpson_flag
+        FROM pooled p JOIN banded b USING (source)
+        ORDER BY p.source
+    """,
+    doc=(
+        "Simpson's-paradox audit of per-source quality pass rates: pooled "
+        "src-vs-rest comparison AND the same comparison inside every "
+        "document-length band, flagging sources whose pooled sign "
+        "contradicts all their band signs. Cross-multiplied integer rate "
+        "comparisons (no division before the display columns); one scan "
+        "into a bounded source x band grid."
+    ),
+    tags=("curation", "quality", "stats", "audit"),
+)
+def q333_simpsons_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return simpsons_audit(docs).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: duplicate clusters straddling train/test folds
+# ---------------------------------------------------------------------------
+def split_leakage_audit(
+    corpus: DataFrame, n_folds: int = 5, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """One summary row (n_docs, n_clusters, n_multi_clusters,
+    n_leaked_clusters, n_leaked_docs, leaked_doc_ppm): how much exact-dup
+    content straddles fold boundaries when folds are assigned by id hash —
+    the eval-integrity check that catches "the test set is in the train
+    set" BEFORE a model card reports inflated held-out numbers (Lee et al.
+    2022 measure the same leak class for C4/Wiki40B).
+
+    Folds use the portable md5 id-bucket (q109/q325 convention) so both
+    engines assign identically; clusters are the normalized-content md5
+    (:func:`fingerprint_expr`). A cluster leaks iff it spans ≥ 2 distinct
+    folds, detected with the order-free min≠max idiom — no distinct-count
+    and nothing wider than (fp, fold extremes, count) ever shuffles; the
+    whole audit is one fingerprint scan plus a cluster-sized aggregate.
+    """
+    from ai_batch_processing_spark.operators.text import fingerprint_expr
+
+    fold = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % F.lit(n_folds)
+    rows = corpus.select(
+        fingerprint_expr(text_col).alias("fp"), fold.alias("fold")
+    )
+    clusters = rows.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.min("fold").alias("f_lo"),
+        F.max("fold").alias("f_hi"),
+    )
+    leaked = (F.col("f_lo") != F.col("f_hi")).cast("long")
+    multi = (F.col("c") > 1).cast("long")
+    return clusters.agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(multi).alias("n_multi_clusters"),
+        F.sum(leaked).alias("n_leaked_clusters"),
+        F.sum(F.col("c") * leaked).alias("n_leaked_docs"),
+    ).select(
+        "n_docs",
+        "n_clusters",
+        "n_multi_clusters",
+        "n_leaked_clusters",
+        "n_leaked_docs",
+        F.expr("CAST(n_leaked_docs * 1000000 DIV n_docs AS BIGINT)").alias("leaked_doc_ppm"),
+    )
+
+
+@register(
+    "q335_split_leakage_audit",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id AS id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id % 3 = 0
+        ),
+        rows_ AS (
+            SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+                   CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold
+            FROM corpus
+        ),
+        clusters AS (
+            SELECT fp, CAST(COUNT(*) AS BIGINT) AS c,
+                   MIN(fold) AS f_lo, MAX(fold) AS f_hi
+            FROM rows_ GROUP BY fp
+        ),
+        agg AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                   CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_clusters,
+                   CAST(SUM(CASE WHEN f_lo <> f_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_clusters,
+                   CAST(SUM(CASE WHEN f_lo <> f_hi THEN c ELSE 0 END) AS BIGINT) AS n_leaked_docs
+            FROM clusters
+        )
+        SELECT n_docs, n_clusters, n_multi_clusters, n_leaked_clusters, n_leaked_docs,
+               CAST(n_leaked_docs * 1000000 // n_docs AS BIGINT) AS leaked_doc_ppm
+        FROM agg
+    """,
+    doc=(
+        "split-leakage audit over the planted-dup corpus (q40's scenario): "
+        "md5 id-hash fold assignment x normalized-content dup clusters; "
+        "clusters spanning >= 2 folds detected via the order-free min!=max "
+        "idiom — the 'test set is in the train set' tripwire, one "
+        "fingerprint scan + a cluster-sized aggregate."
+    ),
+    tags=("curation", "splits", "dedup", "audit"),
+)
+def q335_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.dedup import _dup_corpus_one_scan
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return split_leakage_audit(_dup_corpus_one_scan(docs))
+
+
+# ---------------------------------------------------------------------------
+# Rank-blend score ensemble: average-of-ranks without a global row sort
+# ---------------------------------------------------------------------------
+def rank_blend_top_docs(
+    scored: DataFrame, score_cols: list[str], top_k: int = 20, id_col: str = "doc_id"
+) -> DataFrame:
+    """(rnk, doc_id, r_<score>..., rank_sum): the ensemble selection that
+    blends incommensurable quality signals on the RANK scale (Borda
+    count): each document gets its min-rank (1 = best = highest value)
+    under every score, ranks are summed, lowest sum wins. Rank blending
+    is the standard fix when score scales disagree (an 0-1 ratio vs a
+    0-100 readability index) — z-scoring needs moments that outliers
+    poison, ranks don't.
+
+    Sort-free ranks at any scale: scores are 6dp-snapped, so the rank of
+    value v is ``n_better(v) + 1`` read off the bounded (value, count)
+    histogram's descending cumulative — the corpus joins the vocab-sized
+    histogram (AQE-broadcast) instead of flowing through one global rank
+    window. Integer rank sums hash-match across engines; the final top-k
+    is orderBy+limit (TakeOrderedAndProject).
+    """
+    out = scored
+    for s in score_cols:
+        h = scored.groupBy(s).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        w = (
+            Window.partitionBy(F.lit(0))
+            .orderBy(F.col(s).desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # bounded window: runs over the distinct-value histogram, not rows
+        ranks = h.withColumn("_cum", F.sum("_c").over(w)).select(
+            s, (F.col("_cum") - F.col("_c") + 1).alias(f"r_{s}")
+        )
+        out = out.join(ranks, s)
+    import functools
+
+    rank_sum = functools.reduce(lambda a, b: a + b, [F.col(f"r_{s}") for s in score_cols])
+    ranked = out.select(id_col, *[f"r_{s}" for s in score_cols], rank_sum.alias("rank_sum"))
+    w_rnk = Window.partitionBy(F.lit(0)).orderBy("rank_sum", id_col)
+    return (
+        ranked.orderBy("rank_sum", id_col)
+        .limit(top_k)
+        .withColumn("rnk", F.row_number().over(w_rnk).cast("long"))
+        .select("rnk", id_col, *[f"r_{s}" for s in score_cols], "rank_sum")
+    )
+
+
+def _rank_blend_oracle() -> str:
+    from ai_batch_processing_spark.registry import registered_oracle
+
+    q319 = registered_oracle("q319_flesch_readability")
+    return f"""
+        WITH fl AS ({q319}),
+        scored AS (
+            SELECT d.doc_id,
+                   ROUND(CASE WHEN length(d.text) > 0
+                         THEN length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
+                              * 1.0 / length(d.text)
+                         ELSE 0.0 END, 6) AS s_alpha,
+                   fl.flesch_ease AS s_flesch
+            FROM documents d JOIN fl ON d.doc_id = fl.doc_id
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM scored),
+        h1 AS (
+            SELECT s_alpha, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY s_alpha
+        ),
+        r1 AS (
+            SELECT s_alpha,
+                   CAST(SUM(c) OVER (ORDER BY s_alpha DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS BIGINT) AS r_s_alpha
+            FROM h1
+        ),
+        h2 AS (
+            SELECT s_flesch, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY s_flesch
+        ),
+        r2 AS (
+            SELECT s_flesch,
+                   CAST(SUM(c) OVER (ORDER BY s_flesch DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS BIGINT) AS r_s_flesch
+            FROM h2
+        ),
+        blended AS (
+            SELECT s.doc_id, r1.r_s_alpha, r2.r_s_flesch,
+                   r1.r_s_alpha + r2.r_s_flesch AS rank_sum
+            FROM scored s JOIN r1 USING (s_alpha) JOIN r2 USING (s_flesch)
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY rank_sum, doc_id) AS BIGINT) AS rnk,
+               doc_id, r_s_alpha, r_s_flesch, rank_sum
+        FROM blended
+        ORDER BY rank_sum, doc_id
+        LIMIT 20
+    """
+
+
+@register(
+    "q336_rank_blend_top_docs",
+    oracle=_rank_blend_oracle(),
+    doc=(
+        "Borda rank-blend ensemble of two quality signals (alpha ratio + "
+        "q319 Flesch ease, composed from its registered oracle): per-doc "
+        "min-ranks read off bounded 6dp-value histograms (descending "
+        "cumulative counts, no global rank window), integer rank sums, "
+        "top-20 via TakeOrderedAndProject. The scale-free way to combine "
+        "incommensurable curation scores."
+    ),
+    tags=("curation", "quality", "ranking"),
+)
+def q336_rank_blend_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import flesch_scores
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    s1 = F.round(
+        F.when(F.length("text") > 0, alpha * 1.0 / F.length("text")).otherwise(0.0), 6
+    )
+    scored = docs.select("doc_id", s1.alias("s_alpha")).join(
+        flesch_scores(docs).select("doc_id", F.col("flesch_ease").alias("s_flesch")),
+        "doc_id",
+    )
+    return rank_blend_top_docs(scored, ["s_alpha", "s_flesch"], top_k=20)

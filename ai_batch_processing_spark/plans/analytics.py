@@ -4242,3 +4242,218 @@ def log_bucket_quantiles(events: DataFrame, value_col: str = "value") -> DataFra
 def q326_log_bucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     return log_bucket_quantiles(ev)
+
+
+# ---------------------------------------------------------------------------
+# Windowed PSI drift: per-day event-type mix vs the trailing 7-day window
+# ---------------------------------------------------------------------------
+def windowed_psi_drift(
+    events: DataFrame, window_days: int = 7, type_col: str = "event_type"
+) -> DataFrame:
+    """(day, n_events, psi): each calendar day's event-type mix scored
+    against the trailing ``window_days`` days by the Population Stability
+    Index — the time-axis form of q294's static source-vs-corpus PSI,
+    i.e. the monitor that pages BEFORE a bad upstream deploy poisons a
+    week of training data. PSI < 0.1 is noise, 0.1-0.25 drift, > 0.25
+    action.
+
+    Scale shape: the corpus collapses map-side to the (day, type) count
+    grid, which is densified against the calendar x type cross (both
+    broadcast-sized), so the trailing window is a bounded ROWS frame over
+    calendar rows — day gaps cannot silently shrink the baseline. Add-1
+    smoothing per (day, type) cell keeps every log finite (the baseline
+    adds ``window_days`` — one per constituent day); each type's PSI term
+    is snapped to 1e-9 longs so the cross-type sum is order-free exact.
+    """
+    counts = events.groupBy(
+        F.to_date("ts").alias("day"), F.col(type_col).alias("etype")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    span = counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = span.select(F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    types = counts.select("etype").distinct()
+    grid = (
+        F.broadcast(days)
+        .crossJoin(F.broadcast(types))
+        .join(counts, ["day", "etype"], "left")
+        .select("day", "etype", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
+    )
+    w_base = (
+        Window.partitionBy("etype")
+        .orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    based = grid.select(
+        "day",
+        "etype",
+        "c",
+        F.sum("c").over(w_base).alias("bc"),
+        F.count(F.lit(1)).over(w_base).alias("bdays"),
+    ).filter(F.col("bdays") == window_days)
+    cur1 = F.col("c") + 1
+    base1 = F.col("bc") + F.lit(window_days)
+    w_day = Window.partitionBy("day")
+    p = cur1 / F.sum(cur1).over(w_day)
+    q = base1 / F.sum(base1).over(w_day)
+    term = (p - q) * F.log(p / q)
+    return (
+        based.select(
+            "day",
+            F.round(term * 1e9).cast("long").alias("t9"),
+            F.col("c").alias("_raw"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("_raw").alias("n_events"),
+            F.round(F.sum("t9") / 1e9, 6).alias("psi"),
+        )
+        # string day: the portable cross-engine date representation
+        # (q75 convention — pandas date dtypes differ otherwise)
+        .select(F.col("day").cast("string").alias("day"), "n_events", "psi")
+        .orderBy("day")
+    )
+
+
+@register(
+    "q332_windowed_psi_drift",
+    oracle="""
+        WITH counts AS (
+            SELECT CAST(ts AS DATE) AS day, event_type AS etype,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM counts),
+        days AS (
+            SELECT CAST(d AS DATE) AS day
+            FROM span, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) t(d)
+        ),
+        grid AS (
+            SELECT days.day, ty.etype, COALESCE(c.c, 0) AS c
+            FROM days CROSS JOIN (SELECT DISTINCT etype FROM counts) ty
+            LEFT JOIN counts c ON c.day = days.day AND c.etype = ty.etype
+        ),
+        based AS (
+            SELECT day, etype, c,
+                   SUM(c) OVER (PARTITION BY etype ORDER BY day
+                                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS bc,
+                   COUNT(*) OVER (PARTITION BY etype ORDER BY day
+                                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS bdays
+            FROM grid
+        ),
+        terms AS (
+            SELECT day, c,
+                   CAST(ROUND(
+                       ((c + 1.0) / SUM(c + 1.0) OVER (PARTITION BY day)
+                        - (bc + 7.0) / SUM(bc + 7.0) OVER (PARTITION BY day))
+                       * LN(((c + 1.0) / SUM(c + 1.0) OVER (PARTITION BY day))
+                            / ((bc + 7.0) / SUM(bc + 7.0) OVER (PARTITION BY day)))
+                       * 1e9) AS BIGINT) AS t9
+            FROM based WHERE bdays = 7
+        )
+        SELECT CAST(day AS VARCHAR) AS day, CAST(SUM(c) AS BIGINT) AS n_events,
+               ROUND(SUM(t9) / 1e9, 6) AS psi
+        FROM terms GROUP BY day ORDER BY day
+    """,
+    doc=(
+        "per-day event-mix drift vs the trailing 7-day window (PSI on the "
+        "dense calendar x type grid): the time-axis companion to q294's "
+        "source PSI — bounded grid, add-1 smoothing, 1e-9-snapped "
+        "order-free term sums; the upstream-deploy tripwire."
+    ),
+    tags=("analytics", "events", "drift"),
+)
+def q332_windowed_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return windowed_psi_drift(ev)
+
+
+# ---------------------------------------------------------------------------
+# Event-order dependence: per-user Markov transitions + G² vs independence
+# ---------------------------------------------------------------------------
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """(prev_etype, next_etype, n_trans, p_next_given_prev, lift, g2_contrib):
+    the first-order Markov transition matrix of per-user event sequences,
+    each cell annotated with its conditional probability, its lift over
+    the order-free marginal, and its contribution to Dunning's G²
+    order-dependence statistic — "is user behavior actually sequential,
+    or is the funnel analysis reading tea leaves?" (G² ~ 0 means event
+    order carries no information and q306-style ordered funnels are
+    noise).
+
+    Scale shape: ONE per-user lag window builds the transition stream
+    (user partitions are app-bounded — the same partitioning every
+    sessionization in this module uses), which collapses map-side to the
+    bounded k x k type grid; marginals re-aggregate that grid. G² terms
+    use the q269 convention: each cell's term is one fixed-order IEEE
+    expression snapped to 1e-6 via ROUND, so cross-engine sums are exact.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", F.col("event_type").alias("next_etype"))
+        .withColumn("prev_etype", F.lag("next_etype").over(w))
+        .filter(F.col("prev_etype").isNotNull())
+    )
+    cell = pairs.groupBy("prev_etype", "next_etype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    row_tot = cell.groupBy("prev_etype").agg(F.sum("n_trans").alias("rn"))
+    col_tot = cell.groupBy("next_etype").agg(F.sum("n_trans").alias("cn"))
+    tot = cell.agg(F.sum("n_trans").cast("double").alias("nn"))
+    k = F.col("n_trans").cast("double")
+    expd = F.col("rn").cast("double") * F.col("cn").cast("double") / F.col("nn")
+    return (
+        cell.join(F.broadcast(row_tot), "prev_etype")
+        .join(F.broadcast(col_tot), "next_etype")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev_etype",
+            "next_etype",
+            "n_trans",
+            F.round(k / F.col("rn"), 6).alias("p_next_given_prev"),
+            F.round(k / expd, 6).alias("lift"),
+            F.round(2.0 * k * F.log(k / expd), 6).alias("g2_contrib"),
+        )
+        .orderBy("prev_etype", "next_etype")
+    )
+
+
+@register(
+    "q334_markov_transitions",
+    oracle="""
+        WITH pairs AS (
+            SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_etype,
+                   event_type AS next_etype
+            FROM events
+        ),
+        cell AS (
+            SELECT prev_etype, next_etype, CAST(COUNT(*) AS BIGINT) AS n_trans
+            FROM pairs WHERE prev_etype IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        row_tot AS (SELECT prev_etype, SUM(n_trans) AS rn FROM cell GROUP BY 1),
+        col_tot AS (SELECT next_etype, SUM(n_trans) AS cn FROM cell GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_trans) AS DOUBLE) AS nn FROM cell)
+        SELECT c.prev_etype, c.next_etype, c.n_trans,
+               ROUND(CAST(c.n_trans AS DOUBLE) / r.rn, 6) AS p_next_given_prev,
+               ROUND(CAST(c.n_trans AS DOUBLE)
+                     / (CAST(r.rn AS DOUBLE) * CAST(cl.cn AS DOUBLE) / t.nn), 6) AS lift,
+               ROUND(2.0 * CAST(c.n_trans AS DOUBLE)
+                     * LN(CAST(c.n_trans AS DOUBLE)
+                          / (CAST(r.rn AS DOUBLE) * CAST(cl.cn AS DOUBLE) / t.nn)), 6) AS g2_contrib
+        FROM cell c
+        JOIN row_tot r USING (prev_etype)
+        JOIN col_tot cl USING (next_etype)
+        CROSS JOIN tot t
+        ORDER BY c.prev_etype, c.next_etype
+    """,
+    doc=(
+        "first-order Markov transition matrix over per-user event "
+        "sequences with conditional probabilities, lift over the marginal, "
+        "and per-cell Dunning-G2 order-dependence contributions — one lag "
+        "window into a bounded k x k grid; decides whether ordered-funnel "
+        "analyses carry signal."
+    ),
+    tags=("analytics", "events", "sequence", "stats"),
+)
+def q334_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return markov_transitions(ev)

@@ -116,6 +116,15 @@ _PRIORITY = [
     # cross-source dup matrix, Flesch, nucleus vocab, Kaplan-Meier,
     # truncated-embedding recall, Luhn PII, Cohen's kappa, hash-sample
     # audit, log-bucket quantiles, attrition funnel, CM join-size.
+    # Second round-9 batch: robust MAD outliers, windowed PSI drift,
+    # Simpson's-paradox audit, Markov transitions, split-leakage audit,
+    # Borda rank blending.
+    "q331_mad_outlier_audit",
+    "q332_windowed_psi_drift",
+    "q333_simpsons_audit",
+    "q334_markov_transitions",
+    "q335_split_leakage_audit",
+    "q336_rank_blend_top_docs",
     "q316_exact_substr_char_spans",
     "q317_js_divergence_sources",
     "q318_cross_source_dup_matrix",
@@ -158,6 +167,16 @@ _PRIORITY = [
     "q306_ordered_funnel",
     "q42_dedup_minhash_lsh",
     "q131_minhash_jaccard_verified",
+    # queries whose execution path changed in the round-9 perf pass
+    # (pre-projected shuffle sides + gated broadcast for the TPC-H shapes,
+    # regexp_count token counting under every packing/budget/mixture
+    # operator, the no-carry hashed dedup aggregate, persisted sampling
+    # frames) — re-prove them with fresh CORRECTNESS_r09 rows:
+    "q02_shipping_priority",
+    "q98_dedup_exact_hashed",
+    "q135_sequence_packing_fragments",
+    "q148_token_budget_selection",
+    "q177_curation_pipeline_v4",
     # rotation: the oldest-gated tail (last driver rows r1/r2; computed
     # from the union of CORRECTNESS_r1-r8).
     "q81_regex_extract",

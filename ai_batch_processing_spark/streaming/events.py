@@ -825,3 +825,70 @@ def stream_log_bucket_quantiles(
     return stream.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_markov_transitions(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """q334's per-user Markov transition counts maintained across
+    micro-batches: per-user state is (last event's (ts, event_id, type) +
+    the cumulative transition-count dict), so a session that straddles a
+    batch boundary still yields the boundary transition — the stateful
+    piece a tumbling window cannot express. Emits each user's cumulative
+    ``(user_id, prev_etype, next_etype, n_trans)`` rows per batch; the
+    cross-user matrix is the tiny downstream fold the batch twin's grid
+    aggregate performs (pytest-pinned parity on the final rows).
+
+    Ordering contract (the stream_cusum convention): rows are sorted by
+    (ts, event_id) INSIDE each batch, and the file source must deliver
+    batches in time order (``maxFilesPerTrigger=1`` over time-named
+    files) — same-user rows split across out-of-order batches would link
+    transitions differently from the batch twin, which sees a global
+    order.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, prev_etype string, next_etype string, n_trans long"
+    state_schema = "last_etype string, pairs array<string>, counts array<long>"
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last, pair_keys, pair_counts = state.get
+            counts = dict(zip(list(pair_keys), [int(c) for c in pair_counts]))
+        else:
+            last, counts = None, {}
+        batch = pd.concat(list(pdfs))
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for et in batch["event_type"]:
+                if last is not None:
+                    k = f"{last}\x00{et}"
+                    counts[k] = counts.get(k, 0) + 1
+                last = et
+        keys = sorted(counts)
+        state.update((last, keys, [counts[k] for k in keys]))
+        if not counts:
+            return
+        rows = [
+            {
+                "user_id": key[0],
+                "prev_etype": k.split("\x00")[0],
+                "next_etype": k.split("\x00")[1],
+                "n_trans": counts[k],
+            }
+            for k in keys
+        ]
+        yield pd.DataFrame(rows, columns=["user_id", "prev_etype", "next_etype", "n_trans"])
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

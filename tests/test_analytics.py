@@ -302,3 +302,44 @@ def test_kaplan_meier_hand_computed(spark):
     # day 3: user D censored, no events -> survival unchanged
     assert (out[3].n_at_risk, out[3].n_events, out[3].n_censored) == (1, 0, 1)
     assert out[3].survival == 0.25
+
+
+def test_windowed_psi_zero_on_identical_mix_and_positive_on_shift(spark):
+    """9 days of the exact same (2 view, 1 click) mix -> smoothing cancels
+    and PSI is exactly 0 once the 7-day window fills; day 10 swings to
+    all-error -> PSI > 0.25 (the action threshold)."""
+    from ai_batch_processing_spark.plans.analytics import windowed_psi_drift
+
+    rows = []
+    eid = 0
+    for d in range(1, 10):
+        for et in ["view", "view", "click"]:
+            rows.append((eid, f"2024-03-{d:02d} 12:00:00", 1, et, 1.0, "{}"))
+            eid += 1
+    for _ in range(3):
+        rows.append((eid, "2024-03-10 12:00:00", 1, "error", 1.0, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.day: r.psi for r in windowed_psi_drift(ev).collect()}
+    assert out["2024-03-08"] == 0.0 and out["2024-03-09"] == 0.0
+    assert out["2024-03-10"] > 0.25
+
+
+def test_markov_transitions_hand_computed(spark):
+    """user path view->click->view->click: transitions {vc:2, cv:1};
+    P(click|view)=1.0, and the 2x2 G2 must be positive (perfect
+    alternation = maximal order dependence)."""
+    from ai_batch_processing_spark.plans.analytics import markov_transitions
+
+    seq = ["view", "click", "view", "click"]
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-01 00:0{i}:00", 7, et, 1.0, "{}") for i, et in enumerate(seq)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {(r.prev_etype, r.next_etype): r for r in markov_transitions(ev).collect()}
+    assert rows[("view", "click")].n_trans == 2
+    assert rows[("click", "view")].n_trans == 1
+    assert rows[("view", "click")].p_next_given_prev == 1.0
+    assert rows[("view", "click")].g2_contrib > 0

@@ -688,3 +688,32 @@ def test_chi_square_independent_and_dependent(spark):
     )
     r2 = chi_square_independence(diag).collect()[0]
     assert r2.chi2 == 40.0
+
+
+def test_mad_outlier_audit_hand_computed(spark):
+    """values [1,2,2,3,100] (one source): lower-median at rank ceil(5/2)=3
+    is 2; deviations [1,0,0,1,98] give MAD 1 (rank-3 of [0,0,1,1,98]);
+    only the 98-deviation doc clears 0.6745*dev > 3.5*1 -> 1 outlier at
+    200000 ppm."""
+    from ai_batch_processing_spark.operators.corpus import mad_outlier_audit
+
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(["w"] * n)) for i, n in enumerate([1, 2, 2, 3, 100])],
+        "doc_id long, source string, text string",
+    )
+    row = mad_outlier_audit(docs).collect()[0]
+    assert (row.n_docs, row.median_ntok, row.mad_ntok) == (5, 2, 1)
+    assert (row.n_outliers, row.outlier_ppm) == (1, 200000)
+
+
+def test_mad_outlier_zero_mad_degenerates_to_any_deviation(spark):
+    """MAD = 0 (majority identical): every deviating doc is an outlier,
+    identical rule both engines (0.6745*dev > 0)."""
+    from ai_batch_processing_spark.operators.corpus import mad_outlier_audit
+
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(["w"] * n)) for i, n in enumerate([5, 5, 5, 7])],
+        "doc_id long, source string, text string",
+    )
+    row = mad_outlier_audit(docs).collect()[0]
+    assert (row.median_ntok, row.mad_ntok, row.n_outliers) == (5, 0, 1)

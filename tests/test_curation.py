@@ -1267,3 +1267,67 @@ def test_luhn_audit_known_numbers(spark):
     assert 3 not in out  # 12 digits: below the candidate window
     assert 4 not in out  # 20 digits: one maximal run, too long
     assert out[5] == (2, 2)  # both canonical test PANs validate
+
+
+def test_simpsons_audit_classic_flip(spark):
+    """The textbook reversal: src A wins INSIDE both length bands yet
+    loses pooled (its mass sits in the hard band) -> pooled_better=-1,
+    bands_better=2, bands_worse=0, simpson_flag=1."""
+    from ai_batch_processing_spark.operators.curation import simpsons_audit
+
+    rows = []
+    rid = 0
+
+    def add(src, band_len, n, k):
+        nonlocal rid
+        for i in range(n):
+            body = "a" * band_len if i < k else "1" * band_len
+            rows.append((rid, src, body))
+            rid += 1
+
+    # band 0: length 50 (<200); band 1: length 250 (200..399)
+    add("A", 50, 10, 9)    # A band0: 90%
+    add("A", 250, 100, 10) # A band1: 10%
+    add("B", 50, 100, 80)  # B band0: 80%
+    add("B", 250, 10, 0)   # B band1: 0%
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in simpsons_audit(docs).collect()}
+    a = out["A"]
+    assert a.pooled_better == -1 and a.bands_better == 2 and a.bands_worse == 0
+    assert a.simpson_flag == 1
+    b = out["B"]
+    assert b.pooled_better == 1 and b.bands_worse == 2 and b.simpson_flag == 1
+
+
+def test_split_leakage_min_max_detects_multi_fold_clusters(spark):
+    """Three copies of one text land in whatever folds md5 assigns their
+    ids; the audit's min!=max rule must agree with a direct python
+    recomputation of the same md5 buckets."""
+    import hashlib
+
+    from ai_batch_processing_spark.operators.curation import split_leakage_audit
+
+    corpus = spark.createDataFrame(
+        [(1, "dup text"), (2, "dup text"), (3, "dup text"), (4, "unique one")],
+        "id long, text string",
+    )
+    row = split_leakage_audit(corpus).collect()[0]
+    folds = {i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 5 for i in [1, 2, 3]}
+    expect_leak = 1 if len(set(folds.values())) > 1 else 0
+    assert row.n_clusters == 2 and row.n_multi_clusters == 1
+    assert row.n_leaked_clusters == expect_leak
+    assert row.n_leaked_docs == (3 * expect_leak)
+
+
+def test_rank_blend_borda_order(spark):
+    """doc 4 dominates both scores (rank 1+1=2) and wins; docs 1/2/3
+    then tie at rank-sum 6 (2+4, 3+3, 4+2) and order by doc_id."""
+    from ai_batch_processing_spark.operators.curation import rank_blend_top_docs
+
+    scored = spark.createDataFrame(
+        [(1, 0.9, 0.1), (2, 0.5, 0.5), (3, 0.1, 0.9), (4, 1.0, 1.0)],
+        "doc_id long, s1 double, s2 double",
+    )
+    rows = rank_blend_top_docs(scored, ["s1", "s2"], top_k=4).collect()
+    assert [r.doc_id for r in rows] == [4, 1, 2, 3]
+    assert rows[0].rank_sum == 2 and {r.rank_sum for r in rows[1:]} == {6}

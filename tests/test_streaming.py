@@ -851,3 +851,67 @@ def test_stream_log_bucket_quantiles_matches_batch(spark, tmp_path):
     assert (final.p50_lo, final.p50_hi, final.p99_lo, final.p99_hi) == (
         ref.p50_lo, ref.p50_hi, ref.p99_lo, ref.p99_hi,
     )
+
+
+def test_stream_markov_transitions_matches_batch(spark, tmp_path):
+    """Per-user transition counts carried across micro-batches must equal
+    q334's batch transition matrix on the same rows — INCLUDING the
+    transition whose two events straddle the batch boundary (the case
+    stateless windowing drops). Final cumulative rows per user, summed
+    across users, are compared against the batch grid."""
+    from ai_batch_processing_spark.plans.analytics import markov_transitions
+    from ai_batch_processing_spark.streaming.events import stream_markov_transitions
+
+    seq = [
+        (0, "2024-01-01T00:00:00", 1, "view"),
+        (1, "2024-01-01T00:01:00", 1, "click"),
+        (2, "2024-01-01T00:02:00", 2, "view"),
+        (3, "2024-01-01T00:03:00", 1, "purchase"),   # boundary: next batch continues user 1
+        (4, "2024-01-01T00:04:00", 2, "click"),
+        (5, "2024-01-01T00:05:00", 1, "view"),
+        (6, "2024-01-01T00:06:00", 2, "view"),
+        (7, "2024-01-01T00:07:00", 1, "click"),
+    ]
+    rows = [
+        {"event_id": i, "ts": ts, "user_id": u, "event_type": et, "value": 1.0, "props": "{}"}
+        for (i, ts, u, et) in seq
+    ]
+    d = tmp_path / "mkv"
+    d.mkdir()
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in rows[:4]))
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[4:]))
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, f in enumerate(["b0.json", "b1.json"]):
+        _os.utime(d / f, (now - 60 * (2 - i), now - 60 * (2 - i)))
+    sdf = stream_markov_transitions(spark, str(d), max_files_per_trigger=1)
+    q = (
+        sdf.writeStream.format("memory").queryName("t_mkv").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_mkv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = spark.sql(
+        """
+        SELECT prev_etype, next_etype, CAST(SUM(n_trans) AS BIGINT) AS n_trans
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, prev_etype, next_etype
+                ORDER BY n_trans DESC) AS rn
+            FROM t_mkv
+        ) WHERE rn = 1
+        GROUP BY prev_etype, next_etype
+        """
+    ).collect()
+    ev = spark.createDataFrame(
+        [(i, ts, u, et, 1.0, "{}") for (i, ts, u, et) in seq],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ref = {(r.prev_etype, r.next_etype): r.n_trans for r in markov_transitions(ev).collect()}
+    assert {(r.prev_etype, r.next_etype): r.n_trans for r in got} == ref
+    # the straddling transition (user 1: purchase@b0 -> view@b1) must exist
+    assert ("purchase", "view") in ref and ref[("purchase", "view")] == 1
