@@ -23,27 +23,94 @@ from ai_batch_processing_spark.session import load_tables
 # autoBroadcastJoinThreshold expressed in rows.
 _BCAST_ROW_CAP = 2_000_000
 
+# Byte thresholds for the estimate path: broadcast outright under the
+# session's 64 MB autoBroadcastJoinThreshold; past 1024x that, even the
+# counted probe is skipped (counting a frame whose size LOWER machinery
+# bounds at 64 GB is itself a full scan — at that scale the shuffle join
+# is the only shape that survives, so measuring buys nothing).
+_BCAST_BYTE_CAP = 64 * 1024 * 1024
+_PROBE_EST_CEILING = 1024 * _BCAST_BYTE_CAP
 
-def broadcast_if_small(df: DataFrame, cap: int = _BCAST_ROW_CAP) -> DataFrame:
+# Session-lifetime statistics cache for the counted-probe fallback,
+# keyed by (canonicalized logical plan, sorted input files). The same
+# dispatch decision for the same plan over the same files never pays a
+# second count() action — the per-query fixed cost that the round-9
+# persist+count dispatch added to q02/q03/q99 at every scale. The same
+# staleness caveat as Spark's own FileIndex caching applies: rewriting
+# the files in place mid-session is not observed.
+_probe_counts: dict[tuple[str, tuple[str, ...]], int] = {}
+
+
+def _plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's post-optimization size estimate in bytes, or None.
+
+    Usable for scan/filter/project legs (file size x pruned-column ratio —
+    an upper bound, since default stats propagation applies no filter
+    selectivity). Useless for join results, whose default estimate is the
+    PRODUCT of the children (measured: 104 TB for a 12,488-row frame)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # non-JVM sessions (connect) or analysis oddities
+        return None
+
+
+def _plan_key(df: DataFrame) -> tuple[str, tuple[str, ...]] | None:
+    """Stats-cache key: canonicalized plan (exprIds normalized — stable
+    across rebuilds of the same query) + input files (the canonical form
+    drops paths, so files disambiguate scale dirs)."""
+    try:
+        canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
+        return (canon, tuple(sorted(df.inputFiles())))
+    except Exception:
+        return None
+
+
+def broadcast_if_small(
+    df: DataFrame, cap: int = _BCAST_ROW_CAP, size_of: DataFrame | None = None
+) -> DataFrame:
     """Adaptive regime pick for a FILTERED fact-side join input (the
-    pagerank-dispatch pattern: one cheap measured statistic decides the
-    physical shape, the distributed plan stays the scale path).
+    pagerank-dispatch pattern: one cheap statistic decides the physical
+    shape, the distributed plan stays the scale path).
 
-    Static planning can't see post-filter sizes (a date+dimension filter
-    leaving 6% of orders still carries the full-table size estimate, so
-    Catalyst plans a shuffle join), and AQE's runtime conversion only
-    fires AFTER the probe side's shuffle files are written — the cost the
-    broadcast exists to avoid. So: persist the filtered side, count it
-    once, and broadcast only when it fits comfortably (``cap`` rows ≈ the
-    64 MB session broadcast threshold). Above the cap the frame is
-    unpersisted and returned unhinted — the planner shuffles, which is
-    the only shape that survives when the filtered side is 100 TB-scale.
+    Static planning can't see post-filter sizes, and AQE's runtime
+    conversion only fires AFTER the probe side's shuffle files are
+    written — the cost the broadcast exists to avoid. Decision ladder:
+
+    1. **Catalyst estimate, zero actions.** ``size_of`` is a frame the
+       CALLER vouches upper-bounds the actual materialized size of
+       ``df`` — for the key-preserving FK joins at the call sites, the
+       fact leg's scan+project estimate (selectivity is never applied,
+       so it only over-estimates). Under the 64 MB broadcast threshold
+       -> hint the broadcast, no job runs. ``df``'s own estimate is
+       never trusted for this step: join results carry product garbage
+       and aggregate estimates can UNDER-estimate (measured 145 KB for
+       a gram-dup agg), which would broadcast an unbounded frame.
+    2. **Counted probe, memoized.** Otherwise count ``df`` once and
+       cache the row count per (canonical plan, input files) for the
+       session — repeated plan builds (bench min-of-2, warm passes) pay
+       zero further actions. No persist: the probe is one map-side scan
+       and the broadcast exchange re-reads the (caller-cached, at the
+       heavy-lineage sites) leg, so nothing is left pinned in executor
+       storage (round-9 ADVICE leak).
+    3. **Ceiling.** Past a 64 GB vouched upper bound the probe itself
+       is a full scan of a frame that cannot plausibly broadcast;
+       return unhinted and let the planner shuffle — the only 100 TB
+       shape.
     """
-    df = df.persist()
-    if df.count() <= cap:
-        return F.broadcast(df)
-    df.unpersist()
-    return df
+    if size_of is not None:
+        est = _plan_size_estimate(size_of)
+        if est is not None and est <= _BCAST_BYTE_CAP:
+            return F.broadcast(df)
+        if est is not None and est > _PROBE_EST_CEILING:
+            return df
+    key = _plan_key(df)
+    if key is not None and key in _probe_counts:
+        n = _probe_counts[key]
+    else:
+        n = df.count()
+        if key is not None:
+            _probe_counts[key] = n
+    return F.broadcast(df) if n <= cap else df
 
 
 # --- q01: TPC-H-Q1-shaped pricing summary -----------------------------------
@@ -144,7 +211,11 @@ def q02_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = broadcast_if_small(
         ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey).select(
             "o_orderkey", "o_orderdate", "o_orderpriority"
-        )
+        ),
+        # FK join with customer only drops orders rows, so the filtered
+        # orders leg's scan estimate upper-bounds the broadcast side —
+        # the zero-action dispatch path.
+        size_of=ords.select("o_orderkey", "o_orderdate", "o_orderpriority"),
     )
     return (
         li.join(right, li.l_orderkey == right.o_orderkey)
@@ -203,7 +274,12 @@ def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(broadcast_if_small(ords_asia), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            # size_of: the date-filtered orders scan leg bounds the
+            # customer-join result (FK join only drops rows)
+            broadcast_if_small(ords_asia, size_of=ords.select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
@@ -572,7 +648,14 @@ def q99_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(broadcast_if_small(ords_cust), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            # size_of: the 2-column orders scan leg bounds the customer-
+            # join result (FK join only drops rows)
+            broadcast_if_small(
+                ords_cust, size_of=t["orders"].select("o_orderkey", "o_custkey")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .filter(pair_ok)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))

@@ -368,3 +368,61 @@ def test_q45_bruteforce_plan_pinned(spark, sf_dir):
     assert "LessThan(vec_id,8)" in fmt  # query-side filter reached the scan
     # the broadcast build side must be the 8-row query frame, not the corpus
     assert "BuildRight" in fmt
+
+
+def test_broadcast_if_small_dispatch_ladder(spark, sf_dir):
+    """Round-10 stats-based dispatch (r9 verdict item 1): the vouched
+    size_of estimate path must hint the broadcast with ZERO Spark
+    actions, the probe fallback must memoize its count per (canonical
+    plan, input files), the >cap decision must stay unhinted, and the
+    64 GB ceiling must skip the probe entirely."""
+    from pyspark.sql import DataFrame
+
+    from ai_batch_processing_spark.plans import relational as R
+    from ai_batch_processing_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+
+    def hinted(df):
+        return "strategy=broadcast" in df._jdf.queryExecution().analyzed().toString()
+
+    # 1. vouched-small size_of -> broadcast hint, no job (count would raise)
+    joined = t["orders"].join(
+        t["customer"], t["orders"].o_custkey == t["customer"].c_custkey
+    ).select("o_orderkey", "c_name")
+    real_count = DataFrame.count
+
+    def boom(self):  # any probe action fails the test
+        raise AssertionError("count() ran on the estimate path")
+
+    try:
+        DataFrame.count = boom
+        out = R.broadcast_if_small(joined, size_of=t["orders"].select("o_orderkey"))
+        assert hinted(out)
+        # 4. vouched estimate above the ceiling -> unhinted, probe skipped
+        old_cap, old_ceiling = R._BCAST_BYTE_CAP, R._PROBE_EST_CEILING
+        R._BCAST_BYTE_CAP, R._PROBE_EST_CEILING = 0, 1
+        try:
+            out = R.broadcast_if_small(joined, size_of=t["orders"].select("o_orderkey"))
+            assert not hinted(out)
+        finally:
+            R._BCAST_BYTE_CAP, R._PROBE_EST_CEILING = old_cap, old_ceiling
+    finally:
+        DataFrame.count = real_count
+
+    # 2. no size_of -> counted probe, memoized: second dispatch of the same
+    # canonical plan runs no action at all
+    R._probe_counts.clear()
+    out = R.broadcast_if_small(joined)
+    assert hinted(out) and len(R._probe_counts) == 1
+    try:
+        DataFrame.count = boom
+        rebuilt = t["orders"].join(
+            t["customer"], t["orders"].o_custkey == t["customer"].c_custkey
+        ).select("o_orderkey", "c_name")
+        assert hinted(R.broadcast_if_small(rebuilt))
+    finally:
+        DataFrame.count = real_count
+
+    # 3. probe count above the row cap -> unhinted (shuffle is the scale shape)
+    assert not hinted(R.broadcast_if_small(joined, cap=0))
