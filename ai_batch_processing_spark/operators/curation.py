@@ -5488,7 +5488,9 @@ def simpsons_audit(docs: DataFrame, n_bands: int = 5, band_width: int = 200) -> 
     the one corpus scan is arithmetic over the bounded (source x band)
     grid, and every rate comparison is cross-multiplied integers — no
     division until the final ppm display columns, so both engines pick
-    identical signs at any corpus size.
+    identical signs at any corpus size. A single-source corpus has no
+    "rest" to compare against: ``rest_pass_ppm`` is an explicit NULL
+    (guarded, not a silent division-by-zero) and ``pooled_better`` is 0.
     """
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     cell = (
@@ -5530,7 +5532,11 @@ def simpsons_audit(docs: DataFrame, n_bands: int = 5, band_width: int = 200) -> 
         "source",
         F.col("sn").alias("n_docs"),
         F.expr("CAST(sk * 1000000 DIV sn AS BIGINT)").alias("pass_ppm"),
-        F.expr("CAST((tk - sk) * 1000000 DIV (tn - sn) AS BIGINT)").alias("rest_pass_ppm"),
+        # single-source corpus ⇒ "rest" is empty (tn == sn): surface an
+        # explicit NULL instead of a silent integer-division-by-zero null
+        F.expr(
+            "CASE WHEN tn > sn THEN CAST((tk - sk) * 1000000 DIV (tn - sn) AS BIGINT) END"
+        ).alias("rest_pass_ppm"),
         F.when(F.col("sk") * (F.col("tn") - F.col("sn")) > (F.col("tk") - F.col("sk")) * F.col("sn"), 1)
         .when(F.col("sk") * (F.col("tn") - F.col("sn")) < (F.col("tk") - F.col("sk")) * F.col("sn"), -1)
         .otherwise(0)
@@ -5577,7 +5583,9 @@ def simpsons_audit(docs: DataFrame, n_bands: int = 5, band_width: int = 200) -> 
             SELECT s.source,
                    CAST(s.sn AS BIGINT) AS n_docs,
                    CAST(s.sk * 1000000 // s.sn AS BIGINT) AS pass_ppm,
-                   CAST((a.tk - s.sk) * 1000000 // (a.tn - s.sn) AS BIGINT) AS rest_pass_ppm,
+                   CASE WHEN a.tn > s.sn
+                        THEN CAST((a.tk - s.sk) * 1000000 // (a.tn - s.sn) AS BIGINT)
+                   END AS rest_pass_ppm,
                    CAST(CASE WHEN s.sk * (a.tn - s.sn) > (a.tk - s.sk) * s.sn THEN 1
                              WHEN s.sk * (a.tn - s.sn) < (a.tk - s.sk) * s.sn THEN -1
                              ELSE 0 END AS BIGINT) AS pooled_better
@@ -5717,13 +5725,19 @@ def rank_blend_top_docs(
     0-100 readability index) — z-scoring needs moments that outliers
     poison, ranks don't.
 
-    Sort-free ranks at any scale: scores are 6dp-snapped, so the rank of
-    value v is ``n_better(v) + 1`` read off the bounded (value, count)
-    histogram's descending cumulative — the corpus joins the vocab-sized
-    histogram (AQE-broadcast) instead of flowing through one global rank
-    window. Integer rank sums hash-match across engines; the final top-k
-    is orderBy+limit (TakeOrderedAndProject).
+    Sort-free ranks at any scale: scores are decimal-snapped upstream
+    (4-6dp at the gated call sites), so the rank of value v is
+    ``n_better(v) + 1`` read off the bounded (value, count) histogram's
+    descending cumulative — the corpus joins the vocab-sized histogram
+    (AQE-broadcast) instead of flowing through one global rank window.
+    Integer rank sums hash-match across engines; the final top-k is
+    orderBy+limit (TakeOrderedAndProject). ``scored`` is persisted for
+    the loop (each score column reads it once for its histogram and once
+    for the join-back; without the cache the expensive upstream lineage —
+    q336's flesch scan — recomputes per score) and released via the
+    eager-checkpoint finish, so nothing stays in session storage.
     """
+    scored = scored.persist()
     out = scored
     for s in score_cols:
         h = scored.groupBy(s).agg(F.count(F.lit(1)).cast("long").alias("_c"))
@@ -5742,11 +5756,15 @@ def rank_blend_top_docs(
     rank_sum = functools.reduce(lambda a, b: a + b, [F.col(f"r_{s}") for s in score_cols])
     ranked = out.select(id_col, *[f"r_{s}" for s in score_cols], rank_sum.alias("rank_sum"))
     w_rnk = Window.partitionBy(F.lit(0)).orderBy("rank_sum", id_col)
-    return (
+    from ai_batch_processing_spark.operators.corpus import _finish
+
+    return _finish(
         ranked.orderBy("rank_sum", id_col)
         .limit(top_k)
         .withColumn("rnk", F.row_number().over(w_rnk).cast("long"))
-        .select("rnk", id_col, *[f"r_{s}" for s in score_cols], "rank_sum")
+        .select("rnk", id_col, *[f"r_{s}" for s in score_cols], "rank_sum"),
+        [scored],
+        materialize=True,
     )
 
 

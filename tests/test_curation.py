@@ -1299,6 +1299,21 @@ def test_simpsons_audit_classic_flip(spark):
     assert b.pooled_better == 1 and b.bands_worse == 2 and b.simpson_flag == 1
 
 
+def test_simpsons_audit_single_source_null_rest(spark):
+    """A one-source corpus has no 'rest': rest_pass_ppm must be an
+    explicit NULL (guarded division), pooled_better 0, no flag (r9
+    ADVICE item)."""
+    from ai_batch_processing_spark.operators.curation import simpsons_audit
+
+    docs = spark.createDataFrame(
+        [(0, "only", "a" * 50), (1, "only", "1" * 50)],
+        "doc_id long, source string, text string",
+    )
+    row = simpsons_audit(docs).collect()[0]
+    assert row.rest_pass_ppm is None
+    assert row.pooled_better == 0 and row.simpson_flag == 0
+
+
 def test_split_leakage_min_max_detects_multi_fold_clusters(spark):
     """Three copies of one text land in whatever folds md5 assigns their
     ids; the audit's min!=max rule must agree with a direct python
