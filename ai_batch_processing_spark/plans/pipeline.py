@@ -441,9 +441,9 @@ def q169_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q177_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_batch_processing_spark.operators.curation import dsir_importance_weights
     from ai_batch_processing_spark.operators.text import (
+        doc_stats_cached,
         duplicate_spans,
         ngram_novelty,
-        token_count_ws,
     )
     from pyspark.sql import Window
 
@@ -458,9 +458,8 @@ def q177_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, target_pred=F.col("source") == "src1", n_buckets=512, method="md5"
     ).select("doc_id", "log_weight")
     feats = (
-        docs.select(
-            "doc_id", "source", token_count_ws(F.col("text")).cast("long").alias("n_tokens")
-        )
+        doc_stats_cached(spark, sf_dir)
+        .select("doc_id", "source", "n_tokens")
         .filter(F.col("n_tokens") > 0)
         .join(nov, "doc_id")
         .join(cover, "doc_id", "left")

@@ -111,6 +111,73 @@ def registered_oracle(name: str) -> str:
 # order after the listed ones. All queries stay registered either way —
 # this only biases WHICH subset a capped driver proves.
 _PRIORITY = [
+    # ---- round-10 gate prefix (the driver caps at ~50 rows) ----
+    # New round-10 operators are inserted here as they land (newest
+    # first), followed by every query whose execution path changed this
+    # round, then the verdict-item-3 token_count_ws consumers the r9 gate
+    # missed, then the oldest-gated rotation tail (last rows r2).
+    #
+    # Execution paths changed in round 10:
+    # - doc_stats_cached shared stats frame replaces per-query persists
+    #   under the packing/budget/mixture/curriculum operators
+    #   (q103/q135/q148/q104/q142/q147/q177),
+    # - gopher_rules array-free rewrite (regexp_count words, translate
+    #   word-chars, single lowered-split stop intersect) under q164,
+    # - broadcast_if_small stats-based dispatch (no count() action)
+    #   under the TPC-H bench shapes q02/q03/q99/q100.
+    "q103_sequence_packing",
+    "q135_sequence_packing_fragments",
+    "q148_token_budget_selection",
+    "q104_mixture_reweighting",
+    "q142_mixture_materialized",
+    "q147_curriculum_order",
+    "q177_curation_pipeline_v4",
+    "q164_gopher_quality_rules",
+    "q02_shipping_priority",
+    "q03_region_revenue",
+    "q99_nation_trade_volume",
+    "q100_product_profit",
+    # r9-verdict item 3: the remaining token_count_ws consumers (the r9
+    # regexp_count rewrite reaches all of these; the r9 gate re-proved
+    # q135/q148/q98/q02/q100 only). q121's split/packing path also reads
+    # token counts through curation_v2.
+    "q121_curation_v2_splits",
+    "q130_corpus_health_report",
+    "q166_temperature_mixture",
+    "q178_weighted_sample",
+    "q182_shard_manifest",
+    "q188_mixture_deduped",
+    "q195_threshold_survival",
+    "q196_dataset_datasheet",
+    "q200_training_mix_plan",
+    # rotation: oldest-gated tail (last driver rows r2; computed from the
+    # union of CORRECTNESS_r1-r9). q103/q104/q121/q130 above are also r2.
+    "q101_decontaminate_ngram",
+    "q102_pii_redaction",
+    "q108_chunk_documents",
+    "q109_split_assignment",
+    "q110_repetition_metrics",
+    "q111_cross_doc_ngram_overlap",
+    "q112_tfidf_top_terms",
+    "q113_vocab_zipf_stats",
+    "q114_unigram_surprise",
+    "q115_incremental_dedup",
+    "q116_embedding_outliers",
+    "q117_bm25_search",
+    "q118_semantic_dedup",
+    "q119_llm_map_prompt_cached",
+    "q120_sample_k_per_group",
+    "q38_pivot_priority_by_status",
+    "q41_dedup_ngram_jaccard",
+    "q43_dedup_simhash",
+    "q44_ann_ivf_topk",
+    "q46_embedding_near_dup",
+    "q47_ann_lsh_topk",
+    "q48_token_stats",
+    "q49_quality_score",
+    "q50_lang_id",
+    "q51_fingerprint_dedup",
+    "q62_dedup_clusters",
     # ---- round-9 gate prefix (the driver caps at ~50 rows) ----
     # New round-9 operators first: char-granule ExactSubstr, JS divergence,
     # cross-source dup matrix, Flesch, nucleus vocab, Kaplan-Meier,
