@@ -350,6 +350,7 @@ def minhash_dedup_pairs(
     max_bucket: int = 500,
     sig_mode: str = "classic",
     oph_probe: int = 8,
+    est_filter: bool = True,
 ) -> DataFrame:
     """Scale-path near-dup detection: LSH candidates verified by Jaccard.
 
@@ -453,7 +454,17 @@ def minhash_dedup_pairs(
     # distinct then shuffles the surviving ~10% instead of the full
     # candidate stream.
     cands = lsh_candidate_pairs(sigs, num_perm, bands, max_bucket=max_bucket, distinct=False)
-    if bands >= num_perm:
+    if not est_filter and bands < num_perm:
+        # Filter bypass (``est_filter=False``): every candidate goes
+        # straight to the exact verify. Results are identical — the
+        # est filter only pre-screens pairs the verify would reject —
+        # so this is purely a wall knob: it removes two signature joins
+        # and one filter stage at the cost of array_intersect-verifying
+        # the full candidate stream. Wrong when candidates ≫ survivors
+        # (the 100 TB default keeps the filter); A/B'd for the bench
+        # corpus in q42's body.
+        cands = cands.select("id_a", "id_b").distinct()
+    elif bands >= num_perm:
         # Recall-1 mode (one-row bands, the q131 oracle configuration): the
         # stated miss bound is (1-J)^num_perm from banding ALONE, so the
         # estimate pre-filter must not run — a true pair at exactly
@@ -783,7 +794,21 @@ def q42_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # saves nothing over 64 multiply-mods, and its +2% candidate stream
     # pays extra verify-join work). OPH recall measured HIGHER (0.9997
     # vs 0.9656) — it's the recall lever, not the wall lever, here.
-    return minhash_dedup_pairs(corpus, "id", "text", threshold=0.5, bands=8)
+    #
+    # est_filter=False (round-10 A/B, refreshed corpus, interleaved
+    # min-of-3 warm same session): the estimate pre-filter's two
+    # signature joins + filter stage cost more than they save HERE —
+    # sf0.1 est-on 3.33 s vs est-off 2.48 s, x10 replicas a warm wash
+    # (12.7 vs 12.4-13.5 s), identical 2,971 pairs both ways (the
+    # filter only pre-screens pairs the exact verify rejects anyway).
+    # This corpus is high-baseline-similarity — most LSH candidates ARE
+    # true pairs, so pre-screening buys little verify work. The library
+    # DEFAULT keeps est_filter=True: when candidates ≫ survivors (the
+    # adversarial 100 TB shape), screening at O(num_perm)/pair beats
+    # verifying at O(|shingle set|)/pair.
+    return minhash_dedup_pairs(
+        corpus, "id", "text", threshold=0.5, bands=8, est_filter=False
+    )
 
 
 @register(

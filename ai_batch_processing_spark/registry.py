@@ -124,7 +124,11 @@ _PRIORITY = [
     # - gopher_rules array-free rewrite (regexp_count words, translate
     #   word-chars, single lowered-split stop intersect) under q164,
     # - broadcast_if_small stats-based dispatch (no count() action)
-    #   under the TPC-H bench shapes q02/q03/q99/q100.
+    #   under the TPC-H bench shapes q02/q03/q99/q100,
+    # - q42 est_filter=False bench config (identical pairs, test-pinned;
+    #   q131 is its hash-gated exact twin).
+    "q42_dedup_minhash_lsh",
+    "q131_minhash_jaccard_verified",
     "q103_sequence_packing",
     "q135_sequence_packing_fragments",
     "q148_token_budget_selection",

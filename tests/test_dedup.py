@@ -243,6 +243,27 @@ def test_minhash_bands8_frontier_recall(spark, sf_dir):
     assert len(lsh) >= 0.9 * len(exact)
 
 
+def test_minhash_est_filter_bypass_parity(spark, sf_dir):
+    """``est_filter=False`` (q42's round-10 bench config) must return the
+    IDENTICAL pair set as the filtered default: the estimate pre-filter
+    only screens candidates the exact verify would reject, so bypassing
+    it is a wall knob, never a result knob."""
+    from ai_batch_processing_spark.operators.dedup import _dup_corpus
+
+    corpus = _dup_corpus(spark, sf_dir)
+    on = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(corpus, "id", "text", threshold=0.5, bands=8).collect()
+    }
+    off = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(
+            corpus, "id", "text", threshold=0.5, bands=8, est_filter=False
+        ).collect()
+    }
+    assert on == off and len(on) > 0
+
+
 # --- duplicate-span detection ------------------------------------------------
 
 
