@@ -271,22 +271,30 @@ def unigram_surprise(
     is vocab-sized and its join onto the token stream is AQE-sized.
     """
     toks = token_stream(docs, id_col, text_col)
-    # freq is vocab-sized: persist it so the probability join doesn't
-    # re-run the corpus-wide aggregate (the token STREAM is deliberately
-    # NOT cached — re-scanning parquet beats materializing the ~10× bigger
-    # exploded form).
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
+    # Compact FIRST (r10 rewrite — the q112 recipe): the exploded stream
+    # is shuffled exactly once, into the (doc, term, count) aggregate;
+    # the old form shuffled the raw stream twice (term-keyed probability
+    # join + doc-keyed regroup), which was the x100 wall (6.5 s / 2.8×).
+    # The surprise mean re-weights by ct: avg over occurrences ==
+    # sum(ct·-log2 p)/sum(ct) exactly.
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("ct")).persist()
+    # freq is vocab-sized and derived from the compacted frame (partial
+    # aggregation makes the second shuffle tiny); persisted so the
+    # probability join doesn't re-run it.
+    freq = tf.groupBy("term").agg(F.sum("ct").alias("c")).persist()
     total = freq.select(F.sum("c").cast("double").alias("t"))
     out = (
-        toks.join(freq, "term")
+        tf.join(freq, "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(-F.log2(F.col("c") / F.col("t"))), 6).alias("bits_per_token"),
+            F.sum("ct").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("ct") * -F.log2(F.col("c") / F.col("t"))) / F.sum("ct"), 6
+            ).alias("bits_per_token"),
         )
     )
-    return _finish(out, [freq], materialize)
+    return _finish(out, [tf, freq], materialize)
 
 
 @register(

