@@ -3886,3 +3886,486 @@ def chi_square_independence(
 def q330_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return chi_square_independence(docs)
+
+
+# ---------------------------------------------------------------------------
+# Adjusted Rand index between two categorical partitions
+# ---------------------------------------------------------------------------
+def adjusted_rand_index(
+    df: DataFrame, col_a: str = "lang", col_b: str = "source"
+) -> DataFrame:
+    """One row ``(n, n_a_cats, n_b_cats, ari)``: the Adjusted Rand Index
+    (Hubert & Arabie 1985) between the partitions induced by two
+    categorical columns — the chance-corrected pair-counting agreement
+    that complements q330's chi-square (chi-square asks "independent?",
+    ARI asks "the same partition?"; purity/NMI in q283 are not
+    chance-corrected).
+
+    With contingency cells n_ij, row sums a_i, col sums b_j, total n and
+    s_x = Σ x(x−1) (twice the pair count):
+    ARI = (2·s_cells·s_tot − 2·s_rows·s_cols)
+        / (s_tot·(s_rows + s_cols) − 2·s_rows·s_cols).
+    The s-sums are computed exactly in DECIMAL(38,0) (x(x−1) ~ 1e24 at a
+    100 TB corpus — past BIGINT); the final ratio runs in IEEE doubles
+    (its operands are ~1e48 — no integer type holds them; relative error
+    ~1e-16 against the 6dp rounding) — mirrored in the oracle. Cost
+    shape: one category-bounded aggregate; everything after is cells-sized.
+    Degenerate single-category-both-sides input nulls (0/0) explicitly.
+    """
+    dec = "decimal(38,0)"
+    sparse = df.groupBy(F.col(col_a).alias("r"), F.col(col_b).alias("c")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    pairs2 = lambda x: (x.cast(dec) * (x.cast(dec) - 1)).cast(dec)  # noqa: E731
+    cells = sparse.agg(
+        F.sum(pairs2(F.col("o"))).alias("s_cells"),
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("r").cast("long").alias("n_a_cats"),
+        F.count_distinct("c").cast("long").alias("n_b_cats"),
+    )
+    rows = (
+        sparse.groupBy("r")
+        .agg(F.sum("o").alias("rt"))
+        .agg(F.sum(pairs2(F.col("rt"))).alias("s_rows"))
+    )
+    cols = (
+        sparse.groupBy("c")
+        .agg(F.sum("o").alias("ct"))
+        .agg(F.sum(pairs2(F.col("ct"))).alias("s_cols"))
+    )
+    j = cells.crossJoin(F.broadcast(rows)).crossJoin(F.broadcast(cols))
+    s_tot = (F.col("n").cast(dec) * (F.col("n").cast(dec) - 1)).cast(dec).cast("double")
+    s_cells = F.col("s_cells").cast("double")
+    s_rows = F.col("s_rows").cast("double")
+    s_cols = F.col("s_cols").cast("double")
+    num = 2.0 * s_cells * s_tot - 2.0 * s_rows * s_cols
+    den = s_tot * (s_rows + s_cols) - 2.0 * s_rows * s_cols
+    return j.select(
+        "n",
+        "n_a_cats",
+        "n_b_cats",
+        F.when(den != 0.0, F.round(num / den, 6)).otherwise(None).alias("ari"),
+    )
+
+
+@register(
+    "q339_ari_lang_source",
+    oracle="""
+        WITH cells AS (
+            SELECT lang AS r, source AS c, COUNT(*) AS o
+            FROM documents GROUP BY lang, source
+        ),
+        sc AS (
+            SELECT SUM(CAST(o AS DECIMAL(38,0)) * (CAST(o AS DECIMAL(38,0)) - 1)) AS s_cells,
+                   CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT r) AS BIGINT) AS n_a_cats,
+                   CAST(COUNT(DISTINCT c) AS BIGINT) AS n_b_cats
+            FROM cells
+        ),
+        sr AS (
+            SELECT SUM(CAST(rt AS DECIMAL(38,0)) * (CAST(rt AS DECIMAL(38,0)) - 1)) AS s_rows
+            FROM (SELECT SUM(o) AS rt FROM cells GROUP BY r)
+        ),
+        scl AS (
+            SELECT SUM(CAST(ct AS DECIMAL(38,0)) * (CAST(ct AS DECIMAL(38,0)) - 1)) AS s_cols
+            FROM (SELECT SUM(o) AS ct FROM cells GROUP BY c)
+        )
+        SELECT n, n_a_cats, n_b_cats,
+               CASE WHEN CAST(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) - 1) AS DOUBLE)
+                         * (CAST(s_rows AS DOUBLE) + CAST(s_cols AS DOUBLE))
+                         - 2.0 * CAST(s_rows AS DOUBLE) * CAST(s_cols AS DOUBLE) <> 0.0
+                    THEN ROUND(
+                        (2.0 * CAST(s_cells AS DOUBLE)
+                             * CAST(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) - 1) AS DOUBLE)
+                         - 2.0 * CAST(s_rows AS DOUBLE) * CAST(s_cols AS DOUBLE))
+                        / (CAST(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) - 1) AS DOUBLE)
+                             * (CAST(s_rows AS DOUBLE) + CAST(s_cols AS DOUBLE))
+                           - 2.0 * CAST(s_rows AS DOUBLE) * CAST(s_cols AS DOUBLE)), 6)
+                    ELSE NULL END AS ari
+        FROM sc CROSS JOIN sr CROSS JOIN scl
+    """,
+    doc=(
+        "Adjusted Rand Index between the lang and source partitions "
+        "(Hubert-Arabie chance-corrected pair counting): decimal-exact "
+        "pair sums, IEEE final ratio — complements chi-square (q330) and "
+        "purity/NMI (q283)."
+    ),
+    tags=("corpus", "stats", "eval"),
+)
+def q339_ari_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return adjusted_rand_index(docs)
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 length-distribution shift per source (bucketed earth mover)
+# ---------------------------------------------------------------------------
+def wasserstein_length_shift(
+    sized: DataFrame, group_col: str = "source", value_col: str = "n_tokens"
+) -> DataFrame:
+    """Per group ``(group, n_src, n_rest, w1_buckets)``: the earth-mover
+    (Wasserstein-1) distance between the group's ``value_col``
+    distribution and the REST of the corpus, over the power-of-2 bucket
+    discretization (bucket = bit length of the value, the q326 grid; W1
+    on that support with unit spacing = Σ_b |CDF_src(b) − CDF_rest(b)| —
+    the standard histogram EMD; the discretization is the documented
+    resolution limit).
+
+    W1 complements the existing shift statistics where each is blind:
+    KS (q313) reads only the WORST bucket, PSI (q294/q332) and JS (q317)
+    score mass ratios but not DISTANCE (mass moved two buckets costs the
+    same as mass moved ten); W1 charges transport × distance — the right
+    alarm for "this source's docs got systematically longer".
+
+    Exactness: per-bucket CDFs never materialize as floats — the
+    difference is the cross-multiplied integer
+    |ck_s·(n_t−n_s) − (ck_t−ck_s)·n_s| in DECIMAL(38,0) (products reach
+    ~1e24 at 100 TB), one IEEE division per bucket snapped to a
+    1e-6-scaled long, exact integer sum (the q330 convention). Cost
+    shape: one corpus aggregate to the (group, bucket) histogram
+    (≤64 buckets/group); everything after is histogram-sized. A
+    single-source corpus has no rest distribution — explicit NULL
+    (the q333 guard), mirrored in the oracle.
+    """
+    dec = "decimal(38,0)"
+    b = sized.select(
+        F.col(group_col).alias("grp"),
+        F.length(F.bin(F.col(value_col).cast("long"))).cast("long").alias("bucket"),
+    ).filter(F.col(value_col) > 0)
+    h = b.groupBy("grp", "bucket").agg(F.count(F.lit(1)).alias("k"))
+    # dense (grp × bucket) grid: a bucket absent from one side still
+    # carries the other side's cumulative mass difference
+    grid = h.select("grp").distinct().crossJoin(h.select("bucket").distinct())
+    dense = grid.join(h, ["grp", "bucket"], "left").select(
+        "grp", "bucket", F.coalesce("k", F.lit(0)).alias("k")
+    )
+    w = Window.partitionBy("grp").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dense.select("grp", "bucket", "k", F.sum("k").over(w).alias("ck_s"))
+    # corpus-total cumulative per bucket (bounded: ≤64 rows)
+    tot_h = dense.groupBy("bucket").agg(F.sum("k").alias("kt"))
+    wt = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot_cum = tot_h.select("bucket", F.sum("kt").over(wt).alias("ck_t"))
+    n_s = cum.groupBy("grp").agg(F.sum("k").cast("long").alias("n_src"))
+    n_t = dense.agg(F.sum("k").cast("long").alias("n_tot"))
+    j = (
+        cum.join(F.broadcast(tot_cum), "bucket")
+        .join(F.broadcast(n_s), "grp")
+        .crossJoin(F.broadcast(n_t))
+    )
+    num = (
+        F.col("ck_s").cast(dec) * (F.col("n_tot") - F.col("n_src")).cast(dec)
+        - (F.col("ck_t") - F.col("ck_s")).cast(dec) * F.col("n_src").cast(dec)
+    ).cast(dec)
+    # the ANSI-safe guard runs INSIDE the per-bucket term: for a
+    # single-source corpus n_tot == n_src and the divisor is 0 — the
+    # outer NULL projection never evaluates it
+    term = F.when(
+        F.col("n_tot") > F.col("n_src"),
+        F.abs(num.cast("double"))
+        / (F.col("n_src").cast("double") * (F.col("n_tot") - F.col("n_src")).cast("double")),
+    )
+    out = j.groupBy("grp", "n_src", "n_tot").agg(
+        F.sum(F.round(term * 1e6).cast("long")).alias("_w1_micro")
+    )
+    return out.select(
+        F.col("grp"),
+        "n_src",
+        (F.col("n_tot") - F.col("n_src")).alias("n_rest"),
+        F.when(
+            F.col("n_tot") > F.col("n_src"), F.round(F.col("_w1_micro") / 1e6, 6)
+        ).otherwise(None).alias("w1_buckets"),
+    )
+
+
+@register(
+    "q340_wasserstein_length_shift",
+    oracle="""
+        WITH sized AS (
+            SELECT source AS grp,
+                   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS v
+            FROM documents
+        ),
+        b AS (
+            SELECT grp, CAST(length(bin(v)) AS BIGINT) AS bucket
+            FROM sized WHERE v > 0
+        ),
+        h AS (SELECT grp, bucket, COUNT(*) AS k FROM b GROUP BY grp, bucket),
+        grid AS (
+            SELECT g.grp, u.bucket
+            FROM (SELECT DISTINCT grp FROM h) g
+            CROSS JOIN (SELECT DISTINCT bucket FROM h) u
+        ),
+        dense AS (
+            SELECT grid.grp, grid.bucket, COALESCE(h.k, 0) AS k
+            FROM grid LEFT JOIN h ON h.grp = grid.grp AND h.bucket = grid.bucket
+        ),
+        cum AS (
+            SELECT grp, bucket, k,
+                   SUM(k) OVER (PARTITION BY grp ORDER BY bucket
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck_s
+            FROM dense
+        ),
+        tot_cum AS (
+            SELECT bucket,
+                   SUM(kt) OVER (ORDER BY bucket
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck_t
+            FROM (SELECT bucket, SUM(k) AS kt FROM dense GROUP BY bucket)
+        ),
+        ns AS (SELECT grp, CAST(SUM(k) AS BIGINT) AS n_src FROM dense GROUP BY grp),
+        nt AS (SELECT CAST(SUM(k) AS BIGINT) AS n_tot FROM dense),
+        terms AS (
+            SELECT cum.grp, ns.n_src, nt.n_tot,
+                   CAST(ROUND(ABS(CAST(CAST(cum.ck_s AS DECIMAL(38,0)) * (nt.n_tot - ns.n_src)
+                                      - CAST(tot_cum.ck_t - cum.ck_s AS DECIMAL(38,0)) * ns.n_src
+                                      AS DOUBLE))
+                              / (CAST(ns.n_src AS DOUBLE) * (nt.n_tot - ns.n_src)) * 1e6)
+                        AS BIGINT) AS t_micro
+            FROM cum
+            JOIN tot_cum USING (bucket)
+            JOIN ns ON ns.grp = cum.grp
+            CROSS JOIN nt
+            WHERE nt.n_tot > ns.n_src
+        )
+        SELECT dense_out.grp AS grp, dense_out.n_src,
+               dense_out.n_tot - dense_out.n_src AS n_rest,
+               CASE WHEN dense_out.n_tot > dense_out.n_src
+                    THEN ROUND(t.w1_micro / 1e6, 6) ELSE NULL END AS w1_buckets
+        FROM (SELECT ns.grp, ns.n_src, nt.n_tot FROM ns CROSS JOIN nt) dense_out
+        LEFT JOIN (SELECT grp, SUM(t_micro) AS w1_micro FROM terms GROUP BY grp) t
+               ON t.grp = dense_out.grp
+        ORDER BY dense_out.grp
+    """,
+    doc=(
+        "Wasserstein-1 (earth-mover) token-length shift per source vs the "
+        "rest of the corpus over power-of-2 buckets — transport×distance "
+        "drift, complementing KS (worst bucket), PSI and JS (distance-"
+        "blind); decimal cross-multiplied CDFs, 1e-6-snapped exact sum."
+    ),
+    tags=("corpus", "stats", "drift"),
+)
+def q340_wasserstein_length_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import doc_stats_cached
+
+    sized = doc_stats_cached(spark, sf_dir).select("source", "n_tokens")
+    return wasserstein_length_shift(sized).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary–source mutual information (global source-specificity number)
+# ---------------------------------------------------------------------------
+def vocab_source_mi(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """One row ``(n_tokens, n_terms, n_groups, h_term_bits, mi_bits,
+    mi_ratio)``: the mutual information I(term; group) of the corpus
+    token stream in bits, plus the term entropy H(term) and the ratio
+    I/H ∈ [0, 1] (the fraction of vocabulary information that is
+    source-identifying).
+
+    I = Σ_{t,g} p(t,g)·log2(p(t,g)·N / (c_t·c_g / N)) over observed
+    cells — the single-number decomposition behind the pairwise shift
+    statistics: fightin'-words (q259) and JS (q317) compare source PAIRS;
+    MI answers "how much does knowing the source tell you about the next
+    token" for the WHOLE mixture, which is the number a dedup/mixing
+    policy wants before deciding whether source tags belong in training
+    metadata. I = 0 iff every source shares one token distribution.
+
+    Exactness: per-cell terms are IEEE log2s of integer-count ratios
+    snapped to 1e-6-scaled longs and exactly summed (q330 convention).
+    Cost shape: ONE pass over the exploded stream into the (term, group)
+    aggregate; the term and group margins derive from it map-side —
+    nothing after the first aggregate is corpus-sized.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    tg = toks.groupBy("term", "grp").agg(F.count(F.lit(1)).alias("c")).persist()
+    t_m = tg.groupBy("term").agg(F.sum("c").alias("ct"))
+    g_m = tg.groupBy("grp").agg(F.sum("c").alias("cg"))
+    n = tg.agg(F.sum("c").cast("long").alias("n"))
+    j = (
+        tg.join(t_m, "term")
+        .join(F.broadcast(g_m), "grp")
+        .crossJoin(F.broadcast(n))
+    )
+    # p(t,g)·log2( p(t,g) / (p(t)p(g)) ) scaled by N: c/N · log2(c·N/(ct·cg))
+    mi_term = (F.col("c") / F.col("n")) * (
+        F.log2(F.col("c").cast("double") * F.col("n").cast("double"))
+        - F.log2(F.col("ct").cast("double") * F.col("cg").cast("double"))
+    )
+    h_term = (F.col("c") / F.col("n")) * -F.log2(F.col("ct").cast("double") / F.col("n"))
+    agg = j.agg(
+        F.max("n").alias("n_tokens"),
+        F.count_distinct("term").cast("long").alias("n_terms"),
+        F.count_distinct("grp").cast("long").alias("n_groups"),
+        F.sum(F.round(mi_term * 1e6).cast("long")).alias("_mi_micro"),
+        F.sum(F.round(h_term * 1e6).cast("long")).alias("_h_micro"),
+    )
+    out = agg.select(
+        "n_tokens",
+        "n_terms",
+        "n_groups",
+        F.round(F.col("_h_micro") / 1e6, 6).alias("h_term_bits"),
+        F.round(F.col("_mi_micro") / 1e6, 6).alias("mi_bits"),
+        F.when(
+            F.col("_h_micro") > 0,
+            F.round(F.col("_mi_micro") / F.col("_h_micro").cast("double"), 6),
+        ).otherwise(None).alias("mi_ratio"),
+    )
+    return _finish(out, [tg], materialize=True)
+
+
+@register(
+    "q341_vocab_source_mi",
+    oracle=r"""
+        WITH toks AS (
+            SELECT source AS grp, t.tok AS term
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS t(tok)
+        ),
+        tg AS (SELECT term, grp, COUNT(*) AS c FROM toks GROUP BY term, grp),
+        tm AS (SELECT term, SUM(c) AS ct FROM tg GROUP BY term),
+        gm AS (SELECT grp, SUM(c) AS cg FROM tg GROUP BY grp),
+        nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tg),
+        terms AS (
+            SELECT tg.c, tm.ct, gm.cg, nn.n,
+                   CAST(ROUND((tg.c / CAST(nn.n AS DOUBLE))
+                              * (log2(CAST(tg.c AS DOUBLE) * nn.n)
+                                 - log2(CAST(tm.ct AS DOUBLE) * gm.cg)) * 1e6)
+                        AS BIGINT) AS mi_micro,
+                   CAST(ROUND((tg.c / CAST(nn.n AS DOUBLE))
+                              * -log2(CAST(tm.ct AS DOUBLE) / nn.n) * 1e6)
+                        AS BIGINT) AS h_micro
+            FROM tg JOIN tm USING (term) JOIN gm USING (grp) CROSS JOIN nn
+        )
+        SELECT MAX(n) AS n_tokens,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM tm) AS n_terms,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM gm) AS n_groups,
+               ROUND(SUM(h_micro) / 1e6, 6) AS h_term_bits,
+               ROUND(SUM(mi_micro) / 1e6, 6) AS mi_bits,
+               CASE WHEN SUM(h_micro) > 0
+                    THEN ROUND(SUM(mi_micro) / CAST(SUM(h_micro) AS DOUBLE), 6)
+                    ELSE NULL END AS mi_ratio
+        FROM terms
+    """,
+    doc=(
+        "mutual information I(term; source) in bits + H(term) + the "
+        "source-specificity ratio I/H — the global 'does the source tag "
+        "carry vocabulary information' audit behind the pairwise shift "
+        "stats; one (term, source) aggregate, snapped exact sums."
+    ),
+    tags=("corpus", "stats", "drift"),
+)
+def q341_vocab_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return vocab_source_mi(docs)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary churn between ingest halves (top-K turnover)
+# ---------------------------------------------------------------------------
+def vocab_churn(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """One row ``(k, n_terms_h0, n_terms_h1, overlap_topk, jaccard_topk,
+    churn)``: turnover of the top-``k`` vocabulary between the two
+    deterministic ingest halves (``doc_id`` parity — the q198 split).
+
+    Heaps-law fits (q281) say how fast NEW terms arrive; capture-
+    recapture (q315) sizes the unseen tail; churn asks the operational
+    question neither answers: did the HEAD of the distribution — the
+    terms a tokenizer/vocab build actually keeps — change between
+    batches? jaccard_topk = |A∩B|/|A∪B| over the two top-k sets,
+    churn = 1 − overlap/k. Top-k per half is rank-by-(count desc, term)
+    via TakeOrderedAndProject on the vocab-sized aggregate — no global
+    sort, no window over the corpus; the k-row frames join broadcast.
+    """
+    toks = docs.select(
+        (F.col(id_col) % 2).alias("h"), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    counts = toks.groupBy("h", "term").agg(F.count(F.lit(1)).alias("c")).persist()
+    tops = [
+        counts.filter(F.col("h") == i)
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(k)
+        .select(F.col("term").alias(f"t{i}"))
+        for i in (0, 1)
+    ]
+    n_terms = counts.groupBy("h").agg(F.count(F.lit(1)).alias("nt"))
+    inter = tops[0].join(tops[1], tops[0].t0 == tops[1].t1, "inner").agg(
+        F.count(F.lit(1)).cast("long").alias("overlap_topk")
+    )
+    n0 = n_terms.filter(F.col("h") == 0).select(F.col("nt").cast("long").alias("n_terms_h0"))
+    n1 = n_terms.filter(F.col("h") == 1).select(F.col("nt").cast("long").alias("n_terms_h1"))
+    sizes = [t.agg(F.count(F.lit(1)).cast("long").alias(f"k{i}")) for i, t in enumerate(tops)]
+    out = (
+        n0.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(sizes[0]))
+        .crossJoin(F.broadcast(sizes[1]))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "n_terms_h0",
+            "n_terms_h1",
+            "overlap_topk",
+            F.round(
+                F.col("overlap_topk")
+                / (F.col("k0") + F.col("k1") - F.col("overlap_topk")).cast("double"),
+                6,
+            ).alias("jaccard_topk"),
+            F.round(1.0 - F.col("overlap_topk") / F.least("k0", "k1").cast("double"), 6).alias(
+                "churn"
+            ),
+        )
+    )
+    return _finish(out, [counts], materialize=True)
+
+
+@register(
+    "q344_vocab_churn_halves",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id % 2 AS h, t.tok AS term
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS t(tok)
+        ),
+        counts AS (SELECT h, term, COUNT(*) AS c FROM toks GROUP BY h, term),
+        ranked AS (
+            SELECT h, term,
+                   ROW_NUMBER() OVER (PARTITION BY h ORDER BY c DESC, term) AS rnk
+            FROM counts
+        ),
+        t0 AS (SELECT term FROM ranked WHERE h = 0 AND rnk <= 100),
+        t1 AS (SELECT term FROM ranked WHERE h = 1 AND rnk <= 100),
+        onum AS (SELECT CAST(COUNT(*) AS BIGINT) AS overlap_topk
+                 FROM t0 JOIN t1 USING (term)),
+        sizes AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM counts WHERE h = 0) AS n_terms_h0,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM counts WHERE h = 1) AS n_terms_h1,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM t0) AS k0,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS k1
+        )
+        SELECT CAST(100 AS BIGINT) AS k, n_terms_h0, n_terms_h1, overlap_topk,
+               ROUND(overlap_topk * 1.0 / (k0 + k1 - overlap_topk), 6) AS jaccard_topk,
+               ROUND(1.0 - overlap_topk * 1.0 / LEAST(k0, k1), 6) AS churn
+        FROM sizes CROSS JOIN onum
+    """,
+    doc=(
+        "top-100 vocabulary turnover between the doc_id-parity ingest "
+        "halves (overlap, Jaccard, churn): the head-of-distribution "
+        "stability check a vocab build wants, complementing Heaps growth "
+        "(q281) and capture-recapture tail size (q315); TakeOrdered top-k, "
+        "no corpus window."
+    ),
+    tags=("corpus", "stats", "drift"),
+)
+def q344_vocab_churn_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return vocab_churn(docs)

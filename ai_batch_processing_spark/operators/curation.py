@@ -5830,3 +5830,141 @@ def q336_rank_blend_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return rank_blend_top_docs(scored, ["s_alpha", "s_flesch"], top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (binary, missing-tolerant rater agreement)
+# ---------------------------------------------------------------------------
+def krippendorff_alpha_binary(
+    ratings: DataFrame, unit_col: str = "unit", value_col: str = "value"
+) -> DataFrame:
+    """One row ``(n_units, n_ratings, n_ones, n_zeros, alpha)``:
+    Krippendorff's alpha for binary ratings with MISSING data — the
+    agreement statistic that kappa cannot provide (Cohen q324 needs
+    exactly two raters, Fleiss q238 a constant rater count per unit;
+    alpha admits any number of raters per unit and drops nothing).
+
+    Krippendorff (2004) coincidence-matrix form, binary collapse: a unit
+    with m ratings, x of them 1, contributes 2·x·(m−x)/(m−1) disagreeing
+    ordered pairs to the coincidence matrix; with margins n₁ = Σx,
+    n₀ = n − n₁ over PAIRABLE units (m ≥ 2; singleton units carry no
+    agreement information and are excluded, per the definition):
+    alpha = 1 − D_o·(n−1)/(2·n₁·n₀). Unit terms are 1e-6-snapped longs
+    exactly summed (the q330 convention — exactly integer when
+    m ∈ {2,3}, snapped beyond); the margin product runs in DECIMAL
+    (~1e24 at 100 TB) then one IEEE division. Unanimous corpora
+    (n₁ = 0 or n₀ = 0) have zero expected disagreement — explicit NULL.
+    Cost shape: one unit-keyed aggregate; everything after is one row.
+    """
+    dec = "decimal(38,0)"
+    per_u = ratings.groupBy(F.col(unit_col).alias("u")).agg(
+        F.count(F.lit(1)).alias("m"), F.sum(F.col(value_col).cast("long")).alias("x")
+    ).filter(F.col("m") >= 2)
+    do_term = (
+        2.0 * F.col("x").cast("double") * (F.col("m") - F.col("x")).cast("double")
+    ) / (F.col("m") - 1).cast("double")
+    agg = per_u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("m").cast("long").alias("n_ratings"),
+        F.sum("x").cast("long").alias("n_ones"),
+        F.sum(F.round(do_term * 1e6).cast("long")).alias("_do_micro"),
+    )
+    n = F.col("n_ratings")
+    n1 = F.col("n_ones")
+    n0 = (n - n1).cast("long")
+    de2 = (n1.cast(dec) * n0.cast(dec)).cast(dec).cast("double") * 2.0
+    return agg.select(
+        "n_units",
+        "n_ratings",
+        "n_ones",
+        n0.alias("n_zeros"),
+        F.when(
+            (n1 > 0) & (n0 > 0),
+            F.round(
+                1.0 - (F.col("_do_micro") / 1e6) * (n - 1).cast("double") / de2, 6
+            ),
+        ).otherwise(None).alias("alpha"),
+    )
+
+
+@register(
+    "q343_krippendorff_alpha",
+    oracle="""
+        WITH feats AS (
+            SELECT doc_id, length(text) AS nc,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+                   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nt,
+                   length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS wc
+            FROM documents
+        ),
+        ratings AS (
+            SELECT doc_id AS u,
+                   CASE WHEN nc > 0 AND na * 1.0 / nc >= 0.75 THEN 1 ELSE 0 END AS v
+            FROM feats
+            UNION ALL
+            SELECT doc_id, CASE WHEN nt BETWEEN 20 AND 5000 THEN 1 ELSE 0 END
+            FROM feats
+            UNION ALL
+            SELECT doc_id,
+                   CASE WHEN wc * 1.0 / nt BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
+            FROM feats WHERE nt >= 30
+        ),
+        per_u AS (
+            SELECT u, COUNT(*) AS m, SUM(v) AS x
+            FROM ratings GROUP BY u HAVING COUNT(*) >= 2
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+                   CAST(SUM(m) AS BIGINT) AS n_ratings,
+                   CAST(SUM(x) AS BIGINT) AS n_ones,
+                   SUM(CAST(ROUND(2.0 * x * (m - x) / (m - 1) * 1e6) AS BIGINT)) AS do_micro
+            FROM per_u
+        )
+        SELECT n_units, n_ratings, n_ones,
+               n_ratings - n_ones AS n_zeros,
+               CASE WHEN n_ones > 0 AND n_ratings - n_ones > 0
+                    THEN ROUND(1.0 - (do_micro / 1e6) * (n_ratings - 1)
+                               / (2.0 * CAST(CAST(n_ones AS DECIMAL(38,0))
+                                             * (n_ratings - n_ones) AS DOUBLE)), 6)
+                    ELSE NULL END AS alpha
+        FROM agg
+    """,
+    doc=(
+        "Krippendorff's alpha over three in-engine binary quality raters "
+        "(alpha-ratio, length-window, mean-word-length — the third "
+        "ABSTAINS on sub-30-token docs, the missing-data case kappa and "
+        "Fleiss cannot handle): coincidence-matrix binary collapse, "
+        "snapped exact unit terms, decimal margins."
+    ),
+    tags=("curation", "quality", "eval"),
+)
+def q343_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_batch_processing_spark.operators.text import token_count_ws
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    text = F.col("text")
+    nc = F.length(text)
+    na = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    nt = token_count_ws(text).cast("long")
+    # word chars via the translate equivalence established in gopher_rules
+    wc = F.length(F.translate(text, " \t\n\x0b\f\r", ""))
+    feats = docs.select(
+        "doc_id", nc.alias("nc"), na.alias("na"), nt.alias("nt"), wc.alias("wc")
+    )
+    r1 = feats.select(
+        F.col("doc_id").alias("unit"),
+        F.when((F.col("nc") > 0) & (F.col("na") * 1.0 / F.col("nc") >= 0.75), 1)
+        .otherwise(0)
+        .alias("value"),
+    )
+    r2 = feats.select(
+        F.col("doc_id").alias("unit"),
+        F.when(F.col("nt").between(20, 5000), 1).otherwise(0).alias("value"),
+    )
+    r3 = feats.filter(F.col("nt") >= 30).select(
+        F.col("doc_id").alias("unit"),
+        F.when((F.col("wc") * 1.0 / F.col("nt")).between(3.0, 10.0), 1)
+        .otherwise(0)
+        .alias("value"),
+    )
+    return krippendorff_alpha_binary(r1.unionAll(r2).unionAll(r3))

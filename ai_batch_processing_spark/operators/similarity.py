@@ -3035,6 +3035,185 @@ def q215_source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# Embedding dispersion + diagonal-Fréchet source distances (moment forms)
+# ---------------------------------------------------------------------------
+def embedding_dispersion(
+    docs: DataFrame,
+    emb: DataFrame,
+    group_col: str = "source",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group semantic diversity via the moment closed form:
+    ``(group, n_vecs, mean_sq_norm, centroid_sq_norm, dispersion)``.
+
+    dispersion = E‖x−y‖² over independent same-group draws
+    = 2·(E‖x‖² − ‖E x‖²) — exact, from ONE first/second-moment pass, no
+    pair sampling and no quadratic join. A collapsed (mode-dropped)
+    embedder shows dispersion → 0 while per-dimension stats (q210) can
+    still look healthy; this is the group-level collapse detector a
+    training-data pipeline runs per source before mixing.
+
+    Cost shape: one HOF fold for ‖x‖² (no explode) + one posexplode pass
+    collapsed map-side to (group, dim) rows; everything after is
+    |groups|·dim-sized. Per-dim means are ROUNDED (6dp) before squaring
+    (the source_centroids convention) so both engines square identical
+    constants.
+    """
+    j = docs.select(F.col(doc_id_col).alias("_id"), F.col(group_col).alias("grp")).join(
+        emb.select(F.col(vec_id_col).alias("_id"), F.col(vec_col).alias("_v")), "_id"
+    )
+    sqn = F.aggregate(
+        "_v", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    sq = j.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"), F.avg(sqn).alias("_msn")
+    )
+    dims = (
+        j.select("grp", F.posexplode("_v").alias("dim", "x"))
+        .groupBy("grp", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+    )
+    cn = dims.groupBy("grp").agg(F.sum(F.col("m") * F.col("m")).alias("_c2"))
+    return sq.join(cn, "grp").select(
+        F.col("grp"),
+        "n_vecs",
+        F.round(F.col("_msn"), 6).alias("mean_sq_norm"),
+        F.round(F.col("_c2"), 6).alias("centroid_sq_norm"),
+        F.round(F.lit(2.0) * (F.col("_msn") - F.col("_c2")), 6).alias("dispersion"),
+    )
+
+
+def diag_frechet_matrix(
+    docs: DataFrame,
+    emb: DataFrame,
+    group_col: str = "source",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise diagonal-covariance Fréchet distance between group
+    embedding distributions: ``(grp_a, grp_b, mean_dist_sq, std_dist_sq,
+    frechet)`` for grp_a < grp_b.
+
+    The Fréchet (FID-style) distance between Gaussians with DIAGONAL
+    covariances collapses to ‖μa−μb‖² + Σ_d (σa_d + σb_d − 2·σa_d·σb_d^{1/2,1/2})
+    = ‖μa−μb‖² + ‖σa−σb‖² — no matrix square root, so the whole statistic
+    reduces to per-(group, dim) first/second moments. The diagonal
+    approximation is documented and standard when the full Σ^{1/2} is
+    unaffordable; it upper-bounds distributional agreement checks between
+    corpus sources (a cheap MAUVE/FID stand-in for "did source B drift
+    from source A in embedding space").
+
+    Corpus work is ONE posexplode pass collapsed to |groups|·dim moment
+    rows; the pair matrix is |groups|²·dim arithmetic on ROUNDED (6dp)
+    means and stds — engine-reproducible by construction.
+    """
+    j = docs.select(F.col(doc_id_col).alias("_id"), F.col(group_col).alias("grp")).join(
+        emb.select(F.col(vec_id_col).alias("_id"), F.col(vec_col).alias("_v")), "_id"
+    )
+    stats = (
+        j.select("grp", F.posexplode("_v").alias("dim", "x"))
+        .groupBy("grp", "dim")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("m"),
+            F.round(F.stddev_pop(F.col("x").cast("double")), 6).alias("s"),
+        )
+    )
+    a = stats.select(F.col("grp").alias("grp_a"), "dim", F.col("m").alias("ma"), F.col("s").alias("sa"))
+    b = stats.select(F.col("grp").alias("grp_b"), "dim", F.col("m").alias("mb"), F.col("s").alias("sb"))
+    pairs = a.join(b, "dim").where(F.col("grp_a") < F.col("grp_b"))
+    md = (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+    sd = (F.col("sa") - F.col("sb")) * (F.col("sa") - F.col("sb"))
+    return (
+        pairs.groupBy("grp_a", "grp_b")
+        .agg(
+            F.round(F.sum(md), 6).alias("mean_dist_sq"),
+            F.round(F.sum(sd), 6).alias("std_dist_sq"),
+            F.round(F.sum(md) + F.sum(sd), 6).alias("frechet"),
+        )
+    )
+
+
+_DISPERSION_JOIN_SQL = """
+        j AS (
+            SELECT d.source AS grp, CAST(e.embedding AS DOUBLE[]) AS v
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        )
+"""
+
+
+@register(
+    "q337_embedding_dispersion",
+    oracle=f"""
+        WITH {_DISPERSION_JOIN_SQL},
+        sq AS (
+            SELECT grp, COUNT(*) AS n,
+                   AVG(list_sum(list_transform(v, x -> x * x))) AS msn
+            FROM j GROUP BY grp
+        ),
+        dims AS (
+            SELECT grp, CAST(t.i AS BIGINT) AS dim,
+                   ROUND(AVG(v[CAST(t.i + 1 AS INT)]), 6) AS m
+            FROM j, unnest(generate_series(0, len(v) - 1)) t(i)
+            GROUP BY grp, t.i
+        ),
+        cn AS (SELECT grp, SUM(m * m) AS c2 FROM dims GROUP BY grp)
+        SELECT sq.grp, CAST(sq.n AS BIGINT) AS n_vecs,
+               ROUND(sq.msn, 6) AS mean_sq_norm,
+               ROUND(cn.c2, 6) AS centroid_sq_norm,
+               ROUND(2 * (sq.msn - cn.c2), 6) AS dispersion
+        FROM sq JOIN cn USING (grp)
+        ORDER BY grp
+    """,
+    doc=(
+        "per-source embedding dispersion E‖x−y‖² via the exact moment "
+        "closed form 2·(E‖x‖² − ‖Ex‖²) — the source-level embedder-collapse "
+        "detector, one moment pass, no pair sampling."
+    ),
+    tags=("embedding", "qa", "stats"),
+)
+def q337_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    return embedding_dispersion(t["documents"], t["embeddings"]).orderBy("grp")
+
+
+@register(
+    "q338_diag_frechet_sources",
+    oracle=f"""
+        WITH {_DISPERSION_JOIN_SQL},
+        stats AS (
+            SELECT grp, CAST(t.i AS BIGINT) AS dim,
+                   ROUND(AVG(v[CAST(t.i + 1 AS INT)]), 6) AS m,
+                   ROUND(STDDEV_POP(v[CAST(t.i + 1 AS INT)]), 6) AS s
+            FROM j, unnest(generate_series(0, len(v) - 1)) t(i)
+            GROUP BY grp, t.i
+        )
+        SELECT a.grp AS grp_a, b.grp AS grp_b,
+               ROUND(SUM((a.m - b.m) * (a.m - b.m)), 6) AS mean_dist_sq,
+               ROUND(SUM((a.s - b.s) * (a.s - b.s)), 6) AS std_dist_sq,
+               ROUND(SUM((a.m - b.m) * (a.m - b.m))
+                     + SUM((a.s - b.s) * (a.s - b.s)), 6) AS frechet
+        FROM stats a JOIN stats b USING (dim)
+        WHERE a.grp < b.grp
+        GROUP BY a.grp, b.grp
+        ORDER BY grp_a, grp_b
+    """,
+    doc=(
+        "pairwise diagonal-Fréchet (FID-style) distance between source "
+        "embedding distributions: ‖μa−μb‖² + ‖σa−σb‖² from per-(source, dim) "
+        "moments — the cheap distribution-shift matrix between corpus "
+        "sources; diagonal approximation documented."
+    ),
+    tags=("embedding", "qa", "drift"),
+)
+def q338_diag_frechet_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    return diag_frechet_matrix(t["documents"], t["embeddings"]).orderBy("grp_a", "grp_b")
+
+
+# ---------------------------------------------------------------------------
 # First-class k-means clustering (SQL-portable configuration)
 # ---------------------------------------------------------------------------
 _KM_NLIST = 8

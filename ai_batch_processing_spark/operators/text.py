@@ -743,6 +743,133 @@ def q110_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(t["documents"]).orderBy("doc_id")
 
 
+# --- degenerate-generation loop audit ----------------------------------------
+def _max_run(flags: Column) -> Column:
+    """Longest run of true values in a boolean array — a single HOF fold
+    with a (current, best) struct accumulator; empty array → 0."""
+    return F.aggregate(
+        flags,
+        F.named_struct(F.lit("cur"), F.lit(0), F.lit("best"), F.lit(0)),
+        lambda acc, x: F.named_struct(
+            F.lit("cur"),
+            F.when(x, acc.cur + 1).otherwise(F.lit(0)),
+            F.lit("best"),
+            F.greatest(acc.best, F.when(x, acc.cur + 1).otherwise(F.lit(0))),
+        ),
+        lambda acc: acc.best,
+    )
+
+
+def degenerate_loop_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    uni_threshold: int = 2,
+    loop2_threshold: int = 3,
+) -> DataFrame:
+    """Per doc ``(doc_id, n_tokens, max_uni_rep, max_loop2, looped)`` —
+    the degenerate-generation detector for synthetic/model-written text:
+    "aaa a a a" stutters and "x y x y x y" two-token loops, the failure
+    modes n-gram REPETITION COUNTS (q110) under-rank because a loop
+    spreads its mass over two bigrams while a run concentrates it.
+
+    - ``max_uni_rep``: longest streak of positions i with t[i] = t[i−1]
+      (a run of r identical tokens scores r−1);
+    - ``max_loop2``: longest streak of positions i with t[i] = t[i−2]
+      (an a-b-a-b… loop of length L scores L−2; a uniform run also
+      trips this — by design, both are degenerate);
+    - ``looped``: either streak at/over its threshold.
+
+    Zero-shuffle per-row fold (the q110 contract): the streaks are ONE
+    HOF ``aggregate`` each over lagged ``zip_with`` equality arrays —
+    no explode, no window, no per-doc partitioning; the DuckDB twin is
+    the classic gaps-and-islands formulation over the same token
+    stream, value-identical by construction.
+    """
+    toks = tokens_expr(text_col)
+    base = df.select(F.col(id_col), toks.alias("_ts"))
+    n = F.size("_ts")
+    eq1 = F.zip_with(
+        F.slice("_ts", 2, F.greatest(n - 1, F.lit(0))),
+        F.slice("_ts", 1, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: a == b,
+    )
+    eq2 = F.zip_with(
+        F.slice("_ts", 3, F.greatest(n - 2, F.lit(0))),
+        F.slice("_ts", 1, F.greatest(n - 2, F.lit(0))),
+        lambda a, b: a == b,
+    )
+    out = base.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        _max_run(eq1).cast("long").alias("max_uni_rep"),
+        _max_run(eq2).cast("long").alias("max_loop2"),
+    )
+    return out.withColumn(
+        "looped",
+        (F.col("max_uni_rep") >= uni_threshold) | (F.col("max_loop2") >= loop2_threshold),
+    )
+
+
+@register(
+    "q342_degenerate_loop_audit",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, len(ts) AS n, u.i,
+                   ts[CAST(u.i AS INT)] AS t0,
+                   CASE WHEN u.i >= 2 THEN ts[CAST(u.i - 1 AS INT)] END AS t1,
+                   CASE WHEN u.i >= 3 THEN ts[CAST(u.i - 2 AS INT)] END AS t2
+            FROM toks, unnest(generate_series(1, len(ts))) u(i)
+        ),
+        flags AS (
+            SELECT doc_id, n, i,
+                   (t1 IS NOT NULL AND t0 = t1) AS e1,
+                   (t2 IS NOT NULL AND t0 = t2) AS e2
+            FROM pos
+        ),
+        r1 AS (
+            SELECT doc_id, COUNT(*) AS run
+            FROM (SELECT doc_id, i,
+                         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+                  FROM flags WHERE e1)
+            GROUP BY doc_id, isl
+        ),
+        r2 AS (
+            SELECT doc_id, COUNT(*) AS run
+            FROM (SELECT doc_id, i,
+                         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+                  FROM flags WHERE e2)
+            GROUP BY doc_id, isl
+        ),
+        m AS (
+            SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE((SELECT MAX(run) FROM r1 WHERE r1.doc_id = t.doc_id), 0) AS BIGINT) AS max_uni_rep,
+                   CAST(COALESCE((SELECT MAX(run) FROM r2 WHERE r2.doc_id = t.doc_id), 0) AS BIGINT) AS max_loop2
+            FROM toks t
+        )
+        SELECT doc_id, n_tokens, max_uni_rep, max_loop2,
+               (max_uni_rep >= 2 OR max_loop2 >= 3) AS looped
+        FROM m
+        ORDER BY doc_id
+    """,
+    doc=(
+        "degenerate-generation loop audit: longest identical-token streak "
+        "and longest 2-token a-b-a-b loop per doc (zero-shuffle HOF folds; "
+        "gaps-and-islands DuckDB twin) — the synthetic-text QA gate q110's "
+        "count-based repetition metrics under-rank."
+    ),
+    tags=("text", "quality", "repetition"),
+)
+def q342_degenerate_loop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return degenerate_loop_audit(t["documents"])
+
+
 # --- cross-document n-gram repetition ----------------------------------------
 # Inter-document repetition: the fraction of a doc's distinct word 8-grams
 # that also appear in at least one OTHER document. High values flag
@@ -3813,3 +3940,94 @@ def flesch_scores(
 def q319_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return flesch_scores(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Self-BLEU source diversity (Zhu et al. 2018, Texygen)
+# ---------------------------------------------------------------------------
+_SELF_BLEU_K = 4
+
+
+def self_bleu_sources(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = _SELF_BLEU_K,
+) -> DataFrame:
+    """Per group ``(source, n_pairs, self_bleu, max_pair_bleu)``: mean
+    pairwise BLEU-4 among the group's ``k`` lowest-id documents — the
+    Texygen self-BLEU diversity probe (high self-BLEU = templated /
+    mode-collapsed text; THE standard first check on a synthetic-data
+    source before mixing it into training).
+
+    Deterministic and bounded by construction: the sample is the k
+    lowest ids per group (reproducible across engines, no RNG), so the
+    pair set is ≤ k·(k−1) per group regardless of corpus size — the
+    quadratic stays inside a constant-size sample while the candidate
+    SELECTION stays corpus-scale. BLEU machinery is the gated q245 core
+    (integer clipped counts, fixed-order assembly); the per-group mean
+    uses the ROUND(SUM,6)/n snap. Pair ids pack as a_id·10⁷ + b_id
+    (unique while ids < 10⁷; the gate data is far below)."""
+    w = Window.partitionBy(F.col("grp")).orderBy(F.col("id"))
+    pick = (
+        docs.select(F.col(group_col).alias("grp"), F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .drop("_rnk")
+    )
+    a = pick.select(F.col("grp"), F.col("id").alias("ia"), F.col("t").alias("ref"))
+    b = pick.select(F.col("grp"), F.col("id").alias("ib"), F.col("t").alias("cand"))
+    pairs = (
+        a.join(b, "grp")
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            (F.col("ia") * F.lit(10_000_000) + F.col("ib")).alias("pid"),
+            "grp",
+            "ref",
+            "cand",
+        )
+    )
+    scored = bleu_pairs(pairs.select("pid", "ref", "cand"))
+    j = scored.join(pairs.select("pid", "grp"), "pid")
+    return j.groupBy(F.col("grp").alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.round(F.sum("bleu"), 6) / F.count(F.lit(1)), 6).alias("self_bleu"),
+        F.max("bleu").alias("max_pair_bleu"),
+    )
+
+
+@register(
+    "q345_self_bleu_sources",
+    oracle=f"""
+        WITH sel AS (
+            SELECT doc_id, source, text,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+            FROM documents
+        ),
+        pick AS (SELECT doc_id, source, text FROM sel WHERE rnk <= {_SELF_BLEU_K}),
+        pairs AS MATERIALIZED (
+            SELECT a.doc_id * 10000000 + b.doc_id AS pid, a.source,
+                   a.text AS ref, b.text AS cand
+            FROM pick a JOIN pick b
+              ON a.source = b.source AND a.doc_id <> b.doc_id
+        ),
+        {{core}}
+        SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(ROUND(SUM({{val}}), 6) / COUNT(*), 6) AS self_bleu,
+               MAX({{val}}) AS max_pair_bleu
+        FROM wide JOIN pairs p USING (pid)
+        GROUP BY p.source
+        ORDER BY p.source
+    """.format(core=_BLEU_CORE_SQL, val=_BLEU_VAL_SQL),
+    doc=(
+        "self-BLEU diversity per source (mean pairwise BLEU-4 among the "
+        "4 lowest-id docs of each source — Zhu et al. 2018): the "
+        "mode-collapse probe for synthetic sources; deterministic bounded "
+        "sample, gated q245 BLEU core."
+    ),
+    tags=("text", "eval", "bleu", "quality"),
+)
+def q345_self_bleu_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return self_bleu_sources(docs).orderBy("source")

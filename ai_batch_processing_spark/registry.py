@@ -127,6 +127,19 @@ _PRIORITY = [
     #   under the TPC-H bench shapes q02/q03/q99/q100,
     # - q42 est_filter=False bench config (identical pairs, test-pinned;
     #   q131 is its hash-gated exact twin).
+    # New round-10 operators first: embedding dispersion (moment closed
+    # form), diagonal-Fréchet source matrix, ARI lang×source, W1 length
+    # shift, vocabulary–source MI, degenerate-loop audit, Krippendorff's
+    # alpha, top-k vocab churn, self-BLEU source diversity.
+    "q337_embedding_dispersion",
+    "q338_diag_frechet_sources",
+    "q339_ari_lang_source",
+    "q340_wasserstein_length_shift",
+    "q341_vocab_source_mi",
+    "q342_degenerate_loop_audit",
+    "q343_krippendorff_alpha",
+    "q344_vocab_churn_halves",
+    "q345_self_bleu_sources",
     "q42_dedup_minhash_lsh",
     "q131_minhash_jaccard_verified",
     "q103_sequence_packing",

@@ -64,3 +64,23 @@ def test_bleu_corpus_micro_vs_macro(spark):
     assert r.bleu_macro == 0.5
     # pooled p4: pair0 contributes 3/3, pair1 0/3 -> 0.5 etc.
     assert r.p4 == 0.5
+
+
+def test_self_bleu_sources_identical_vs_disjoint(spark):
+    """A source of identical docs scores self-BLEU 1; a source of
+    token-disjoint docs scores 0 on every pair."""
+    from ai_batch_processing_spark.operators.text import self_bleu_sources
+
+    rows = [
+        (1, "same", "the quick brown fox jumps over the lazy dog"),
+        (2, "same", "the quick brown fox jumps over the lazy dog"),
+        (3, "same", "the quick brown fox jumps over the lazy dog"),
+        (4, "diff", "aa bb cc dd ee ff gg hh"),
+        (5, "diff", "ii jj kk ll mm nn oo pp"),
+        (6, "diff", "qq rr ss tt uu vv ww xx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in self_bleu_sources(df, k=3).collect()}
+    assert out["same"].n_pairs == 6 and out["same"].self_bleu == 1.0
+    assert out["diff"].n_pairs == 6 and out["diff"].self_bleu == 0.0
+    assert out["diff"].max_pair_bleu == 0.0

@@ -717,3 +717,99 @@ def test_mad_outlier_zero_mad_degenerates_to_any_deviation(spark):
     )
     row = mad_outlier_audit(docs).collect()[0]
     assert (row.median_ntok, row.mad_ntok, row.n_outliers) == (5, 0, 1)
+
+
+def test_adjusted_rand_index_identical_partitions(spark):
+    """col_b a relabeling of col_a => ARI exactly 1."""
+    from ai_batch_processing_spark.operators.corpus import adjusted_rand_index
+
+    df = spark.createDataFrame(
+        [("en", "s1")] * 3 + [("de", "s2")] * 2 + [("fr", "s3")] * 4,
+        "lang string, source string",
+    )
+    r = adjusted_rand_index(df).collect()[0]
+    assert r.n == 9 and r.n_a_cats == 3 and r.n_b_cats == 3
+    assert r.ari == 1.0
+
+
+def test_adjusted_rand_index_hand_computed(spark):
+    """Classic 2x2: A={x,x,y,y}, B={x,y,x,y} — every cell 1, all pair
+    counts within cells are 0: ARI = (0 - E)/(max - E) with
+    s_cells=0, s_rows=s_cols=4, s_tot=12:
+    num = 2*0*12 - 2*4*4 = -32; den = 12*8 - 2*16 = 64 => -0.5."""
+    from ai_batch_processing_spark.operators.corpus import adjusted_rand_index
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")],
+        "lang string, source string",
+    )
+    r = adjusted_rand_index(df).collect()[0]
+    assert r.ari == -0.5
+
+
+def test_adjusted_rand_index_degenerate_null(spark):
+    """Single category on both sides: den = 0 -> explicit NULL."""
+    from ai_batch_processing_spark.operators.corpus import adjusted_rand_index
+
+    df = spark.createDataFrame([("a", "x")] * 5, "lang string, source string")
+    assert adjusted_rand_index(df).collect()[0].ari is None
+
+
+def test_wasserstein_length_shift_hand_computed(spark):
+    """Two sources: a has values {1,1} (bucket 1), b has {2,2} (bucket 2).
+    For a: CDF_a = (1.0, 1.0), rest=b CDF = (0.0, 1.0) => W1 = |1-0| + 0
+    = 1.0; symmetric for b."""
+    from ai_batch_processing_spark.operators.corpus import wasserstein_length_shift
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("b", 2)], "source string, n_tokens long"
+    )
+    rows = {r.grp: r for r in wasserstein_length_shift(df).collect()}
+    assert rows["a"].n_src == 2 and rows["a"].n_rest == 2
+    assert rows["a"].w1_buckets == 1.0
+    assert rows["b"].w1_buckets == 1.0
+
+
+def test_wasserstein_length_shift_identical_zero(spark):
+    """Identical per-source distributions => zero transport."""
+    from ai_batch_processing_spark.operators.corpus import wasserstein_length_shift
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 4), ("b", 1), ("b", 4)], "source string, n_tokens long"
+    )
+    rows = {r.grp: r for r in wasserstein_length_shift(df).collect()}
+    assert rows["a"].w1_buckets == 0.0 and rows["b"].w1_buckets == 0.0
+
+
+def test_wasserstein_length_shift_single_source_null(spark):
+    """Single source: no rest distribution -> explicit NULL (q333 guard)."""
+    from ai_batch_processing_spark.operators.corpus import wasserstein_length_shift
+
+    df = spark.createDataFrame([("a", 3)] * 4, "source string, n_tokens long")
+    r = wasserstein_length_shift(df).collect()[0]
+    assert r.n_rest == 0 and r.w1_buckets is None
+
+
+def test_vocab_churn_identical_halves(spark):
+    """Both halves share the same text => full overlap, churn 0."""
+    from ai_batch_processing_spark.operators.corpus import vocab_churn
+
+    df = spark.createDataFrame(
+        [(0, "apple banana cherry"), (1, "apple banana cherry")],
+        "doc_id long, text string",
+    )
+    r = vocab_churn(df, k=2).collect()[0]
+    assert r.k == 2 and r.n_terms_h0 == 3 and r.n_terms_h1 == 3
+    assert r.overlap_topk == 2 and r.jaccard_topk == 1.0 and r.churn == 0.0
+
+
+def test_vocab_churn_disjoint_heads(spark):
+    """Disjoint vocabularies => zero overlap, churn 1."""
+    from ai_batch_processing_spark.operators.corpus import vocab_churn
+
+    df = spark.createDataFrame(
+        [(0, "aa bb aa"), (2, "aa bb"), (1, "xx yy xx"), (3, "xx yy")],
+        "doc_id long, text string",
+    )
+    r = vocab_churn(df, k=2).collect()[0]
+    assert r.overlap_topk == 0 and r.jaccard_topk == 0.0 and r.churn == 1.0

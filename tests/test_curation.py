@@ -1346,3 +1346,37 @@ def test_rank_blend_borda_order(spark):
     rows = rank_blend_top_docs(scored, ["s1", "s2"], top_k=4).collect()
     assert [r.doc_id for r in rows] == [4, 1, 2, 3]
     assert rows[0].rank_sum == 2 and {r.rank_sum for r in rows[1:]} == {6}
+
+
+def test_krippendorff_alpha_perfect_agreement(spark):
+    """Three raters, identical verdicts everywhere => alpha 1."""
+    from ai_batch_processing_spark.operators.curation import krippendorff_alpha_binary
+
+    rows = [(u, v) for u, v in [(1, 1), (2, 0), (3, 1)] for _ in range(3)]
+    df = spark.createDataFrame(rows, "unit long, value int")
+    r = krippendorff_alpha_binary(df).collect()[0]
+    assert r.n_units == 3 and r.n_ratings == 9
+    assert r.alpha == 1.0
+
+
+def test_krippendorff_alpha_hand_computed_wikipedia_style(spark):
+    """Binary example with missing data, computed by hand:
+    units (ratings): u1 (1,1), u2 (1,0,1), u3 (0,0), u4 (1) [dropped].
+    Pairable: n=7, n1=4, n0=3.
+    D_o = u1: 0 + u2: 2*2*1/2 = 2 + u3: 0 => 2.
+    alpha = 1 - D_o*(n-1)/(2*n1*n0) = 1 - 2*6/24 = 0.5."""
+    from ai_batch_processing_spark.operators.curation import krippendorff_alpha_binary
+
+    rows = [(1, 1), (1, 1), (2, 1), (2, 0), (2, 1), (3, 0), (3, 0), (4, 1)]
+    df = spark.createDataFrame(rows, "unit long, value int")
+    r = krippendorff_alpha_binary(df).collect()[0]
+    assert r.n_units == 3 and r.n_ratings == 7 and r.n_ones == 4 and r.n_zeros == 3
+    assert r.alpha == 0.5
+
+
+def test_krippendorff_alpha_unanimous_null(spark):
+    """All ratings identical: expected disagreement 0 -> explicit NULL."""
+    from ai_batch_processing_spark.operators.curation import krippendorff_alpha_binary
+
+    df = spark.createDataFrame([(1, 1), (1, 1), (2, 1), (2, 1)], "unit long, value int")
+    assert krippendorff_alpha_binary(df).collect()[0].alpha is None

@@ -1234,3 +1234,59 @@ def test_simplified_silhouette_duplicate_centroids_zero(spark):
     )
     rows = simplified_silhouette(emb, [[1.0, 0.0], [1.0, 0.0]]).collect()
     assert all(r.mean_sil == 0.0 for r in rows)
+
+
+def test_embedding_dispersion_hand_computed(spark):
+    """Two orthogonal unit vectors in one group: E||x||^2 = 1, centroid
+    (.5,.5) => ||mean||^2 = 0.5, dispersion = 2*(1-0.5) = 1.0 — which is
+    also the direct average of ||x-y||^2 over ordered pairs with
+    replacement: (0 + 2 + 2 + 0)/4 = 1."""
+    from ai_batch_processing_spark.operators.similarity import embedding_dispersion
+
+    docs = spark.createDataFrame([(0, "a"), (1, "a")], "doc_id long, source string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    r = embedding_dispersion(docs, emb).collect()[0]
+    assert r.n_vecs == 2
+    assert r.mean_sq_norm == 1.0
+    assert r.centroid_sq_norm == 0.5
+    assert r.dispersion == 1.0
+
+
+def test_embedding_dispersion_collapsed_group_zero(spark):
+    """All vectors identical (a collapsed embedder): dispersion must be
+    exactly 0 while mean_sq_norm stays at the vector's norm."""
+    from ai_batch_processing_spark.operators.similarity import embedding_dispersion
+
+    docs = spark.createDataFrame([(i, "s") for i in range(4)], "doc_id long, source string")
+    emb = spark.createDataFrame(
+        [(i, [3.0, 4.0]) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    r = embedding_dispersion(docs, emb).collect()[0]
+    assert r.mean_sq_norm == 25.0 and r.dispersion == 0.0
+
+
+def test_diag_frechet_identical_and_shifted(spark):
+    """Identical distributions => frechet 0; a pure mean shift of +2 in
+    one of two dims with equal spreads => mean_dist_sq 4, std_dist_sq 0."""
+    from ai_batch_processing_spark.operators.similarity import diag_frechet_matrix
+
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "b"), (4, "c"), (5, "c")],
+        "doc_id long, source string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]), (1, [1.0, 0.0]),          # a: dim0 in {0,1}
+            (2, [0.0, 0.0]), (3, [1.0, 0.0]),          # b: identical to a
+            (4, [2.0, 0.0]), (5, [3.0, 0.0]),          # c: a shifted +2 in dim0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {(r.grp_a, r.grp_b): r for r in diag_frechet_matrix(docs, emb).collect()}
+    assert rows[("a", "b")].frechet == 0.0
+    assert rows[("a", "c")].mean_dist_sq == 4.0
+    assert rows[("a", "c")].std_dist_sq == 0.0
+    assert rows[("a", "c")].frechet == 4.0
+    assert rows[("b", "c")].frechet == 4.0

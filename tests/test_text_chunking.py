@@ -308,3 +308,32 @@ def test_gopher_rules_trim_and_alpha_edge_cases(spark, duck):
     assert by_id[2][5] == 0.75
     # doc 3: words = [12a3, 999, ##, a1, ..., x, 42] -> 3 alpha of 7
     assert by_id[3][1] == 7 and by_id[3][6] == round(3 / 7, 6)
+
+
+def test_degenerate_loop_audit_hand_computed(spark):
+    """Runs and 2-token loops score exactly (length-1) / (length-2):
+    'a a a a'   -> max_uni_rep 3, max_loop2 2 (a run also self-loops)
+    'x y x y x' -> max_uni_rep 0, max_loop2 3
+    'p q r s'   -> 0 / 0, not flagged."""
+    from ai_batch_processing_spark.operators.text import degenerate_loop_audit
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "x y x y x"), (3, "p q r s"), (4, ""), (5, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in degenerate_loop_audit(df).collect()}
+    assert (rows[1].max_uni_rep, rows[1].max_loop2, rows[1].looped) == (3, 2, True)
+    assert (rows[2].max_uni_rep, rows[2].max_loop2, rows[2].looped) == (0, 3, True)
+    assert (rows[3].max_uni_rep, rows[3].max_loop2, rows[3].looped) == (0, 0, False)
+    assert (rows[4].n_tokens, rows[4].max_uni_rep, rows[4].max_loop2) == (0, 0, 0)
+    assert (rows[5].n_tokens, rows[5].max_uni_rep, rows[5].looped) == (1, 0, False)
+
+
+def test_degenerate_loop_audit_interrupted_runs(spark):
+    """An interrupting token resets the streak: 'a a b a a a' has
+    max_uni_rep 2 (from the trailing triple), not 3."""
+    from ai_batch_processing_spark.operators.text import degenerate_loop_audit
+
+    df = spark.createDataFrame([(1, "a a b a a a")], "doc_id long, text string")
+    r = degenerate_loop_audit(df).collect()[0]
+    assert r.max_uni_rep == 2
