@@ -827,6 +827,74 @@ def stream_log_bucket_quantiles(
     )
 
 
+def stream_w1_value_drift(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Per-event-type Wasserstein-1 distribution drift ACROSS
+    micro-batches under bounded state: each batch emits
+    ``(event_type, n_before, n_after, w1_buckets)`` — the earth-mover
+    distance between the key's cumulative value distribution BEFORE and
+    AFTER the batch, over the q326 power-of-2 centi-unit buckets
+    (W1 = Σ_b |CDF_before − CDF_after|, the q340 statistic with the
+    snapshot pair replacing source-vs-rest).
+
+    This is the streaming alarm for "this metric's distribution moved
+    this batch" that per-quantile monitors blur: a shift spread across
+    many buckets raises W1 in proportion to distance moved, while p50/p99
+    (stream_log_bucket_quantiles) can sit still. State is the ≤64-long
+    cumulative histogram — bounded forever, commutative within a batch;
+    only the batch BOUNDARY ordering is semantic (each emission compares
+    consecutive snapshots). The first batch has no before-distribution:
+    ``n_before = 0`` and W1 is NULL (the q340 degenerate guard).
+    Cross-batch parity with the batch-side histogram is pytest-pinned.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_type string, n_before long, n_after long, w1_buckets double"
+    state_schema = "buckets array<long>"
+    NB = 64
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        before = list(state.get[0]) if state.exists else [0] * NB
+        counts = list(before)
+        for p in pdfs:
+            for v in p["value"].dropna():
+                s = int(round(v * 100))
+                if s <= 0:
+                    continue
+                counts[min(s.bit_length(), NB) - 1] += 1
+        state.update(([int(c) for c in counts],))
+        n_b, n_a = sum(before), sum(counts)
+        if n_a == 0:
+            return
+        if n_b == 0:
+            w1 = None
+        else:
+            ck_b = ck_a = 0
+            acc = 0.0
+            for i in range(NB):
+                ck_b += before[i]
+                ck_a += counts[i]
+                acc += abs(ck_b / n_b - ck_a / n_a)
+            w1 = round(acc, 6)
+        yield pd.DataFrame(
+            [{"event_type": key[0], "n_before": n_b, "n_after": n_a, "w1_buckets": w1}]
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_markov_transitions(
     spark: SparkSession,
     source_dir: str,

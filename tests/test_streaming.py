@@ -915,3 +915,46 @@ def test_stream_markov_transitions_matches_batch(spark, tmp_path):
     assert {(r.prev_etype, r.next_etype): r.n_trans for r in got} == ref
     # the straddling transition (user 1: purchase@b0 -> view@b1) must exist
     assert ("purchase", "view") in ref and ref[("purchase", "view")] == 1
+
+
+def test_stream_w1_value_drift_matches_hand_computed(spark, tmp_path):
+    """Two batches; the second batch's emission must equal the W1
+    between the cumulative histograms before/after that batch, computed
+    independently here; the first batch has no before-distribution and
+    must emit NULL with n_before=0.
+
+    Batch 1: values 0.02, 0.03 (centi 2,3 -> bucket 2) x2.
+    Batch 2: values 1.28 x2 (centi 128 -> bucket 8).
+    Before: CDF hits 1.0 at bucket 2; after: 0.5 from bucket 2..7, 1.0
+    at 8 => W1 = sum over buckets 2..7 of |1.0 - 0.5| = 3.0."""
+    from ai_batch_processing_spark.streaming.events import stream_w1_value_drift
+
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T00:0{i}:00", "user_id": i,
+         "event_type": "m", "value": v, "props": "{}"}
+        for i, v in enumerate([0.02, 0.03, 1.28, 1.28])
+    ]
+    d = tmp_path / "w1d"
+    d.mkdir()
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in rows[:2]))
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[2:]))
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, f in enumerate(["b0.json", "b1.json"]):
+        _os.utime(d / f, (now - 60 * (2 - i), now - 60 * (2 - i)))
+    sdf = stream_w1_value_drift(spark, str(d), max_files_per_trigger=1)
+    q = (
+        sdf.writeStream.format("memory").queryName("t_w1d").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_w1d"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    batches = sorted(spark.sql("SELECT * FROM t_w1d").collect(), key=lambda r: r.n_after)
+    first, last = batches[0], batches[-1]
+    assert (first.n_before, first.n_after, first.w1_buckets) == (0, 2, None)
+    assert (last.n_before, last.n_after) == (2, 4)
+    assert last.w1_buckets == 3.0
