@@ -62,7 +62,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 24g heap (r10): in local[N] the driver JVM IS the executor — 8g
+        # across 32 task threads was ~250 MB/thread and the long bench
+        # session showed classic old-gen GC inflation mid-run (8g vs 24g
+        # A/B, both orders: 43.4→23.0 s and 29.0 vs 26.1 s totals; the
+        # 8g run's q151/q32/q34 walls tripled, recovering at 24g in the
+        # same window). On a real cluster this maps to executor memory,
+        # where per-core memory is provisioned explicitly.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
