@@ -321,6 +321,23 @@ def lsh_candidate_pairs(
     per-pair filter next (the signature-estimate pre-filter) dedup AFTER
     it — the distinct then shuffles the filtered ~10% instead of the full
     candidate stream.
+
+    Shape (rewritten round 10): ONE aggregate collects each bucket's id
+    list and the pairs are expanded by an in-bucket array transform. The
+    old form self-joined the banded stream on (band, bh) with a
+    count-based anti-join guard — with AQE broadcasting one join side,
+    Catalyst could not reuse the exchange, so the banded stream AND the
+    bucket-count aggregate were each computed TWICE per run (plan-
+    verified, plans/r10/q42_*_before.txt: two `Exchange
+    hashpartitioning(band, bh)` count subtrees + two anti-joins + the
+    pair join). Now: one light count aggregate (partial map-side — never
+    materializes a bucket), one broadcast anti-join keeping the
+    ≤max_bucket buckets, one collect_list aggregate whose arrays are
+    bounded by max_bucket (the count guard runs BEFORE collection, so a
+    degenerate mega-bucket never reaches an aggregation buffer), and a
+    flat in-bucket (i < j) expansion — identical pair multiset per band
+    by construction (each id appears once per bucket; array_sort gives
+    the same id_a < id_b orientation the join predicate produced).
     """
     # slice() is 1-indexed; band j covers [j*r+1, r].
     banded = banded_signature_hashes(sig_df, num_perm, bands)
@@ -328,11 +345,24 @@ def lsh_candidate_pairs(
     ok = banded.join(
         F.broadcast(counts.filter(F.col("m") > max_bucket)), ["band", "bh"], "left_anti"
     )
-    x = ok.alias("x")
-    y = ok.alias("y")
-    pairs = (
-        x.join(y, (F.col("x.band") == F.col("y.band")) & (F.col("x.bh") == F.col("y.bh")) & (F.col("x.id") < F.col("y.id")))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    buckets = (
+        ok.groupBy("band", "bh")
+        .agg(F.collect_list("id").alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+        .select(F.array_sort("_ids").alias("_s"))
+    )
+    s = F.col("_s")
+    pair_structs = F.flatten(
+        F.transform(
+            s,
+            lambda a, i: F.transform(
+                F.slice(s, i + F.lit(2), F.size(s)),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    pairs = buckets.select(F.explode(pair_structs).alias("_p")).select(
+        F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b")
     )
     return pairs.distinct() if distinct else pairs
 

@@ -699,10 +699,14 @@ def q162_pagerank_replicated_verified(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("vec_id") < _PR3_CAP)
         .select("vec_id", "embedding")
     )
-    corpus = replicate_perturbed(emb, replicas=_PR2_REPLICAS, perturb="rational")
-    nodes = corpus.select(F.col("vec_id").alias("id"))
-    edges = knn_edges_approx(corpus, k=_PR_K, nlist=_PR3_NLIST, nprobe=_PR3_NLIST)
-    ranks = pagerank(nodes, edges, iterations=_PR_ITERS)
+    # same persist rationale as q150 (kmeans 4× + assignment 2× + nodes)
+    corpus = replicate_perturbed(emb, replicas=_PR2_REPLICAS, perturb="rational").persist()
+    try:
+        nodes = corpus.select(F.col("vec_id").alias("id"))
+        edges = knn_edges_approx(corpus, k=_PR_K, nlist=_PR3_NLIST, nprobe=_PR3_NLIST)
+        ranks = pagerank(nodes, edges, iterations=_PR_ITERS)
+    finally:
+        corpus.unpersist()
     return ranks.select(
         F.col("id").alias("vec_id"), F.round("rank", 6).alias("rank")
     ).orderBy("vec_id")
@@ -731,10 +735,21 @@ def q162_pagerank_replicated_verified(spark: SparkSession, sf_dir: str) -> DataF
 )
 def q150_pagerank_approx_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].select("vec_id", "embedding")
-    corpus = replicate_perturbed(emb, replicas=_PR2_REPLICAS)
-    nodes = corpus.select(F.col("vec_id").alias("id"))
-    edges = knn_edges_approx(corpus, k=_PR_K, nlist=_PR2_NLIST, nprobe=_PR2_NPROBE)
-    ranks = pagerank(nodes, edges, iterations=_PR_ITERS)
+    # Persist the replicated corpus for the pipeline's lifetime: kmeans
+    # reads it 4× (init + 3 Lloyd rounds), cell assignment twice (corpus +
+    # query side), the node table once — 7 scan+replicate recomputes
+    # without the cache (measured r10: 0.5 s of the sf0.1 wall; at scale
+    # the same passes re-read the parquet 7×). MEMORY_AND_DISK — spills,
+    # never OOMs. pagerank() returns its ranks eagerly checkpointed, so
+    # the unpersist below frees storage with nothing left to recompute
+    # (the module's no-leak convention).
+    corpus = replicate_perturbed(emb, replicas=_PR2_REPLICAS).persist()
+    try:
+        nodes = corpus.select(F.col("vec_id").alias("id"))
+        edges = knn_edges_approx(corpus, k=_PR_K, nlist=_PR2_NLIST, nprobe=_PR2_NPROBE)
+        ranks = pagerank(nodes, edges, iterations=_PR_ITERS)
+    finally:
+        corpus.unpersist()
     return ranks.select(
         F.col("id").alias("vec_id"), F.round("rank", 6).alias("rank")
     ).orderBy("vec_id")
