@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_batch_processing_spark.registry import register
-from ai_batch_processing_spark.session import load_tables
+from ai_batch_processing_spark.session import load_tables, shuffle_partitions
 
 
 def _round_half_up(x, dp: int):
@@ -530,10 +530,24 @@ def _ivf_block_scores(c: DataFrame, q: DataFrame, k: int | None = None) -> DataF
             {"query_id": qids[qi], "neighbor_id": nids[ci], "score": scores[qi, ci]}
         )
 
+    # Explicit REPARTITION_BY_NUM on cell (both sides, same N → the
+    # cogroup reuses the exchange, no extra shuffle): this stage's cost
+    # is the numpy block kernel, which AQE's BYTE-based coalescing
+    # cannot see — with coalescePartitions.parallelismFirst=false the
+    # few-MB cell exchange would collapse to one task and serialize
+    # nlist cells of O(|cell|·|probes|·dim) compute (measured at the
+    # q150 bench shape: +1.9 s). The explicit N is the session's
+    # shuffle-partition conf — the same scale-parameterised value the
+    # exchange had before coalescing, pinned (AQE leaves
+    # REPARTITION_BY_NUM alone).
+    n_part = shuffle_partitions(c.sparkSession)
     return (
         c.select("cell", "neighbor_id", "_cv", "_cn")
+        .repartition(n_part, "cell")
         .groupBy("cell")
-        .cogroup(q.select("cell", "query_id", "_qv", "_qn").groupBy("cell"))
+        .cogroup(
+            q.select("cell", "query_id", "_qv", "_qn").repartition(n_part, "cell").groupBy("cell")
+        )
         .applyInPandas(score_cell, schema)
     )
 
@@ -1738,10 +1752,14 @@ def _ivf_block_scores_sq8(c: DataFrame, q: DataFrame, k: int | None = None) -> D
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
         return pd.concat(frames, ignore_index=True)
 
+    # same pinned cell partitioning as _ivf_block_scores: the int64 block
+    # matmul is CPU-bound at byte sizes AQE would coalesce to one task
+    n_part = shuffle_partitions(c.sparkSession)
     return (
         c.select("cell", "neighbor_id", "_cv")
+        .repartition(n_part, "cell")
         .groupBy("cell")
-        .cogroup(q.select("cell", "query_id", "_qv").groupBy("cell"))
+        .cogroup(q.select("cell", "query_id", "_qv").repartition(n_part, "cell").groupBy("cell"))
         .applyInPandas(score_cell, schema)
     )
 

@@ -42,6 +42,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition SIZE when coalescing instead of
+        # preserving parallelism (Spark's own docs recommend false in
+        # production): tiny exchanges collapse to few tasks instead of
+        # always fanning to defaultParallelism, while 100 TB exchanges
+        # still size by bytes. Full-bench ABAB A/B (r10, fresh sessions,
+        # min-of-2 × 2 cycles): wins or ties every query — q42 4.10→2.98 s,
+        # q34 1.16→0.99, q73 0.83→0.63, q122 0.99→0.80 — EXCEPT the
+        # cell-cogrouped numpy kernels, whose compute AQE's byte heuristic
+        # cannot see; those pin their exchange explicitly
+        # (similarity._ivf_block_scores: REPARTITION_BY_NUM on cell).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Prefer ShuffledHashJoin over SortMergeJoin when a build side fits
         # per-partition memory: skips sorting BOTH fact sides (measured

@@ -426,3 +426,30 @@ def test_broadcast_if_small_dispatch_ladder(spark, sf_dir):
 
     # 3. probe count above the row cap -> unhinted (shuffle is the scale shape)
     assert not hinted(R.broadcast_if_small(joined, cap=0))
+
+
+def test_ivf_cogroup_kernel_partitioning_pinned(spark, sf_dir):
+    """Round-10 pf_false guard: AQE's byte-based partition coalescing
+    (coalescePartitions.parallelismFirst=false, session default) cannot
+    see the CPU cost of the cell-cogrouped numpy kernels, so both cogroup
+    inputs pin their exchange with an explicit REPARTITION_BY_NUM on
+    ``cell`` (measured: letting AQE coalesce the few-MB cell exchange to
+    one task serialized the q150 block kernel, +1.9 s at sf0.1). Both
+    sides repartition to the SAME number, so the cogroup reuses the
+    exchanges — exactly two of them, no ENSURE_REQUIREMENTS reshuffle
+    above."""
+    from ai_batch_processing_spark.operators.graph import knn_edges_approx
+    from ai_batch_processing_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    plan = _explain(knn_edges_approx(emb, k=3, nlist=8, nprobe=2))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert plan.count("REPARTITION_BY_NUM") == 2
+    # the pinned exchanges are the ONLY ones partitioning by cell: no
+    # ENSURE_REQUIREMENTS hashpartitioning(cell) was added on top
+    cell_exchanges = [
+        ln for ln in plan.splitlines()
+        if "hashpartitioning(cell" in ln and "Arguments:" in ln
+    ]
+    assert len(cell_exchanges) == 2
+    assert all("REPARTITION_BY_NUM" in ln for ln in cell_exchanges)
