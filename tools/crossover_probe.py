@@ -363,7 +363,11 @@ def write_markdown(results: dict, mults: list[int], plan_order: list[str]) -> No
         "measures engine work, not Python row-boxing; the old",
         "collect/fetchall protocol taxed Spark ~2 s per 500k-row output",
         "for py4j row conversion while DuckDB handed back C tuples),",
-        "warmed, caches cleared between runs, local[32].",
+        "warmed, caches cleared between runs, local[32]. Every timed Spark",
+        "run also clears the library's session-lifetime memos (the shared",
+        "doc-stats localCheckpoint and the broadcast-dispatch probe counts)",
+        "first, so each row is a full compute-from-parquet wall — nothing",
+        "carried over from a previous run is inside any timed number.",
         "",
         "The claim under test (BASELINE.md): sf0.1 walls are dominated by",
         "Spark's fixed ~0.4-0.5 s scheduling floor, so the ≤2× bar must be",
@@ -488,6 +492,22 @@ def main() -> None:
             if timer:
                 timer.cancel()
 
+    def reset_session_memos() -> None:
+        # Measurement honesty (r10): the library keeps two session-lifetime
+        # memos — the shared doc-stats frame (operators.text._DOC_STATS_CACHE,
+        # an eager localCheckpoint keyed on (app, scale dir)) and the
+        # broadcast-dispatch probe counts (plans.relational._probe_counts).
+        # Both are legitimate engine behavior for a long-lived session, but
+        # a TIMED run that reuses them reports a wall that excludes work the
+        # DuckDB twin pays on every run (the tokenize pass / the probe
+        # count). Clearing them before every timed Spark run makes each
+        # CROSSOVER row a full compute-from-parquet measurement.
+        from ai_batch_processing_spark.operators import text as _text
+        from ai_batch_processing_spark.plans import relational as _rel
+
+        _text._DOC_STATS_CACHE.clear()
+        _rel._probe_counts.clear()
+
     results: dict[str, dict[int, tuple[float, float]]] = {q: {} for q in plan}
     for mult in mults:
         # fresh session per multiplier: accumulated broadcasts / old-gen GC
@@ -514,6 +534,7 @@ def main() -> None:
                 if duck_wall == float("inf"):
                     break  # DNF once = don't burn another full budget
             for _ in range(2):
+                reset_session_memos()
                 t0 = time.time()
                 fn(spark, d).toPandas()
                 spark_wall = min(spark_wall, time.time() - t0)
