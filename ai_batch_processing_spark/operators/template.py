@@ -79,10 +79,28 @@ def with_row_index(df: DataFrame, order_by: list[str] | None = None, col: str = 
     from ai_batch_processing_spark.session import shuffle_partitions
 
     n = shuffle_partitions(df.sparkSession)
-    ranged = df.repartitionByRange(n, *keys).withColumn("_pid", F.spark_partition_id())
-    w_in = Window.partitionBy("_pid").orderBy(*keys)
-    numbered = ranged.withColumn("_rn", F.row_number().over(w_in))
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    base = df.repartitionByRange(n, *keys)
+    # In-partition position WITHOUT a window: a Window.partitionBy(_pid)
+    # cannot see that _pid is partition-constant, so it inserted a SECOND
+    # full Exchange (hashpartitioning(_pid), ENSURE_REQUIREMENTS) — the
+    # whole payload (for q30/q34, every document's text) crossed the
+    # network twice (guide §2.4: remove shuffles outright). Instead: local
+    # sort (no exchange), then monotonically_increasing_id, whose documented
+    # layout is (partition index << 33) | record-number-within-partition —
+    # rows are numbered in sorted partition order because the id is
+    # non-deterministic and Catalyst never reorders it past the Sort.
+    ranged = base.sortWithinPartitions(*keys).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    numbered = ranged.withColumn(
+        "_pid", F.shiftright("_mid", 33).cast("int")
+    ).withColumn("_rn", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+    # Per-partition counts from the RE-USED range exchange (same canonical
+    # Exchange → one shuffle total); spark_partition_id here and _mid's high
+    # bits above index the same post-shuffle partitions.
+    counts = base.withColumn("_pid", F.spark_partition_id()).groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
     # constant partition key: same single-partition execution over the
     # ≤n_partitions offset rows, but without WindowExec's all-data warning
     # (which would be misleading here — the data never takes this path).
@@ -92,8 +110,8 @@ def with_row_index(df: DataFrame, order_by: list[str] | None = None, col: str = 
     )
     return (
         numbered.join(F.broadcast(offsets), "_pid")
-        .withColumn(col, (F.col("_off") + F.col("_rn") - 1).cast("long"))
-        .drop("_pid", "_rn", "_off")
+        .withColumn(col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_mid", "_off")
     )
 
 

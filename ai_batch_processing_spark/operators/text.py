@@ -96,7 +96,12 @@ def doc_stats_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("long").alias("n_chars"),
             F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("long").alias("n_alpha"),
             token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        # eager=False (r10): the first consumer's action materializes the
+        # checkpoint as a side effect — one less dedicated job per scale
+        # dir. Interleaved x100 A/B measured a wash on wall (2.27 vs
+        # 2.28 s min on q103) — kept for the job-count reduction, which is
+        # what the sf0.1 scheduling floor prices.
         # A persist() on top of the checkpoint was A/B'd (4 interleaved
         # x100 windows) and rejected: the columnar copy's rebuild after
         # each session clearCache() added variance (1.7-13.8 s swings on

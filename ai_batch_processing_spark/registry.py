@@ -142,9 +142,33 @@ _PRIORITY = [
     "q345_self_bleu_sources",
     "q42_dedup_minhash_lsh",
     "q131_minhash_jaccard_verified",
+    # Execution paths changed in the round-10 optimization session proper:
+    # - with_row_index: window-over-_pid (second full Exchange) replaced by
+    #   sortWithinPartitions + monotonically_increasing_id (q30/q32/q34
+    #   order-restoring index, q113 vocab rank — and every other consumer),
+    # - unigram_surprise: per-occurrence broadcast form, total folded onto
+    #   the vocab-sized probability table (q114; q121 consumes the band),
+    # - trailing global sorts dropped from corpus-sized outputs
+    #   (q112/q114/q115/q136/q168 — the q103/q164 precedent),
+    # - grouped_prefix_sum: within-partition cumsum moved from a
+    #   Window.partitionBy(_pid, group) (hidden ENSURE_REQUIREMENTS
+    #   Exchange) to an Arrow kernel on the existing range partitioning
+    #   (q103/q135/q148/q182 and the packing family),
+    # - doc_stats_cached checkpoint eager→lazy (all stats consumers).
+    "q30_template_render",
+    "q32_llm_map_ungrouped",
+    "q34_pipeline_export",
+    "q113_vocab_zipf_stats",
+    "q114_unigram_surprise",
+    "q121_curation_v2_splits",
+    "q112_tfidf_top_terms",
+    "q115_incremental_dedup",
+    "q136_incremental_dedup_bloom",
+    "q168_bigram_surprise",
     "q103_sequence_packing",
     "q135_sequence_packing_fragments",
     "q148_token_budget_selection",
+    "q182_shard_manifest",
     "q104_mixture_reweighting",
     "q142_mixture_materialized",
     "q147_curriculum_order",
@@ -154,6 +178,12 @@ _PRIORITY = [
     "q03_region_revenue",
     "q99_nation_trade_volume",
     "q100_product_profit",
+    # IVF pipeline persist + cell-cogroup exchange pin (inherited r10
+    # commits c9e4973/23041ee) changed these paths after their last gate:
+    "q149_knn_edges_approx_verified",
+    "q162_pagerank_replicated_verified",
+    "q150_pagerank_approx_knn_graph",
+    "q45_ann_bruteforce_topk",
     # r9-verdict item 3: the remaining token_count_ws consumers (the r9
     # regexp_count rewrite reaches all of these; the r9 gate re-proved
     # q135/q148/q98/q02/q100 only). q121's split/packing path also reads

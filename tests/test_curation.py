@@ -1380,3 +1380,40 @@ def test_krippendorff_alpha_unanimous_null(spark):
 
     df = spark.createDataFrame([(1, 1), (1, 1), (2, 1), (2, 1)], "unit long, value int")
     assert krippendorff_alpha_binary(df).collect()[0].alpha is None
+
+
+def test_grouped_prefix_sum_cross_batch_carry(spark):
+    # Force multiple Arrow batches per partition so the kernel's tail
+    # carry (the r10 rewrite that replaced the hidden
+    # Exchange-hashpartitioning(_pid, group) window) is exercised across
+    # batch boundaries, including a group that spans batches.
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows = [(i, f"s{i // 40}", (i * 13) % 17 + 1) for i in range(160)]
+        df = spark.createDataFrame(rows, "id long, src string, v long").repartition(3)
+        got = grouped_prefix_sum(df, ["src"], ["id"], "v", out_col="p")
+        w = (
+            Window.partitionBy("src")
+            .orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = df.withColumn("p", (F.sum("v").over(w) - F.col("v")).cast("long"))
+        cols = ["id", "src", "v", "p"]
+        assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+            map(tuple, want.select(cols).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_grouped_prefix_sum_no_second_data_exchange(spark):
+    # r10 plan pin: the data-side cumsum must run on the range exchange's
+    # own partitioning (Arrow kernel), not behind a second
+    # hashpartitioning(_pid, group) ENSURE_REQUIREMENTS exchange. The only
+    # hashpartitioning(_pid, ...) left is the tiny per-(partition, group)
+    # totals aggregate (post-partial-agg, offsets-table-sized).
+    df = spark.createDataFrame([(1, "a", 1), (2, "a", 2)], "id long, src string, v long")
+    plan = grouped_prefix_sum(df, ["src"], ["id"], "v")._jdf.queryExecution().toString()
+    assert "MapInPandas" in plan
+    assert plan.count("hashpartitioning(_pid") <= 1

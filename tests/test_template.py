@@ -70,3 +70,32 @@ def test_with_row_index_monotonic_preserves_order(spark):
     rows = with_row_index(df).collect()
     # ids strictly increase within each partition's slice of the output.
     assert len({r._row_index for r in rows}) == 100
+
+
+def test_with_row_index_ordered_many_partitions(spark):
+    # Contiguous 0-based index across many range partitions, non-trivial
+    # data order (the r10 monotonically_increasing_id rewrite).
+    import random
+
+    vals = list(range(500))
+    random.Random(7).shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "k int").repartition(11)
+    out = {r.k: r._row_index for r in with_row_index(df, order_by=["k"]).collect()}
+    assert out == {v: v for v in range(500)}
+
+
+def test_with_row_index_no_window_exchange(spark):
+    # r10 plan pin: the in-partition position comes from
+    # monotonically_increasing_id above the local sort — no
+    # Window.partitionBy(_pid) and no second data-side
+    # hashpartitioning(_pid) exchange (the only hashpartitioning(_pid)
+    # left is the tiny per-partition counts aggregate).
+    # (the offsets branch's constant-key window prints
+    # ``windowspecdefinition(_pid ASC ...`` after literal folding — it
+    # runs over ≤n_partitions rows; the old data-side window was the
+    # ``row_number`` over a hashpartitioning(_pid) exchange)
+    df = spark.range(100).withColumnRenamed("id", "k")
+    plan = with_row_index(df, order_by=["k"])._jdf.queryExecution().toString()
+    assert "monotonically_increasing_id" in plan
+    assert "row_number" not in plan
+    assert plan.count("hashpartitioning(_pid") <= 1
