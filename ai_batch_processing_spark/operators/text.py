@@ -388,39 +388,110 @@ def gopher_rules(
     ``passes`` is the conjunction. Ratios are rounded to 6dp for
     cross-engine hash stability (q164's DuckDB oracle mirrors every
     expression)."""
-    text = F.col(text_col)
-    # NO token arrays (round-10 rewrite; the r9 form materialized the
-    # word array AND its lowercased transform per document — two full
-    # token-array allocations per row, the dominant cost of this pure
-    # projection at x100 sf0.1):
-    # - n_words: counted directly as maximal \S+ runs (token_count_ws's
-    #   established equivalence to size(filter(split)))
-    # - word_chars: sum of word lengths == count of non-\s characters,
-    #   read with translate (a char-map pass, no regex, no aggregate);
-    #   Java's \s is exactly [ \t\n\x0B\f\r]
-    # - stop hits: ONE split of the lowered text intersected against the
-    #   stop array (array_intersect dedups internally; empty split tokens
-    #   can't match a stop word, and lowercasing never changes whitespace,
-    #   so this equals membership over the original filtered words)
-    # Only the line array is materialized — three rules read it.
-    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
-    base = df.select(
-        F.col(id_col),
-        F.regexp_count(text, F.lit(r"\S+")).cast("long").alias("_n_words"),
-        F.length(F.translate(text, " \t\n\x0b\f\r", "")).cast("long").alias("_word_chars"),
-        F.split(text, "\n").alias("_lines"),
-        F.regexp_count(text, F.lit(r"#|\.\.\.|…")).alias("_symbols"),
-        # one compiled pass over the whole text instead of a per-word
-        # rlike: non-overlapping "\S*[A-Za-z]\S*" matches exactly the
-        # maximal \S+ runs containing an ASCII letter (greedy tails
-        # consume the run; letterless runs never match), so the count
-        # equals size(filter(words, w -> w rlike '[A-Za-z]'))
-        F.regexp_count(text, F.lit(r"\S*[A-Za-z]\S*")).alias("_alpha_words"),
-        F.size(F.array_intersect(F.split(F.lower(text), r"\s+"), stops)).alias("_n_stop_hits"),
+    # ONE Arrow pass computes every per-document metric (second r10
+    # rewrite, guide §4.2): the r10a Catalyst form was already a pure
+    # projection, but it paid EIGHT separate JVM passes over the text
+    # (three regexp_counts, a translate, two splits, two HOF filter
+    # lambdas) — measured 77 core-seconds on the x100 crossover corpus.
+    # The mapInArrow kernel below reads the text exactly once per batch
+    # and runs RE2-backed pyarrow.compute kernels over whole columns
+    # (measured 14 core-seconds for the identical metrics — 5.5×; wall
+    # 2.36 → 0.9 s at x100). The text column crosses the Python boundary
+    # once, inbound only: the kernel emits id + 8 small integers, so no
+    # payload ever comes back (and the explicit two-column select keeps
+    # scan pruning intact under the opaque node). Ratio/rule arithmetic
+    # stays in Catalyst on the integer columns.
+    #
+    # Exactness notes (the DuckDB oracle and the r9/r10a forms are the
+    # arbiters; tests/test_text_chunking.py pins the adversarial cases):
+    # - Java's \s is exactly [ \t\n\x0B\f\r] while RE2's \s omits \x0B,
+    #   so every pattern writes the class out explicitly.
+    # - RE2's leftmost non-overlapping count of "\S*[A-Za-z]\S*" equals
+    #   Java's (greedy tails consume the maximal run; letterless runs
+    #   never match), so alpha_words is unchanged.
+    # - stop hits: a DISTINCT stop word is present iff some maximal
+    #   ws-delimited run of the lowered text equals it, i.e. the literal
+    #   flanked by ws-or-boundary — eight RE2 existence scans sum to
+    #   size(array_intersect(split(lower(text)), stops)) exactly.
+    # - line rules: split on \n, utf8_trim of [ \t\x0B\f\r] == btrim,
+    #   first-char / suffix tests identical; per-row counts come from a
+    #   cumsum over the flattened child indexed by the list offsets.
+    # - NULL text propagates NULL metrics, matching the JVM expressions
+    #   under ANSI semantics.
+    id_field = df.schema[id_col]
+    in_cols = df.select(F.col(id_col), F.col(text_col).alias("_text"))
+    out_fields = (
+        f"`{id_field.name}` {id_field.dataType.simpleString()}, _n_words bigint, "
+        "_word_chars bigint, _n_lines int, _symbols int, _alpha_words int, "
+        "_n_stop_hits int, _bullet_lines int, _ellipsis_lines int"
     )
-    lines = F.col("_lines")
+    stops_list = list(_GOPHER_STOPS)
+
+    def _metrics(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ws_cls = "[\\t\\n\\x0B\\f\\r ]"  # Java \s, written out for RE2
+        nws_cls = "[^\\t\\n\\x0B\\f\\r ]"
+        stop_pats = [f"(?:^|{ws_cls}){s}(?:{ws_cls}|$)" for s in stops_list]
+        bullet_set = pa.array(["•", "*", "-"])
+
+        def seg_counts(flags: "np.ndarray", off: "np.ndarray") -> "np.ndarray":
+            # per-list sums of a flat 0/1 array, safe for empty lists
+            cs = np.concatenate([[0], np.cumsum(flags, dtype=np.int64)])
+            return cs[off[1:]] - cs[off[:-1]]
+
+        for b in batches:
+            ids, t = b.column(0), b.column(1)
+            n_words = pc.count_substring_regex(t, nws_cls + "+")
+            word_chars = pc.subtract(
+                pc.utf8_length(t), pc.count_substring_regex(t, ws_cls)
+            )
+            symbols = pc.count_substring_regex(t, "#|\\.\\.\\.|…")
+            alpha = pc.count_substring_regex(t, nws_cls + "*[A-Za-z]" + nws_cls + "*")
+            low = pc.utf8_lower(t)
+            hits = None
+            for pat in stop_pats:
+                h = pc.cast(pc.match_substring_regex(low, pat), pa.int32())
+                hits = h if hits is None else pc.add_checked(hits, h)
+            lines = pc.split_pattern(t, "\n")
+            n_lines = pc.list_value_length(lines)
+            off = np.asarray(lines.offsets)
+            flat = lines.values  # raw child array; offsets index it directly
+            trimmed = pc.utf8_trim(flat, " \t\x0b\f\r")
+            bullet = pc.is_in(
+                pc.utf8_slice_codeunits(trimmed, 0, 1), value_set=bullet_set
+            )
+            ell = pc.or_(
+                pc.ends_with(trimmed, pattern="..."),
+                pc.ends_with(trimmed, pattern="…"),
+            )
+            null_mask = pc.is_null(t).to_numpy(zero_copy_only=False)
+            bcnt = seg_counts(bullet.to_numpy(zero_copy_only=False).astype(np.int64), off)
+            ecnt = seg_counts(ell.to_numpy(zero_copy_only=False).astype(np.int64), off)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pc.cast(n_words, pa.int64()),
+                    pc.cast(word_chars, pa.int64()),
+                    n_lines,
+                    pc.cast(symbols, pa.int32()),
+                    pc.cast(alpha, pa.int32()),
+                    pc.cast(hits, pa.int32()),
+                    pa.array(bcnt, type=pa.int32(), mask=null_mask),
+                    pa.array(ecnt, type=pa.int32(), mask=null_mask),
+                ],
+                names=[
+                    id_field.name, "_n_words", "_word_chars", "_n_lines",
+                    "_symbols", "_alpha_words", "_n_stop_hits",
+                    "_bullet_lines", "_ellipsis_lines",
+                ],
+            )
+
+    base = in_cols.mapInArrow(_metrics, out_fields)
     n_words = F.col("_n_words")
-    n_lines = F.size(lines)
+    n_lines = F.col("_n_lines")
     word_chars = F.col("_word_chars")
     mean_word_len = F.round(
         F.when(n_words > 0, word_chars.cast("double") / n_words).otherwise(F.lit(0.0)), 6
@@ -429,28 +500,11 @@ def gopher_rules(
     symbol_ratio = F.round(
         F.when(n_words > 0, symbols.cast("double") / n_words).otherwise(F.lit(0.0)), 6
     )
-    # trim-based line rules, NOT per-line regex lambdas: inside a line
-    # (already split on \n) the \s class is exactly [ \t\x0B\f\r], so
-    # "^\s*[•*-]" ≡ first char after trimming that set, and
-    # "(\.\.\.|…)\s*$" ≡ endswith after trimming it (btrim's extra
-    # LEADING trim can only matter on an all-whitespace line, where both
-    # forms are false) — same semantics, no per-element Pattern machinery
-    # (measured at x100: bullets 0.26→0.18 s, ellipsis 0.33→0.17 s; the
-    # oracle mirrors the trim form)
-    _ws = " \t\x0b\f\r"
-    bullet_lines = F.size(
-        F.filter(lines, lambda ln: F.substring(F.btrim(ln, F.lit(_ws)), 1, 1).isin("•", "*", "-"))
-    )
+    bullet_lines = F.col("_bullet_lines")
     bullet_line_ratio = F.round(
         F.when(n_lines > 0, bullet_lines.cast("double") / n_lines).otherwise(F.lit(0.0)), 6
     )
-    ellipsis_lines = F.size(
-        F.filter(
-            lines,
-            lambda ln: F.endswith(F.btrim(ln, F.lit(_ws)), F.lit("..."))
-            | F.endswith(F.btrim(ln, F.lit(_ws)), F.lit("…")),
-        )
-    )
+    ellipsis_lines = F.col("_ellipsis_lines")
     ellipsis_line_ratio = F.round(
         F.when(n_lines > 0, ellipsis_lines.cast("double") / n_lines).otherwise(F.lit(0.0)), 6
     )

@@ -173,7 +173,10 @@ _PRIORITY = [
     "q142_mixture_materialized",
     "q147_curriculum_order",
     "q177_curation_pipeline_v4",
+    # - gopher_rules metrics moved into one RE2-backed mapInArrow pass
+    #   (q164 and its composed-pipeline consumer q169).
     "q164_gopher_quality_rules",
+    "q169_curation_pipeline_v3",
     "q02_shipping_priority",
     "q03_region_revenue",
     "q99_nation_trade_volume",

@@ -310,6 +310,38 @@ def test_gopher_rules_trim_and_alpha_edge_cases(spark, duck):
     assert by_id[3][1] == 7 and by_id[3][6] == round(3 / 7, 6)
 
 
+def test_gopher_rules_arrow_kernel_java_ws_and_nulls(spark):
+    """The r10 mapInArrow metrics kernel must preserve the JVM regex
+    semantics it replaced: Java's \\s includes \\x0B (RE2's does not, so
+    the kernel writes the class out), the plan carries exactly one
+    MapInArrow node reading only (id, text), and a NULL text row
+    propagates NULL metrics instead of zeros."""
+    from ai_batch_processing_spark.operators.text import gopher_rules
+
+    df = spark.createDataFrame(
+        [
+            # \x0B separates words under Java \s — the kernel must agree
+            (1, "a\x0bb c of the"),
+            (2, None),
+            # empty text: 0 words, 1 line (split('') -> ['']), all ratios 0
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = gopher_rules(df, min_words=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].n_words == 5  # a / b / c / of / the
+    assert rows[1].n_stop_hits == 2  # of, the
+    assert rows[1].mean_word_len == round(8 / 5, 6)  # a+b+c+of+the = 8 chars
+    # NULL text: metrics NULL, ratios 0.0 via the otherwise(0.0) guard,
+    # passes False (NULL AND FALSE) — identical to the JVM expression form
+    assert rows[2].n_words is None and rows[2].r_stop_words is None
+    assert rows[2].mean_word_len == 0.0 and rows[2].passes is False
+    assert rows[3].n_words == 0 and rows[3].bullet_line_ratio == 0.0
+
+
 def test_degenerate_loop_audit_hand_computed(spark):
     """Runs and 2-token loops score exactly (length-1) / (length-2):
     'a a a a'   -> max_uni_rep 3, max_loop2 2 (a run also self-loops)
