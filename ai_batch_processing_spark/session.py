@@ -42,17 +42,31 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Respect the advisory partition SIZE when coalescing instead of
-        # preserving parallelism (Spark's own docs recommend false in
-        # production): tiny exchanges collapse to few tasks instead of
-        # always fanning to defaultParallelism, while 100 TB exchanges
-        # still size by bytes. Full-bench ABAB A/B (r10, fresh sessions,
-        # min-of-2 × 2 cycles): wins or ties every query — q42 4.10→2.98 s,
-        # q34 1.16→0.99, q73 0.83→0.63, q122 0.99→0.80 — EXCEPT the
-        # cell-cogrouped numpy kernels, whose compute AQE's byte heuristic
-        # cannot see; those pin their exchange explicitly
-        # (similarity._ivf_block_scores: REPARTITION_BY_NUM on cell).
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # AQE partition-coalescing mode. Spark's DEFAULT (true) keeps
+        # defaultParallelism as a floor when coalescing; false coalesces
+        # purely by the advisory byte size. This round A/B'd both ways
+        # across regimes and the answer is regime-split:
+        # - floor regime (sf0.1 bench, exchanges ≪ advisory): false wins
+        #   small amounts (q42 3.1→2.6 s interleaved min-of-2) by not
+        #   fanning tiny exchanges to 32 tasks;
+        # - mid-size regime (100× replicas, exchanges of a few hundred
+        #   MB): false STARVES the box — a ~300 MB exchange coalesces to
+        #   ~5 tasks on 32 cores (interleaved ABAB mins: q02 5.2→3.5 s,
+        #   q100 6.5→3.2 s, q114 4.0→3.5 s, q103 2.3→2.0 s going
+        #   false→true);
+        # - true scale (the regime that matters): the two settings are
+        #   IDENTICAL — byte-sized partition counts dwarf any cluster's
+        #   defaultParallelism, so the floor never binds.
+        # Default therefore stays Spark's own (true): it is never wrong
+        # at scale and only costs a fraction of a second in the local
+        # floor regime. Env-overridable for cluster tuning. The
+        # cell-cogrouped numpy kernels pin their exchange explicitly
+        # either way (similarity._ivf_block_scores: REPARTITION_BY_NUM
+        # on cell — CPU-bound at byte sizes ANY coalescing would crush).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Prefer ShuffledHashJoin over SortMergeJoin when a build side fits
         # per-partition memory: skips sorting BOTH fact sides (measured

@@ -456,6 +456,13 @@ def main() -> None:
         # (observed: xq149's all-pairs join wrote ~80 GB of .tmp) — a
         # bounded-resource failure is a DNF-grade outcome, not a crash
         con.execute("SET max_temp_directory_size='20GB'")
+        # bound RAM the same way: DuckDB's default limit (~80% of the
+        # box) no longer leaves room beside the 24 GB Spark driver JVM —
+        # the r10 run had the KERNEL oom-kill the probe process at
+        # 104 GB anon RSS inside xq149's all-pairs twin instead of
+        # DuckDB raising its catchable OutOfMemoryException. An explicit
+        # limit makes memory exhaustion a DNF row, not a dead probe.
+        con.execute("SET memory_limit='48GB'")
         for t in TABLES:
             p = f"{d}/{t}.parquet"
             src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) and not os.path.islink(p) else f"'{p}'"
