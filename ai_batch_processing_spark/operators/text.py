@@ -387,7 +387,15 @@ def gopher_rules(
 
     ``passes`` is the conjunction. Ratios are rounded to 6dp for
     cross-engine hash stability (q164's DuckDB oracle mirrors every
-    expression)."""
+    expression).
+
+    Physical shape: ONE ``mapInArrow`` kernel computes the eight
+    per-document integer metrics (RE2-backed ``pyarrow.compute``); the
+    ratio/rule arithmetic stays in Catalyst above it. The MapInArrow node
+    is opaque to Catalyst, so downstream filters (e.g. on ``passes``) do
+    NOT push below it into the scan — the explicit two-column select
+    preserves column pruning only. Callers that pre-filter on a scan
+    column should do so before calling this."""
     # ONE Arrow pass computes every per-document metric (second r10
     # rewrite, guide §4.2): the r10a Catalyst form was already a pure
     # projection, but it paid EIGHT separate JVM passes over the text
@@ -413,6 +421,13 @@ def gopher_rules(
     #   ws-delimited run of the lowered text equals it, i.e. the literal
     #   flanked by ws-or-boundary — eight RE2 existence scans sum to
     #   size(array_intersect(split(lower(text)), stops)) exactly.
+    #   Case-mapping caveat: pc.utf8_lower is utf8proc SIMPLE case
+    #   mapping while Spark's lower() is JVM FULL mapping — U+0130-class
+    #   code points diverge ('WİTH' lowers to 'with' here, 'wi̇th'
+    #   in the JVM), so a stop hit could flip vs the r10a Catalyst form
+    #   for such tokens. The DuckDB oracle also uses utf8proc, so the
+    #   hash gate matches this kernel; the generated corpus has no such
+    #   code points.
     # - line rules: split on \n, utf8_trim of [ \t\x0B\f\r] == btrim,
     #   first-char / suffix tests identical; per-row counts come from a
     #   cumsum over the flattened child indexed by the list offsets.
@@ -428,13 +443,20 @@ def gopher_rules(
     stops_list = list(_GOPHER_STOPS)
 
     def _metrics(batches):
+        import re as _re
+
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
 
         ws_cls = "[\\t\\n\\x0B\\f\\r ]"  # Java \s, written out for RE2
         nws_cls = "[^\\t\\n\\x0B\\f\\r ]"
-        stop_pats = [f"(?:^|{ws_cls}){s}(?:{ws_cls}|$)" for s in stops_list]
+        # re.escape: today's stops are all-alphabetic, but a future stop
+        # word containing a regex metacharacter must match literally, not
+        # silently change semantics
+        stop_pats = [
+            f"(?:^|{ws_cls}){_re.escape(s)}(?:{ws_cls}|$)" for s in stops_list
+        ]
         bullet_set = pa.array(["•", "*", "-"])
 
         def seg_counts(flags: "np.ndarray", off: "np.ndarray") -> "np.ndarray":

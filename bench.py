@@ -54,8 +54,16 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             n = df.count()
             best = min(best, time.time() - t0)
-            # isolate runs: no cross-run cache reuse in the timings
+            # isolate runs: no cross-run cache reuse in the timings — the
+            # session cache AND the library's session-lifetime memo of
+            # broadcast-dispatch probe counts (if a future query ever hits
+            # the counted-probe fallback, run 2 must pay the count the
+            # cold engine pays; today the bench's star joins take the
+            # zero-action estimate path so this is pure insurance)
             spark.catalog.clearCache()
+            from ai_batch_processing_spark.plans import relational as _rel
+
+            _rel._probe_counts.clear()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 

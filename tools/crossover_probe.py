@@ -462,7 +462,21 @@ def main() -> None:
         # 104 GB anon RSS inside xq149's all-pairs twin instead of
         # DuckDB raising its catchable OutOfMemoryException. An explicit
         # limit makes memory exhaustion a DNF row, not a dead probe.
-        con.execute("SET memory_limit='48GB'")
+        # Derived from the box (not hardcoded): available RAM minus the
+        # driver heap and ~8 GB slack, clamped to [4, 64] GB;
+        # env-overridable for odd hosts.
+        limit_gb = os.environ.get("SPARK_GRAFT_DUCK_MEM_GB")
+        if limit_gb is None:
+            try:
+                with open("/proc/meminfo") as fh:
+                    kb = {l.split(":")[0]: int(l.split()[1]) for l in fh if ":" in l}
+                avail_gb = kb.get("MemAvailable", kb.get("MemTotal", 0)) / (1024 * 1024)
+            except OSError:
+                avail_gb = 64.0
+            drv = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+            drv_gb = float(drv.rstrip("gG")) if drv.lower().endswith("g") else 24.0
+            limit_gb = str(int(max(4, min(64, avail_gb - drv_gb - 8))))
+        con.execute(f"SET memory_limit='{limit_gb}GB'")
         for t in TABLES:
             p = f"{d}/{t}.parquet"
             src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) and not os.path.islink(p) else f"'{p}'"
