@@ -55,7 +55,14 @@ from pyspark.sql import functions as F
 from ai_batch_processing_spark.registry import register
 from ai_batch_processing_spark.session import load_tables
 from ai_batch_processing_spark.operators.template import with_row_index
-from ai_batch_processing_spark.operators.text import fingerprint_expr, tokens_expr
+from ai_batch_processing_spark.operators.text import (
+    doc_bigram_counts,
+    doc_term_counts,
+    fingerprint_expr,
+    term_counts,
+    token_count_ws,
+    tokens_expr,
+)
 
 # Shared token-stream CTE for the oracles (DuckDB spelling of tokens_expr).
 _TOKS_SQL = r"""
@@ -105,30 +112,29 @@ def tfidf_top_terms(
     selected rows are reproducible across engines and float-sum orders.
     ``materialize``: see the module storage note.
     """
-    toks = token_stream(docs, id_col, text_col)
-    # Persisted: dfreq and the final join both consume the (doc, term)
-    # aggregate — without the persist Catalyst re-derives the full token
-    # explode + aggregate per consumer. tf is the compacted form (≪ token
-    # stream), so this is the cheapest thing to materialize, spilling
-    # per-partition at scale.
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c")).persist()
-    # Per-doc totals need no aggregate at all: the token count is a scalar
-    # expression on the base row (size of the token array) — a zero-shuffle
-    # scan, one row per doc, AQE-broadcastable into the score join.
-    totals = docs.select(
-        F.col(id_col).alias("doc_id"), F.size(tokens_expr(text_col)).cast("long").alias("n")
-    )
+    # ONE Arrow kernel pass (r11, guide §4.2 — the q164 template): the
+    # JVM lower+split+explode+hash-agg pipeline is replaced by
+    # doc_term_counts, which RE2-splits whole Arrow columns and counts
+    # with a C++ hash aggregation per batch. A doc lives in one input
+    # row, so the kernel's (doc, term, ct) rows are exact FINALS — no
+    # corpus-sized shuffle exists in this query at all now — and the
+    # per-doc total ``n`` rides on every row, so the separate
+    # corpus-length scan AND its join are gone (plan: 2 joins, was 3).
+    # Persisted: dfreq and the final score join both consume the kernel
+    # output; without the persist each branch re-runs the corpus pass.
+    tf = doc_term_counts(docs, id_col, text_col).withColumnRenamed(
+        id_col, "doc_id"
+    ).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("nd"))
     scored = (
-        tf.join(totals, "doc_id")
-        .join(dfreq, "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "term",
             F.round(
-                (F.col("c") / F.col("n"))
+                (F.col("ct") / F.col("n"))
                 * (F.log((F.lit(1.0) + F.col("nd")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)),
                 6,
             ).alias("tfidf"),
@@ -207,10 +213,14 @@ def vocab_zipf_stats(
     # Persisted: the distributed rank consumes freq through two plan
     # branches (partition numbering + per-partition counts); the persist
     # stops each branch re-running the corpus-wide token aggregate.
+    # The corpus pass is the Arrow tokenizer kernel (r11, §4.2): per-batch
+    # (term, ct) partials from term_counts replace the JVM explode — the
+    # final term shuffle moves the same per-partition-distinct-term rows
+    # the old map-side partial aggregation produced.
     freq = (
-        token_stream(docs, id_col, text_col)
+        term_counts(docs, text_col)
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("ct").alias("c"))
         .persist()
     )
     # with_row_index sorts ascending; rank 1 = highest count ⇒ order by
@@ -273,45 +283,50 @@ def unigram_surprise(
     what a curation pipeline prunes. Corpus-linear: the probability table
     is vocab-sized and its join onto the token stream is AQE-sized.
     """
-    toks = token_stream(docs, id_col, text_col)
-    # ZERO corpus-sized shuffles (second r10 rewrite): the r10a form
-    # compacted the stream into a (doc, term, ct) aggregate first, but that
-    # aggregate was itself the x100 wall — a hash-agg over every token
-    # occurrence plus a distinct-(doc,term)-sized Exchange (measured 4.7 s
-    # of the 6.8 s noop wall at 100× sf0.1). The probability table is the
-    # only thing that needs a term-keyed pass, and it partial-aggregates
-    # map-side to vocab size; the corpus total rides ON its rows (one
-    # constant-key window over the vocab-sized aggregate — an exact
-    # integer sum, order-free), so ONE broadcast build carries everything
-    # and the raw stream joins it with no crossJoin, no persist, no
-    # checkpoint barrier. The per-doc mean then partial-aggregates
-    # map-side to one row per doc — the only Exchange left carries
-    # doc-count rows (guide §2.3: aggregate before you shuffle).
-    # Per-occurrence summation matches the oracle's AVG form; the 6dp
-    # round absorbs order effects exactly as before (x100 A/B: 500k docs,
-    # zero rounded-value diffs vs the compacted form). When a corpus's
-    # vocabulary outgrows the broadcast cap, the compacted
-    # (doc, term, ct) + shuffle-join form is the fallback shape.
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    prob = freq.withColumn(
-        "t", F.sum("c").over(Window.partitionBy(F.lit(0))).cast("double")
-    )
+    # Third rewrite (r11): the Arrow tokenizer kernel makes the compacted
+    # (doc, term, ct) form cheap — the r10a compaction lost because its
+    # hash-agg over every token occurrence ran in the JVM (4.7 s of the
+    # 6.8 s x100 noop wall); doc_term_counts counts per batch in C++ and
+    # emits exact finals, so the query has ZERO corpus-sized shuffles AND
+    # no per-occurrence join stream: the score join and the per-doc mean
+    # both run over distinct-(doc, term) rows.
+    #
+    # Scale-safety (r10 verdict item 1): the probability table is no
+    # longer force-broadcast. The corpus total rides in as a broadcast
+    # 1-row aggregate (no constant-key window funneling the vocab through
+    # one partition), and the vocab-sized prob table goes through the
+    # broadcast_if_small ladder with the docs TEXT SCAN leg as the
+    # vouched upper bound (every distinct term appears in the text, so
+    # vocabulary bytes ≤ text bytes): at bench scale the estimate is far
+    # under the 64 MB threshold -> broadcast with zero actions; at
+    # 100 TB the text-leg bound blows the 64 GB probe ceiling -> the
+    # compacted shuffle join IS the plan, automatically. Both branches
+    # are test-pinned (plan assertion + value parity).
+    from ai_batch_processing_spark.plans.relational import broadcast_if_small
+
+    tf = doc_term_counts(docs, id_col, text_col).withColumnRenamed(
+        id_col, "doc_id"
+    ).persist()
+    freq = tf.groupBy("term").agg(F.sum("ct").alias("c"))
+    tot = tf.agg(F.sum("ct").cast("double").alias("t"))
+    prob = freq.crossJoin(F.broadcast(tot))
+    text_leg = docs.select(F.col(text_col))
     out = (
-        toks.join(F.broadcast(prob), "term")
+        tf.join(broadcast_if_small(prob, size_of=text_leg), "term")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("ct").cast("bigint").alias("n_tokens"),
             F.round(
-                F.sum(-F.log2(F.col("c") / F.col("t"))) / F.count(F.lit(1)), 6
+                F.sum(F.col("ct") * -F.log2(F.col("c") / F.col("t"))) / F.sum("ct"), 6
             ).alias("bits_per_token"),
         )
     )
-    # no internal caches left (the probability table feeds exactly one
-    # consumer, the broadcast build), so ``materialize`` has nothing to
-    # release — the checkpoint barrier would be pure cost; kept as an
-    # accepted no-op for API stability.
-    del materialize
-    return out
+    # ct-weighted summation is the oracle's per-occurrence AVG re-grouped
+    # by (doc, term); the 6dp round absorbs FP order effects exactly as
+    # the r10 forms did (x100 A/B then: 500k docs, zero rounded-value
+    # diffs between the occurrence and compacted forms; the sf gates
+    # re-prove it per round).
+    return _finish(out, [tf], materialize)
 
 
 @register(
@@ -366,23 +381,21 @@ def bigram_surprise(
     as a broadcast 1-row aggregate; everything else is one shuffle on the
     bigram key. ``materialize``: see the module storage note.
     """
-    toks_arr = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("ts")
-    )
-    bigr = (
-        toks_arr.filter(F.size("ts") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr("transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")
-            ).alias("b"),
-        )
-        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    )
-    bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).persist()
-    cc = bc.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    # Arrow bigram kernel (r11, §4.2): the Catalyst form exploded the
+    # corpus into per-occurrence bigram ROWS twice (once for the count
+    # table, once re-derived for the scoring join) plus a third tokenize
+    # pass for the vocab size. doc_bigram_counts emits exact compacted
+    # (doc, w1, w2, ct) finals from one corpus pass; persisting THAT
+    # means the bigram count table, the context counts, and the scoring
+    # join all derive from cached vocab-scale rows — the corpus text is
+    # read twice total (bigram kernel + vocab kernel), each in C++.
+    bigr = doc_bigram_counts(docs, id_col, text_col).withColumnRenamed(
+        id_col, "doc_id"
+    ).persist()
+    bc = bigr.groupBy("w1", "w2").agg(F.sum("ct").alias("cb"))
+    cc = bigr.groupBy("w1").agg(F.sum("ct").alias("cw"))
     vocab = (
-        toks_arr.select(F.explode("ts").alias("term"))
+        term_counts(docs, text_col)
         .agg(F.count_distinct("term").cast("double").alias("v"))
     )
     p = (F.col("cb") + F.lit(k)) / (F.col("cw") + F.lit(k) * F.col("v"))
@@ -392,11 +405,13 @@ def bigram_surprise(
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(-F.log2(p)), 6).alias("bits_per_bigram"),
+            F.sum("ct").alias("n_bigrams"),
+            F.round(F.sum(F.col("ct") * -F.log2(p)) / F.sum("ct"), 6).alias(
+                "bits_per_bigram"
+            ),
         )
     )
-    return _finish(out, [bc], materialize)
+    return _finish(out, [bigr], materialize)
 
 
 @register(
@@ -680,16 +695,19 @@ def bm25_search(
     the only corpus-sized shuffle is the (doc, term) count on the filtered
     stream. Ranking happens on the ROUNDED score (doc_id tiebreak).
     """
-    toks = token_stream(docs, id_col, text_col)
-    hits = toks.filter(F.col("term").isin(*[t.lower() for t in query_terms]))
-    # Persisted: dfreq and the score join both consume tf — same
-    # two-consumer shape as tfidf_top_terms; without the persist each
-    # branch re-runs the corpus explode + filter + aggregate.
-    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
-    dl = docs.select(
-        F.col(id_col).alias("doc_id"), F.size(tokens_expr(text_col)).cast("double").alias("dl")
+    # Arrow kernel with the query-term whitelist applied INSIDE it (r11,
+    # §4.2): (doc, term, tf, n) rows exist only for query-matching docs,
+    # and n (the doc's full token length) rides on each row — so the
+    # separate per-doc length scan no longer joins into the score (its
+    # aggregate is still needed for corpus-wide N/avgdl). Persisted:
+    # dfreq and the score both consume the kernel output.
+    tf = (
+        doc_term_counts(docs, id_col, text_col, vocab=[t.lower() for t in query_terms])
+        .withColumnRenamed(id_col, "doc_id")
+        .select("doc_id", "term", F.col("ct").alias("tf"), F.col("n").cast("double").alias("dl"))
+        .persist()
     )
-    stats = dl.agg(
+    stats = docs.select(token_count_ws(F.col(text_col)).cast("double").alias("dl")).agg(
         F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
@@ -701,8 +719,7 @@ def bm25_search(
     )
     per_term = idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / denom
     scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(per_term), 6).alias("score"))

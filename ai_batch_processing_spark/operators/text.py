@@ -59,6 +59,218 @@ def token_count_bpe(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(_WORD_RE), 0))
 
 
+# ---------------------------------------------------------------------------
+# Arrow tokenizer kernels (round 11, guide §4.2 — the q164 kernel template
+# applied to the token-explode family). The Catalyst token pipeline pays
+# lower+split+explode — a corpus×tokens ROW explosion through the JVM —
+# followed by a corpus-sized hash aggregate; these kernels RE2-split whole
+# Arrow columns, count with a C++ hash aggregation per batch, and only the
+# compacted counts ever cross back out of Python.
+#
+# Exactness vs tokens_expr (tests pin all of it):
+# - RE2 '[\t\n\x0B\f\r ]+' is Java's \s+ written out (RE2's \s omits \x0B).
+# - empties from leading/trailing/repeated separators are dropped on both
+#   sides; NULL text yields no rows on both sides (explode semantics).
+# - lowering is utf8proc SIMPLE case mapping vs the JVM's FULL mapping —
+#   divergent only for U+0130-class code points (absent from the corpus;
+#   the DuckDB oracle lowers with utf8proc too, so the hash gates pin the
+#   kernel, not the JVM form).
+# ---------------------------------------------------------------------------
+
+
+def doc_term_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: list[str] | None = None,
+) -> DataFrame:
+    """(id, term, ct, n): exact per-document token counts plus the
+    document's total token count, in ONE ``mapInArrow`` pass — the kernel
+    twin of ``token_stream(df).groupBy(id, term).count()`` joined with
+    per-doc totals.
+
+    A document lives in exactly one input row, so per-batch counts are
+    exact FINALS, not partials — the result needs no further shuffle at
+    all, and ``n`` rides on every row (the tfidf/bm25 consumers drop
+    their separate corpus-length scan+join). ``vocab`` optionally
+    restricts ``ct`` rows to a term whitelist AFTER tokenization (the
+    bm25 shape); ``n`` still counts all tokens of the doc.
+    """
+    id_field = df.schema[id_col]
+    out_schema = (
+        f"`{id_field.name}` {id_field.dataType.simpleString()}, "
+        "term string, ct bigint, n bigint"
+    )
+    vocab_list = list(vocab) if vocab is not None else None
+    id_name = id_field.name
+
+    def _counts(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        keep_set = (
+            pa.array(vocab_list, type=pa.string()) if vocab_list is not None else None
+        )
+        for b in batches:
+            if b.num_rows:
+                b = b.filter(pc.is_valid(b.column(1)))  # NULL text → no rows
+            if b.num_rows == 0:
+                continue
+            ids, t = b.column(0), b.column(1)
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(t), "[\\t\\n\\x0B\\f\\r ]+"
+            )
+            off = np.asarray(toks.offsets, dtype=np.int64)
+            off = off - off[0]
+            flat = toks.flatten()
+            ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            cs = np.concatenate([[0], np.cumsum(ne, dtype=np.int64)])
+            n_per = cs[off[1:]] - cs[off[:-1]]  # non-empty tokens per doc
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            doc_rep = np.repeat(ids_np, np.diff(off))
+            mask = ne
+            if keep_set is not None:
+                mask = mask & pc.is_in(flat, value_set=keep_set).to_numpy(
+                    zero_copy_only=False
+                )
+            pam = pa.array(mask)
+            tbl = pa.table(
+                {"_id": pa.array(doc_rep[mask], type=ids.type), "term": flat.filter(pam)}
+            )
+            g = tbl.group_by(["_id", "term"], use_threads=False).aggregate(
+                [([], "count_all")]
+            )
+            if g.num_rows == 0:
+                continue
+            gid = g.column("_id").combine_chunks()
+            order = np.argsort(ids_np, kind="stable")
+            pos = np.searchsorted(
+                ids_np[order], gid.to_numpy(zero_copy_only=False)
+            )
+            n_g = n_per[order[pos]]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    gid,
+                    g.column("term").combine_chunks(),
+                    g.column("count_all").combine_chunks(),
+                    pa.array(n_g, type=pa.int64()),
+                ],
+                names=[id_name, "term", "ct", "n"],
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(_counts, out_schema)
+
+
+def term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(term, ct) PARTIAL corpus token counts — one aggregate row per
+    distinct term per Arrow batch; callers finish with
+    ``groupBy('term').sum('ct')``. Exactly the map-side partial-aggregation
+    shape the JVM explode+count pipeline produced (shuffle bytes are the
+    same per-partition-distinct-term rows), minus the JVM row explosion."""
+
+    def _counts(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            if b.num_rows:
+                b = b.filter(pc.is_valid(b.column(0)))
+            if b.num_rows == 0:
+                continue
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(b.column(0)), "[\\t\\n\\x0B\\f\\r ]+"
+            )
+            flat = toks.flatten()
+            flat = flat.filter(pc.not_equal(flat, ""))
+            g = pa.table({"term": flat}).group_by(
+                ["term"], use_threads=False
+            ).aggregate([([], "count_all")])
+            if g.num_rows == 0:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [g.column("term").combine_chunks(), g.column("count_all").combine_chunks()],
+                names=["term", "ct"],
+            )
+
+    return df.select(F.col(text_col)).mapInArrow(_counts, "term string, ct bigint")
+
+
+def doc_bigram_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, w1, w2, ct): exact per-document adjacent-token bigram counts in
+    one ``mapInArrow`` pass — the kernel twin of the sequence/transform
+    bigram explode. Docs with < 2 tokens emit nothing (their token runs
+    contain no adjacency), matching the Catalyst form's ``size(ts) >= 2``
+    filter + empty transform."""
+    id_field = df.schema[id_col]
+    out_schema = (
+        f"`{id_field.name}` {id_field.dataType.simpleString()}, "
+        "w1 string, w2 string, ct bigint"
+    )
+    id_name = id_field.name
+
+    def _counts(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            if b.num_rows:
+                b = b.filter(pc.is_valid(b.column(1)))
+            if b.num_rows == 0:
+                continue
+            ids, t = b.column(0), b.column(1)
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(t), "[\\t\\n\\x0B\\f\\r ]+"
+            )
+            off = np.asarray(toks.offsets, dtype=np.int64)
+            off = off - off[0]
+            flat = toks.flatten()
+            ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            cs = np.concatenate([[0], np.cumsum(ne, dtype=np.int64)])
+            n_per = cs[off[1:]] - cs[off[:-1]]
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            filt = flat.filter(pa.array(ne))  # order-preserving non-empty tokens
+            total = len(filt)
+            if total < 2:
+                continue
+            # a token starts a bigram unless it is the last of its doc
+            ends = np.cumsum(n_per)
+            starts_ok = np.ones(total, dtype=bool)
+            last_idx = ends[ends > 0] - 1
+            starts_ok[last_idx] = False
+            # the corpus-last token is in last_idx, so every True j has
+            # j + 1 < total
+            j = np.nonzero(starts_ok)[0]
+            if len(j) == 0:
+                continue
+            doc_rep = np.repeat(ids_np, n_per)
+            idx = pa.array(j)
+            tbl = pa.table(
+                {
+                    "_id": pa.array(doc_rep[j], type=ids.type),
+                    "w1": filt.take(idx),
+                    "w2": filt.take(pa.array(j + 1)),
+                }
+            )
+            g = tbl.group_by(["_id", "w1", "w2"], use_threads=False).aggregate(
+                [([], "count_all")]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    g.column("_id").combine_chunks(),
+                    g.column("w1").combine_chunks(),
+                    g.column("w2").combine_chunks(),
+                    g.column("count_all").combine_chunks(),
+                ],
+                names=[id_name, "w1", "w2", "ct"],
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(_counts, out_schema)
+
+
 # Shared corpus-statistics frame, materialized once per (SparkContext,
 # scale dir). Keyed FIFO-bounded; evicted entries' blocks are reclaimed by
 # the ContextCleaner once unreferenced.
@@ -1122,15 +1334,19 @@ def _bpe_word_types(df: DataFrame, text_col: str) -> DataFrame:
     only the vocab-sized type table: the Sennrich formulation, the only
     shape that survives 100 TB since re-segmenting the raw corpus per merge
     would be corpus × merges)."""
+    # Arrow tokenizer kernel (r11, §4.2): per-batch (term, ct) partials
+    # replace the JVM lower+split+explode; the length/sentinel filter runs
+    # in Catalyst on the vocab-scale partial rows BEFORE the final term
+    # shuffle (same bytes as the old map-side partial aggregation).
     toks = (
-        df.select(F.explode(tokens_expr(text_col)).alias("tok"))
+        term_counts(df, text_col)
         .filter(
-            (F.length("tok") >= 2)
-            & ~F.col("tok").contains(_BPE_O)
-            & ~F.col("tok").contains(_BPE_C)
+            (F.length("term") >= 2)
+            & ~F.col("term").contains(_BPE_O)
+            & ~F.col("term").contains(_BPE_C)
         )
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(F.col("term").alias("tok"))
+        .agg(F.sum("ct").alias("cnt"))
     )
     wrapped = F.array_join(
         F.transform(F.split("tok", ""), lambda ch: F.concat(F.lit(_BPE_O), ch, F.lit(_BPE_C))),

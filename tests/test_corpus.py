@@ -813,3 +813,128 @@ def test_vocab_churn_disjoint_heads(spark):
     )
     r = vocab_churn(df, k=2).collect()[0]
     assert r.overlap_topk == 0 and r.jaccard_topk == 0.0 and r.churn == 1.0
+
+
+# ---------------------------------------------------------------------------
+# r11 Arrow tokenizer kernels: exactness pins vs the Catalyst forms
+# ---------------------------------------------------------------------------
+def _kernel_docs(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        (1, "The  quick\tbrown fox\nthe the END"),
+        (2, None),                      # NULL text → no rows (explode semantics)
+        (3, ""),                        # no tokens
+        (4, "   \t\n  "),               # whitespace only
+        (5, "one"),                     # single token → no bigrams
+        (6, " leading and trailing  "),
+        (7, "a\x0bb c\x0c d\r\ne"),     # \x0B IS Java \s (RE2's \s omits it)
+        (8, "Ünïcødé ÜNÏCØDÉ mixed MIXED"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_term_counts_kernel_matches_catalyst(spark):
+    from ai_batch_processing_spark.operators.text import doc_term_counts, tokens_expr
+    from ai_batch_processing_spark.operators.corpus import token_stream
+
+    docs = _kernel_docs(spark)
+    ref = (
+        token_stream(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .join(
+            docs.select(
+                "doc_id", F.size(tokens_expr("text")).cast("long").alias("n")
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "term", "ct", "n")
+    )
+    got = doc_term_counts(docs)
+    assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, got.collect()))
+    # vocab whitelist: ct rows restricted, n still the full token count
+    gotv = doc_term_counts(docs, vocab=["the", "fox"])
+    refv = ref.filter(F.col("term").isin("the", "fox"))
+    assert sorted(map(tuple, refv.collect())) == sorted(map(tuple, gotv.collect()))
+
+
+def test_term_counts_kernel_partials_sum_to_catalyst(spark):
+    from ai_batch_processing_spark.operators.text import term_counts
+    from ai_batch_processing_spark.operators.corpus import token_stream
+
+    docs = _kernel_docs(spark)
+    ref = token_stream(docs).groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    got = term_counts(docs).groupBy("term").agg(F.sum("ct").alias("c"))
+    assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_doc_bigram_counts_kernel_matches_catalyst(spark):
+    from ai_batch_processing_spark.operators.text import doc_bigram_counts, tokens_expr
+
+    docs = _kernel_docs(spark)
+    toks_arr = docs.select("doc_id", tokens_expr("text").alias("ts"))
+    bigr = (
+        toks_arr.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2),"
+                    " i -> struct(ts[i] AS w1, ts[i+1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    ref = bigr.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("ct"))
+    got = doc_bigram_counts(docs)
+    assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_doc_term_counts_kernel_matches_catalyst_on_corpus(spark, sf_dir):
+    from ai_batch_processing_spark.operators.text import doc_term_counts
+    from ai_batch_processing_spark.operators.corpus import token_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = (
+        token_stream(docs).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    got = doc_term_counts(docs).select("doc_id", "term", "ct")
+    assert ref.exceptAll(got).count() == 0 and got.exceptAll(ref).count() == 0
+
+
+def test_unigram_surprise_dispatch_both_branches(spark, sf_dir):
+    """The prob-table join must broadcast at bench scale (zero-action
+    estimate path) and fall back to an UNHINTED join when the vouched
+    text-leg bound blows the probe ceiling (the 100 TB big-vocab shape) —
+    results identical either way (r10 verdict item 1)."""
+    from ai_batch_processing_spark.operators.corpus import unigram_surprise
+    from ai_batch_processing_spark.plans import relational as rel
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # bench scale: the text-leg Catalyst estimate is far under the 64 MB
+    # threshold -> explicit broadcast hint, before any AQE involvement
+    plan_b = unigram_surprise(docs)._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+    out_b = unigram_surprise(docs, materialize=True)
+
+    # big-vocab branch: ceiling forced below the estimate -> no hint, no
+    # probe. On a tiny corpus the static planner would still auto-broadcast
+    # the small prob table (its aggregate estimate is under the session
+    # threshold — at real scale it would not be), so the auto threshold is
+    # disabled too: what remains is exactly the 100 TB shape — an unhinted
+    # shuffle join — and it must produce identical values.
+    old_cap, old_ceil = rel._BCAST_BYTE_CAP, rel._PROBE_EST_CEILING
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    rel._BCAST_BYTE_CAP, rel._PROBE_EST_CEILING = 1, 1
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_s = unigram_surprise(docs)._jdf.queryExecution().sparkPlan().toString()
+        assert "SortMergeJoin" in plan_s or "ShuffledHashJoin" in plan_s
+        out_s = unigram_surprise(docs, materialize=True)
+    finally:
+        rel._BCAST_BYTE_CAP, rel._PROBE_EST_CEILING = old_cap, old_ceil
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert sorted(map(tuple, out_b.collect())) == sorted(map(tuple, out_s.collect()))
