@@ -341,6 +341,15 @@ def lsh_candidate_pairs(
     """
     # slice() is 1-indexed; band j covers [j*r+1, r].
     banded = banded_signature_hashes(sig_df, num_perm, bands)
+    pairs = _bucket_pairs(banded, max_bucket)
+    return pairs.distinct() if distinct else pairs
+
+
+def _bucket_pairs(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """In-bucket (i < j) pair expansion over a (id, band, bh) stream with
+    the over-``max_bucket`` guard — the shared core of
+    :func:`lsh_candidate_pairs` and the est-filter auto probe (which runs
+    it on a deterministic hash-sample of buckets)."""
     counts = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("m"))
     ok = banded.join(
         F.broadcast(counts.filter(F.col("m") > max_bucket)), ["band", "bh"], "left_anti"
@@ -361,10 +370,98 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    pairs = buckets.select(F.explode(pair_structs).alias("_p")).select(
+    return buckets.select(F.explode(pair_structs).alias("_p")).select(
         F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b")
     )
-    return pairs.distinct() if distinct else pairs
+
+
+# est-filter auto probe: 1-in-16 deterministic bucket sample, screen pays
+# when it would discard at least half of the sampled candidates.
+_EST_AUTO_BUCKET_MOD = 16
+_EST_AUTO_PASS_CUTOFF = 0.5
+# Zero-action size gate in front of the probe (the broadcast_if_small
+# ladder philosophy): under this Catalyst-estimated corpus size, the
+# screen CANNOT pay — its two signature joins + filter stage and the
+# probe's own aggregate are fixed stage barriers (~0.5 s probe + ~0.85 s
+# screen measured at sf0.1) while the whole exact verify is sub-second —
+# so auto short-circuits to the unscreened plan without running anything.
+# Above it (the 100 TB regime), the sampled probe decides. The constant
+# is a lower bound on "the verify is expensive enough to be worth
+# screening", not a tuning knob for this box.
+_EST_AUTO_MIN_BYTES = 1 << 30
+
+
+def _est_signature_estimate(num_perm: int):
+    """Estimated Jaccard from two signature columns ``sig_a``/``sig_b`` —
+    the fraction of agreeing minhash positions (shared by the screen and
+    its auto probe so the two can never disagree)."""
+    return F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_perm))
+
+
+def _est_screen_pass_rate(
+    sigs: DataFrame,
+    num_perm: int,
+    bands: int,
+    cutoff: float,
+    max_bucket: int,
+    probe_cap: int = 32,
+) -> float | None:
+    """Fraction of sampled LSH candidates whose signature estimate passes
+    the screen cutoff, measured on a DETERMINISTIC 1-in-16 hash-sample of
+    buckets (bh is already a stable hash, re-hashed for independence from
+    its own low bits). None when the sample holds no candidate pair.
+
+    Cost: ONE aggregate over the persisted signature frame — the sampled
+    banding carries the signatures INTO the bucket collect, pairs expand
+    with both signatures inline, so no join, no second aggregate, no
+    anti-join guard stage (the >max_bucket guard becomes a size filter,
+    and each sampled bucket contributes at most ``probe_cap`` lowest-id
+    members — a deterministic, bounded sample of its pairs). No corpus
+    text is touched: everything reads the cached (id, sig) columns.
+    """
+    r = max(1, num_perm // bands)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), j -> xxhash64(slice(sig, j * {r} + 1, {r}), j))"
+            )
+        ).alias("band", "bh"),
+    ).filter(F.pmod(F.xxhash64("bh"), F.lit(_EST_AUTO_BUCKET_MOD)) == 0)
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("g"))
+        .filter((F.size("g") >= 2) & (F.size("g") <= max_bucket))
+        .select(F.slice(F.sort_array("g"), 1, probe_cap).alias("g"))
+    )
+    g = F.col("g")
+    pair_structs = F.flatten(
+        F.transform(
+            g,
+            lambda a, i: F.transform(
+                F.slice(g, i + F.lit(2), F.size(g)),
+                lambda b: F.struct(a["sig"].alias("sig_a"), b["sig"].alias("sig_b")),
+            ),
+        )
+    )
+    est = _est_signature_estimate(num_perm)
+    row = (
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.sig_a").alias("sig_a"), F.col("_p.sig_b").alias("sig_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((est >= cutoff).cast("long")).alias("p"),
+        )
+        .first()
+    )
+    if row is None or not row.n:
+        return None
+    return row.p / row.n
 
 
 def minhash_dedup_pairs(
@@ -380,7 +477,7 @@ def minhash_dedup_pairs(
     max_bucket: int = 500,
     sig_mode: str = "classic",
     oph_probe: int = 8,
-    est_filter: bool = True,
+    est_filter: bool | str = "auto",
 ) -> DataFrame:
     """Scale-path near-dup detection: LSH candidates verified by Jaccard.
 
@@ -391,22 +488,27 @@ def minhash_dedup_pairs(
     intersect per pair). The 64-bit hash space makes hashed Jaccard equal
     exact Jaccard up to a ~2⁻⁴⁴ collision chance per pair.
 
-    Before the exact verify, candidates are pre-filtered on the
+    Before the exact verify, candidates may be pre-filtered on the
     signature-estimated Jaccard (fraction of agreeing minhash positions),
     keeping pairs with ``est >= threshold - 3σ`` where
     ``σ = sqrt(t(1-t)/num_perm)``. The estimate join moves only the
     num_perm-long signatures (not the full shingle sets), and on a
-    high-baseline-similarity corpus it discards ~90% of LSH candidates
-    (sf0.1: 346k candidates → 43k verified). Measured tradeoff: cold, the
-    exact verify drops 10.6s → ~1.3s; warm at sf0.1 every stage sits on
-    the ~0.5s/stage scheduling floor so the filter is wall-neutral — its
-    payoff is at scale, where verify cost is O(|shingle set|) per pair vs
-    O(num_perm) for the estimate. A true pair at exactly J=threshold
-    survives with probability ≈ Φ(3) ≈ 99.9% (binomial over num_perm
-    positions), and every returned pair still passes the exact check, so
-    precision is unchanged and recall loss is negligible (tests assert
-    ≥90% recall vs exact Jaccard at sf0.1 — observed 100%: identical
-    3,077 pairs with and without the filter).
+    low-baseline-similarity corpus it discards most LSH candidates before
+    the O(|shingle set|)-per-pair verify. On a HIGH-similarity corpus the
+    screen passes nearly everything and its two signature joins + filter
+    stage are pure cost (r10 A/B: est-on 3.33 s vs est-off 2.48 s at
+    identical pairs). ``est_filter`` therefore defaults to ``"auto"``
+    (r11): a deterministic 1-in-16 hash-sample of buckets measures the
+    screen's own pass rate on the signatures already computed, and the
+    screen engages only when it would discard at least half the sampled
+    candidates (``_EST_AUTO_PASS_CUTOFF``) — the same corpus always takes
+    the same branch. ``True``/``False`` force the screen on/off. When the
+    screen runs, a true pair at exactly J=threshold survives with
+    probability ≈ Φ(3) ≈ 99.9% (binomial over num_perm positions), and
+    every returned pair still passes the exact check, so precision is
+    unchanged and recall loss is negligible (tests assert ≥90% recall vs
+    exact Jaccard at sf0.1 — observed 100%: identical pairs with and
+    without the screen on the planted-dup corpus).
 
     ``verify_scope`` picks where the exact-verify shingle sets come from —
     measured, not guessed (sf0.1, local[32]):
@@ -484,6 +586,36 @@ def minhash_dedup_pairs(
     # distinct then shuffles the surviving ~10% instead of the full
     # candidate stream.
     cands = lsh_candidate_pairs(sigs, num_perm, bands, max_bucket=max_bucket, distinct=False)
+    # est-filter cutoff (shared by the screen and the auto probe)
+    cutoff = max(0.0, threshold - 3.0 * (threshold * (1.0 - threshold) / num_perm) ** 0.5)
+    if est_filter == "auto":
+        # Adaptive regime pick (r10 verdict item 2): the screen pays when
+        # candidates ≫ survivors — i.e. when it would DISCARD most
+        # candidates — and costs two signature joins + a filter stage when
+        # it would pass them all (the high-baseline-similarity bench
+        # corpus: r10 measured est-on 3.33 s vs est-off 2.48 s at
+        # identical pairs). Ladder, cheapest signal first:
+        # 1. recall-1 mode (bands >= num_perm) bypasses the screen anyway;
+        # 2. zero-action Catalyst size estimate of the corpus leg — under
+        #    _EST_AUTO_MIN_BYTES neither the screen nor the probe can pay
+        #    their fixed stage barriers, so the unscreened plan wins
+        #    regardless of pass rate (this is what keeps the q42 bench
+        #    wall free of probe cost);
+        # 3. the deterministic 1-in-16 bucket-sample probe measures the
+        #    screen's own pass rate; engage only when it would discard at
+        #    least half. Hash-sampled buckets + exact fold — the same
+        #    corpus always takes the same branch.
+        if bands >= num_perm:
+            est_filter = False
+        else:
+            from ai_batch_processing_spark.plans.relational import _plan_size_estimate
+
+            size_est = _plan_size_estimate(df)
+            if size_est is not None and size_est < _EST_AUTO_MIN_BYTES:
+                est_filter = False
+            else:
+                rate = _est_screen_pass_rate(sigs, num_perm, bands, cutoff, max_bucket)
+                est_filter = rate is not None and rate < _EST_AUTO_PASS_CUTOFF
     if not est_filter and bands < num_perm:
         # Filter bypass (``est_filter=False``): every candidate goes
         # straight to the exact verify. Results are identical — the
@@ -515,12 +647,7 @@ def minhash_dedup_pairs(
         # candidate costs more than 64 interpreted steps; vectorization
         # pays only when the fold is ~10³ steps/row (see similarity
         # _table_buckets_vec) or the arrays are already Python-side.
-        est = F.aggregate(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        ) / F.lit(float(num_perm))
-        cutoff = max(0.0, threshold - 3.0 * (threshold * (1.0 - threshold) / num_perm) ** 0.5)
+        est = _est_signature_estimate(num_perm)
         cands = (
             cands.join(sig_a, "id_a")
             .join(sig_b, "id_b")
@@ -825,20 +952,18 @@ def q42_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pays extra verify-join work). OPH recall measured HIGHER (0.9997
     # vs 0.9656) — it's the recall lever, not the wall lever, here.
     #
-    # est_filter=False (round-10 A/B, refreshed corpus, interleaved
-    # min-of-3 warm same session): the estimate pre-filter's two
-    # signature joins + filter stage cost more than they save HERE —
-    # sf0.1 est-on 3.33 s vs est-off 2.48 s, x10 replicas a warm wash
-    # (12.7 vs 12.4-13.5 s), identical 2,971 pairs both ways (the
-    # filter only pre-screens pairs the exact verify rejects anyway).
-    # This corpus is high-baseline-similarity — most LSH candidates ARE
-    # true pairs, so pre-screening buys little verify work. The library
-    # DEFAULT keeps est_filter=True: when candidates ≫ survivors (the
-    # adversarial 100 TB shape), screening at O(num_perm)/pair beats
-    # verifying at O(|shingle set|)/pair.
-    return minhash_dedup_pairs(
-        corpus, "id", "text", threshold=0.5, bands=8, est_filter=False
-    )
+    # est_filter: the r10 bench override (est_filter=False, locally-tuned
+    # after the A/B: est-on 3.33 s vs est-off 2.48 s at identical 2,971
+    # pairs on this high-baseline-similarity corpus) is GONE — the r11
+    # library default is "auto": a deterministic 1-in-16 bucket-sample
+    # probe measures the screen's own pass rate and engages it only when
+    # it would discard ≥ half the candidates. On this corpus the sampled
+    # pass rate is ~0.97, so auto lands on the same est-off plan the
+    # override hardcoded (output-identical, parity-pinned); on a
+    # low-similarity corpus (candidates ≫ survivors, the adversarial
+    # 100 TB shape) the probe re-engages the screen (test-pinned on a
+    # synthetic corpus).
+    return minhash_dedup_pairs(corpus, "id", "text", threshold=0.5, bands=8)
 
 
 @register(

@@ -244,16 +244,19 @@ def test_minhash_bands8_frontier_recall(spark, sf_dir):
 
 
 def test_minhash_est_filter_bypass_parity(spark, sf_dir):
-    """``est_filter=False`` (q42's round-10 bench config) must return the
-    IDENTICAL pair set as the filtered default: the estimate pre-filter
-    only screens candidates the exact verify would reject, so bypassing
-    it is a wall knob, never a result knob."""
+    """Forced ``est_filter=True`` and ``est_filter=False`` must return the
+    IDENTICAL pair set on the planted-dup corpus: the estimate pre-filter
+    only screens candidates the exact verify would reject there, so the
+    regime pick is a wall knob, never a result knob — and ``"auto"``
+    (the r11 default) must land on the same set."""
     from ai_batch_processing_spark.operators.dedup import _dup_corpus
 
     corpus = _dup_corpus(spark, sf_dir)
     on = {
         (r.id_a, r.id_b, r.jaccard)
-        for r in minhash_dedup_pairs(corpus, "id", "text", threshold=0.5, bands=8).collect()
+        for r in minhash_dedup_pairs(
+            corpus, "id", "text", threshold=0.5, bands=8, est_filter=True
+        ).collect()
     }
     off = {
         (r.id_a, r.id_b, r.jaccard)
@@ -261,7 +264,70 @@ def test_minhash_est_filter_bypass_parity(spark, sf_dir):
             corpus, "id", "text", threshold=0.5, bands=8, est_filter=False
         ).collect()
     }
-    assert on == off and len(on) > 0
+    auto = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(corpus, "id", "text", threshold=0.5, bands=8).collect()
+    }
+    assert on == off == auto and len(on) > 0
+
+
+def test_minhash_est_filter_auto_regimes(spark, sf_dir):
+    """The auto probe must disengage the screen on the high-similarity
+    planted-dup corpus (screen would pass ~everything — r10's measured
+    pure-cost case) and re-engage it on a low-similarity corpus where
+    LSH candidates mostly fail the threshold (candidates ≫ survivors,
+    the 100 TB shape). Deterministic: hash-sampled buckets, exact fold."""
+    from ai_batch_processing_spark.operators.dedup import (
+        _EST_AUTO_PASS_CUTOFF,
+        _dup_corpus,
+        _est_screen_pass_rate,
+        minhash_signatures,
+    )
+
+    threshold, num_perm, bands = 0.5, 64, 8
+    cutoff = max(0.0, threshold - 3.0 * (threshold * (1.0 - threshold) / num_perm) ** 0.5)
+
+    # high-similarity: near-exact dup pairs dominate the buckets
+    sigs_hi = minhash_signatures(_dup_corpus(spark, sf_dir), "id", "text")
+    rate_hi = _est_screen_pass_rate(sigs_hi, num_perm, bands, cutoff, 500)
+    assert rate_hi is not None and rate_hi >= _EST_AUTO_PASS_CUTOFF
+
+    # candidates ≫ survivors: pairs at J ≈ 0.7 still collide in an r=8
+    # band ~37% of the time (0.7⁸ per band × 8 bands), but against a 0.9
+    # threshold their estimates sit far below the 3σ cutoff (~0.79) — the
+    # exact regime where the screen discards most candidates before the
+    # O(|shingle set|) verify. Docs share a large common block (~70% of
+    # shingles) plus a unique tail.
+    common = " ".join(f"common{j}word{j}" for j in range(60))
+    rows = [
+        (i, common + " " + " ".join(f"q{i}w{j}z{i * 31 + j * 7}" for j in range(30)))
+        for i in range(200)
+    ]
+    mid = spark.createDataFrame(rows, "id long, text string")
+    hi_threshold = 0.9
+    cutoff_hi = max(
+        0.0, hi_threshold - 3.0 * (hi_threshold * (1.0 - hi_threshold) / num_perm) ** 0.5
+    )
+    sigs_mid = minhash_signatures(mid, "id", "text")
+    rate_mid = _est_screen_pass_rate(sigs_mid, num_perm, bands, cutoff_hi, 500)
+    assert rate_mid is not None and rate_mid < _EST_AUTO_PASS_CUTOFF
+
+    # auto on that corpus = the screened path; precision unchanged
+    # (every returned pair still passes the exact verify). The zero-action
+    # size gate would short-circuit on a tiny test frame, so drop it to 0
+    # to exercise the probe end-to-end.
+    import ai_batch_processing_spark.operators.dedup as dd
+
+    old_gate = dd._EST_AUTO_MIN_BYTES
+    dd._EST_AUTO_MIN_BYTES = 0
+    try:
+        got = minhash_dedup_pairs(mid, "id", "text", threshold=hi_threshold, bands=bands)
+        forced = minhash_dedup_pairs(
+            mid, "id", "text", threshold=hi_threshold, bands=bands, est_filter=True
+        )
+        assert {tuple(r) for r in got.collect()} == {tuple(r) for r in forced.collect()}
+    finally:
+        dd._EST_AUTO_MIN_BYTES = old_gate
 
 
 # --- duplicate-span detection ------------------------------------------------
