@@ -1290,3 +1290,25 @@ def test_diag_frechet_identical_and_shifted(spark):
     assert rows[("a", "c")].std_dist_sq == 0.0
     assert rows[("a", "c")].frechet == 4.0
     assert rows[("b", "c")].frechet == 4.0
+
+
+def test_cosine_topk_arrow_matches_join_form(spark, sf_dir):
+    """cosine_topk_arrow (q45's one-scan kernel) must reproduce the join
+    form EXACTLY: sequential fold order + rounded-rank pruning with the
+    tie margin makes it value- and rank-identical, not approximately so."""
+    from ai_batch_processing_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    a = [tuple(r) for r in cosine_topk(emb, queries, k=5).orderBy("query_id", "rank").collect()]
+    b = [tuple(r) for r in cosine_topk_arrow(emb, queries, k=5).orderBy("query_id", "rank").collect()]
+    assert a == b and len(a) > 0
+
+    # bounded-query contract fails fast
+    import pytest
+
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk_arrow(emb, emb, k=3, max_query_rows=4)
