@@ -1420,7 +1420,10 @@ def bpe_train(
     pinned in tests; the unrolled DuckDB CTE oracle (q151/q157) is
     sequential by construction, so the hash gates prove it per-round.
     """
-    words = _bpe_word_types(df, text_col).localCheckpoint(eager=True)
+    # eager=False (r11): the first pass's pair-totals collect materializes
+    # the type table as a side effect — one less dedicated job (the q103
+    # doc-stats precedent); later passes read the checkpoint blocks.
+    words = _bpe_word_types(df, text_col).localCheckpoint(eager=False)
     spark = df.sparkSession
     merges: list[tuple] = []
     while len(merges) < n_merges:
