@@ -192,20 +192,22 @@ def test_q107_correlated_agg_decorrelates(spark, sf_dir):
 
 
 def test_q112_tfidf_caches_tf_and_skips_totals_aggregate(spark, sf_dir):
-    """The (doc, term) aggregate must be computed once (InMemoryRelation)
-    and per-doc totals must come from a scan-level size() — not a second
-    corpus-wide aggregate over the cached tf. Pinned on the LIBRARY form
-    (materialize=False): the q112 wrapper eagerly checkpoints
-    (materialize=True), so its returned plan is an opaque RDD scan and
-    the internal shape is only visible here."""
+    """The kernel's (doc, term, ct, n) output must be computed once
+    (InMemoryRelation) with the tokenize living in ONE MapInArrow node —
+    and the r10 totals branch (a second scan-level size(filter(split)))
+    must be GONE: the per-doc total rides on the kernel rows (r11).
+    Pinned on the LIBRARY form (materialize=False): the q112 wrapper
+    eagerly checkpoints (materialize=True), so its returned plan is an
+    opaque RDD scan and the internal shape is only visible here."""
     from ai_batch_processing_spark.operators.corpus import tfidf_top_terms
     from ai_batch_processing_spark.session import load_tables
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     plan = _explain(tfidf_top_terms(docs).orderBy("doc_id", "rnk"), "simple")
     assert "InMemoryRelation" in plan  # tf persisted, consumers share it
-    # totals branch: size(filter(split(...))) evaluated on the base scan
-    assert "size(filter(split(" in plan
+    assert "MapInArrow" in plan  # the tokenizer kernel IS the corpus pass
+    # the separate corpus-length scan + join are gone
+    assert "size(filter(split(" not in plan
     spark.catalog.clearCache()
 
 
@@ -355,19 +357,19 @@ def test_ann_edge_path_no_cartesian(name, spark, sf_dir):
 
 
 def test_q45_bruteforce_plan_pinned(spark, sf_dir):
-    """q45's intended shape: the 8-row QUERY side broadcast into exactly
-    one BroadcastNestedLoopJoin (the != self-pair predicate is non-equi
-    by design, with the corpus STREAMED, never built), no cartesian, and
-    the vec_id<8 filter pushed to the query-side scan. Pins the path the
-    _pair_dot Arrow kernel rides so future drift is diagnosable (r8
-    verdict item 5)."""
+    """q45's r11 shape (cosine_topk_arrow): NO join at all — the query
+    matrix rides in the kernel closure, the corpus is scanned once into
+    a single Python kernel node, and the only window runs over the
+    per-batch candidate stream. Pins the one-scan path so a future
+    regression back to the pair-stream join is diagnosable."""
     plan = _explain(SPECS["q45_ann_bruteforce_topk"].fn(spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastNestedLoopJoin" not in plan  # the pair stream is gone
+    assert "Join" not in plan  # no join of any kind
     fmt = _explain(SPECS["q45_ann_bruteforce_topk"].fn(spark, sf_dir))
-    assert "LessThan(vec_id,8)" in fmt  # query-side filter reached the scan
-    # the broadcast build side must be the 8-row query frame, not the corpus
-    assert "BuildRight" in fmt
+    # exactly one Python kernel node over the corpus scan
+    assert fmt.count("MapInPandas") + fmt.count("ArrowEvalPython") >= 1
+    assert "Window" in fmt  # rounded-rank top-k stays in Catalyst
 
 
 def test_broadcast_if_small_dispatch_ladder(spark, sf_dir):
