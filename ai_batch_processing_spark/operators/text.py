@@ -1426,6 +1426,15 @@ def bpe_train(
     words = _bpe_word_types(df, text_col).localCheckpoint(eager=False)
     spark = df.sparkSession
     merges: list[tuple] = []
+    # lineage-depth budget (r11): a checkpoint per PASS re-materialized the
+    # whole type table every iteration, but each pass only adds ≤ accepted
+    # replace expressions to the plan — re-deriving a few chained replaces
+    # from the last checkpoint is cheaper than writing the table (sf0.1
+    # interleaved: 1.34 → 1.22 s min, identical merges). Checkpoint only
+    # once ~128 replaces have accumulated, so a 30k-merge run still
+    # truncates its plan every couple of passes.
+    _ckpt_every = 128
+    _pending = 0
     while len(merges) < n_merges:
         want = min(merge_batch, n_merges - len(merges))
         rows = (
@@ -1455,7 +1464,11 @@ def bpe_train(
             merges.append((step0 + j + 1, r.a, r.b, r.a + r.b, r.total))
             pat = f"{_BPE_O}{r.a}{_BPE_C}{_BPE_O}{r.b}{_BPE_C}"
             col = F.replace(col, F.lit(pat), F.lit(f"{_BPE_O}{r.a + r.b}{_BPE_C}"))
-        words = words.select(col.alias("w"), "cnt").localCheckpoint(eager=False)
+        words = words.select(col.alias("w"), "cnt")
+        _pending += len(accepted)
+        if _pending >= _ckpt_every:
+            words = words.localCheckpoint(eager=False)
+            _pending = 0
     return spark.createDataFrame(
         merges, "step long, left string, right string, merged string, pair_n long"
     )
